@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Merge
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the per-operator registries; each entry has an
+  * equivalent DuckDB oracle in `oracleSql` unless the operator is not
+  * SQL-expressible (then it is covered by ScalaTest golden tests,
+  * SURVEY.md §5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full Customer-360 interaction profile (SURVEY.md
+    * §3.1) re-targeted onto the events table, with the reference's
+    * final Total_ column renames (ETL_pipeline.py:292-294).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Merge.renameWithPrefix(
+      CoreQueries.customer360(spark, "/root/testdata/sf0.001"),
+      Seq("acquisition", "commerce", "content", "engagement"),
+      "Total_")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracleSql
 }

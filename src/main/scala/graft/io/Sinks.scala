@@ -1,0 +1,65 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks (SURVEY.md §2.1 S6-S8).
+  *
+  * The JDBC sink goes behind a trait so the pipeline can run against a
+  * test double (parquet) where no SQL Server exists; option assembly is
+  * unit-testable without a connection. Mirrors
+  * ETL_pipeline.py:198-211 (`write_to_azureSQLdb`), minus the
+  * reference's bug of only catching `ValueError` (real SQLExceptions
+  * propagate there anyway; here every failure propagates).
+  */
+trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+/** S6 — JDBC overwrite sink.
+  *
+  * At scale each output partition opens one connection; callers should
+  * `coalesce` to a connection count the database tolerates and set
+  * `batchsize`. The reference writes ≤250 rows so none of this matters
+  * there, but the sink is sized for real use.
+  */
+final case class JdbcSink(
+    url: String,
+    table: String,
+    driver: String,
+    user: String,
+    password: String,
+    batchSize: Int = 10000,
+    numPartitions: Int = 8)
+    extends Sink {
+
+  /** The full option map (unit-testable without a database). */
+  def options: Map[String, String] = Map(
+    "url" -> url,
+    "dbtable" -> table,
+    "driver" -> driver,
+    "user" -> user,
+    "password" -> password,
+    "batchsize" -> batchSize.toString,
+    "numPartitions" -> numPartitions.toString
+  )
+
+  override def write(df: DataFrame): Unit =
+    df.write.format("jdbc").mode(SaveMode.Overwrite).options(options).save()
+}
+
+object JdbcSink {
+  /** URL assembly as the reference builds it (ETL_pipeline.py:199). */
+  def sqlServerUrl(host: String, port: String, database: String): String =
+    s"jdbc:sqlserver://$host:$port;databaseName=$database"
+}
+
+/** Parquet test double for the JDBC sink. */
+final case class ParquetSink(path: String) extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}
+
+/** S8 — console preview (ETL_pipeline.py:352,364). */
+object ConsoleSink {
+  def show(df: DataFrame, n: Int = 30): Unit = df.show(n, truncate = false)
+}

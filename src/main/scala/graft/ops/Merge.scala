@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Merge stage (SURVEY.md §2.3 J4, §3.3): pair the two branch outputs
+  * row-wise and drop the synthetic key.
+  */
+object Merge {
+
+  /** J4 faithful — the reference's zip-join
+    * (ETL_pipeline.py:356-362): `limit(250)` each side, index via
+    * `monotonically_increasing_id()`, inner join on index.
+    *
+    * Semantics are **arbitrary row pairing**: the ids are
+    * partition-encoded, need not be dense, and need not line up across
+    * frames (README.md:49 claims a user_id/contract join; the code
+    * joins synthetic ids). Kept for fidelity; use [[zipJoinDeterministic]]
+    * anywhere the output is compared.
+    */
+  def zipJoinFaithful(left: DataFrame, right: DataFrame,
+      limit: Int = 250, dropCols: Seq[String] = Seq("user_id")): DataFrame = {
+    val l = left.limit(limit).withColumn("index", monotonically_increasing_id())
+    val r = right.limit(limit).withColumn("index", monotonically_increasing_id())
+    l.join(r, Seq("index")).drop("index" +: dropCols: _*)
+  }
+
+  /** J4 deterministic — row_number over an explicit sort key on each
+    * side, then an index equi-join. Testable, oracle-expressible, and
+    * the only sane semantic at scale (monotonically_increasing_id is
+    * partition-layout-dependent, so the faithful variant changes
+    * output when the cluster size changes).
+    *
+    * Scale note: a global row_number over an unpartitioned window is a
+    * single-task sort — acceptable only because the reference caps both
+    * sides at 250 rows first. For unbounded zips use
+    * `zipWithIndex`-style two-pass numbering instead.
+    */
+  def zipJoinDeterministic(left: DataFrame, leftKey: Seq[Column],
+      right: DataFrame, rightKey: Seq[Column],
+      limit: Option[Int] = Some(250),
+      dropCols: Seq[String] = Seq("user_id")): DataFrame = {
+    def index(df: DataFrame, key: Seq[Column]) = {
+      val capped = limit.fold(df)(n => df.orderBy(key: _*).limit(n))
+      capped.withColumn("index", row_number().over(Window.orderBy(key: _*)))
+    }
+    index(left, leftKey)
+      .join(index(right, rightKey), Seq("index"))
+      .drop("index" +: dropCols: _*)
+  }
+
+  /** P6 — the reference's Total_ rename loop (ETL_pipeline.py:292-294)
+    * as a single select (one projection, not five plan rewrites).
+    */
+  def renameWithPrefix(df: DataFrame, cols: Seq[String], prefix: String): DataFrame = {
+    val renamed = df.columns.map { c =>
+      if (cols.contains(c)) col(c).as(prefix + c) else col(c)
+    }
+    df.select(renamed.toIndexedSeq: _*)
+  }
+}

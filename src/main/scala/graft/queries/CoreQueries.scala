@@ -1,0 +1,453 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Behavior, Interaction, Merge}
+
+/** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
+  * (FIXTURES.md §B): every parity operator gets a named query plus an
+  * equivalent DuckDB oracle SQL.
+  *
+  * Determinism rules (SURVEY.md §7.5 #3): every oracle-compared query
+  * carries a total ORDER BY, window ranks carry tie-breakers, and
+  * floating-point sums go through `DECIMAL(18,2)` (exact,
+  * order-independent) before being cast back to double — double
+  * addition is order-dependent across shuffle partitions and would
+  * hash-mismatch against the oracle otherwise.
+  */
+object CoreQueries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---- re-targeting of the reference's interaction schema onto `events`
+  // (FIXTURES.md §B): Contract→user_id, Mac→props, Date→to_date(ts),
+  // AppName→event_type, TotalDuration→value. The junk-contract sentinel
+  // "0" maps to user_id 0.
+  private val categoryMap = Map(
+    "signup" -> "acquisition", "purchase" -> "commerce",
+    "view" -> "content", "click" -> "engagement") // "error" recodes to 'error' → dropped
+  private val categories = Seq("acquisition", "commerce", "content", "engagement")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** events with the reference-shaped interaction columns. */
+  private def interactionInput(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("user_id").as("Contract"),
+      col("props").as("Mac"),
+      to_date(col("ts")).as("Date"),
+      col("event_type").as("AppName"),
+      col("value").as("TotalDuration"))
+
+  private val pivotSumsSql: String = Seq(
+    "signup" -> "acquisition", "purchase" -> "commerce",
+    "view" -> "content", "click" -> "engagement").map { case (t, c) =>
+    s"coalesce(CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS $c"
+  }.mkString(", ")
+
+  private val categoryPivotSql =
+    s"""SELECT user_id, $pivotSumsSql
+       |FROM events
+       |WHERE user_id <> 0 AND event_type IN ('signup','purchase','view','click')
+       |GROUP BY user_id""".stripMargin
+
+  private val activenessSql =
+    """SELECT user_id, CASE
+      |  WHEN d BETWEEN 1 AND 7 THEN 'very low'
+      |  WHEN d BETWEEN 8 AND 14 THEN 'low'
+      |  WHEN d BETWEEN 15 AND 21 THEN 'moderate'
+      |  WHEN d BETWEEN 22 AND 28 THEN 'high'
+      |  WHEN d BETWEEN 29 AND 31 THEN 'very high'
+      |  ELSE 'error' END AS activeness
+      |FROM (SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS d
+      |      FROM events GROUP BY user_id)
+      |WHERE d BETWEEN 1 AND 31""".stripMargin
+
+  /** Category pivot on events (recode+filter, agg, pivot, fill 0). */
+  private def categoryPivot(s: SparkSession, dir: String): DataFrame = {
+    val recoded = Interaction.transformCategory(
+      interactionInput(s, dir), categoryMap)
+    Interaction.statistics(recoded, categories, c => dsum(col(c)))
+  }
+
+  /** Full Customer-360 profile on events (§3.1 end-to-end): pivot ⋈
+    * Activeness ⋈ TotalDevices, MostWatch, CustomerTaste, exact-quantile
+    * segmentation. Exact quantiles (not percentile_approx) so the
+    * DuckDB oracle can reproduce the thresholds bit-for-bit.
+    */
+  def customer360(s: SparkSession, dir: String): DataFrame = {
+    val in = interactionInput(s, dir)
+    val profile = Interaction.customerTaste(
+      Interaction.mostWatch(categoryPivot(s, dir), categories), categories)
+      .join(Interaction.activeness(in), Seq("Contract"))
+      .join(Interaction.totalDevices(in), Seq("Contract"))
+    Interaction.customerType(profile, categories, exactQuantiles = true)
+  }
+
+  private val customer360Sql =
+    s"""WITH cat AS ($categoryPivotSql),
+       |act AS ($activenessSql),
+       |dev AS (SELECT user_id, count(DISTINCT props) AS total_devices
+       |        FROM events GROUP BY user_id),
+       |prof AS (
+       |  SELECT cat.user_id, acquisition, commerce, content, engagement,
+       |    CASE
+       |      WHEN acquisition = greatest(acquisition, commerce, content, engagement) THEN 'acquisition'
+       |      WHEN commerce   = greatest(acquisition, commerce, content, engagement) THEN 'commerce'
+       |      WHEN content    = greatest(acquisition, commerce, content, engagement) THEN 'content'
+       |      WHEN engagement = greatest(acquisition, commerce, content, engagement) THEN 'engagement'
+       |    END AS most_watch,
+       |    concat_ws('-',
+       |      CASE WHEN acquisition <> 0 THEN 'acquisition' END,
+       |      CASE WHEN commerce   <> 0 THEN 'commerce' END,
+       |      CASE WHEN content    <> 0 THEN 'content' END,
+       |      CASE WHEN engagement <> 0 THEN 'engagement' END) AS customer_taste,
+       |    activeness, total_devices,
+       |    acquisition + commerce + content + engagement AS total_duration
+       |  FROM cat
+       |  JOIN act USING (user_id)
+       |  JOIN dev USING (user_id)),
+       |q AS (SELECT quantile_cont(total_duration, 0.25) AS q1,
+       |             quantile_cont(total_duration, 0.50) AS med
+       |      FROM prof)
+       |SELECT user_id, acquisition, commerce, content, engagement,
+       |  total_devices, most_watch, customer_taste, activeness,
+       |  CASE
+       |    WHEN activeness = 'very low' AND total_duration < q1 THEN 'leaving'
+       |    WHEN activeness = 'low' AND total_duration < med THEN 'need attention'
+       |    WHEN activeness = 'moderate' AND total_duration < med THEN 'normal'
+       |    WHEN activeness = 'moderate' AND total_duration >= med THEN 'potential'
+       |    WHEN activeness = 'high' AND total_duration > q1 THEN 'loyal'
+       |    WHEN activeness = 'very high' AND total_duration > q1 THEN 'VIP'
+       |    ELSE 'anomaly' END AS customer_type
+       |FROM prof CROSS JOIN q
+       |ORDER BY user_id""".stripMargin
+
+  // ---- behavior re-targeting: month→half-of-January "period" 6/7,
+  // keyword→props (100 distinct values), user_id→user_id.
+  private def searchInput(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      ((dayofmonth(col("ts")) - 1) / 15 + 6).cast("int").as("month"),
+      col("user_id"),
+      col("props").as("keyword"))
+
+  private val searchInputSql =
+    """SELECT CAST((day(ts) - 1) // 15 + 6 AS INT) AS month, user_id,
+      |       props AS keyword FROM events""".stripMargin
+
+  private val mostSearchedSql =
+    s"""WITH src AS ($searchInputSql),
+       |cnt AS (SELECT month, user_id, keyword, count(*) AS cnt
+       |        FROM src
+       |        WHERE user_id IS NOT NULL AND keyword IS NOT NULL
+       |          AND month IN (6, 7)
+       |        GROUP BY month, user_id, keyword)
+       |SELECT month, user_id, keyword FROM (
+       |  SELECT month, user_id, keyword,
+       |    row_number() OVER (PARTITION BY month, user_id
+       |                       ORDER BY cnt DESC, keyword ASC) AS rnk
+       |  FROM cnt)
+       |WHERE rnk = 1""".stripMargin
+
+  private def mostSearched(s: SparkSession, dir: String): DataFrame =
+    Behavior.mostSearchedKeyword(
+      Behavior.filterSearch(searchInput(s, dir)), deterministic = true)
+
+  /** keyword→category dim (J3): a 60-entry literal dictionary covering
+    * 60 of the 100 props values, so left-join misses occur. Built from
+    * one Seq so the Spark frame and the SQL VALUES stay in lockstep.
+    */
+  private val mappingRows: Seq[(String, String)] =
+    (0 until 60).map(i => (s"""{"k": $i}""", s"cat_${i % 7}"))
+
+  private def mappingDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    mappingRows.toDF("search", "category")
+  }
+
+  private val mappingValuesSql: String = mappingRows
+    .map { case (k, v) => s"('${k.replace("'", "''")}', '$v')" }
+    .mkString("(VALUES ", ", ", ")")
+
+  private def trendingFull(s: SparkSession, dir: String): DataFrame = {
+    val joined = Behavior.monthlySplitJoin(mostSearched(s, dir), 6, 7, limit = None)
+    Behavior.previous(Behavior.trendingType(
+      Behavior.searchCategory(joined, mappingDf(s))))
+  }
+
+  private val trendingSql =
+    s"""WITH most AS ($mostSearchedSql),
+       |m6 AS (SELECT user_id, trim(keyword) AS most_search_month_6 FROM most WHERE month = 6),
+       |m7 AS (SELECT user_id, trim(keyword) AS most_search_month_7 FROM most WHERE month = 7),
+       |j AS (SELECT m6.user_id, most_search_month_6, most_search_month_7
+       |      FROM m6 JOIN m7 ON m6.user_id = m7.user_id),
+       |c AS (SELECT j.*, mt6.category AS category_t6, mt7.category AS category_t7
+       |      FROM j
+       |      LEFT JOIN $mappingValuesSql AS mt6(search, category) ON j.most_search_month_6 = mt6.search
+       |      LEFT JOIN $mappingValuesSql AS mt7(search, category) ON j.most_search_month_7 = mt7.search)
+       |SELECT *,
+       |  CASE WHEN category_t6 = category_t7 THEN 'Unchanged' ELSE 'Changed' END AS trending_type,
+       |  CASE WHEN category_t6 = category_t7 THEN 'Unchanged'
+       |       ELSE concat_ws(' -> ', category_t6, category_t7) END AS previous
+       |FROM c
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // the query registry
+  // ---------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // A1 — exact distinct devices per contract (ETL_pipeline.py:41-44).
+    Q("q_total_devices",
+      (s, dir) => Interaction.totalDevices(events(s, dir), "user_id", "props")
+        .select(col("user_id"), col("TotalDevices").as("total_devices"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(DISTINCT props) AS total_devices
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // A2+F1+P14 — activeness buckets over distinct active days (:46-60).
+    Q("q_activeness",
+      (s, dir) => Interaction.activeness(
+          events(s, dir).withColumn("Date", to_date(col("ts"))), "user_id", "Date")
+        .select(col("user_id"), col("Activeness").as("activeness"))
+        .orderBy("user_id"),
+      Some(activenessSql + "\nORDER BY user_id")),
+
+    // F1+P8+A3+A4 — recode, junk filters, two-phase agg + pivot (:63-86).
+    Q("q_category_pivot",
+      (s, dir) => categoryPivot(s, dir)
+        .withColumnRenamed("Contract", "user_id")
+        .orderBy("user_id"),
+      Some(categoryPivotSql + "\nORDER BY user_id")),
+
+    // F1+F2 — greatest() argmax over pivot columns (:88-96).
+    Q("q_most_watch",
+      (s, dir) => Interaction.mostWatch(categoryPivot(s, dir), categories)
+        .select(col("Contract").as("user_id"), col("MostWatch").as("most_watch"))
+        .orderBy("user_id"),
+      Some(s"""WITH cat AS ($categoryPivotSql)
+              |SELECT user_id, CASE
+              |  WHEN acquisition = greatest(acquisition, commerce, content, engagement) THEN 'acquisition'
+              |  WHEN commerce   = greatest(acquisition, commerce, content, engagement) THEN 'commerce'
+              |  WHEN content    = greatest(acquisition, commerce, content, engagement) THEN 'content'
+              |  WHEN engagement = greatest(acquisition, commerce, content, engagement) THEN 'engagement'
+              |  END AS most_watch
+              |FROM cat ORDER BY user_id""".stripMargin)),
+
+    // F1+F3 — null-skipping concat_ws taste string (:98-107).
+    Q("q_customer_taste",
+      (s, dir) => Interaction.customerTaste(categoryPivot(s, dir), categories)
+        .select(col("Contract").as("user_id"), col("CustomerTaste").as("customer_taste"))
+        .orderBy("user_id"),
+      Some(s"""WITH cat AS ($categoryPivotSql)
+              |SELECT user_id, concat_ws('-',
+              |  CASE WHEN acquisition <> 0 THEN 'acquisition' END,
+              |  CASE WHEN commerce   <> 0 THEN 'commerce' END,
+              |  CASE WHEN content    <> 0 THEN 'content' END,
+              |  CASE WHEN engagement <> 0 THEN 'engagement' END) AS customer_taste
+              |FROM cat ORDER BY user_id""".stripMargin)),
+
+    // §3.1 end-to-end — J1 joins + A6 quantile segmentation (:110-145,285-289).
+    Q("q_customer360",
+      (s, dir) => customer360(s, dir)
+        .select(col("Contract").as("user_id"),
+          col("acquisition"), col("commerce"), col("content"), col("engagement"),
+          col("TotalDevices").as("total_devices"),
+          col("MostWatch").as("most_watch"),
+          col("CustomerTaste").as("customer_taste"),
+          col("Activeness").as("activeness"),
+          col("CustomerType").as("customer_type"))
+        .orderBy("user_id"),
+      Some(customer360Sql)),
+
+    // A5+W1+P11 — most-searched keyword per (month,user), deterministic
+    // tie-break (:153-158).
+    Q("q_most_searched",
+      (s, dir) => mostSearched(s, dir).orderBy("month", "user_id"),
+      Some(mostSearchedSql + "\nORDER BY month, user_id")),
+
+    // P12+J2+F4 — per-month split + self-join on user (:160-168); the
+    // reference's limit(250) is dropped here for determinism (L1 is
+    // covered by q_zip_join's ordered limit).
+    Q("q_period_join",
+      (s, dir) => Behavior.monthlySplitJoin(mostSearched(s, dir), 6, 7, limit = None)
+        .orderBy("user_id"),
+      Some(s"""WITH most AS ($mostSearchedSql),
+              |m6 AS (SELECT user_id, trim(keyword) AS most_search_month_6 FROM most WHERE month = 6),
+              |m7 AS (SELECT user_id, trim(keyword) AS most_search_month_7 FROM most WHERE month = 7)
+              |SELECT m6.user_id AS user_id, most_search_month_6, most_search_month_7
+              |FROM m6 JOIN m7 ON m6.user_id = m7.user_id
+              |ORDER BY m6.user_id""".stripMargin)),
+
+    // J3+P3+F1+F3 — broadcast dictionary left-joins ×2, Trending_Type,
+    // Previous (:170-196).
+    Q("q_trending",
+      (s, dir) => trendingFull(s, dir)
+        .select(col("user_id"), col("most_search_month_6"),
+          col("most_search_month_7"), col("category_t6"), col("category_t7"),
+          col("Trending_Type").as("trending_type"),
+          col("Previous").as("previous"))
+        .orderBy("user_id"),
+      Some(trendingSql)),
+
+    // J4 deterministic — ordered 250-row zip-join of the two branches'
+    // stand-ins (:356-362; nondeterministic faithful variant covered by
+    // ScalaTest only, SURVEY.md §7.5 #3).
+    Q("q_zip_join",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        Merge.zipJoinDeterministic(
+            c, Seq(col("c_custkey")), o, Seq(col("o_orderkey")),
+            limit = Some(250), dropCols = Seq.empty)
+          .orderBy("c_custkey")
+      },
+      Some("""WITH l AS (SELECT c_custkey, c_name, c_mktsegment,
+             |  row_number() OVER (ORDER BY c_custkey) AS idx
+             |  FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 250)),
+             |r AS (SELECT o_orderkey, o_totalprice,
+             |  row_number() OVER (ORDER BY o_orderkey) AS idx
+             |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 250))
+             |SELECT c_custkey, c_name, c_mktsegment, o_orderkey, o_totalprice
+             |FROM l JOIN r USING (idx) ORDER BY c_custkey""".stripMargin)),
+
+    // U1 — unionByName with reordered columns ≡ the whole table (:256-260).
+    Q("q_union_by_name",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val a = li.filter(col("l_linenumber") <= 3)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+        val b = li.filter(col("l_linenumber") > 3)
+          .select("l_quantity", "l_orderkey", "l_returnflag") // reordered on purpose
+        a.unionByName(b)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A7 deterministic — dropDuplicates(subset) as rank-1-per-key (:302).
+    Q("q_drop_duplicates",
+      (s, dir) => {
+        val w = Window.partitionBy("p_brand").orderBy("p_partkey")
+        Tables(s, dir, "part")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select("p_brand", "p_partkey", "p_name")
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, p_partkey, p_name FROM (
+             |  SELECT p_brand, p_partkey, p_name,
+             |    row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rnk
+             |  FROM part)
+             |WHERE rnk = 1 ORDER BY p_brand""".stripMargin)),
+
+    // P8-P14 — the reference's filter repertoire (≠, IS NOT NULL, IN,
+    // BETWEEN, conjunction) pushed onto one scan (:73-74,149-150,136-141).
+    Q("q_filter_ops",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") =!= "A")
+        .filter(col("l_shipdate").isNotNull)
+        .filter(col("l_linenumber").isin(1, 2, 3))
+        .filter(col("l_quantity").between(10, 40))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus, count(*) AS n,
+              |  ${dsumSql("l_extendedprice")} AS sum_price
+              |FROM lineitem
+              |WHERE l_returnflag <> 'A' AND l_shipdate IS NOT NULL
+              |  AND l_linenumber IN (1, 2, 3) AND l_quantity BETWEEN 10 AND 40
+              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // A6 — exact interpolated quantiles per group (the oracle-safe face
+    // of percentile_approx, :113-123; integral doubles → interpolation
+    // exact in both engines).
+    Q("q_quantiles",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.50)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q3"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q1,
+             |  quantile_cont(l_quantity, 0.50) AS median,
+             |  quantile_cont(l_quantity, 0.75) AS q3
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // W1/L3 — top-3 per group with full tie-break.
+    Q("q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        Tables(s, dir, "lineitem")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
+            "l_extendedprice")
+          .orderBy("l_returnflag", "rnk")
+      },
+      Some("""SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+             |FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey ASC,
+             |               l_linenumber ASC) AS INT) AS rnk
+             |  FROM lineitem)
+             |WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin)),
+
+    // J1 — fact ⋈ broadcast dim + agg (:285-286 shape on TPC-H).
+    Q("q_join_agg",
+      (s, dir) => Tables(s, dir, "orders")
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS revenue
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // The TPC-H Q1-style flagship aggregation (A3 shape at bench scale).
+    Q("q1_agg",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_price,
+              |  count(*) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
+    python3 tools/check_oracle.py <sfDir> <outDir>
+
+For each <outDir>/<name> parquet dump, runs <outDir>/oracle_sql.json's
+SQL in DuckDB over the sfDir tables and compares: column names
+(sorted), row count, and values (columns sorted by name, rows sorted).
+"""
+import json, sys, glob, os
+import duckdb
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
+        got = con.sql(f"SELECT * FROM '{files[0]}'").df()
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle (rows={len(got)})"); continue
+        try:
+            want = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        g = got[gc].sort_values(gc).reset_index(drop=True)
+        w = want[wc].sort_values(wc).reset_index(drop=True)
+        # exact value compare (mimic hash compare)
+        diff_cols = []
+        for c in gc:
+            gv, wv = g[c], w[c]
+            eq = (gv == wv) | (gv.isna() & wv.isna())
+            if not eq.all():
+                diff_cols.append((c, int((~eq).sum())))
+        if diff_cols:
+            print(f"FAIL {name}: value diffs {diff_cols}")
+            for c, _ in diff_cols[:2]:
+                bad = (~((g[c] == w[c]) | (g[c].isna() & w[c].isna()))).idxmax()
+                print(f"  first diff in {c} at row {bad}: got={g[c][bad]!r} want={w[c][bad]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
