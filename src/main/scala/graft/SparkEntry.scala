@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.Merge
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,13 +24,16 @@ object SparkEntry {
       Seq("acquisition", "commerce", "content", "engagement"),
       "Total_")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data extension operators (dedup / similarity / text
+    * analysis / multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ ExtQueries.oracleSql
 }

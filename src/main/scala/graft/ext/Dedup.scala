@@ -1,0 +1,249 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import HashDefs._
+
+/** Deduplication operators over a (id, text) corpus: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story):
+  * - exact dedup is one hash-shuffle on a 128-bit digest — never on
+  *   the text itself, so shuffle volume is rows × 32 bytes.
+  * - pairwise Jaccard is only ever computed on LSH candidate pairs
+  *   (or, in [[ngramJaccardPairs]]' exact mode, via the inverted
+  *   shingle index — an equi-join on shingle, never a cross join).
+  *   The shingle→doc inverted index is the one big shuffle; hot
+  *   shingles are the skew risk, handled by dropping
+  *   ultra-high-document-frequency shingles (they carry no signal).
+  * - MinHash signatures are one aggregation over the exploded
+  *   shingles (map-side partial min), LSH banding turns near-dup
+  *   search into an equi-join on (band, bandHash).
+  */
+object Dedup {
+
+  /** Exact dedup by content digest: canonical id (min) per distinct
+    * text, group size. One shuffle on md5(text).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word n-shingles per document: (id, shingle). The
+    * explode is the inverted-index build; everything downstream joins
+    * on the shingle string (or its 60-bit hash).
+    */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int = ShingleN): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // shingle i = words[i..i+n-1]; sequence(0, size-n) enumerates starts
+    // (guarded: sequence(0, negative) would count backwards)
+    val shingles = when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles)).as("shingle"))
+  }
+
+  /** Distinct 60-bit shingle hashes per document: (id, h). The join
+    * currency of the dedup family — an 8-byte key shuffles and
+    * compares far cheaper than the shingle strings, and the distinct
+    * runs as a distributed hash-aggregate instead of a per-row
+    * `array_distinct` (O(k²) string compares per document).
+    *
+    * Shingles are assembled with `posexplode` + window `lead` rather
+    * than a higher-order `transform` lambda: HOFs evaluate interpreted
+    * (outside whole-stage codegen) and benched ~4× slower; lead/concat
+    * in a window projection stay fully codegen'd. The window's
+    * per-document sort is over ~token-count rows — bounded and
+    * spill-free.
+    */
+  def wordShingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int = ShingleN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("w") +: (1 until n).map(j => lead("w", j).over(w))
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"),
+        parts.last.isNotNull.as("complete"))
+      .filter(col("complete")) // drop truncated shingles at the tail
+      .select(col("id"), TextAnalysis.tokenHash60(col("shingle")).as("h"))
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ `minJaccard` via the inverted
+    * shingle-hash index: self-join on h (id_a < id_b), count shared,
+    * divide by union size. Never materializes the doc×doc cross
+    * product. ("Exact" up to 60-bit hash collisions, ~n²/2^61.)
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = ShingleN, minJaccard: Double = 0.5): DataFrame = {
+    val sh = wordShingleHashes(df, idCol, textCol, n).cache()
+    jaccardFromShingles(sh, candidates = None, minJaccard)
+  }
+
+  /** Shared Jaccard tail: shared-count join (optionally restricted to
+    * candidate pairs) + size lookup + threshold.
+    */
+  private def jaccardFromShingles(sh: DataFrame,
+      candidates: Option[DataFrame], minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val base = candidates match {
+      case None =>
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      case Some(cand) =>
+        val shB = sh.select(col("id").as("id_b2"), col("h").as("h_b"))
+        cand
+          .join(sh.withColumnRenamed("id", "id_a"), Seq("id_a"))
+          .join(shB, col("id_b") === col("id_b2") && col("h") === col("h_b"))
+          .select(col("id_a"), col("id_b"))
+    }
+    val shared = base.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature per document over the (id, h) shingle hashes:
+    * K columns mh0..mh{K-1}, each `min((a_i * (h mod p) + b_i) mod p)`
+    * over the document's distinct shingles. One aggregation (map-side
+    * partial min applies).
+    */
+  def minhashSignature(shingleHashes: DataFrame): DataFrame = {
+    val x = col("h") % lit(P)
+    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * x + lit(b)) % lit(P)).as(s"mh$i")
+    }
+    shingleHashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (id, band, band_hash) — md5 over the band's
+    * comma-joined minhash values. Docs sharing any (band, band_hash)
+    * are candidate pairs.
+    */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      val cols = (j * RowsPerBand until (j + 1) * RowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(j).as("band"), md5(concat_ws(",", cols: _*)).as("band_hash"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs from LSH bucket collisions (distinct, a < b).
+    * The join is an equi-join on (band, band_hash) — the only pairs
+    * ever enumerated are same-bucket ones.
+    */
+  def lshCandidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    * candidates → exact-Jaccard verify ≥ `minJaccard`.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = wordShingleHashes(df, idCol, textCol).cache()
+    val candidates = lshCandidatePairs(lshBands(minhashSignature(sh)))
+    jaccardFromShingles(sh, Some(candidates), minJaccard)
+  }
+
+  /** SimHash fingerprint per document over the 60-bit token hashes
+    * (term-frequency weighted): for each bit j, sum +1/-1 votes across
+    * tokens; bit j of the fingerprint is 1 iff the vote is positive.
+    * One explode + one aggregation; the 60 conditional sums are all
+    * map-side combinable.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", TextAnalysis.tokenHash60(col("tok")))
+    val votes = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val fp = (0 until SimhashBits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by simhash Hamming distance ≤ `maxDist`.
+    * Note: all-pairs comparison — at scale, band the fingerprint into
+    * 4×16-bit chunks and equi-join on any matching chunk (pigeonhole:
+    * distance ≤ 3 ⇒ some chunk equal), then verify. The chunked path
+    * is [[simhashBandedPairs]].
+    */
+  def simhashPairs(fps: DataFrame, maxDist: Int = 3): DataFrame =
+    fps.as("a").join(fps.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dist",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+
+  /** Scale path for simhash near-dup: pigeonhole banding. Split the
+    * fingerprint into `maxDist + 1` chunks; any pair within Hamming
+    * distance `maxDist` must agree on at least one whole chunk, so an
+    * equi-join on (chunk_idx, chunk_value) finds all of them without a
+    * cross join; verify the distance afterwards.
+    */
+  def simhashBandedPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    val width = SimhashBits / nChunks
+    val chunks = (0 until nChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
+    }
+    val exploded = fps.select(col("id"), col("simhash"),
+      explode(array(chunks: _*)).as("c"))
+      .select(col("id"), col("simhash"), col("c.chunk"), col("c.chunk_val"))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
+    * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
+    * route through [[Similarity]]'s LSH bucketing first.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val prepped = Similarity.withNorm(
+      emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    prepped.as("a").join(prepped.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", Similarity.cosineFromNorms(
+        col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, language ID, quality scoring,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` higher-order array
+  * expressions — no UDFs — so the operators scale as plain projections:
+  * no shuffle, no driver involvement, embarrassingly parallel over
+  * whatever partitioning the scan produced.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit base hash of a token/shingle: first 15 hex digits of md5,
+    * as int64 (same formula the DuckDB oracle can compute:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`).
+    */
+  def tokenHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: alpha runs, single digits, and
+    * punctuation each count as one token (a crude proxy for a BPE
+    * vocabulary's behavior on unseen text).
+    */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  private def inList(t: Column, words: Seq[String]): Column =
+    words.map(w => t === w).reduce(_ || _)
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ws = tokens(text)
+    size(filter(ws, t => inList(t, stopwords))).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean whitespace-token length. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCountWs(text) - 1)).cast("double") /
+      greatest(tokenCountWs(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]-ish: long enough, low punct,
+    * some-but-not-all stopwords. Heuristic weights; the point is the
+    * shape (pure per-row projection).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    round(lit(0.5) * lenScore + lit(0.25) * (lit(1.0) - punct) +
+      lit(0.25) * least(stop * lit(5.0), lit(1.0)), 6)
+  }
+
+  /** Marker-word lists for the n-gram-heuristic language ID. Shared
+    * with the oracle SQL generator in
+    * [[graft.queries.ExtQueries]].
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo"))
+
+  /** Heuristic language ID: count marker-word hits per language, take
+    * the argmax (first language in [[langMarkers]] order wins ties —
+    * deterministic). Emits one score column per language plus
+    * `lang_pred`.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", size(filter(ws, t => inList(t, markers))))
+    }
+    val scores = langMarkers.map { case (lang, _) => col(s"score_$lang") }
+    val best = greatest(scores: _*)
+    val pred = langMarkers.foldLeft(null.asInstanceOf[Column]) {
+      case (null, (lang, _)) => when(col(s"score_$lang") === best, lang)
+      case (acc, (lang, _)) => acc.when(col(s"score_$lang") === best, lang)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * `h := (h*31 + (tokenHash60(t) mod 2^20)) mod 2^30`, left fold in
+    * token order. Order-sensitive (unlike a bag-of-words hash) so
+    * reordered documents fingerprint differently; bounded moduli keep
+    * ANSI int64 arithmetic overflow-free.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => tokenHash60(t) % lit(HashDefs.TokenMod)),
+      lit(0L),
+      (acc, x) => (acc * lit(31L) + x) % lit(HashDefs.FpMod))
+}

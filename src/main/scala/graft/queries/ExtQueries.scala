@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, HashDefs, Multimodal, Similarity, TextAnalysis}
+import graft.queries.CoreQueries.Q
+
+/** Training-data-pipeline extension operators (BASELINE.json north
+  * star): dedup, similarity search, text analysis, multimodal — each
+  * registered with a DuckDB oracle where the math is reproducible in
+  * SQL (hashes are md5-derived on both sides; see
+  * [[graft.ext.HashDefs]]). LSH-approximate operators whose output is
+  * probabilistic get rows-only checks plus ScalaTest recall tests.
+  */
+object ExtQueries {
+  import HashDefs._
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  // ---- shared SQL fragments (mirror the Scala ops exactly) ----------
+
+  /** 60-bit md5 hash — SQL twin of [[TextAnalysis.tokenHash60]]. */
+  private def h60(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Distinct word 3-shingle hashes per doc — SQL twin of
+    * [[Dedup.wordShingleHashes]].
+    */
+  private val shinglesSql =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id AS id, ${h60("shingle")} AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(ws) - ${ShingleN - 2}),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))""".stripMargin
+
+  private val jaccardTailSql =
+    """sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |shared AS (
+      |  SELECT a.id AS ia, b.id AS ib, count(*) AS shared
+      |  FROM shp a JOIN shp b ON a.h = b.h AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b,
+      |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+      |FROM shared JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+      |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Minhash signature CTE: mh0..mh{K-1} per doc. */
+  private val minhashSql: String = {
+    val mins = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $P) AS mh$i"
+    }.mkString(",\n    ")
+    s"""hx AS (SELECT id, h % $P AS x FROM sh),
+       |mh AS (SELECT id,
+       |    $mins
+       |  FROM hx GROUP BY id)""".stripMargin
+  }
+
+  /** LSH banding CTE (UNION ALL, one leg per band). */
+  private val bandsSql: String = (0 until Bands).map { j =>
+    val cols = (j * RowsPerBand until (j + 1) * RowsPerBand)
+      .map(i => s"CAST(mh$i AS VARCHAR)").mkString(", ")
+    s"SELECT id, $j AS band, md5(concat_ws(',', $cols)) AS bh FROM mh"
+  }.mkString("bands AS (\n  ", "\n  UNION ALL\n  ", ")")
+
+  private val simhashVotesSql = (0 until SimhashBits).map { jj =>
+    s"SUM(CASE WHEN (h >> $jj) & 1 = 1 THEN 1 ELSE -1 END) AS v$jj"
+  }.mkString(",\n    ")
+  private val simhashFpSql = (0 until SimhashBits).map { jj =>
+    s"(CASE WHEN v$jj > 0 THEN CAST(${1L << jj} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val embNormSql =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  private val langScoreSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+    val lst = ms.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_filter(ws, t -> t IN ($lst))) AS INT) AS score_$lang"
+  }.mkString(",\n    ")
+  private val langPredSql = {
+    val g = TextAnalysis.langMarkers.map(m => s"score_${m._1}").mkString(", ")
+    TextAnalysis.langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = greatest($g) THEN '$lang'"
+    }.mkString("CASE ", " ", " END")
+  }
+
+  // ---- the registry --------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: canonical id per distinct content digest.
+    Q("q_dedup_exact",
+      (s, dir) => Dedup.exactDedup(docs(s, dir), "doc_id", "text")
+        .orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+             |  count(*) AS n_docs
+             |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs via the inverted shingle index.
+    Q("q_dedup_ngram",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shinglesSql,
+              |shp AS (SELECT * FROM sh),
+              |$jaccardTailSql""".stripMargin)),
+
+    // MinHash + LSH banding + exact-Jaccard verification.
+    Q("q_dedup_minhash",
+      (s, dir) => Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS ca, b.id AS cb
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+              |shp AS (SELECT sh.* FROM sh
+              |        WHERE id IN (SELECT ca FROM cand) OR id IN (SELECT cb FROM cand)),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT ca AS ia, cb AS ib, count(*) AS shared
+              |  FROM cand JOIN shp a ON ca = a.id
+              |            JOIN shp b ON cb = b.id AND a.h = b.h
+              |  GROUP BY 1, 2)
+              |SELECT ia AS id_a, ib AS id_b,
+              |  round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+              |FROM shared JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+              |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash fingerprints (tf-weighted, 60-bit).
+    Q("q_simhash",
+      (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")
+        .orderBy("id"),
+      Some(s"""WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              |          FROM documents),
+              |h AS (SELECT id, ${h60("tok")} AS h FROM t),
+              |v AS (SELECT id,
+              |    $simhashVotesSql
+              |  FROM h GROUP BY id)
+              |SELECT id, $simhashFpSql AS simhash FROM v ORDER BY id""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs (τ = 0.45; double math both sides).
+    Q("q_embed_neardup",
+      (s, dir) => Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $embNormSql
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+              |FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Brute-force cosine top-k (the exact ANN baseline; queries = vec_id < 10).
+    Q("q_ann_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $embNormSql,
+              |q AS (SELECT * FROM n WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+              |    list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+              |  FROM q JOIN n ON n.vec_id <> q.vec_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // LSH-bucketed approximate ANN — probabilistic output, rows-only
+    // check here; recall vs brute force asserted in ScalaTest.
+    Q("q_ann_lsh",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // Token statistics: whitespace + BPE-ish counts, mean token length.
+    Q("q_token_stats",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"),
+          round(TextAnalysis.meanTokenLen(col("text")), 6).as("mean_tok_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+             |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe,
+             |  round(CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             |    / greatest(len(string_split(text, ' ')), 1), 6) AS mean_tok_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language ID by marker-word scoring (deterministic argmax).
+    Q("q_lang_id",
+      (s, dir) => TextAnalysis.langId(docs(s, dir), "text")
+        .select(col("doc_id") +:
+          TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l") } :+
+          col("lang_pred"): _*)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |    $langScoreSql,
+              |    $langPredSql AS lang_pred
+              |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length/punct/stopword composite.
+    Q("q_quality",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  round(CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+             |    / greatest(len(ws), 1), 6) AS stop_ratio,
+             |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE)
+             |    / greatest(len(text), 1), 6) AS punct_ratio,
+             |  round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+             |    + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(len(text), 1))
+             |    + 0.25 * least(CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) / greatest(len(ws), 1) * 5.0, 1.0), 6) AS quality
+             |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Rolling polynomial document fingerprint (order-sensitive).
+    Q("q_fingerprint",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(string_split(text, ' '),
+              |        t -> ${h60("t")} % $TokenMod)),
+              |    (a, b) -> (a * 31 + b) % $FpMod) AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: binary payload + typed metadata (the decode
+    // itself is stubbed; see ext/Multimodal.scala).
+    Q("q_binary_meta",
+      (s, dir) => Multimodal.asMedia(docs(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.digest").as("digest"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS digest
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Stubbed media decode through the real mapPartitions plumbing —
+    // deterministic fake features; rows-only check (no SQL equivalent).
+    Q("q_media_features",
+      (s, dir) => {
+        val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text")
+        Multimodal.extractFeatures(media, nFrames = 2, featDim = 4)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+          .orderBy("media_id", "frame_idx")
+      },
+      None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
