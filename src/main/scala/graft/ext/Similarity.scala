@@ -60,44 +60,79 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component r[plane][dim]:
-    * a hash of (plane, dim) mapped into [-0.5, 0.5). Reproducible
-    * anywhere (including SQL) without shipping plane data.
+  /** Deterministic pseudo-random hyperplane component r[plane][d]:
+    * a hash of (plane, d) mapped into [-0.5, 0.5). Computed driver-side
+    * and embedded as a literal array, so the per-row projection is one
+    * codegen'd [[graft.functions.VectorDot]] — the interpreted
+    * `aggregate(zip_with(...))` form benched ~10× slower (one lambda
+    * pair per element per plane).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(lit(plane.toLong) * lit(1315423911L) + dim * lit(2654435761L),
-      lit(1000003L)).cast("double") / lit(1000003.0)) - lit(0.5)
+  private def planeComponent(plane: Int, d: Int): Double =
+    (((plane.toLong * 1315423911L + d.toLong * 2654435761L) % 1000003L).toDouble
+      / 1000003.0) - 0.5
 
-  /** Random-hyperplane LSH signature: bit p = sign(dot(v, r_p)).
-    * `nPlanes` bits → one long bucket id.
+  /** Random-hyperplane LSH signature: bit p = sign(dot(v, r_{offset+p})).
+    * `nPlanes` bits → one long bucket id. `planeOffset` selects an
+    * independent plane family per LSH table; `dim` is the embedding
+    * width (planes are literal arrays of that length — extra elements
+    * beyond the vector's own length are ignored by the dot product).
     */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  def lshBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0,
+      dim: Int = 64): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i.cast("long"))),
-        lit(0.0), (acc, v) => acc + v)
+      val plane = Array.tabulate(dim)(d => planeComponent(planeOffset + p, d))
+      val proj = vec_dot(vec, typedLit(plane))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: bucket the corpus by LSH signature, probe each
-    * query's own bucket (plus buckets at Hamming distance 1 when
-    * `multiProbe`), rank within candidates. Recall < 1 by design; the
-    * win is that the corpus-side join is an equi-join on bucket id.
+  /** LSH signatures for all `nTables` tables at once: one array column
+    * of (table, bucket) structs, planes of table t being the global
+    * plane indices [t*nPlanes, (t+1)*nPlanes).
+    */
+  private def lshTableBuckets(vec: Column, nPlanes: Int, nTables: Int,
+      dim: Int): Column =
+    array((0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        lshBucket(vec, nPlanes, planeOffset = t * nPlanes, dim = dim).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k via multi-table random-hyperplane LSH — the
+    * standard OR-construction: `nTables` independent tables of
+    * `nPlanes` hyperplanes each; a pair is a candidate if it shares a
+    * bucket in ANY table (plus, with `multiProbe`, buckets one
+    * bit-flip from the query's). Candidates are deduped across tables
+    * before exactly one cosine is computed per (query, candidate).
+    *
+    * Recall/cost dial: per-table collision prob for angle θ is
+    * (1 − θ/π)^nPlanes, so more planes → smaller buckets (cheaper)
+    * but lower recall, and more tables → higher recall at the cost of
+    * replicating the corpus index nTables×. The defaults (8 tables ×
+    * 6 planes + 1-bit multiprobe) hold recall ≈0.9 even for weak
+    * neighbors (cos ≈ 0.3, the hardest regime — measured on the
+    * testdata embeddings); near-dup-grade neighbors (cos ≥ 0.8)
+    * tolerate far more planes.
+    *
+    * Scale shape: the corpus shuffles once on (table, bucket) — an
+    * equi-join, never a cross join — and the candidate set, not the
+    * corpus, feeds the top-k window.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 12, multiProbe: Boolean = true,
+      nPlanes: Int = 6, nTables: Int = 8, multiProbe: Boolean = true,
+      dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .withColumn("bucket", lshBucket(col("vec"), nPlanes))
-    val qBase = withNorm(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
-      .withColumnRenamed("norm", "qnorm")
-      .withColumn("qbucket", lshBucket(col("qvec"), nPlanes))
-    // multi-probe: query's bucket + all buckets one bit-flip away
+    val cIndex = c
+      .select(col("id"),
+        explode(lshTableBuckets(col("vec"), nPlanes, nTables, dim)).as("tb"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+    val qBase = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("tb", explode(lshTableBuckets(col("qvec"), nPlanes, nTables, dim)))
+      .select(col("query_id"), col("tb.table"), col("tb.bucket").as("qbucket"))
+    // multi-probe: the query's bucket plus every bucket one bit-flip away
     val probes =
       if (!multiProbe) qBase.withColumn("bucket", col("qbucket"))
       else {
@@ -106,8 +141,18 @@ object Similarity {
           .withColumn("bucket", col("qbucket").bitwiseXOR(col("flip")))
           .drop("flip")
       }
-    val scored = c.join(probes, Seq("bucket"))
+    val candidates = cIndex
+      .join(broadcast(probes.select("table", "bucket", "query_id")),
+        Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id")
+      .distinct() // a pair colliding in several tables scores once
+    val q = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
+      .withColumnRenamed("norm", "qnorm")
+    val scored = candidates
+      .join(c, Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
         cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
     val w = Window.partitionBy("query_id")

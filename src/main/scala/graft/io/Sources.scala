@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  private val DatePattern = "(\\d{8})"
+  // Anchored to the final path segment ([^/]* cannot cross a '/'): an
+  // 8-digit run elsewhere in the path (bucket names, tmp dirs) must
+  // never win over the file's own YYYYMMDD basename.
+  private val DatePattern = "(\\d{8})[^/]*$"
 
   /** S4 — driver-side listing of a flat directory of `YYYYMMDD`-named
     * files/folders, kept when the embedded date falls in

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.ops.Interaction
+
+/** Property-based invariants (SURVEY.md §5 #3). Exhaustive where the
+  * domain is small (bucket edges); ScalaCheck-generated datasets where
+  * it isn't — each property evaluates whole datasets per Spark job, not
+  * one job per sample.
+  */
+class PropertySpec extends AnyFunSuite with Matchers {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: org.scalacheck.Prop, minTests: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("activenessBucket: total partition of 0..100 — [1,31] buckets, else error") {
+    val out = (0 to 100).toDF("d")
+      .select(col("d"), Interaction.activenessBucket(col("d")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val buckets = Set("very low", "low", "moderate", "high", "very high")
+    (0 to 100).foreach { d =>
+      if (d >= 1 && d <= 31) buckets should contain(out(d))
+      else out(d) shouldBe "error"
+    }
+    // each bucket is exactly 7 days wide except very high (3)
+    val widths = (1 to 31).groupBy(out).view.mapValues(_.size).toMap
+    widths shouldBe Map("very low" -> 7, "low" -> 7, "moderate" -> 7,
+      "high" -> 7, "very high" -> 3)
+  }
+
+  private val rowsGen: Gen[List[(String, String, Long)]] =
+    Gen.listOfN(40, for {
+      c <- Gen.choose(0, 4)
+      t <- Gen.oneOf("A", "B", "C")
+      v <- Gen.choose(0L, 1000L)
+    } yield (s"c$c", t, v))
+
+  test("pivot row sums equal pre-pivot group sums for arbitrary data") {
+    check(forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("Contract", "Type", "TotalDuration")
+        val piv = Interaction.statistics(df, Seq("A", "B", "C"))
+          .withColumn("rowSum", col("A") + col("B") + col("C"))
+          .select("Contract", "rowSum")
+        val direct = df.groupBy("Contract").agg(sum("TotalDuration"))
+        piv.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet
+      }
+    }, minTests = 5)
+  }
+
+  test("union-of-splits ≡ whole table (U1: split + unionByName reordered)") {
+    check(forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0, 9), Gen.choose(0L, 99L))),
+      Gen.choose(0, 9)) { (rows, p) =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v")
+        val a = df.filter(col("k") <= p).select("v", "k") // columns reordered
+        val b = df.filter(col("k") > p)
+        val rebuilt = b.unionByName(a)
+        rebuilt.count() == df.count() &&
+          rebuilt.agg(sum("v")).head().getLong(0) ==
+            df.agg(sum("v")).head().getLong(0)
+      }
+    }, minTests = 5)
+  }
+
+  test("customerType: every (activeness, duration) lands in exactly one segment") {
+    val activeness = Seq("very low", "low", "moderate", "high", "very high", "error")
+    val durations = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 20.01, 100.0)
+    val df = (for { a <- activeness; d <- durations } yield (a, d))
+      .toDF("Activeness", "TotalDuration")
+      .select(Interaction.customerTypeColumn(10.0, 20.0).as("t"))
+    val types = Set("leaving", "need attention", "normal", "potential",
+      "loyal", "VIP", "anomaly")
+    df.collect().foreach(r => types should contain(r.getString(0)))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup family semantics: exact digest groups, shingling, inverted-
+  * index Jaccard, MinHash/LSH candidate recall, SimHash banding
+  * equivalence, embedding near-dup.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc = "the quick brown fox jumps over the lazy dog"
+
+  test("exactDedup: one group per distinct text, min id canonical") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .select("canonical_id", "n_docs")
+    rowSet(out) shouldBe Set(Seq(1L, 2L), Seq(2L, 1L))
+  }
+
+  test("wordShingles: 3-shingles in order, short docs yield none") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.wordShingles(df, "doc_id", "text")
+    rowSet(out) shouldBe Set(Seq(1L, "a b c"), Seq(1L, "b c d"))
+  }
+
+  test("wordShingleHashes: distinct hashes match distinct shingles") {
+    val df = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    // shingles: "a b c","b c a","c a b" (×, repeated) → 3 distinct
+    Dedup.wordShingleHashes(df, "doc_id", "text").count() shouldBe 3L
+  }
+
+  test("wordShingleHashes agrees with wordShingles + hash") {
+    val df = Seq((1L, doc), (2L, doc + " extra words here")).toDF("doc_id", "text")
+    val viaArrays = Dedup.wordShingles(df, "doc_id", "text")
+      .select(col("id"), TextAnalysis.tokenHash60(col("shingle")).as("h"))
+      .distinct()
+    rowSet(Dedup.wordShingleHashes(df, "doc_id", "text")) shouldBe rowSet(viaArrays)
+  }
+
+  test("ngramJaccardPairs: identical docs → jaccard 1.0; disjoint absent") {
+    val df = Seq(
+      (1L, doc), (2L, doc),
+      (3L, "completely different words in this unrelated document text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+    rowList(out.select("id_a", "id_b", "jaccard")) shouldBe
+      Seq(Seq(1L, 2L, 1.0))
+  }
+
+  test("ngramJaccardPairs: known partial overlap") {
+    // doc1: shingles {a b c, b c d, c d e} ; doc2: {a b c, b c x, c x y}
+    // shared = 1, union = 5 → jaccard 0.2 (below 0.5 → empty);
+    // with threshold 0.1 it appears.
+    val df = Seq((1L, "a b c d e"), (2L, "a b c x y")).toDF("doc_id", "text")
+    Dedup.ngramJaccardPairs(df, "doc_id", "text").count() shouldBe 0L
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.1)
+    rowList(out) shouldBe Seq(Seq(1L, 2L, 0.2))
+  }
+
+  test("minhashDedupPairs: finds near-identical pair, excludes unrelated") {
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"token$i").mkString(" ") + " changed word"
+    val other = (100 to 130).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.minhashDedupPairs(df, "doc_id", "text", minJaccard = 0.5)
+    val pairs = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+    pairs.map(p => Set(p._1, p._2)) should not contain Set(1L, 3L)
+  }
+
+  test("minhash signature: identical docs get identical signatures") {
+    val df = Seq((1L, doc), (2L, doc)).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.wordShingleHashes(df, "doc_id", "text"))
+    val rows = sig.drop("id").collect().map(_.toSeq)
+    rows.length shouldBe 2
+    rows(0) shouldBe rows(1)
+    sig.columns.length shouldBe HashDefs.K + 1
+  }
+
+  test("lshCandidatePairs: identical signatures collide in every band, distinct pairs") {
+    val df = Seq((1L, doc), (2L, doc)).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignature(
+      Dedup.wordShingleHashes(df, "doc_id", "text")))
+    bands.count() shouldBe 2L * HashDefs.Bands
+    rowList(Dedup.lshCandidatePairs(bands)) shouldBe Seq(Seq(1L, 2L))
+  }
+
+  test("simhash: identical texts → identical fingerprints in [0, 2^60)") {
+    val df = Seq((1L, doc), (2L, doc), (3L, "some other words entirely"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps(1L) shouldBe fps(2L)
+    fps.values.foreach { v =>
+      v should be >= 0L
+      v should be < (1L << HashDefs.SimhashBits)
+    }
+  }
+
+  test("simhashBandedPairs ≡ simhashPairs (pigeonhole banding is lossless)") {
+    // near-identical docs differ in few bits; unrelated docs differ in many
+    val texts = Seq(
+      1L -> doc, 2L -> (doc + " tail"), 3L -> "alpha beta gamma delta",
+      4L -> "alpha beta gamma delta epsilon", 5L -> "unrelated corpus of words")
+    val fps = Dedup.simhash(texts.toDF("doc_id", "text"), "doc_id", "text")
+    val exact = rowSet(Dedup.simhashPairs(fps, maxDist = 11))
+    val banded = rowSet(Dedup.simhashBandedPairs(fps, maxDist = 11))
+    banded shouldBe exact
+  }
+
+  test("embeddingNearDupPairs: cosine threshold on hand vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),   // cos(1,2) = 1.0
+      (3L, Array(0.0f, 1.0f)),   // orthogonal to both
+      (4L, Array(1.0f, 1.0f))    // cos with 1 = 0.7071
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", minCos = 0.7)
+    rowSet(out.select("id_a", "id_b")) shouldBe Set(
+      Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L))
+  }
+}

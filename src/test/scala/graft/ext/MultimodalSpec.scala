@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary payload + metadata struct, the
+  * partition-batched stub decode, frame sampling, feature resize.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media() = Multimodal.asMedia(
+    Seq((1L, "hello world"), (2L, "x" * 200)).toDF("doc_id", "text"),
+    "doc_id", "text")
+
+  test("asMedia: schema, byte length, md5 digest") {
+    val m = media()
+    m.schema.fieldNames.toSeq shouldBe Seq("media_id", "content", "meta")
+    val rows = m.select(col("media_id"), col("meta.n_bytes"), col("meta.digest"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    rows.map(r => (r._1, r._2)) shouldBe Set((1L, 11L), (2L, 200L))
+    // digest matches Spark's own md5 of the text
+    val want = singleValue(Seq("hello world").toDF("t").select(md5(encode(col("t"), "UTF-8"))))
+    rows.find(_._1 == 1L).get._3 shouldBe want
+  }
+
+  test("extractFeatures: deterministic fake decode, frame count bounded") {
+    val feats = Multimodal.extractFeatures(media(), nFrames = 3, featDim = 4)
+      .collect()
+    // doc 1: 11 bytes → min(3, 1 + 11/64 = 1) = 1 frame
+    feats.count(_.media_id == 1L) shouldBe 1
+    // doc 2: 200 bytes → min(3, 1 + 200/64 = 4) = 3 frames
+    feats.count(_.media_id == 2L) shouldBe 3
+    feats.foreach { f =>
+      f.feature.length shouldBe 4
+      f.feature.foreach { v =>
+        v should be >= -0.5f
+        v should be <= 0.5f
+      }
+    }
+    // determinism: re-run yields identical features
+    val again = Multimodal.extractFeatures(media(), nFrames = 3, featDim = 4)
+      .collect()
+    feats.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq shouldBe
+      again.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq
+  }
+
+  test("sampleFrames: stride filter keeps every k-th frame") {
+    val feats = Multimodal.extractFeatures(media(), nFrames = 3, featDim = 2)
+    val sampled = Multimodal.sampleFrames(feats, stride = 2).collect()
+    sampled.map(_.frame_idx).toSet shouldBe Set(0, 2)
+  }
+
+  test("resizeFeatures: truncates the feature vector") {
+    val feats = Multimodal.extractFeatures(media(), nFrames = 1, featDim = 8)
+    val resized = Multimodal.resizeFeatures(feats, newDim = 3).collect()
+    resized.foreach(_.feature.length shouldBe 3)
+  }
+}

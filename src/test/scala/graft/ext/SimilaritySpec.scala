@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot, vec_norm}
+
+/** Similarity search: the codegen'd vector expressions and both ANN
+  * paths (exact brute force, LSH-bucketed with recall floor).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot: double, float, and mixed element types; null → null") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    singleValue(df.select(vec_dot(col("a"), col("b")))) shouldBe 32.0
+
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    singleValue(f.select(vec_dot(col("a"), col("b")))) shouldBe 11.0
+    singleValue(f.select(vec_dot(col("a"), col("a").cast("array<double>")))) shouldBe 5.0
+
+    val n = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(singleValue(n.select(vec_dot(col("a"), col("b")))) == null)
+  }
+
+  test("vec_dot: interpreted eval matches codegen result") {
+    val df = Seq((Array(0.5, -1.5, 2.0), Array(4.0, 2.0, -1.0))).toDF("a", "b")
+    val expr = vec_dot(col("a"), col("b"))
+    // force both paths: plain select (codegen) vs a non-codegen context
+    val viaCodegen = singleValue(df.select(expr))
+    val viaSql = singleValue(
+      df.select(aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _)))
+    viaCodegen shouldBe viaSql
+    viaCodegen shouldBe (0.5 * 4.0 - 1.5 * 2.0 - 2.0)
+  }
+
+  test("vec_norm and vec_cosine") {
+    val df = Seq((Array(3.0, 4.0), Array(4.0, 3.0))).toDF("a", "b")
+    singleValue(df.select(vec_norm(col("a")))) shouldBe 5.0
+    singleValue(df.select(round(vec_cosine(col("a"), col("b")), 6))) shouldBe 0.96
+  }
+
+  test("vec_dot: type mismatch rejected at analysis") {
+    val df = Seq((Array("x"), Array(1.0))).toDF("a", "b")
+    an[Exception] should be thrownBy df.select(vec_dot(col("a"), col("b"))).collect()
+  }
+
+  test("bruteForceTopK: exact neighbors on hand-built 2d vectors") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 1L), k = 2)
+    rowList(out.select("query_id", "rank", "neighbor_id")) shouldBe Seq(
+      Seq(1L, 1, 2L),  // cos ≈ 0.9939
+      Seq(1L, 2, 3L))  // cos = 0 beats -1
+  }
+
+  test("bruteForceTopK: self excluded, k bounds output per query") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 3)
+    out.filter(col("neighbor_id") === col("query_id")).count() shouldBe 0L
+    val sizes = out.groupBy("query_id").count().select("count").distinct()
+    rowList(sizes) shouldBe Seq(Seq(3L))
+  }
+
+  test("lshTopK: recall ≥ 0.5 vs brute force on testdata embeddings") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = rowSet(Similarity.bruteForceTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id"))
+    val approx = rowSet(Similarity.lshTopK(e, queries, k = 5)
+      .select("query_id", "neighbor_id"))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.5
+  }
+
+  test("lshBucket: deterministic and within [0, 2^nPlanes)") {
+    val e = Seq((1L, Array(0.3f, -0.7f, 0.2f))).toDF("vec_id", "embedding")
+    val b1 = singleValue(e.select(Similarity.lshBucket(col("embedding"), 12)))
+    val b2 = singleValue(e.select(Similarity.lshBucket(col("embedding"), 12)))
+    b1 shouldBe b2
+    b1.asInstanceOf[Long] should be >= 0L
+    b1.asInstanceOf[Long] should be < (1L << 12)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.schema.Schemas
+
+/** Source/sink surface (SURVEY.md §2.1): dated-file listing and
+  * range-pruning, filename→date extraction, pinned-schema reads, the
+  * `_source` envelope flatten, JDBC option assembly, parquet double.
+  */
+class SourcesSinksSpec extends SparkSpec {
+
+  private def tempDir(): java.io.File = {
+    val d = Files.createTempDirectory("graft-test").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def writeFile(dir: java.io.File, name: String, content: String): Unit = {
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.deleteOnExit()
+  }
+
+  test("listDatedFiles: keeps files whose YYYYMMDD basename is in range, sorted") {
+    val dir = tempDir()
+    Seq("20220401.json", "20220402.json", "20220430.json", "20220501.json",
+      "notadate.json", "20220410.txt").foreach(writeFile(dir, _, "{}"))
+    val got = Sources.listDatedFiles(spark, dir.getAbsolutePath,
+      20220401, 20220415, suffix = ".json")
+    got.map(p => new java.io.File(p).getName) shouldBe
+      Seq("20220401.json", "20220402.json")
+  }
+
+  test("listDatedFiles: missing directory yields empty, no suffix matches folders too") {
+    Sources.listDatedFiles(spark, "/nonexistent/graft", 0, 99999999) shouldBe empty
+    val dir = tempDir()
+    new java.io.File(dir, "20220601").mkdir()
+    new java.io.File(dir, "20220713").mkdir()
+    new java.io.File(dir, "extras").mkdir()
+    val got = Sources.listDatedFiles(spark, dir.getAbsolutePath, 20220601, 20220630)
+    got.map(p => new java.io.File(p).getName) shouldBe Seq("20220601")
+  }
+
+  test("readLogContent: multi-path JSON read flattens _source and injects file date") {
+    val dir = tempDir()
+    writeFile(dir, "20220401.json",
+      """{"_source": {"Contract": "c1", "Mac": "m1", "AppName": "CHANNEL", "TotalDuration": 10}}""")
+    writeFile(dir, "20220402.json",
+      """{"_source": {"Contract": "c2", "Mac": "m2", "AppName": "VOD", "TotalDuration": 20}}
+        |{"_source": {"Contract": "c3", "Mac": "m3", "AppName": "RELAX", "TotalDuration": 30}}""".stripMargin)
+    val out = Sources.readLogContent(spark, dir.getAbsolutePath, 20220401, 20220402)
+    out.columns.toSeq shouldBe Seq("Contract", "Mac", "AppName", "TotalDuration", "Date")
+    rowSet(out.select(col("Contract"), col("TotalDuration"),
+      date_format(col("Date"), "yyyyMMdd"))) shouldBe Set(
+      Seq("c1", 10L, "20220401"),
+      Seq("c2", 20L, "20220402"),
+      Seq("c3", 30L, "20220402"))
+  }
+
+  test("readJson: corrupt rows surface as nulls under PERMISSIVE, not dropped files") {
+    val dir = tempDir()
+    writeFile(dir, "20220401.json",
+      """{"_source": {"Contract": "c1", "Mac": "m1", "AppName": "VOD", "TotalDuration": 1}}
+        |this is not json""".stripMargin)
+    val out = Sources.readJson(spark, Schemas.logContent,
+      Seq(new java.io.File(dir, "20220401.json").getAbsolutePath))
+    out.count() shouldBe 2L // both rows present; corrupt one has null _source
+    out.filter(col("_source").isNull).count() shouldBe 1L
+  }
+
+  test("readJson/readParquet: empty path list aborts like the reference") {
+    an[IllegalArgumentException] should be thrownBy
+      Sources.readJson(spark, Schemas.logContent, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Sources.readParquet(spark, Seq.empty)
+  }
+
+  test("readCsv: pinned schema, header skipped") {
+    val dir = tempDir()
+    writeFile(dir, "mapping.csv", "search,category\nk1,catA\nk2,catB\n")
+    val out = Sources.readCsv(spark, Schemas.mapping,
+      new java.io.File(dir, "mapping.csv").getAbsolutePath)
+    rowSet(out) shouldBe Set(Seq("k1", "catA"), Seq("k2", "catB"))
+  }
+
+  test("JdbcSink: url and option assembly (ETL_pipeline.py:198-211 contract)") {
+    JdbcSink.sqlServerUrl("h", "1433", "db") shouldBe
+      "jdbc:sqlserver://h:1433;databaseName=db"
+    val sink = JdbcSink("jdbc:sqlserver://h:1433;databaseName=db", "t",
+      "com.microsoft.sqlserver.jdbc.SQLServerDriver", "u", "p")
+    sink.options("dbtable") shouldBe "t"
+    sink.options("driver") shouldBe "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    sink.options("batchsize") shouldBe "10000"
+  }
+
+  test("ParquetSink: roundtrip write/read") {
+    import spark.implicits._
+    val dir = new java.io.File(tempDir(), "out.parquet").getAbsolutePath
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    ParquetSink(dir).write(df)
+    rowSet(spark.read.parquet(dir)) shouldBe Set(Seq(1, "a"), Seq(2, "b"))
+  }
+}

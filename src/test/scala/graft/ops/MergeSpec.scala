@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-stage semantics (SURVEY.md §2.3 J4, §3.3). */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zipJoinDeterministic: pairs rows by sort-key rank") {
+    val left = Seq((3, "c"), (1, "a"), (2, "b")).toDF("lk", "lv")
+    val right = Seq((30, "z"), (10, "x"), (20, "y")).toDF("rk", "rv")
+    val out = Merge.zipJoinDeterministic(
+      left, Seq(col("lk")), right, Seq(col("rk")),
+      limit = Some(2), dropCols = Seq.empty)
+    rowSet(out) shouldBe Set(
+      Seq(1, "a", 10, "x"),
+      Seq(2, "b", 20, "y"))
+  }
+
+  test("zipJoinDeterministic: drops requested columns") {
+    val left = Seq((1, "u1")).toDF("k", "user_id")
+    val right = Seq((10, "v")).toDF("rk", "rv")
+    val out = Merge.zipJoinDeterministic(
+      left, Seq(col("k")), right, Seq(col("rk")), limit = None)
+    out.columns.toSeq shouldBe Seq("k", "rk", "rv")
+  }
+
+  test("zipJoinFaithful: row count = min(left, right, limit); index dropped") {
+    val left = (1 to 10).map(i => (i, s"l$i")).toDF("k", "user_id")
+    val right = (1 to 7).map(i => (i * 10, s"r$i")).toDF("rk", "rv")
+    val out = Merge.zipJoinFaithful(left, right, limit = 5)
+    out.count() shouldBe 5L
+    out.columns.toSeq shouldBe Seq("k", "rk", "rv")
+  }
+
+  test("renameWithPrefix: renames listed columns only, preserves order") {
+    val df = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val out = Merge.renameWithPrefix(df, Seq("a", "c"), "Total_")
+    out.columns.toSeq shouldBe Seq("Total_a", "b", "Total_c")
+    rowList(out) shouldBe Seq(Seq(1, 2, 3))
+  }
+}
