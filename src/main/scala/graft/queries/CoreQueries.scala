@@ -428,6 +428,48 @@ object CoreQueries {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Event-time tumbling window (batch face of
+    // streaming.Streaming.windowedCategoryStats): daily windows via
+    // window(), which DuckDB reproduces with date_trunc.
+    Q("q_tumbling_window",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("total_value"), col("n_events"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT date_trunc('day', ts) AS window_start, event_type,
+              |  ${dsumSql("value")} AS total_value, count(*) AS n_events
+              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Event-time session windows (batch face of
+    // streaming.Streaming.sessionWatch): session_window(gap) ≡ the SQL
+    // gaps-and-islands pattern — break when the gap to the previous
+    // event is ≥ 30 min (Spark merges only strictly-overlapping
+    // windows), session end = last ts + gap.
+    Q("q_session_window",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sess"), col("user_id"))
+        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sess.start").as("session_start"),
+          col("sess.end").as("session_end"), col("total_value"), col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // The TPC-H Q1-style flagship aggregation (A3 shape at bench scale).
     Q("q1_agg",
       (s, dir) => Tables(s, dir, "lineitem")

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming variants of the interaction-branch analytics
+  * (SURVEY.md §2.9, §7 extension): the reference is pure batch — its
+  * "incremental" behavior is an externally re-scheduled re-run over a
+  * filename date range (set-up.md:11-15, ETL_pipeline.py:217-220).
+  * These operators compute the same aggregates continuously instead.
+  *
+  * Design rules (Spark-first):
+  * - built-in event-time windows + watermarks wherever they express
+  *   the semantics ([[windowedCategoryStats]], [[sessionWatch]]) —
+  *   they get incremental state cleanup, AQE-free deterministic
+  *   planning, and RocksDB-backed state for free;
+  * - `mapGroupsWithState` ONLY for state no window can express:
+  *   [[runningActiveness]]'s running distinct-date count per contract
+  *   (a distinct-agg over an unbounded stream with live re-bucketing).
+  *
+  * Scale notes: state size is the whole game at 100 TB/day.
+  * - windowed aggs keep one row per (window, key) and the watermark
+  *   bounds retained windows;
+  * - [[runningActiveness]] keeps ≤31 day-strings per contract (the
+  *   bucket domain caps at 31 distinct days — beyond that the
+  *   reference calls it "error" — so state is bounded by design);
+  * - shuffles partition by the grouping key; skewed contracts are the
+  *   same salting problem as batch.
+  */
+object Streaming {
+
+  /** One viewing event — the stream-shaped `log_content` row. */
+  final case class ViewEvent(
+      contract: String,
+      category: String,
+      duration: Long,
+      ts: Timestamp)
+
+  /** Running activeness output row. */
+  final case class ActivenessUpdate(
+      contract: String,
+      daysActive: Int,
+      activeness: String)
+
+  /** S1 as a stream: the JSON day-file directory read with
+    * `readStream` — new files are discovered per micro-batch, which is
+    * exactly the reference's "a new day landed, re-run" contract
+    * without the external scheduler.
+    */
+  def readStreamJson(spark: SparkSession, schema: StructType,
+      dir: String, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** A3/A4 streaming — per-category watch seconds over tumbling
+    * event-time windows. Late events beyond `watermark` are dropped
+    * and their windows finalized (state evicted).
+    */
+  def windowedCategoryStats(events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration),
+        col("contract"), col("category"))
+      .agg(sum("duration").as("TotalDuration"),
+        count(lit(1)).as("n_events"))
+
+  /** Viewing sessions per contract: built-in `session_window` — events
+    * within `gap` of each other merge into one session row (start,
+    * end, total watch time, event count). The built-in merges session
+    * state incrementally; no custom state code.
+    */
+  def sessionWatch(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("session"), col("contract"))
+      .agg(sum("duration").as("TotalDuration"), count(lit(1)).as("n_events"))
+      .select(col("contract"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("TotalDuration"),
+        col("n_events"))
+
+  /** A2 streaming — running distinct-active-days count and activeness
+    * bucket per contract, updated every micro-batch. No built-in
+    * window expresses "distinct dates ever seen, re-bucketed live", so
+    * this is the custom-state case: `mapGroupsWithState` holding the
+    * set of seen day-strings (bounded: the bucket domain tops out at
+    * 31 days, so state per contract is ≤31 short strings).
+    *
+    * Bucket edges mirror [[graft.ops.Interaction.activenessBucket]]
+    * (ETL_pipeline.py:52-57), including the "error" bucket once a
+    * contract exceeds 31 distinct days.
+    */
+  def runningActiveness(events: Dataset[ViewEvent]): Dataset[ActivenessUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.contract)
+      .mapGroupsWithState[Set[String], ActivenessUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (contract: String, batch: Iterator[ViewEvent], state: GroupState[Set[String]]) =>
+          val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+          val newDays = batch.map(e =>
+            e.ts.toLocalDateTime.toLocalDate.format(fmt)).toSet
+          val days = state.getOption.getOrElse(Set.empty) ++ newDays
+          state.update(days)
+          val n = days.size
+          val bucket =
+            if (n >= 1 && n <= 7) "very low"
+            else if (n <= 14) "low"
+            else if (n <= 21) "moderate"
+            else if (n <= 28) "high"
+            else if (n <= 31) "very high"
+            else "error"
+          ActivenessUpdate(contract, n, bucket)
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.streaming.Streaming.{ActivenessUpdate, ViewEvent}
+
+/** Structured Streaming operators driven through MemoryStream
+  * micro-batches: tumbling-window category stats, session windows,
+  * stateful running activeness.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("windowedCategoryStats: tumbling event-time windows sum per category") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.windowedCategoryStats(in.toDF(), "1 hour", "1 day")
+      .writeStream.format("memory").queryName("wcs").outputMode("complete").start()
+    withQuery(q) {
+      in.addData(
+        ViewEvent("c1", "content", 10L, ts("2022-04-01 10:05:00")),
+        ViewEvent("c1", "content", 5L, ts("2022-04-01 10:55:00")),
+        ViewEvent("c1", "content", 7L, ts("2022-04-01 11:05:00")), // next window
+        ViewEvent("c2", "commerce", 3L, ts("2022-04-01 10:10:00")))
+      q.processAllAvailable()
+      val out = spark.table("wcs")
+        .selectExpr("window.start", "contract", "category", "TotalDuration", "n_events")
+      rowSet(out) shouldBe Set(
+        Seq(ts("2022-04-01 10:00:00"), "c1", "content", 15L, 2L),
+        Seq(ts("2022-04-01 11:00:00"), "c1", "content", 7L, 1L),
+        Seq(ts("2022-04-01 10:00:00"), "c2", "commerce", 3L, 1L))
+    }
+  }
+
+  test("sessionWatch: events within the gap merge, beyond it split") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.sessionWatch(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw").outputMode("complete").start()
+    withQuery(q) {
+      in.addData(
+        ViewEvent("c1", "content", 10L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c1", "content", 5L, ts("2022-04-01 10:20:00")),  // same session
+        ViewEvent("c1", "content", 7L, ts("2022-04-01 12:00:00")))  // new session
+      q.processAllAvailable()
+      val out = spark.table("sw")
+        .selectExpr("contract", "session_start", "TotalDuration", "n_events")
+      rowSet(out) shouldBe Set(
+        Seq("c1", ts("2022-04-01 10:00:00"), 15L, 2L),
+        Seq("c1", ts("2022-04-01 12:00:00"), 7L, 1L))
+    }
+  }
+
+  test("runningActiveness: distinct-day state accumulates across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.runningActiveness(in.toDS())
+      .writeStream.format("memory").queryName("ra").outputMode("update").start()
+    withQuery(q) {
+      // batch 1: 2 distinct days (one duplicated)
+      in.addData(
+        ViewEvent("c1", "content", 1L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c1", "content", 1L, ts("2022-04-01 23:00:00")),
+        ViewEvent("c1", "content", 1L, ts("2022-04-02 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: 6 more distinct days → 8 total → "low"
+      in.addData((3 to 8).map(d =>
+        ViewEvent("c1", "content", 1L, ts(f"2022-04-$d%02d 09:00:00"))): _*)
+      q.processAllAvailable()
+      val updates = spark.table("ra").as[ActivenessUpdate].collect()
+      val byBatch = updates.sortBy(_.daysActive)
+      byBatch.map(u => (u.daysActive, u.activeness)).toSeq shouldBe
+        Seq((2, "very low"), (8, "low"))
+    }
+  }
+
+  test("runningActiveness: state is per-contract") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.runningActiveness(in.toDS())
+      .writeStream.format("memory").queryName("ra2").outputMode("update").start()
+    withQuery(q) {
+      in.addData(
+        ViewEvent("c1", "content", 1L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c2", "content", 1L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c2", "content", 1L, ts("2022-04-02 10:00:00")))
+      q.processAllAvailable()
+      val updates = spark.table("ra2").as[ActivenessUpdate].collect()
+        .map(u => u.contract -> u.daysActive).toMap
+      updates shouldBe Map("c1" -> 1, "c2" -> 2)
+    }
+  }
+}
