@@ -50,30 +50,19 @@ object Dedup {
 
   /** Distinct 60-bit shingle hashes per document: (id, h). The join
     * currency of the dedup family — an 8-byte key shuffles and
-    * compares far cheaper than the shingle strings, and the distinct
-    * runs as a distributed hash-aggregate instead of a per-row
-    * `array_distinct` (O(k²) string compares per document).
+    * compares far cheaper than the shingle strings.
     *
-    * Shingles are assembled with `posexplode` + window `lead` rather
-    * than a higher-order `transform` lambda: HOFs evaluate interpreted
-    * (outside whole-stage codegen) and benched ~4× slower; lead/concat
-    * in a window projection stay fully codegen'd. The window's
-    * per-document sort is over ~token-count rows — bounded and
-    * spill-free.
+    * Computed by the codegen'd [[graft.functions.ShingleHashes]]
+    * expression: one row-local compiled loop per document (split,
+    * window, md5, dedup), then a single explode. The previous
+    * composable form (posexplode + window lead + concat_ws + md5 +
+    * distinct) shuffled twice before the dedup joins even started;
+    * this one shuffles zero times.
     */
   def wordShingleHashes(df: DataFrame, idCol: String, textCol: String,
-      n: Int = ShingleN): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("id").orderBy("pos")
-    val parts = col("w") +: (1 until n).map(j => lead("w", j).over(w))
+      n: Int = ShingleN): DataFrame =
     df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"),
-        parts.last.isNotNull.as("complete"))
-      .filter(col("complete")) // drop truncated shingles at the tail
-      .select(col("id"), TextAnalysis.tokenHash60(col("shingle")).as("h"))
-      .distinct()
-  }
+      explode(graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n)).as("h"))
 
   /** Exact pairwise n-gram Jaccard ≥ `minJaccard` via the inverted
     * shingle-hash index: self-join on h (id_a < id_b), count shared,

@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side text hashing helpers shared by the codegen'd expressions.
+  *
+  * The hash formula is pinned to the cross-engine definition in
+  * [[graft.ext.HashDefs]]: a token/shingle hashes to the first 15 hex
+  * digits of its md5 (60 bits, always a non-negative int64) — the same
+  * value DuckDB computes as `CAST('0x' || substr(md5(x), 1, 15) AS
+  * BIGINT)`, which is what keeps the dedup family oracle-checkable.
+  */
+object TextHashing {
+
+  /** First 15 hex digits of md5(s) as a long: the first 8 digest bytes
+    * big-endian, dropping the 16th hex digit (>>> 4).
+    */
+  def hash60(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Distinct 60-bit hashes of the word `n`-shingles of `text`,
+    * matching `split(text, " ")` Spark semantics (single-space regex,
+    * trailing empties kept) followed by space-joined windows of `n`
+    * consecutive tokens. One pass, no allocation beyond the result.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    if (tokens.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(hash60(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct word-n-shingle 60-bit hashes of a text column, as one
+  * codegen'd projection.
+  *
+  * The composable form — posexplode + window `lead` + `concat_ws` +
+  * `md5` + `conv` + `distinct` ([[graft.ext.Dedup.wordShingleHashes]]'
+  * previous implementation) — shuffles twice (window sort by (id,pos),
+  * then the distinct) and runs the hash through four Column expressions
+  * per shingle. This expression does the whole thing row-local in one
+  * compiled loop; the only remaining shuffle in the dedup pipelines is
+  * the one their joins genuinely need.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object TextHashFunctions {
+  /** Distinct 60-bit hashes of the word n-shingles of `text`. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashes(
+      GraftColumnBridge.expression(text), n))
+}

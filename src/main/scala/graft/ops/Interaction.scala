@@ -113,6 +113,54 @@ object Interaction {
       .na.fill(0, categories)
   }
 
+  /** Scale path for the §3.1 profile: the composed pipeline scans the
+    * input three times (pivot, activeness, device count) and joins the
+    * three aggregates back together — three shuffles plus two join
+    * exchanges. This fuses them into ONE scan and ONE groupBy(Contract):
+    * the pivot becomes conditional sums (the category domain is
+    * closed-world, same reason [[statistics]] passes explicit pivot
+    * values), and both distinct counts ride the same aggregation.
+    *
+    * Semantics are identical to
+    * `taste(mostWatch(pivot)) ⋈ activeness ⋈ totalDevices` — the inner
+    * joins' row-dropping is reproduced by the `has a category event`
+    * filter (a contract absent from the pivot side) and the activeness
+    * error filter; the DuckDB oracle for q_customer360 (written against
+    * the composed form) stays green against this plan.
+    *
+    * `sumExpr` aggregates `when(app ∈ category, duration)` per
+    * category; `zero` fills contracts with no events of a category.
+    */
+  def fusedProfile(df: DataFrame,
+      categoryMap: Map[String, String],
+      categories: Seq[String],
+      sumExpr: Column => Column = sum,
+      zero: Column = lit(0),
+      contract: String = "Contract", device: String = "Mac",
+      date: String = "Date", app: String = "AppName",
+      duration: String = "TotalDuration",
+      junkContract: String = "0"): DataFrame = {
+    val appsOf: Map[String, Seq[String]] =
+      categoryMap.toSeq.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val catSums = categories.map { c =>
+      val cond = col(app).isin(appsOf.getOrElse(c, Seq.empty): _*)
+      coalesce(sumExpr(when(cond, col(duration))), zero).as(c)
+    }
+    val allApps = categoryMap.keys.toSeq
+    val aggs =
+      countDistinct(col(device)).as("TotalDevices") +:
+        countDistinct(col(date)).as("Days_Active") +:
+        catSums :+
+        count(when(col(app).isin(allApps: _*), lit(1))).as("__n_cat")
+    df.filter(col(contract) =!= junkContract)
+      .groupBy(col(contract).as("Contract"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__n_cat") > 0) // ≡ inner join against the pivot side
+      .withColumn("Activeness", activenessBucket(col("Days_Active")))
+      .filter(col("Activeness") =!= "error")
+      .drop("__n_cat", "Days_Active")
+  }
+
   /** F1+F2 — argmax over the pivoted category columns
     * (ETL_pipeline.py:88-96). Faithful quirk: **no `.otherwise`** — a
     * contract whose five categories are all equal-and-greatest still

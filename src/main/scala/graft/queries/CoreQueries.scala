@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Behavior, Interaction, Merge}
+import graft.ops.{Behavior, Interaction, Merge, TopK}
 
 /** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
   * (FIXTURES.md §B): every parity operator gets a named query plus an
@@ -81,18 +81,23 @@ object CoreQueries {
     Interaction.statistics(recoded, categories, c => dsum(col(c)))
   }
 
-  /** Full Customer-360 profile on events (§3.1 end-to-end): pivot ⋈
-    * Activeness ⋈ TotalDevices, MostWatch, CustomerTaste, exact-quantile
-    * segmentation. Exact quantiles (not percentile_approx) so the
-    * DuckDB oracle can reproduce the thresholds bit-for-bit.
+  /** Full Customer-360 profile on events (§3.1 end-to-end) via the
+    * fused single-pass plan ([[Interaction.fusedProfile]]: one scan +
+    * one groupBy replaces pivot ⋈ Activeness ⋈ TotalDevices), then
+    * MostWatch, CustomerTaste, exact-quantile segmentation. Exact
+    * quantiles (not percentile_approx) so the DuckDB oracle — written
+    * against the composed three-aggregate form — reproduces the
+    * thresholds bit-for-bit, which also proves the fusion equivalent.
     */
   def customer360(s: SparkSession, dir: String): DataFrame = {
-    val in = interactionInput(s, dir)
-    val profile = Interaction.customerTaste(
-      Interaction.mostWatch(categoryPivot(s, dir), categories), categories)
-      .join(Interaction.activeness(in), Seq("Contract"))
-      .join(Interaction.totalDevices(in), Seq("Contract"))
-    Interaction.customerType(profile, categories, exactQuantiles = true)
+    val profile = Interaction.fusedProfile(
+      interactionInput(s, dir), categoryMap, categories,
+      sumExpr = c => sum(c.cast("decimal(18,2)")).cast("double"),
+      zero = lit(0.0))
+    Interaction.customerType(
+      Interaction.customerTaste(
+        Interaction.mostWatch(profile, categories), categories),
+      categories, exactQuantiles = true)
   }
 
   private val customer360Sql =
@@ -393,19 +398,18 @@ object CoreQueries {
              |  quantile_cont(l_quantity, 0.75) AS q3
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // W1/L3 — top-3 per group with full tie-break.
+    // W1/L3 — top-3 per group with full tie-break, via the salted
+    // two-phase window (3 huge groups would otherwise sort in 3 tasks).
     Q("q_window_rank",
-      (s, dir) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
-            col("l_linenumber").asc)
-        Tables(s, dir, "lineitem")
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
-          .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
-            "l_extendedprice")
-          .orderBy("l_returnflag", "rnk")
-      },
+      (s, dir) => TopK.topKPerGroup(
+          Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          k = 3)
+        .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
+          "l_extendedprice")
+        .orderBy("l_returnflag", "rnk"),
       Some("""SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
              |FROM (
              |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
