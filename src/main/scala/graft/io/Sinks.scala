@@ -59,6 +59,21 @@ final case class ParquetSink(path: String) extends Sink {
     df.write.mode(SaveMode.Overwrite).parquet(path)
 }
 
+/** Hive-style date-partitioned parquet sink — the production layout
+  * SURVEY.md §1.4 prescribes in place of the reference's flat
+  * `YYYYMMDD`-named files: writing `date=.../` directories makes the
+  * date a partition column, so a reader's date-range predicate prunes
+  * at the file index (Catalyst PartitionPruning) instead of the
+  * driver-side filename filtering of ETL_pipeline.py:22-29.
+  */
+final case class PartitionedParquetSink(path: String,
+    partitionCols: Seq[String] = Seq("date")) extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}
+
 /** S8 — console preview (ETL_pipeline.py:352,364). */
 object ConsoleSink {
   def show(df: DataFrame, n: Int = 30): Unit = df.show(n, truncate = false)

@@ -93,6 +93,18 @@ object Sources {
   def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Partition-pruned read of a Hive-style `date=YYYYMMDD/` layout
+    * (written by [[PartitionedParquetSink]]): the BETWEEN predicate
+    * lands in the scan's PartitionFilters, so out-of-range directories
+    * are never opened — the scalable replacement for
+    * [[listDatedFiles]]' driver-side listing.
+    */
+  def readDatePartitioned(spark: SparkSession, dir: String,
+      startDate: Int, endDate: Int,
+      dateCol: String = "date"): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col(dateCol).between(startDate, endDate))
+
   /** S1+S5 composed — the reference's whole interaction read
     * (ETL_pipeline.py:243-260) as one scan: list days in range, one
     * multi-path JSON read, flatten the `_source` envelope, inject the

@@ -222,6 +222,28 @@ object CoreQueries {
       Some("""SELECT user_id, count(DISTINCT props) AS total_devices
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // A1 scale variant — approx_count_distinct (HLL++): the 100 TB
+    // answer to exact distinct's expand+shuffle. Rows-only check —
+    // HLL estimates differ across engines by design; the exact/approx
+    // agreement is asserted in ScalaTest instead.
+    Q("q_total_devices_approx",
+      (s, dir) => Interaction.totalDevicesApprox(events(s, dir), "user_id", "props")
+        .select(col("user_id"), col("TotalDevices").as("total_devices"))
+        .orderBy("user_id"),
+      None),
+
+    // A6 faithful face — percentile_approx with the reference's
+    // accuracy=100 (ETL_pipeline.py:113-118). Rows-only: the
+    // approximation differs from DuckDB's; the exact variant
+    // q_quantiles carries the oracle.
+    Q("q_quantiles_approx",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 100)")
+          .as("quartiles"))
+        .orderBy("l_returnflag"),
+      None),
+
     // A2+F1+P14 — activeness buckets over distinct active days (:46-60).
     Q("q_activeness",
       (s, dir) => Interaction.activeness(

@@ -97,6 +97,31 @@ class SourcesSinksSpec extends SparkSpec {
     sink.options("batchsize") shouldBe "10000"
   }
 
+  test("PartitionedParquetSink + readDatePartitioned: range prunes partitions") {
+    import spark.implicits._
+    val dir = new java.io.File(tempDir(), "dated.parquet").getAbsolutePath
+    val df = Seq(
+      (20220401, "a", 1L), (20220402, "b", 2L),
+      (20220403, "c", 3L), (20220501, "d", 4L)
+    ).toDF("date", "k", "v")
+    PartitionedParquetSink(dir).write(df)
+    // partition directories exist
+    new java.io.File(dir, "date=20220401").isDirectory shouldBe true
+    val read = Sources.readDatePartitioned(spark, dir, 20220402, 20220430)
+    rowSet(read.select("date", "k", "v")) shouldBe
+      Set(Seq(20220402, "b", 2L), Seq(20220403, "c", 3L))
+    // pruning reaches the scan: the range predicate sits in the scan's
+    // PartitionFilters (file-index pruning), not in a post-scan Filter
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    plan should include("PartitionFilters")
+    plan should include("(date#")
+    withClue(plan) {
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains(">= 20220402")) shouldBe true
+    }
+  }
+
   test("ParquetSink: roundtrip write/read") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "out.parquet").getAbsolutePath

@@ -31,6 +31,13 @@ class InteractionSpec extends SparkSpec {
       Set(Seq("c1", 2L), Seq("c2", 1L))
   }
 
+  test("totalDevicesApprox: HLL++ matches exact at low cardinality") {
+    val df = (1 to 20).flatMap(d => Seq(("c1", s"m$d"), ("c2", s"m${d % 3}")))
+      .toDF("Contract", "Mac")
+    rowSet(Interaction.totalDevicesApprox(df)) shouldBe
+      rowSet(Interaction.totalDevices(df))
+  }
+
   test("activeness: >31 distinct days filtered as error") {
     val manyDays = (1 to 40).map(d => ("c_err", f"2022-02-$d%02d")) // fake distinct strings
     val ok = Seq(("c_ok", "2022-04-01"), ("c_ok", "2022-04-02"), ("c_ok", "2022-04-01"))
