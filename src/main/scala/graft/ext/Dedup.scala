@@ -106,6 +106,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Surviving documents after exact dedup: keep the min-id row per
+    * distinct content digest. A left-semi join of the corpus against
+    * the winner set — the classic "drop duplicates, keep one, retain
+    * all columns" shape; the anti-join complement ([[exactDupLosers]])
+    * is the removal list. Both shuffle on the 16-byte digest, never
+    * the text.
+    */
+  def exactDedupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = exactDedup(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** The rows [[exactDedupSurvivors]] removes (left-anti complement). */
+  def exactDupLosers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = exactDedup(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(winners, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature per document over the (id, h) shingle hashes:
     * K columns mh0..mh{K-1}, each `min((a_i * (h mod p) + b_i) mod p)`
     * over the document's distinct shingles. One aggregation (map-side

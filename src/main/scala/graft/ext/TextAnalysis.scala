@@ -99,6 +99,16 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Canonical text normalization for dedup keys: lowercase, strip
+    * everything but letters/digits/spaces, collapse whitespace runs,
+    * trim. Pure codegen'd projection; normalizing before hashing is
+    * what turns "exact" dedup into case/punctuation-insensitive dedup.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
   /** Rolling polynomial fingerprint over the token stream:
     * `h := (h*31 + (tokenHash60(t) mod 2^20)) mod 2^30`, left fold in
     * token order. Order-sensitive (unlike a bag-of-words hash) so

@@ -496,6 +496,36 @@ object CoreQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Hierarchical aggregates beyond the reference (extension): ROLLUP
+    // over (returnflag, linestatus) with grouping_id — subtotal rows
+    // carry nulls, so ordering pins NULLS FIRST on both engines.
+    Q("q_rollup",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+              |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // CUBE face of the same (all 4 grouping combinations).
+    Q("q_cube",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("gid").asc),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+              |  count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin)),
+
     // The TPC-H Q1-style flagship aggregation (A3 shape at bench scale).
     Q("q1_agg",
       (s, dir) => Tables(s, dir, "lineitem")

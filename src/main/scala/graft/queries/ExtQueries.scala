@@ -104,6 +104,26 @@ object ExtQueries {
              |  count(*) AS n_docs
              |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin)),
 
+    // Semi-join survivors of exact dedup: full rows, min-id winner per
+    // distinct text (the "drop duplicates keep one" shape).
+    Q("q_dedup_survivors",
+      (s, dir) => Dedup.exactDedupSurvivors(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT * FROM documents
+             |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Canonical normalization for case/punct-insensitive dedup keys.
+    Q("q_normalize",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm_text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Exact n-gram Jaccard near-dup pairs via the inverted shingle index.
     Q("q_dedup_ngram",
       (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")

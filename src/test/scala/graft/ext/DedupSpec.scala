@@ -21,6 +21,21 @@ class DedupSpec extends SparkSpec {
     rowSet(out) shouldBe Set(Seq(1L, 2L), Seq(2L, 1L))
   }
 
+  test("exactDedupSurvivors/Losers: semi/anti split keeps full rows") {
+    val df = Seq((3L, "aaa", "x"), (1L, "aaa", "y"), (2L, "bbb", "z"))
+      .toDF("doc_id", "text", "extra")
+    rowSet(Dedup.exactDedupSurvivors(df, "doc_id", "text")) shouldBe
+      Set(Seq(1L, "aaa", "y"), Seq(2L, "bbb", "z"))
+    rowSet(Dedup.exactDupLosers(df, "doc_id", "text")) shouldBe
+      Set(Seq(3L, "aaa", "x"))
+  }
+
+  test("normalize: lowercase, punct→space, collapsed whitespace") {
+    val df = Seq("  Hello,   WORLD!! 42  ", "already clean").toDF("text")
+      .select(TextAnalysis.normalize(col("text")).as("n"))
+    rowSet(df) shouldBe Set(Seq("hello world 42"), Seq("already clean"))
+  }
+
   test("wordShingles: 3-shingles in order, short docs yield none") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
     val out = Dedup.wordShingles(df, "doc_id", "text")
