@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for a training-data pipeline: stable
+  * splits, token-budget truncation, context-window packing, sampling.
+  *
+  * Split/truncate/pack are pure projections or single-window passes —
+  * no shuffle beyond what the window needs — and every deterministic
+  * operator is cross-engine reproducible (md5-derived hashing, the
+  * same formula the dedup family pins), so they oracle-check.
+  */
+object TrainingData {
+
+  /** Stable hash-based split: bucket = hash60(key) mod `buckets`.
+    * Deterministic, data-independent, join-free — the property a
+    * train/valid/test split must have so re-runs and backfills land
+    * every row in the same split. `hash60` is the 60-bit md5 prefix
+    * ([[graft.functions.TextHashing.hash60]]).
+    */
+  def splitBucket(key: Column, buckets: Int = 100): Column =
+    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+      % buckets).cast("int")
+
+  /** Tag rows train/valid/test by hash bucket: [0, trainPct) → train,
+    * [trainPct, trainPct+validPct) → valid, rest → test.
+    */
+  def withSplit(df: DataFrame, key: Column,
+      trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    df.withColumn("split_bucket", splitBucket(key))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, "train")
+          .when(col("split_bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+
+  /** Truncate a document to its first `maxTokens` whitespace tokens
+    * (the cheap context-budget guard before tokenization proper).
+    */
+  def truncateTokens(text: Column, maxTokens: Int): Column =
+    concat_ws(" ", slice(split(text, " "), 1, maxTokens))
+
+  /** Pack documents into fixed token-budget bins by running token
+    * count in `orderCol` order: bin = floor(tokens_before_this_doc /
+    * budget). Chunked packing — a document may straddle a boundary;
+    * the semantic is "cut the ordered stream every `budget` tokens",
+    * which one cumulative-sum window expresses exactly (true greedy
+    * first-fit packing is inherently sequential — this is the
+    * scalable, deterministic form).
+    *
+    * The unpartitioned window is a single-task sort — callers packing
+    * more than ~10M docs should partition by a shard column first
+    * (pass `shard`), which packs per shard independently.
+    */
+  def packIntoBins(df: DataFrame, textCol: String, orderCol: String,
+      budget: Int, shard: Option[String] = None): DataFrame = {
+    val w0 = shard.fold(Window.orderBy(col(orderCol)))(s =>
+      Window.partitionBy(col(s)).orderBy(col(orderCol)))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(split(col(textCol), " ")))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
+  }
+
+  /** Seeded uniform sample (Bernoulli per row). Deterministic for a
+    * fixed seed AND fixed partitioning — document the caveat: Spark's
+    * sample seeds per partition, so a repartition changes membership.
+    * For partition-layout-independent sampling use [[splitBucket]]
+    * with a fine modulus instead.
+    */
+  def uniformSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Layout-independent sample: keep rows whose key hashes into the
+    * first `permille` of 1000 buckets. Same stability story as
+    * [[withSplit]]; oracle-expressible.
+    */
+  def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame =
+    df.filter(splitBucket(key, 1000) < permille)
+}

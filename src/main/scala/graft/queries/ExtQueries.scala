@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, HashDefs, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, HashDefs, Multimodal, Similarity, TextAnalysis, TrainingData}
 import graft.queries.CoreQueries.Q
 
 /** Training-data-pipeline extension operators (BASELINE.json north
@@ -272,6 +272,53 @@ object ExtQueries {
               |        t -> ${h60("t")} % $TokenMod)),
               |    (a, b) -> (a * 31 + b) % $FpMod) AS fp
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Stable md5-derived train/valid/test split (layout-independent,
+    // re-run-stable — the property a training split must have).
+    Q("q_hash_split",
+      (s, dir) => TrainingData.withSplit(docs(s, dir), col("doc_id"))
+        .select("doc_id", "split_bucket", "split")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(${h60("CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS split_bucket,
+              |  CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+              |       WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget truncation (first 16 whitespace tokens).
+    Q("q_truncate",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          TrainingData.truncateTokens(col("text"), 16).as("trunc"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS trunc
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Context-window packing: running token count → fixed-budget bin.
+    Q("q_pack",
+      (s, dir) => TrainingData.packIntoBins(
+          docs(s, dir), "text", "doc_id", budget = 2000)
+        .select(col("doc_id"), col("n_tokens"),
+          col("tokens_before").cast("long").as("tokens_before"), col("bin"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |  CAST(SUM(len(string_split(text, ' ')))
+             |    OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |    - len(string_split(text, ' ')) AS BIGINT) AS tokens_before,
+             |  CAST(FLOOR((SUM(len(string_split(text, ' ')))
+             |    OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |    - len(string_split(text, ' '))) / 2000.0) AS INT) AS bin
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Layout-independent 20% hash sample (same stability story).
+    Q("q_hash_sample",
+      (s, dir) => TrainingData.hashSample(docs(s, dir), col("doc_id"), 200)
+        .orderBy("doc_id"),
+      Some(s"""SELECT * FROM documents
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 200
+              |ORDER BY doc_id""".stripMargin)),
 
     // Multimodal plumbing: binary payload + typed metadata (the decode
     // itself is stubbed; see ext/Multimodal.scala).

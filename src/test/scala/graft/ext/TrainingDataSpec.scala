@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.SkewJoin
+
+/** Dataset-assembly operators: stable splits, truncation, packing,
+  * sampling, salted joins.
+  */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitBucket: stable, in range, repartition-invariant") {
+    val df = (1L to 200L).toDF("id")
+    val a = df.select(col("id"), TrainingData.splitBucket(col("id")).as("b"))
+    val b = df.repartition(7).select(col("id"), TrainingData.splitBucket(col("id")).as("b"))
+    rowSet(a) shouldBe rowSet(b) // layout-independent
+    a.filter(col("b") < 0 || col("b") >= 100).count() shouldBe 0L
+  }
+
+  test("withSplit: buckets partition into train/valid/test consistently") {
+    val df = (1L to 500L).toDF("id")
+    val out = TrainingData.withSplit(df, col("id"))
+    out.filter(col("split") === "train" && col("split_bucket") >= 80).count() shouldBe 0L
+    out.filter(col("split") === "valid" &&
+      (col("split_bucket") < 80 || col("split_bucket") >= 90)).count() shouldBe 0L
+    out.filter(col("split") === "test" && col("split_bucket") < 90).count() shouldBe 0L
+    // roughly 80/10/10 over 500 uniform hashes
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts("train").toDouble should be > 300.0
+    counts("train").toDouble should be < 480.0
+  }
+
+  test("truncateTokens: caps token count, short docs untouched") {
+    val df = Seq("a b c d e", "x y").toDF("text")
+      .select(TrainingData.truncateTokens(col("text"), 3).as("t"))
+    rowSet(df) shouldBe Set(Seq("a b c"), Seq("x y"))
+  }
+
+  test("packIntoBins: bins advance with the running token count") {
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens, before=0  → bin 0
+      (2L, "d e f g"),      // 4 tokens, before=3  → bin 0
+      (3L, "h i"),          // 2 tokens, before=7  → bin 1
+      (4L, "j k l m n o")   // 6 tokens, before=9  → bin 1
+    ).toDF("doc_id", "text")
+    val out = TrainingData.packIntoBins(docs, "text", "doc_id", budget = 5)
+      .select("doc_id", "tokens_before", "bin")
+    rowSet(out) shouldBe Set(
+      Seq(1L, 0L, 0), Seq(2L, 3L, 0), Seq(3L, 7L, 1), Seq(4L, 9L, 1))
+  }
+
+  test("packIntoBins: sharded packing restarts per shard") {
+    val docs = Seq(
+      ("s1", 1L, "a b c"), ("s1", 2L, "d e f"),
+      ("s2", 3L, "g h i")).toDF("shard", "doc_id", "text")
+    val out = TrainingData.packIntoBins(docs, "text", "doc_id",
+      budget = 4, shard = Some("shard"))
+      .select("doc_id", "tokens_before", "bin")
+    rowSet(out) shouldBe Set(
+      Seq(1L, 0L, 0), Seq(2L, 3L, 0), Seq(3L, 0L, 0))
+  }
+
+  test("hashSample: subset, layout-stable, ~permille fraction") {
+    val df = (1L to 1000L).toDF("id")
+    val s = TrainingData.hashSample(df, col("id"), permille = 200)
+    val n = s.count()
+    n.toDouble should be > 120.0
+    n.toDouble should be < 280.0
+    // stable across repartition
+    TrainingData.hashSample(df.repartition(13), col("id"), 200)
+      .count() shouldBe n
+  }
+
+  test("uniformSample: deterministic for fixed seed and layout") {
+    val df = (1L to 1000L).toDF("id")
+    val a = TrainingData.uniformSample(df, 0.1, seed = 7).collect().map(_.getLong(0)).toSet
+    val b = TrainingData.uniformSample(df, 0.1, seed = 7).collect().map(_.getLong(0)).toSet
+    a shouldBe b
+    a.size.toDouble should be > 40.0
+    a.size.toDouble should be < 200.0
+  }
+
+  test("saltedJoin ≡ plain join, including a hot key") {
+    val left = ((1 to 500).map(_ => ("hot", "l")) ++
+      (1 to 50).map(i => (s"k$i", "l"))).toDF("k", "lv")
+    val right = Seq(("hot", 1), ("k1", 2), ("k2", 3), ("missing", 4))
+      .toDF("k", "rv")
+    val plain = left.join(right, Seq("k"), "inner")
+    val salted = SkewJoin.saltedJoin(left, right, Seq("k"), salts = 8)
+    salted.count() shouldBe plain.count()
+    rowSet(salted.groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s"))) shouldBe
+      rowSet(plain.groupBy("k").agg(count(lit(1)).as("n"), sum("rv").as("s")))
+  }
+
+  test("skewReport: heaviest keys first with shares") {
+    val df = ((1 to 90).map(_ => "hot") ++ (1 to 10).map(_ => "cold")).toDF("k")
+    val rep = SkewJoin.skewReport(df, Seq("k")).collect()
+    rep.head.getString(0) shouldBe "hot"
+    rep.head.getAs[Double]("share") shouldBe 0.9 +- 1e-9
+  }
+}
