@@ -420,18 +420,22 @@ object CoreQueries {
              |  quantile_cont(l_quantity, 0.75) AS q3
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // W1/L3 — top-3 per group with full tie-break, via the salted
-    // two-phase window (3 huge groups would otherwise sort in 3 tasks).
+    // W1/L3 — top-3 per group with full tie-break. Plain window: at
+    // bench scale the scan dominates and the 3-group sort is cheap;
+    // TopK.topKPerGroup is the pre-pruned variant for groups too large
+    // to sort in one task (equivalence asserted in TopKSpec).
     Q("q_window_rank",
-      (s, dir) => TopK.topKPerGroup(
-          Tables(s, dir, "lineitem"),
-          Seq("l_returnflag"),
-          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
-            col("l_linenumber").asc),
-          k = 3)
-        .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
-          "l_extendedprice")
-        .orderBy("l_returnflag", "rnk"),
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        Tables(s, dir, "lineitem")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
+            "l_extendedprice")
+          .orderBy("l_returnflag", "rnk")
+      },
       Some("""SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
              |FROM (
              |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
