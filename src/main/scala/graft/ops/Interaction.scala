@@ -227,8 +227,12 @@ object Interaction {
     */
   def customerType(df: DataFrame, categories: Seq[String],
       exactQuantiles: Boolean = false): DataFrame = {
+    // Two consumers (the quantile job, then the segmentation plan):
+    // persist so the profile aggregation runs once, not once per job —
+    // the reference's cache() at :260 serves the same fan-out (M1).
     val withTotal = df.withColumn("TotalDuration",
       categories.map(col).reduce(_ + _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (q1, median, _) = durationQuantiles(withTotal, "TotalDuration", exactQuantiles)
     // Final column order per ETL_pipeline.py:145 — contract, categories
     // (alphabetical), then the derived profile columns.

@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("readStreamJson: file-source stream picks up day files with pinned schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "20220401.json").toPath,
+      """{"_source": {"Contract": "c1", "Mac": "m1", "AppName": "VOD", "TotalDuration": 5}}""")
+    val q = Streaming.readStreamJson(spark, graft.schema.Schemas.logContent,
+        dir.getAbsolutePath)
+      .selectExpr("_source.Contract AS contract", "_source.TotalDuration AS dur")
+      .writeStream.format("memory").queryName("rsj").outputMode("append").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      rowSet(spark.table("rsj")) shouldBe Set(Seq("c1", 5L))
+      // a new day lands → next micro-batch appends it
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "20220402.json").toPath,
+        """{"_source": {"Contract": "c2", "Mac": "m2", "AppName": "VOD", "TotalDuration": 7}}""")
+      q.processAllAvailable()
+      rowSet(spark.table("rsj")) shouldBe Set(Seq("c1", 5L), Seq("c2", 7L))
+    }
+  }
+
   test("runningActiveness: state is per-contract") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
