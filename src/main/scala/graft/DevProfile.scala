@@ -46,8 +46,18 @@ object DevProfile {
         .filter(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")) >= 0.5)
         .count()
     }
-    time("minhash signature") {
-      graft.ext.Dedup.minhashSignature(sh).count()
+    time("minhash signature (expr)") {
+      graft.ext.Dedup.minhashSignature(
+        graft.ext.Dedup.docShingleSets(docs, "doc_id", "text")).count()
+    }
+    time("minhash full") {
+      graft.ext.Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
+    }
+    time("minhash full 2nd") {
+      graft.ext.Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
+    }
+    time("minhash full 3rd") {
+      graft.ext.Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
     }
     time("ngram full") {
       graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()

@@ -71,16 +71,19 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = ShingleN, minJaccard: Double = 0.5): DataFrame = {
-    val sh = wordShingleHashes(df, idCol, textCol, n).cache()
-    jaccardFromShingles(sh, candidates = None, minJaccard)
+    val sets = docShingleSets(df, idCol, textCol, n).cache()
+    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
+    jaccardTail(sh, sizes, candidates = None, minJaccard)
   }
 
   /** Shared Jaccard tail: shared-count join (optionally restricted to
-    * candidate pairs) + size lookup + threshold.
+    * candidate pairs) + size lookup + threshold. `sizes` is (id,
+    * n_shingles) — a projection off the set arrays, not an
+    * aggregation.
     */
-  private def jaccardFromShingles(sh: DataFrame,
+  private def jaccardTail(sh: DataFrame, sizes: DataFrame,
       candidates: Option[DataFrame], minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val base = candidates match {
       case None =>
         sh.as("a")
@@ -126,27 +129,37 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_anti")
   }
 
-  /** MinHash signature per document over the (id, h) shingle hashes:
-    * K columns mh0..mh{K-1}, each `min((a_i * (h mod p) + b_i) mod p)`
-    * over the document's distinct shingles. One aggregation (map-side
-    * partial min applies).
+  /** Per-document shingle-hash SET as one array column (id, hs):
+    * the zero-shuffle form of [[wordShingleHashes]] — signatures and
+    * sizes derive from it as plain projections; only docs that become
+    * candidates are ever exploded.
     */
-  def minhashSignature(shingleHashes: DataFrame): DataFrame = {
-    val x = col("h") % lit(P)
-    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * x + lit(b)) % lit(P)).as(s"mh$i")
-    }
-    shingleHashes.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
+  def docShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = ShingleN): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
+
+  /** MinHash signature per document: one array<long> of the K minima,
+    * computed by the codegen'd
+    * [[graft.functions.MinhashSignatureExpr]] straight off the
+    * document's hash set — a projection, where the previous
+    * explode + groupBy(K min aggs) paid the pipeline's biggest
+    * shuffle. Empty docs (no shingles) are excluded, matching the
+    * aggregation form where they produced no row.
+    */
+  def minhashSignature(shingleSets: DataFrame): DataFrame =
+    shingleSets.filter(size(col("hs")) > 0)
+      .select(col("id"),
+        graft.functions.TextHashFunctions.minhash_signature(col("hs")).as("sig"))
 
   /** LSH banding: (id, band, band_hash) — md5 over the band's
-    * comma-joined minhash values. Docs sharing any (band, band_hash)
-    * are candidate pairs.
+    * comma-joined minhash values (same formula the SQL oracle
+    * computes). Docs sharing any (band, band_hash) are candidates.
     */
   def lshBands(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       val cols = (j * RowsPerBand until (j + 1) * RowsPerBand)
-        .map(i => col(s"mh$i").cast("string"))
+        .map(i => element_at(col("sig"), i + 1).cast("string"))
       struct(lit(j).as("band"), md5(concat_ws(",", cols: _*)).as("band_hash"))
     }
     sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
@@ -166,14 +179,22 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    * candidates → exact-Jaccard verify ≥ `minJaccard`.
+  /** Full MinHash+LSH near-dup pipeline: shingle-set projection →
+    * signature projection → band explode → candidate equi-join →
+    * exact-Jaccard verify ≥ `minJaccard`. Only candidate documents'
+    * hash sets are exploded for verification (semi-join first); sizes
+    * come from `size(hs)` — no shuffle touches non-candidate docs.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val sh = wordShingleHashes(df, idCol, textCol).cache()
-    val candidates = lshCandidatePairs(lshBands(minhashSignature(sh)))
-    jaccardFromShingles(sh, Some(candidates), minJaccard)
+    val sets = docShingleSets(df, idCol, textCol).cache()
+    val candidates = lshCandidatePairs(lshBands(minhashSignature(sets)))
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val sh = sets.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
+    jaccardTail(sh, sizes, Some(candidates), minJaccard)
   }
 
   /** SimHash fingerprint per document over the 60-bit token hashes

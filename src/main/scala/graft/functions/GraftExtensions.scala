@@ -39,6 +39,12 @@ object GraftFunctions {
         require(children.length == 2, "vec_dot(a, b) takes two arrays")
         VectorDot(children(0), children(1))
       }),
+    (new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minhash_signature(hashes) takes one array")
+        MinhashSignatureExpr(children.head)
+      }),
     (new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

@@ -62,6 +62,65 @@ object TextHashing {
   }
 }
 
+/** MinHash evaluation over a document's shingle-hash array — the JVM
+  * twin of the cross-engine family in [[graft.ext.HashDefs]]:
+  * `min((a_i * (h mod p) + b_i) mod p)` over the array, for each of
+  * the K seed pairs, p = 2^31 − 1.
+  */
+object MinhashSupport {
+  import graft.ext.HashDefs.{K, P, seeds}
+
+  private val as: Array[Long] = seeds.map(_._1).toArray
+  private val bs: Array[Long] = seeds.map(_._2).toArray
+
+  def signature(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    val mins = Array.fill[Long](K)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = hashes.getLong(i) % P
+      var j = 0
+      while (j < K) {
+        val v = (as(j) * x + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** MinHash signature (K minima) of an `array<long>` of shingle hashes,
+  * as one codegen'd projection — replaces the explode + groupBy(K min
+  * aggs) shape, whose exploded shuffle was the dominant cost of the
+  * MinHash pipeline. Callers must exclude empty shingle arrays first
+  * (a doc with no shingles has no signature — the aggregation form
+  * simply produced no row; here it would produce MaxValue minima).
+  */
+case class MinhashSignatureExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature needs array<bigint>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSupport.signature(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinhashSupport.signature($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
 /** Distinct word-n-shingle 60-bit hashes of a text column, as one
   * codegen'd projection.
   *
@@ -101,4 +160,9 @@ object TextHashFunctions {
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(
       GraftColumnBridge.expression(text), n))
+
+  /** K-element MinHash signature of an `array<long>` hash set. */
+  def minhash_signature(hashes: Column): Column =
+    GraftColumnBridge.column(MinhashSignatureExpr(
+      GraftColumnBridge.expression(hashes)))
 }

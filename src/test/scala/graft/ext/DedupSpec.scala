@@ -87,19 +87,28 @@ class DedupSpec extends SparkSpec {
     pairs.map(p => Set(p._1, p._2)) should not contain Set(1L, 3L)
   }
 
-  test("minhash signature: identical docs get identical signatures") {
-    val df = Seq((1L, doc), (2L, doc)).toDF("doc_id", "text")
-    val sig = Dedup.minhashSignature(Dedup.wordShingleHashes(df, "doc_id", "text"))
-    val rows = sig.drop("id").collect().map(_.toSeq)
-    rows.length shouldBe 2
-    rows(0) shouldBe rows(1)
-    sig.columns.length shouldBe HashDefs.K + 1
+  test("minhash signature: identical docs identical, K-wide, agg-form equivalent") {
+    val df = Seq((1L, doc), (2L, doc), (3L, "x y")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.docShingleSets(df, "doc_id", "text"))
+    val rows = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.keySet shouldBe Set(1L, 2L) // empty-shingle doc 3 excluded
+    rows(1L) shouldBe rows(2L)
+    rows(1L).length shouldBe HashDefs.K
+    // the expression reproduces the aggregation form exactly
+    val viaAgg = Dedup.wordShingleHashes(df, "doc_id", "text")
+      .withColumn("x", col("h") % HashDefs.P)
+      .groupBy("id")
+      .agg(array(HashDefs.seeds.map { case (a, b) =>
+        min((lit(a) * col("x") + lit(b)) % HashDefs.P)
+      }: _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows shouldBe viaAgg
   }
 
   test("lshCandidatePairs: identical signatures collide in every band, distinct pairs") {
     val df = Seq((1L, doc), (2L, doc)).toDF("doc_id", "text")
     val bands = Dedup.lshBands(Dedup.minhashSignature(
-      Dedup.wordShingleHashes(df, "doc_id", "text")))
+      Dedup.docShingleSets(df, "doc_id", "text")))
     bands.count() shouldBe 2L * HashDefs.Bands
     rowList(Dedup.lshCandidatePairs(bands)) shouldBe Seq(Seq(1L, 2L))
   }

@@ -18,6 +18,10 @@ class GraftExtensionsSpec extends SparkSpec {
     singleValue(spark.sql(
       "SELECT size(shingle_hashes(text, 3)) FROM docs_sql")) shouldBe 2
 
+    singleValue(spark.sql(
+      "SELECT size(minhash_signature(shingle_hashes(text, 3))) FROM docs_sql")) shouldBe
+      graft.ext.HashDefs.K
+
     // SQL and Column API agree value-for-value
     val viaSql = spark.sql("SELECT explode(shingle_hashes(text, 3)) AS h FROM docs_sql")
     val viaCol = Seq("a b c d").toDF("text")
@@ -40,6 +44,6 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     // registration list is what the injector consumed — both functions
     GraftFunctions.registrations.map(_._1.funcName).toSet shouldBe
-      Set("vec_dot", "shingle_hashes")
+      Set("vec_dot", "minhash_signature", "shingle_hashes")
   }
 }
