@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Behavior, Interaction, Merge, TopK}
+import graft.ops.{AsOfJoin, Behavior, Interaction, Merge, RangeJoin, TopK}
 
 /** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
   * (FIXTURES.md §B): every parity operator gets a named query plus an
@@ -499,6 +499,54 @@ object CoreQueries {
              |  count(*) AS n_events
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // As-of (backward) join — Spark has no native operator; the
+    // union + running-last composition attaches each view's latest
+    // preceding purchase value per user. Oracle = DuckDB ASOF JOIN.
+    Q("q_asof_join",
+      (s, dir) => {
+        val e = events(s, dir)
+        val views = e.filter(col("event_type") === "view")
+          .select("user_id", "ts", "event_id")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max(col("value")).as("purchase_value")) // unique (key, ts) → deterministic
+        AsOfJoin.asOfBackward(views, purchases,
+            keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+            rightCols = Seq("purchase_value"))
+          .withColumn("purchase_value", round(col("purchase_value"), 6))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts, max(value) AS purchase_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT v.user_id, v.ts, v.event_id,
+             |  round(p.purchase_value, 6) AS purchase_value
+             |FROM v ASOF LEFT JOIN p
+             |  ON v.user_id = p.user_id AND v.ts >= p.ts
+             |ORDER BY v.user_id, v.ts, v.event_id""".stripMargin)),
+
+    // Bucketed range join — point-in-interval as an equi-join on
+    // fixed-width buckets (interval exploded to its buckets, precise
+    // predicate re-checked), aggregated per band.
+    Q("q_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((0.0, 9.5, "small"), (9.5, 24.5, "mid"),
+          (24.5, 50.5, "large")).toDF("lo", "hi", "band")
+        RangeJoin.rangeJoin(Tables(s, dir, "lineitem"), bands,
+            keyCols = Seq.empty, pointCol = "l_quantity",
+            startCol = "lo", endCol = "hi", bucketWidth = 5L)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("band")
+      },
+      Some(s"""SELECT band, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem
+              |JOIN (VALUES (0.0, 9.5, 'small'), (9.5, 24.5, 'mid'),
+              |             (24.5, 50.5, 'large')) AS b(lo, hi, band)
+              |  ON l_quantity BETWEEN lo AND hi
+              |GROUP BY band ORDER BY band""".stripMargin)),
 
     // Hierarchical aggregates beyond the reference (extension): ROLLUP
     // over (returnflag, linestatus) with grouping_id — subtotal rows
