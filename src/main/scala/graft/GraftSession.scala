@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session builder encoding the engine's tuning defaults —
+  * what a deployment would put in spark-defaults, collected here so
+  * local runs, tests, and docs agree:
+  *
+  * - AQE on with coalescing + skew-join splitting (Spark 4 defaults,
+  *   pinned explicitly because the engine's join shapes rely on them);
+  * - shuffle partitions sized to the parallelism (the 200 default is
+  *   wrong in both directions: too many for local runs, too few for a
+  *   1000-executor cluster — callers pass the real figure);
+  * - broadcast threshold raised to 64 MB: the engine's dimension
+  *   tables (keyword dictionaries, band/bucket maps) are far below
+  *   this, and a missed broadcast on a 100 TB fact side costs a full
+  *   shuffle;
+  * - UTC session timezone (date-from-filename semantics must not
+  *   depend on cluster locale).
+  */
+object GraftSession {
+
+  /** The tuning profile, as data (assertable, greppable). */
+  def tuningConfigs(parallelism: Int): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.shuffle.partitions" -> parallelism.toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def builder(parallelism: Int, appName: String = "graft"): SparkSession.Builder =
+    tuningConfigs(parallelism).foldLeft(
+      SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
+  /** Local session at the given core count (tests, benchmarks). */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = builder(cores, appName)
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+}

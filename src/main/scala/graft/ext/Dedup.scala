@@ -139,6 +139,27 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
 
+  /** Incremental exact dedup against an already-processed corpus: keep
+    * only new documents whose content digest is (probably) unseen. A
+    * Bloom filter over the seen side's digests is built once
+    * (`expectedSeen` sizing, `fpp` false-positive rate) and broadcast
+    * inside the predicate — the new side is filtered in place with NO
+    * join and NO shuffle. False positives drop a few genuinely-new
+    * docs (tune `fpp`); false negatives cannot happen, so nothing seen
+    * ever re-enters. Chase the survivors with [[exactDedup]] if exact
+    * semantics are required on the kept set.
+    */
+  def unseenByBloom(newDocs: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = seen.stat.bloomFilter(md5(col(textCol)), expectedSeen, fpp)
+    val spark = newDocs.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((digest: String) =>
+      digest != null && bloomBc.value.mightContainString(digest))
+    newDocs.filter(!mightContain(md5(col(textCol))))
+  }
+
   /** MinHash signature per document: one array<long> of the K minima,
     * computed by the codegen'd
     * [[graft.functions.MinhashSignatureExpr]] straight off the
