@@ -87,6 +87,19 @@ object Streaming {
         col("session.end").as("session_end"), col("TotalDuration"),
         col("n_events"))
 
+  /** Streaming exact dedup: drop rows whose content digest was already
+    * seen, with state bounded by the watermark (a duplicate arriving
+    * later than `watermark` after the original passes through — the
+    * standard bounded-state tradeoff; route the output through the
+    * batch [[graft.ext.Dedup.exactDedup]] for a final exact pass).
+    */
+  def streamingExactDedup(df: DataFrame, textCol: String,
+      tsCol: String = "ts", watermark: String = "1 day"): DataFrame =
+    df.withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__digest")
+      .drop("__digest")
+
   /** A2 streaming — running distinct-active-days count and activeness
     * bucket per contract, updated every micro-batch. No built-in
     * window expresses "distinct dates ever seen, re-bucketed live", so

@@ -83,6 +83,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingExactDedup: duplicate payloads within the watermark are dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.streamingExactDedup(in.toDF(), textCol = "category")
+      .writeStream.format("memory").queryName("sed").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ViewEvent("c1", "payload-A", 1L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c2", "payload-A", 2L, ts("2022-04-01 10:01:00")), // dup content
+        ViewEvent("c3", "payload-B", 3L, ts("2022-04-01 10:02:00")))
+      q.processAllAvailable()
+      // dup arriving in a later micro-batch is still caught by state
+      in.addData(ViewEvent("c4", "payload-B", 4L, ts("2022-04-01 10:03:00")))
+      q.processAllAvailable()
+      spark.table("sed").select("category").collect()
+        .map(_.getString(0)).sorted.toSeq shouldBe Seq("payload-A", "payload-B")
+    }
+  }
+
   test("readStreamJson: file-source stream picks up day files with pinned schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     dir.deleteOnExit()
