@@ -72,6 +72,11 @@ object DevProfile {
     time("ann brute topk") {
       graft.ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5).count()
     }
+    (1 to 3).foreach { i =>
+      time(s"ann lsh topk run$i") {
+        graft.ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 5).count()
+      }
+    }
     spark.stop()
   }
 }
