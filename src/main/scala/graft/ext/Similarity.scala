@@ -87,16 +87,15 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH signatures for all `nTables` tables at once: one array column
-    * of (table, bucket) structs, planes of table t being the global
-    * plane indices [t*nPlanes, (t+1)*nPlanes).
+  /** LSH bucket ids for all `nTables` tables at once (element t =
+    * table t over global plane indices [t*nPlanes, (t+1)*nPlanes)) —
+    * one codegen'd [[graft.functions.LshBuckets]] loop; `posexplode`
+    * yields (table, bucket). Agreement with the composable
+    * [[lshBucket]] is pinned in SimilaritySpec.
     */
   private def lshTableBuckets(vec: Column, nPlanes: Int, nTables: Int,
       dim: Int): Column =
-    array((0 until nTables).map { t =>
-      struct(lit(t).as("table"),
-        lshBucket(vec, nPlanes, planeOffset = t * nPlanes, dim = dim).as("bucket"))
-    }: _*)
+    graft.functions.LshFunctions.lsh_buckets(vec, nPlanes, nTables, dim)
 
   /** Approximate top-k via multi-table random-hyperplane LSH — the
     * standard OR-construction: `nTables` independent tables of
@@ -126,12 +125,12 @@ object Similarity {
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val cIndex = c
       .select(col("id"),
-        explode(lshTableBuckets(col("vec"), nPlanes, nTables, dim)).as("tb"))
-      .select(col("id"), col("tb.table"), col("tb.bucket"))
+        posexplode(lshTableBuckets(col("vec"), nPlanes, nTables, dim))
+          .as(Seq("table", "bucket")))
     val qBase = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-      .withColumn("tb", explode(lshTableBuckets(col("qvec"), nPlanes, nTables, dim)))
-      .select(col("query_id"), col("tb.table"), col("tb.bucket").as("qbucket"))
+      .select(col(idCol).as("query_id"),
+        posexplode(lshTableBuckets(col(vecCol), nPlanes, nTables, dim))
+          .as(Seq("table", "qbucket")))
     // multi-probe: the query's bucket plus every bucket one bit-flip away
     val probes =
       if (!multiProbe) qBase.withColumn("bucket", col("qbucket"))

@@ -105,6 +105,20 @@ object Sources {
     spark.read.parquet(dir)
       .filter(col(dateCol).between(startDate, endDate))
 
+  /** Binary media ingestion (multimodal pipelines): Spark's
+    * `binaryFile` source yields (path, modificationTime, length,
+    * content) — the raw-bytes entry point that
+    * [[graft.ext.Multimodal]] decodes. `pathGlob` filters at the file
+    * index (e.g. `*.jpg`); `maxBytes` guards against a single huge
+    * object blowing a task (binary rows don't split).
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+      pathGlob: String = "*", maxBytes: Long = 512L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+
   /** S1+S5 composed — the reference's whole interaction read
     * (ETL_pipeline.py:243-260) as one scan: list days in range, one
     * multi-path JSON read, flatten the `_source` envelope, inject the

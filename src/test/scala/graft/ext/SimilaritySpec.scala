@@ -77,6 +77,17 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  test("lsh_buckets expression agrees with the composable lshBucket per table") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(20).select(col("vec_id"), col("embedding"))
+    val viaExpr = e.select(col("vec_id"),
+      graft.functions.LshFunctions.lsh_buckets(col("embedding"), 6, 8, 64).as("bs"))
+    val viaCols = e.select(col("vec_id"),
+      array((0 until 8).map(t =>
+        Similarity.lshBucket(col("embedding"), 6, planeOffset = t * 6)): _*).as("bs"))
+    rowSet(viaExpr) shouldBe rowSet(viaCols)
+  }
+
   test("lshBucket: deterministic and within [0, 2^nPlanes)") {
     val e = Seq((1L, Array(0.3f, -0.7f, 0.2f))).toDF("vec_id", "embedding")
     val b1 = singleValue(e.select(Similarity.lshBucket(col("embedding"), 12)))

@@ -87,6 +87,18 @@ class SourcesSinksSpec extends SparkSpec {
     rowSet(out) shouldBe Set(Seq("k1", "catA"), Seq("k2", "catB"))
   }
 
+  test("readBinaryFiles: glob filter, content bytes, size guard") {
+    val dir = tempDir()
+    writeFile(dir, "a.bin", "hello")
+    writeFile(dir, "big.bin", "x" * 100)
+    writeFile(dir, "skip.txt", "nope")
+    val out = Sources.readBinaryFiles(spark, dir.getAbsolutePath,
+      pathGlob = "*.bin", maxBytes = 50)
+    val rows = out.select("path", "length", "content").collect()
+    rows.length shouldBe 1 // txt excluded by glob, big.bin by maxBytes
+    new String(rows.head.getAs[Array[Byte]]("content"), "UTF-8") shouldBe "hello"
+  }
+
   test("JdbcSink: url and option assembly (ETL_pipeline.py:198-211 contract)") {
     JdbcSink.sqlServerUrl("h", "1433", "db") shouldBe
       "jdbc:sqlserver://h:1433;databaseName=db"
