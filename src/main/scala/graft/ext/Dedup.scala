@@ -97,12 +97,15 @@ object Dedup {
           .join(shB, col("id_b") === col("id_b2") && col("h") === col("h_b"))
           .select(col("id_a"), col("id_b"))
     }
+    // No broadcast hint on sizes: it has one row per document — at
+    // corpus scale that must never be forced driver-side. The pair set
+    // is the small side; AQE picks the strategy.
     val shared = base.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "n_a")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "n_b")), Seq("id_b"))
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -212,9 +215,10 @@ object Dedup {
     val candidates = lshCandidatePairs(lshBands(minhashSignature(sets)))
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
-    val sh = sets.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), explode(col("hs")).as("h"))
-    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
+    val candSets = sets.join(candIds, Seq("id"), "left_semi")
+    val sh = candSets.select(col("id"), explode(col("hs")).as("h"))
+    // sizes restricted to candidates too — the only ids the tail joins
+    val sizes = candSets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
     jaccardTail(sh, sizes, Some(candidates), minJaccard)
   }
 

@@ -244,6 +244,18 @@ object CoreQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // A1 incremental — mergeable DataSketches HLL per (user, day),
+    // unioned back to a range-wide distinct estimate. Rows-only
+    // (sketch binaries are engine-specific); exact-vs-merged agreement
+    // is asserted in InteractionSpec.
+    Q("q_hll_merge",
+      (s, dir) => Interaction.mergeDeviceSketches(
+          Interaction.deviceSketches(events(s, dir), "user_id", "props",
+            grain = to_date(col("ts"))), "user_id")
+        .withColumn("TotalDevices", col("TotalDevices").cast("long"))
+        .orderBy("user_id"),
+      None),
+
     // A2+F1+P14 — activeness buckets over distinct active days (:46-60).
     Q("q_activeness",
       (s, dir) => Interaction.activeness(

@@ -100,6 +100,23 @@ object Streaming {
       .dropDuplicates("__digest")
       .drop("__digest")
 
+  /** Micro-batch load path: route each micro-batch through a batch
+    * [[graft.io.Sink]] (JDBC/parquet) — the streaming face of the
+    * reference's load stage. `foreachBatch` hands over a normal
+    * DataFrame per epoch, so the existing sinks work unchanged; Spark
+    * guarantees at-least-once per epoch (sinks overwrite or upsert for
+    * effectively-once).
+    */
+  def sinkEachBatch(df: DataFrame, sink: graft.io.Sink,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.write(batch.toDF())
+      }
+      .start()
+
   /** A2 streaming — running distinct-active-days count and activeness
     * bucket per contract, updated every micro-batch. No built-in
     * window expresses "distinct dates ever seen, re-bucketed live", so

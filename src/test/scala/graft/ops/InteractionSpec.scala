@@ -38,6 +38,17 @@ class InteractionSpec extends SparkSpec {
       rowSet(Interaction.totalDevices(df))
   }
 
+  test("deviceSketches + mergeDeviceSketches: mergeable sketches match exact") {
+    val df = Seq(
+      ("c1", "m1", "d1"), ("c1", "m2", "d1"), ("c1", "m1", "d2"),
+      ("c1", "m3", "d2"), ("c2", "m1", "d1"), ("c2", "m1", "d2")
+    ).toDF("Contract", "Mac", "day")
+    val sketches = Interaction.deviceSketches(df, grain = col("day"))
+    sketches.count() shouldBe 4 // one sketch per (contract, day)
+    val merged = Interaction.mergeDeviceSketches(sketches)
+    rowSet(merged) shouldBe Set(Seq("c1", 3L), Seq("c2", 1L))
+  }
+
   test("activeness: >31 distinct days filtered as error") {
     val manyDays = (1 to 40).map(d => ("c_err", f"2022-02-$d%02d")) // fake distinct strings
     val ok = Seq(("c_ok", "2022-04-01"), ("c_ok", "2022-04-02"), ("c_ok", "2022-04-01"))

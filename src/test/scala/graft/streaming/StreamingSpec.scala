@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sinkEachBatch: micro-batches route through a batch Sink") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb").toFile
+    dir.deleteOnExit()
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.sinkEachBatch(
+      in.toDF().groupBy("contract").count(),
+      graft.io.ParquetSink(s"$dir/out.parquet"),
+      s"$dir/ckpt")
+    withQuery(q) {
+      in.addData(
+        ViewEvent("c1", "content", 1L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c1", "content", 1L, ts("2022-04-01 11:00:00")),
+        ViewEvent("c2", "content", 1L, ts("2022-04-01 10:30:00")))
+      q.processAllAvailable()
+      rowSet(spark.read.parquet(s"$dir/out.parquet")) shouldBe
+        Set(Seq("c1", 2L), Seq("c2", 1L))
+    }
+  }
+
   test("streamingExactDedup: duplicate payloads within the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
