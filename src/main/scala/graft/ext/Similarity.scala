@@ -117,6 +117,36 @@ object Similarity {
     * equi-join, never a cross join — and the candidate set, not the
     * corpus, feeds the top-k window.
     */
+  /** Approximate near-dup pairs: cosine ≥ `minCos` among pairs that
+    * collide in any LSH table — the scale path for
+    * [[graft.ext.Dedup.embeddingNearDupPairs]]' all-pairs scan. The
+    * corpus self-joins only within (table, bucket); recall follows the
+    * table/plane s-curve (near-dup-grade cosine ≥ 0.8 collides with
+    * high probability at the defaults).
+    */
+  def lshNearDupPairs(corpus: DataFrame, minCos: Double,
+      nPlanes: Int = 6, nTables: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val index = c.select(col("id"),
+      posexplode(lshTableBuckets(col("vec"), nPlanes, nTables, dim))
+        .as(Seq("table", "bucket")))
+    val candidates = index.as("a")
+      .join(index.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(c.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 6, nTables: Int = 8, multiProbe: Boolean = true,
       dim: Int = 64,

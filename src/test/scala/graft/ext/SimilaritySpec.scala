@@ -77,6 +77,23 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.5
   }
 
+  test("lshNearDupPairs: subset of exact pairs, catches identical vectors") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = rowSet(graft.ext.Dedup
+      .embeddingNearDupPairs(e, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b"))
+    val approx = rowSet(Similarity.lshNearDupPairs(e, 0.45)
+      .select("id_a", "id_b"))
+    approx.subsetOf(exact) shouldBe true // no false positives (cosine re-checked)
+    // identical vectors always share every bucket
+    val dup = e.limit(1).select(col("vec_id") + 10000, col("embedding"))
+      .toDF("vec_id", "embedding")
+      .unionByName(e.select("vec_id", "embedding"))
+    val pairs = rowSet(Similarity.lshNearDupPairs(dup, 0.99)
+      .select("id_a", "id_b"))
+    pairs should not be empty
+  }
+
   test("lsh_buckets expression agrees with the composable lshBucket per table") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(20).select(col("vec_id"), col("embedding"))
