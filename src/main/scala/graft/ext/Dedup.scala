@@ -86,8 +86,16 @@ object Dedup {
       candidates: Option[DataFrame], minJaccard: Double): DataFrame = {
     val base = candidates match {
       case None =>
-        sh.as("a")
-          .join(sh.as("b"),
+        // DF-1 shingles (hashes held by exactly one doc) cannot
+        // produce a pair — for natural text that is most of the
+        // inverted index, so pruning them first shrinks the self-join
+        // input by far more than the counting agg costs (the agg's
+        // map-side partials collapse per partition before its shuffle).
+        val repeated = sh.groupBy("h").count()
+          .filter(col("count") >= 2).select("h")
+        val shR = sh.join(repeated, Seq("h"), "left_semi")
+        shR.as("a")
+          .join(shR.as("b"),
             col("a.h") === col("b.h") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       case Some(cand) =>
