@@ -105,6 +105,17 @@ class SimilaritySpec extends SparkSpec {
     rowSet(viaExpr) shouldBe rowSet(viaCols)
   }
 
+  test("lshTopK: k bounds per query, no self-matches, single-probe mode runs") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.lshTopK(e, e.filter(col("vec_id") < 5), k = 3,
+      multiProbe = false)
+    out.filter(col("neighbor_id") === col("query_id")).count() shouldBe 0L
+    out.groupBy("query_id").count()
+      .filter(col("count") > 3).count() shouldBe 0L
+    // ranks are 1..n contiguous per query
+    out.filter(col("rank") < 1 || col("rank") > 3).count() shouldBe 0L
+  }
+
   test("lshBucket: deterministic and within [0, 2^nPlanes)") {
     val e = Seq((1L, Array(0.3f, -0.7f, 0.2f))).toDF("vec_id", "embedding")
     val b1 = singleValue(e.select(Similarity.lshBucket(col("embedding"), 12)))
