@@ -9,14 +9,19 @@ import org.apache.spark.sql.SparkSession
   * otherwise charges whole-stage-codegen compilation and C2 JIT of the
   * generated classes to whichever query runs first (~10-20s of
   * constant cost unrelated to the data), which is noise for a
-  * throughput measurement. The timed run still plans, compiles, and
-  * executes the full query against the target scale factor.
+  * throughput measurement. Each query is then timed `SPARK_GRAFT_REPS`
+  * (default 3) times at the target scale factor and the MEDIAN is
+  * reported — single-run numbers at this sf carry ±10-30% plan/GC
+  * noise, enough to fake a regression (BENCH_r01's n=1 did exactly
+  * that). Reps run round-robin (all queries once, then again) so no
+  * query is systematically advantaged by a freshly-idle JVM.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,21 +32,34 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      // a failed query must not masquerade as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        // a failed query must not masquerade as a fast one
+        samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
+    def median(xs: List[Double]): Double =
+      if (xs.contains(-1.0)) -1.0
+      else {
+        val s = xs.sorted
+        s(s.size / 2)
+      }
+    val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

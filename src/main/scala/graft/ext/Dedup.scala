@@ -70,11 +70,12 @@ object Dedup {
     * product. ("Exact" up to 60-bit hash collisions, ~n²/2^61.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = ShingleN, minJaccard: Double = 0.5): DataFrame = {
+      n: Int = ShingleN, minJaccard: Double = 0.5,
+      pruneDf1: Boolean = PruneDf1Default): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, n).cache()
     val sh = sets.select(col("id"), explode(col("hs")).as("h"))
     val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
-    jaccardTail(sh, sizes, candidates = None, minJaccard)
+    jaccardTail(sh, sizes, candidates = None, minJaccard, pruneDf1)
   }
 
   /** Shared Jaccard tail: shared-count join (optionally restricted to
@@ -83,19 +84,27 @@ object Dedup {
     * aggregation.
     */
   private def jaccardTail(sh: DataFrame, sizes: DataFrame,
-      candidates: Option[DataFrame], minJaccard: Double): DataFrame = {
+      candidates: Option[DataFrame], minJaccard: Double,
+      pruneDf1: Boolean = PruneDf1Default): DataFrame = {
     val base = candidates match {
-      case None =>
+      case None if pruneDf1 =>
         // DF-1 shingles (hashes held by exactly one doc) cannot
         // produce a pair — for natural text that is most of the
         // inverted index, so pruning them first shrinks the self-join
-        // input by far more than the counting agg costs (the agg's
-        // map-side partials collapse per partition before its shuffle).
+        // input. The agg + semi-join cost two extra passes over the
+        // index, which only pays off once the self-join's shuffle is
+        // the bottleneck — hence the flag (off at bench scale, on at
+        // corpus scale).
         val repeated = sh.groupBy("h").count()
           .filter(col("count") >= 2).select("h")
         val shR = sh.join(repeated, Seq("h"), "left_semi")
         shR.as("a")
           .join(shR.as("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      case None =>
+        sh.as("a")
+          .join(sh.as("b"),
             col("a.h") === col("b.h") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       case Some(cand) =>

@@ -42,4 +42,16 @@ object HashDefs {
 
   /** Simhash width (bits of the 60-bit md5-derived token hash used). */
   val SimhashBits: Int = 60
+
+  /** Default for the DF-1 shingle prune in the n-gram Jaccard
+    * self-join. The prune (drop shingles held by exactly one doc
+    * before self-joining) is the right call once the self-join's
+    * shuffle dominates — i.e. at corpus scale — but at bench scale its
+    * extra agg + semi-join pass over the whole inverted index costs
+    * 10-30% more than the self-join saves (measured warm ×3 at sf0.1;
+    * the 3.3× in BENCH_r01 was single-run cold-plan noise).
+    * Overridable per call; env knob for experiments.
+    */
+  val PruneDf1Default: Boolean =
+    sys.env.get("GRAFT_NGRAM_PRUNE_DF1").exists(_.toBoolean)
 }

@@ -235,12 +235,17 @@ object CoreQueries {
     // A6 faithful face — percentile_approx with the reference's
     // accuracy=100 (ETL_pipeline.py:113-118). Rows-only: the
     // approximation differs from DuckDB's; the exact variant
-    // q_quantiles carries the oracle.
+    // q_quantiles carries the oracle. The three quartiles are projected
+    // to scalar columns (not an array) so rows-only hashing can sort them.
     Q("q_quantiles_approx",
       (s, dir) => Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 100)")
           .as("quartiles"))
+        .select(col("l_returnflag"),
+          element_at(col("quartiles"), 1).as("q1"),
+          element_at(col("quartiles"), 2).as("median"),
+          element_at(col("quartiles"), 3).as("q3"))
         .orderBy("l_returnflag"),
       None),
 
@@ -456,6 +461,50 @@ object CoreQueries {
              |               l_linenumber ASC) AS INT) AS rnk
              |  FROM lineitem)
              |WHERE rnk <= 3 ORDER BY l_returnflag, rnk""".stripMargin)),
+
+    // L3 scale path — TopK.topKPerGroup: partition-local sort + prune
+    // BEFORE the window shuffle, so only ≤ partitions·k rows per group
+    // reach the global sort (the at-100× answer to q_window_rank's
+    // whole-table window; equivalence also pinned in TopKSpec). Same
+    // oracle shape as q_window_rank at k=5.
+    Q("q_topk_pruned",
+      (s, dir) => TopK.topKPerGroup(
+          Tables(s, dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          k = 5)
+        .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber",
+          "l_extendedprice")
+        .orderBy("l_returnflag", "rnk"),
+      Some("""SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice
+             |FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey ASC,
+             |               l_linenumber ASC) AS INT) AS rnk
+             |  FROM lineitem)
+             |WHERE rnk <= 5 ORDER BY l_returnflag, rnk""".stripMargin)),
+
+    // Skew-safe equi-join — SkewJoin.saltedJoin: the hot key spreads
+    // over `salts` tasks (skewed side salted, build side replicated);
+    // output is identical to the plain join for ANY salt assignment,
+    // which is exactly what the oracle (plain join) checks.
+    Q("q_salted_join",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+          .withColumnRenamed("o_custkey", "c_custkey")
+        val cust = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+        graft.ops.SkewJoin.saltedJoin(orders, cust, Seq("c_custkey"), salts = 8)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, count(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     // J1 — fact ⋈ broadcast dim + agg (:285-286 shape on TPC-H).
     Q("q_join_agg",

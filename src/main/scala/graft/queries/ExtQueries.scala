@@ -81,6 +81,29 @@ object ExtQueries {
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
 
+  /** LSH (table, bucket) index CTE — the SQL twin of
+    * [[Similarity.lshTopK]]'s bucketing at the default 8 tables × 6
+    * planes over 64-dim vectors. The hyperplanes are DETERMINISTIC
+    * (hash-seeded, [[graft.functions.LshSupport.planeMatrix]]), so the
+    * whole LSH pipeline is exactly reproducible in DuckDB: each plane
+    * is embedded as a 64-double literal and bit p of the bucket is
+    * sign(dot(v, plane)). This upgrades the LSH queries from
+    * rows-only/recall-in-ScalaTest to full exact-match oracles.
+    */
+  private val AnnPlanes = 6
+  private val AnnTables = 8
+  private val EmbDim = 64
+  private lazy val lshIndexSql: String = {
+    val planes = graft.functions.LshSupport.planeMatrix(AnnPlanes, AnnTables, EmbDim)
+    (0 until AnnTables).map { t =>
+      val bits = (0 until AnnPlanes).map { p =>
+        val lits = planes(t * AnnPlanes + p).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, CAST($lits AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, $t AS tbl,\n      $bits AS bucket FROM n"
+    }.mkString("idx AS (\n  ", "\n  UNION ALL\n  ", ")")
+  }
+
   private val langScoreSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
     val lst = ms.map(m => s"'$m'").mkString(", ")
     s"CAST(len(list_filter(ws, t -> t IN ($lst))) AS INT) AS score_$lang"
@@ -171,7 +194,31 @@ object ExtQueries {
               |  FROM h GROUP BY id)
               |SELECT id, $simhashFpSql AS simhash FROM v ORDER BY id""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs (τ = 0.45; double math both sides).
+    // Embedding-cosine near-dup — PRIMARY (scale) path: vectors only
+    // meet inside an LSH (table, bucket); the corpus never cross-joins.
+    // The planes are deterministic, so the oracle replays the exact
+    // bucketing in SQL and the comparison is a full hash match, not a
+    // subset check. Recall vs the exact pairs is asserted in
+    // SimilaritySpec.
+    Q("q_embed_neardup_lsh",
+      (s, dir) => Similarity.lshNearDupPairs(emb(s, dir), minCos = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $embNormSql,
+              |$lshIndexSql,
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+              |  FROM idx a JOIN idx b
+              |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT ia AS id_a, ib AS id_b,
+              |  round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cos
+              |FROM cand JOIN n na ON ia = na.vec_id JOIN n nb ON ib = nb.vec_id
+              |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Embedding-cosine near-dup — exact all-pairs BASELINE. Small-scale
+    // oracle twin of q_embed_neardup_lsh (the non-equi self-join is a
+    // nested loop — documented as the thing the LSH path replaces at
+    // corpus scale; ext/Dedup.scala:301).
     Q("q_embed_neardup",
       (s, dir) => Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45)
         .orderBy("id_a", "id_b"),
@@ -180,6 +227,34 @@ object ExtQueries {
               |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
               |FROM n a JOIN n b ON a.vec_id < b.vec_id
               |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // SimHash near-dup pairs via pigeonhole banding — the scale path
+    // (chunk equi-join, no cross join; ext/Dedup.scala simhashBandedPairs).
+    // Fully deterministic → exact-match oracle.
+    Q("q_simhash_banded",
+      (s, dir) => Dedup.simhashBandedPairs(
+          Dedup.simhash(docs(s, dir), "doc_id", "text"), maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              |          FROM documents),
+              |h AS (SELECT id, ${h60("tok")} AS h FROM t),
+              |v AS (SELECT id,
+              |    $simhashVotesSql
+              |  FROM h GROUP BY id),
+              |fp AS (SELECT id, $simhashFpSql AS simhash FROM v),
+              |chunks AS (
+              |  SELECT id, simhash, ch.chunk,
+              |    (simhash >> (ch.chunk * ${SimhashBits / 4})) & ${(1L << (SimhashBits / 4)) - 1} AS chunk_val
+              |  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(chunk)),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS ia, b.id AS ib,
+              |    a.simhash AS sa, b.simhash AS sb
+              |  FROM chunks a JOIN chunks b
+              |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.id < b.id)
+              |SELECT ia AS id_a, ib AS id_b,
+              |  CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+              |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
               |ORDER BY id_a, id_b""".stripMargin)),
 
     // Brute-force cosine top-k (the exact ANN baseline; queries = vec_id < 10).
@@ -202,15 +277,38 @@ object ExtQueries {
               |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // LSH-bucketed approximate ANN — probabilistic output, rows-only
-    // check here; recall vs brute force asserted in ScalaTest.
+    // LSH-bucketed approximate ANN. The bucketing, multiprobe flips,
+    // candidate dedup, and ranking are all deterministic, so the
+    // oracle replays the ENTIRE pipeline in SQL (same planes, same
+    // 1-bit flips) — a full exact-match check; recall vs brute force
+    // is additionally asserted in ScalaTest.
     Q("q_ann_lsh",
       (s, dir) => {
         val e = emb(s, dir)
         Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"""WITH $embNormSql,
+              |$lshIndexSql,
+              |probes AS (
+              |  SELECT vec_id AS query_id, tbl, xor(bucket, f) AS bucket
+              |  FROM idx CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32)) AS fl(f)
+              |  WHERE vec_id < 10),
+              |cand AS (
+              |  SELECT DISTINCT p.query_id, i.vec_id AS id
+              |  FROM idx i JOIN probes p ON i.tbl = p.tbl AND i.bucket = p.bucket
+              |  WHERE i.vec_id <> p.query_id),
+              |scored AS (
+              |  SELECT c.query_id, c.id,
+              |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+              |  FROM cand c JOIN n cn ON c.id = cn.vec_id
+              |              JOIN n qn ON c.query_id = qn.vec_id),
+              |r AS (SELECT query_id, id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, id ASC) AS INT) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, id AS neighbor_id, round(cos, 6) AS cos
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     // Token statistics: whitespace + BPE-ish counts, mean token length.
     Q("q_token_stats",
