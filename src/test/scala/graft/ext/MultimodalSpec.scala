@@ -46,6 +46,41 @@ class MultimodalSpec extends SparkSpec {
       again.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq
   }
 
+  test("ImageIoCodec: real PNG decode — true dims, luminance histogram per strip") {
+    // 8×6 PNG, top half pure black, bottom half pure white — built with
+    // java.awt so the bytes go through a REAL encode → decode cycle.
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 3) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val mediaDf = Multimodal.asMedia(
+      Seq((7L, "ignored")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("content", lit(png))
+    val feats = Multimodal.extractFeatures(mediaDf, nFrames = 2, featDim = 4)
+      .collect().sortBy(_.frame_idx)
+
+    feats.length shouldBe 2
+    // strip 0 = top half: 8×3, all black → all mass in bin 0
+    feats(0).width shouldBe 8
+    feats(0).height shouldBe 3
+    feats(0).feature.toSeq shouldBe Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    // strip 1 = bottom half: all white → all mass in the top bin
+    feats(1).feature.toSeq shouldBe Seq(0.0f, 0.0f, 0.0f, 1.0f)
+  }
+
+  test("ImageIoCodec: non-image payloads fall back to the stub decode") {
+    val feats = Multimodal.extractFeatures(media(), nFrames = 3, featDim = 4,
+      codec = Multimodal.ImageIoCodec).collect()
+    val stub = Multimodal.extractFeatures(media(), nFrames = 3, featDim = 4,
+      codec = Multimodal.StubCodec).collect()
+    feats.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq shouldBe
+      stub.sortBy(f => (f.media_id, f.frame_idx)).map(_.feature.toSeq).toSeq
+  }
+
   test("sampleFrames: stride filter keeps every k-th frame") {
     val feats = Multimodal.extractFeatures(media(), nFrames = 3, featDim = 2)
     val sampled = Multimodal.sampleFrames(feats, stride = 2).collect()

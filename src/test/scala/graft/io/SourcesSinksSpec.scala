@@ -109,6 +109,31 @@ class SourcesSinksSpec extends SparkSpec {
     sink.options("batchsize") shouldBe "10000"
   }
 
+  test("JdbcSink: end-to-end write -> read-back round-trip (embedded Derby)") {
+    // The reference's sink is Azure SQL Server (ETL_pipeline.py:198-211);
+    // the e2e proof here runs the SAME sink code against an embedded
+    // Derby database (on Spark's own classpath) — real JDBC writes with
+    // Overwrite semantics, partitioned connections, and a typed
+    // read-back, no cloud required.
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val df = Seq(
+      (1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5)
+    ).toDF("id", "name", "score")
+    val sink = JdbcSink(url, "graft_rt", driver, user = "", password = "",
+      numPartitions = 2)
+    sink.write(df)
+    // Overwrite must actually overwrite, not append
+    sink.write(df)
+    val back = spark.read.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> "graft_rt", "driver" -> driver))
+      .load()
+    back.schema.fieldNames.toSeq shouldBe Seq("id", "name", "score")
+    rowSet(back) shouldBe Set(
+      Seq(1L, "alpha", 1.5), Seq(2L, "beta", 2.5), Seq(3L, "gamma", 3.5))
+  }
+
   test("PartitionedParquetSink + readDatePartitioned: range prunes partitions") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "dated.parquet").getAbsolutePath
