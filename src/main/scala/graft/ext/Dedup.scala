@@ -242,10 +242,26 @@ object Dedup {
   /** SimHash fingerprint per document over the 60-bit token hashes
     * (term-frequency weighted): for each bit j, sum +1/-1 votes across
     * tokens; bit j of the fingerprint is 1 iff the vote is positive.
-    * One explode + one aggregation; the 60 conditional sums are all
-    * map-side combinable.
+    *
+    * Computed by the codegen'd [[graft.functions.SimhashExpr]] — a pure
+    * projection. SimHash is a per-DOCUMENT value, so exploding tokens
+    * into a 60-conditional-sum aggregation ([[simhashAgg]], kept as the
+    * equivalence twin) shuffles the whole token stream to compute
+    * something each row already has locally; at corpus scale that
+    * shuffle is pure waste. Null texts keep their row (null fingerprint)
+    * where the explode form dropped them — the corpus has no null texts,
+    * and a row-preserving projection is the saner contract.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextHashFunctions.simhash(col(textCol), SimhashBits)
+        .as("simhash"))
+
+  /** The aggregation form of [[simhash]] (explode + 60 map-side
+    * combinable conditional sums) — retained as the spec-pinned
+    * equivalence twin and the shape a pre-tokenized corpus would use.
+    */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", TextAnalysis.tokenHash60(col("tok")))

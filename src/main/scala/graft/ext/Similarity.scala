@@ -147,6 +147,78 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Deterministic IVF coarse quantizer: the `nCells` corpus vectors
+    * with the smallest (hash60(id), id) become the (L2-normalized)
+    * centroid matrix — layout-independent and exactly reproducible in
+    * SQL, unlike k-means. Collected and broadcast: the standard
+    * "train the quantizer offline, ship it to every executor" IVF
+    * pattern (nCells ≪ corpus; at 100 TB you'd train better centroids
+    * offline and pass them in the same shape).
+    */
+  def ivfCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val rows = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("hk", TextAnalysis.tokenHash60(col("id").cast("string")))
+      .orderBy(col("hk"), col("id"))
+      .limit(nCells)
+      .select("vec").collect()
+    rows.map { r =>
+      val v = r.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.toArray
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+  }
+
+  /** IVF approximate top-k — the second classic ANN scale path next to
+    * [[lshTopK]]: assign every corpus vector to its nearest centroid
+    * cell (a row-local codegen'd projection,
+    * [[graft.functions.IvfCells]] — zero shuffle), probe the query's
+    * `nProbe` nearest cells, and score EXACT cosine only inside probed
+    * cells (an equi-join on cell, never a cross join). Recall/cost
+    * dial: nProbe/nCells is the fraction of the corpus scanned per
+    * query. Fully deterministic (hash-selected centroids, cid
+    * tie-break), so the registry oracle replays the whole pipeline in
+    * DuckDB.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.IvfFunctions.ivf_cells
+    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val assigned = c.withColumn("cell",
+      element_at(ivf_cells(col("vec"), cents, 1), 1))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(ivf_cells(col("qvec"), cents, nProbe)))
+      .select("query_id", "cell")
+    // each corpus vector sits in exactly one cell and the query's
+    // probed cells are distinct → (query_id, id) cannot duplicate, no
+    // dedup pass needed (unlike the LSH OR-construction)
+    val candidates = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id", "vec", "norm")
+    val q = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
+      .withColumnRenamed("norm", "qnorm")
+    val scored = candidates
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 6, nTables: Int = 8, multiProbe: Boolean = true,
       dim: Int = 64,

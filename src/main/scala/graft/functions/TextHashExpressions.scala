@@ -32,6 +32,37 @@ object TextHashing {
     v >>> 4
   }
 
+  /** 60-bit tf-weighted SimHash of `text`, matching the explode +
+    * 60-conditional-sum aggregation form bit for bit: every whitespace
+    * token (duplicates included — term-frequency weighting; `split`
+    * semantics identical to `split(text, " ")`) votes ±1 per bit of its
+    * [[hash60]]; fingerprint bit j is set iff the vote is positive.
+    * Row-local: the aggregation form shuffles every token to compute a
+    * per-DOCUMENT value — this computes it where the document already
+    * is, so the simhash pipelines' only shuffle is the pair join's.
+    */
+  def simhash60(text: UTF8String, bits: Int): Long = {
+    val tokens = text.toString.split(" ", -1)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < tokens.length) {
+      val h = hash60(tokens(i))
+      var j = 0
+      while (j < bits) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
   /** Distinct 60-bit hashes of the word `n`-shingles of `text`,
     * matching `split(text, " ")` Spark semantics (single-space regex,
     * trailing empties kept) followed by space-joined windows of `n`
@@ -155,11 +186,42 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** tf-weighted SimHash fingerprint of a text column as one codegen'd
+  * projection — the zero-shuffle twin of the explode + groupBy
+  * aggregation form (equivalence pinned in DedupSpec).
+  */
+case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.simhash60(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.simhash60($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   /** Distinct 60-bit hashes of the word n-shingles of `text`. */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(
       GraftColumnBridge.expression(text), n))
+
+  /** tf-weighted SimHash fingerprint of `text` (`bits` low bits). */
+  def simhash(text: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimhashExpr(
+      GraftColumnBridge.expression(text), bits))
 
   /** K-element MinHash signature of an `array<long>` hash set. */
   def minhash_signature(hashes: Column): Column =

@@ -310,6 +310,56 @@ object ExtQueries {
               |SELECT query_id, rank, id AS neighbor_id, round(cos, 6) AS cos
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF approximate ANN — the second scale path next to LSH: corpus
+    // assigned row-locally to hash-selected centroid cells, query
+    // probes its nProbe nearest cells, exact cosine only inside them.
+    // Deterministic end to end → the oracle replays centroid
+    // selection, assignment (same dot/cid tie-break), probing, and
+    // ranking in SQL.
+    Q("q_ann_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $embNormSql,
+              |cent AS (
+              |  SELECT v, nrm, cid FROM (
+              |    SELECT v, nrm,
+              |      CAST(row_number() OVER (
+              |        ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS INT) - 1 AS cid
+              |    FROM n) WHERE cid < 16),
+              |asgn AS (
+              |  SELECT id, cell FROM (
+              |    SELECT n.vec_id AS id, cent.cid AS cell,
+              |      row_number() OVER (PARTITION BY n.vec_id
+              |        ORDER BY list_dot_product(n.v, cent.v) / (n.nrm * cent.nrm) DESC,
+              |                 cent.cid ASC) AS rn
+              |    FROM n CROSS JOIN cent) WHERE rn = 1),
+              |probes AS (
+              |  SELECT query_id, cell FROM (
+              |    SELECT n.vec_id AS query_id, cent.cid AS cell,
+              |      row_number() OVER (PARTITION BY n.vec_id
+              |        ORDER BY list_dot_product(n.v, cent.v) / (n.nrm * cent.nrm) DESC,
+              |                 cent.cid ASC) AS rn
+              |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 2),
+              |cand AS (
+              |  SELECT p.query_id, a.id
+              |  FROM asgn a JOIN probes p ON a.cell = p.cell
+              |  WHERE a.id <> p.query_id),
+              |scored AS (
+              |  SELECT c.query_id, c.id,
+              |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+              |  FROM cand c JOIN n cn ON c.id = cn.vec_id
+              |              JOIN n qn ON c.query_id = qn.vec_id),
+              |r AS (SELECT query_id, id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, id ASC) AS INT) AS rank
+              |  FROM scored)
+              |SELECT query_id, rank, id AS neighbor_id, round(cos, 6) AS cos
+              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Token statistics: whitespace + BPE-ish counts, mean token length.
     Q("q_token_stats",
       (s, dir) => docs(s, dir).select(

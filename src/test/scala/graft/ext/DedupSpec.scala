@@ -125,6 +125,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash expression ≡ aggregation twin (zero-shuffle projection is exact)") {
+    val df = Seq(
+      (1L, doc), (2L, doc + " tail tail tail"), (3L, "alpha beta gamma"),
+      (4L, ""), (5L, "the the the of of a")) // tf weighting + empty text
+      .toDF("doc_id", "text")
+    rowSet(Dedup.simhash(df, "doc_id", "text")) shouldBe
+      rowSet(Dedup.simhashAgg(df, "doc_id", "text"))
+  }
+
   test("simhashBandedPairs ≡ simhashPairs (pigeonhole banding is lossless)") {
     // near-identical docs differ in few bits; unrelated docs differ in many
     val texts = Seq(

@@ -94,6 +94,44 @@ class SimilaritySpec extends SparkSpec {
     pairs should not be empty
   }
 
+  test("ivfTopK: exact cosines (subset of brute-force scored set), k-bounded, no self") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    // every IVF row must be a brute-force-scored pair with the SAME cosine
+    val universe = rowSet(Similarity.bruteForceTopK(e, queries, k = 100000)
+      .select("query_id", "neighbor_id", "cos"))
+    val ivf = Similarity.ivfTopK(e, queries, k = 5, nCells = 16, nProbe = 2)
+    rowSet(ivf.select("query_id", "neighbor_id", "cos"))
+      .subsetOf(universe) shouldBe true
+    ivf.filter(col("neighbor_id") === col("query_id")).count() shouldBe 0L
+    ivf.groupBy("query_id").count().filter(col("count") > 5).count() shouldBe 0L
+  }
+
+  test("ivfTopK: clustered vectors — same-cluster neighbors found (recall 1.0)") {
+    // 4 clusters of exactly-parallel vectors (scale spread only): every
+    // member has an identical cosine profile, so a whole cluster —
+    // query included — always assigns to one cell no matter which
+    // vectors the hash picks as centroids; with nProbe=1 all true
+    // neighbors (cluster mates, cos 1.0) are inside the probed cell.
+    val dim = 8
+    val vecs = for {
+      cl <- 0 until 4
+      i <- 0 until 6
+    } yield {
+      val scale = 10.0f + i * 0.1f
+      val base = Array.tabulate(dim)(d => if (d == cl * 2) scale else 0.0f)
+      ((cl * 6 + i).toLong, base)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") % 6 === 0) // one query per cluster
+    val exact = rowSet(Similarity.bruteForceTopK(e, queries, k = 3)
+      .select("query_id", "neighbor_id"))
+    val ivf = rowSet(Similarity.ivfTopK(e, queries, k = 3,
+      nCells = 8, nProbe = 1, idCol = "vec_id", vecCol = "embedding")
+      .select("query_id", "neighbor_id"))
+    (exact intersect ivf).size.toDouble / exact.size shouldBe 1.0
+  }
+
   test("lsh_buckets expression agrees with the composable lshBucket per table") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(20).select(col("vec_id"), col("embedding"))
