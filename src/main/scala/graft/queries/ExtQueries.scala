@@ -480,8 +480,12 @@ object ExtQueries {
              |  md5(text) AS digest
              |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // Stubbed media decode through the real mapPartitions plumbing —
-    // deterministic fake features; rows-only check (no SQL equivalent).
+    // Media decode through the real mapPartitions plumbing (text bytes
+    // aren't images, so the ImageIoCodec default falls back to the
+    // deterministic stub decode). The stub's byte arithmetic IS
+    // SQL-expressible — the corpus is ASCII, so byte (f*featDim) % n is
+    // ord(substr(..)) and the FLOAT math is replayed with REAL casts —
+    // which upgrades this from rows-only to a full exact-match oracle.
     Q("q_media_features",
       (s, dir) => {
         val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text")
@@ -491,7 +495,15 @@ object ExtQueries {
             round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
           .orderBy("media_id", "frame_idx")
       },
-      None)
+      Some("""WITH base AS (SELECT doc_id AS media_id, text,
+             |    octet_length(encode(text)) AS n FROM documents),
+             |fr AS (SELECT media_id, text, n,
+             |    unnest(range(0, least(2, 1 + n // 64))) AS frame_idx FROM base)
+             |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             |  round(CAST(CASE WHEN n = 0 THEN CAST(-0.5 AS REAL)
+             |    ELSE CAST(CAST(ord(substr(text, CAST((frame_idx * 4) % n AS INT) + 1, 1)) AS REAL)
+             |         / CAST(255 AS REAL) AS REAL) - CAST(0.5 AS REAL) END AS DOUBLE), 6) AS f0
+             |FROM fr ORDER BY media_id, frame_idx""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
