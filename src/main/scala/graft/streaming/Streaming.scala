@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming variants of the interaction-branch analytics
@@ -116,6 +116,77 @@ object Streaming {
         sink.write(batch.toDF())
       }
       .start()
+
+  /** One finalized viewing session (emitted exactly once, on close). */
+  final case class SessionSummary(
+      contract: String,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      totalDuration: Long,
+      n_events: Int)
+
+  /** Internal per-key state of [[closedSessions]] (public: the state
+    * encoder's generated code constructs it reflectively).
+    */
+  final case class SessionState(
+      start: Long, lastTs: Long, total: Long, n: Int)
+
+  /** Emit-on-close sessions — the `flatMapGroupsWithState` face of
+    * [[sessionWatch]]: where the built-in `session_window` re-emits a
+    * session row every time it grows, this emits each session EXACTLY
+    * ONCE, when it closes — either a later event opens the next session
+    * (in-batch close) or the event-time watermark passes the session's
+    * gap timeout (`EventTimeTimeout`, which is what finalizes the last
+    * session of an idle key). That once-per-session contract is the one
+    * downstream consumers like billing or training-example emission
+    * need, and no built-in window expresses it.
+    *
+    * State per key is one fixed-size [[SessionState]] — bounded no
+    * matter how long the stream runs; the timeout clears idle keys.
+    */
+  def closedSessions(events: Dataset[ViewEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.contract)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (contract: String, batch: Iterator[ViewEvent], state: GroupState[SessionState]) =>
+          def close(s: SessionState): SessionSummary =
+            SessionSummary(contract, new Timestamp(s.start),
+              new Timestamp(s.lastTs + gapMs), s.total, s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val evs = batch.toArray.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  Some(SessionState(s.start, math.max(s.lastTs, t),
+                    s.total + e.duration, s.n + 1))
+                case Some(s) =>
+                  closed ::= close(s)
+                  Some(SessionState(t, t, e.duration, 1))
+                case None =>
+                  Some(SessionState(t, t, e.duration, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 
   /** A2 streaming — running distinct-active-days count and activeness
     * bucket per contract, updated every micro-batch. No built-in

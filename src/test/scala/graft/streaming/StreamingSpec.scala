@@ -60,6 +60,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("closedSessions: each session emitted exactly once — gap close and timeout close") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.closedSessions(in.toDS(), gapMs = 30L * 60 * 1000,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("cs").outputMode("append").start()
+    withQuery(q) {
+      // batch 1: c1 opens a 2-event session; c2 opens a 1-event session
+      in.addData(
+        ViewEvent("c1", "content", 10L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c1", "content", 5L, ts("2022-04-01 10:20:00")),
+        ViewEvent("c2", "commerce", 3L, ts("2022-04-01 10:00:00")))
+      q.processAllAvailable()
+      spark.table("cs").count() shouldBe 0L // nothing closed yet
+
+      // batch 2: a much later c1 event closes c1's first session in-batch
+      // and advances the watermark to 12:00 — past c2's 10:30 timeout
+      in.addData(ViewEvent("c1", "content", 7L, ts("2022-04-01 13:00:00")))
+      q.processAllAvailable()
+      // batch 3: another c1 event fires c2's event-time timeout and
+      // closes c1's 13:00 session in-batch; c1's 16:00 session stays open
+      in.addData(ViewEvent("c1", "content", 1L, ts("2022-04-01 16:00:00")))
+      q.processAllAvailable()
+
+      val out = spark.table("cs").selectExpr("contract", "session_start",
+        "session_end", "totalDuration", "n_events")
+      rowSet(out) shouldBe Set(
+        Seq("c1", ts("2022-04-01 10:00:00"), ts("2022-04-01 10:50:00"), 15L, 2),
+        Seq("c2", ts("2022-04-01 10:00:00"), ts("2022-04-01 10:30:00"), 3L, 1),
+        Seq("c1", ts("2022-04-01 13:00:00"), ts("2022-04-01 13:30:00"), 7L, 1))
+    }
+  }
+
   test("runningActiveness: distinct-day state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
