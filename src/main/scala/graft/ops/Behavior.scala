@@ -68,6 +68,34 @@ object Behavior {
     limit.fold(joined)(joined.limit)
   }
 
+  /** Scale twin of the faithful split-join trend
+    * ([[mostSearchedKeyword]] window → [[monthlySplitJoin]] self-join):
+    * ONE aggregation computes both months' argmax keyword per user —
+    * `min_by(keyword, struct(-count, keyword))` under a month
+    * conditional (null ordering rows are skipped by min_by, so each
+    * column sees only its month; the tie-break matches the
+    * deterministic window's (count desc, keyword asc)). Two chained
+    * aggregations total, no window sort, no self-join — at 100 TB that
+    * removes the trend pipeline's join exchange entirely. Inner-join
+    * semantics (user must appear in both months) via the not-null
+    * filter. Output is identical to the faithful plan (same oracle).
+    */
+  def trendingFused(search: DataFrame, mapping: DataFrame,
+      month1: Int = 6, month2: Int = 7): DataFrame = {
+    val c1 = s"most_search_month_$month1"
+    val c2 = s"most_search_month_$month2"
+    def best(m: Int) = min_by(col("keyword"),
+      when(col("month") === m, struct((-col("count")).as("nc"), col("keyword").as("kw"))))
+    val fused = filterSearch(search, Seq(month1, month2))
+      .groupBy("month", "user_id", "keyword").count()
+      .groupBy("user_id")
+      .agg(best(month1).as(c1), best(month2).as(c2))
+      .filter(col(c1).isNotNull && col(c2).isNotNull)
+      .withColumn(c1, trim(col(c1)))
+      .withColumn(c2, trim(col(c2)))
+    previous(trendingType(searchCategory(fused, mapping, month1, month2)))
+  }
+
   /** J3+P3 — keyword→category lookup, left outer, once per month
     * column (ETL_pipeline.py:170-188). The dim is small (a keyword
     * dictionary), so we broadcast explicitly — the reference leaves it

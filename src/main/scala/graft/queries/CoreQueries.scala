@@ -346,6 +346,19 @@ object CoreQueries {
         .orderBy("user_id"),
       Some(trendingSql)),
 
+    // Trend scale twin — Behavior.trendingFused: both months' argmax in
+    // one aggregation pass (min_by under a month conditional), no
+    // window, no self-join. Same oracle as the faithful q_trending —
+    // which is the equivalence proof.
+    Q("q_trending_fused",
+      (s, dir) => Behavior.trendingFused(searchInput(s, dir), mappingDf(s))
+        .select(col("user_id"), col("most_search_month_6"),
+          col("most_search_month_7"), col("category_t6"), col("category_t7"),
+          col("Trending_Type").as("trending_type"),
+          col("Previous").as("previous"))
+        .orderBy("user_id"),
+      Some(trendingSql)),
+
     // J4 deterministic — ordered 250-row zip-join of the two branches'
     // stand-ins (:356-362; nondeterministic faithful variant covered by
     // ScalaTest only, SURVEY.md §7.5 #3).
@@ -532,6 +545,25 @@ object CoreQueries {
       Some(s"""SELECT date_trunc('day', ts) AS window_start, event_type,
               |  ${dsumSql("value")} AS total_value, count(*) AS n_events
               |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Sliding event-time windows (1 h size, 30 min slide): each event
+    // lands in exactly size/slide = 2 windows. DuckDB reproduces the
+    // epoch-aligned window starts with integer epoch arithmetic
+    // (start ∈ {floor(t/1800)·1800, that − 1800}).
+    Q("q_sliding_window",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("total_value"), col("n_events"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""WITH slid AS (
+              |  SELECT event_type, value,
+              |    make_timestamp((floor(epoch(ts))::BIGINT // 1800 * 1800 - off) * 1000000) AS window_start
+              |  FROM events CROSS JOIN (VALUES (0), (1800)) AS o(off))
+              |SELECT window_start, event_type,
+              |  ${dsumSql("value")} AS total_value, count(*) AS n_events
+              |FROM slid GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
     // Event-time session windows (batch face of
     // streaming.Streaming.sessionWatch): session_window(gap) ≡ the SQL
