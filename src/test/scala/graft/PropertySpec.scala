@@ -73,6 +73,36 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }, minTests = 5)
   }
 
+  test("simhash expression ≡ aggregation twin on arbitrary texts") {
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "the", "of")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check(forAll(Gen.listOfN(12, textGen)) { texts =>
+      texts.isEmpty || {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        graft.ext.Dedup.simhash(df, "doc_id", "text")
+          .collect().map(_.toSeq).toSet ==
+          graft.ext.Dedup.simhashAgg(df, "doc_id", "text")
+            .collect().map(_.toSeq).toSet
+      }
+    }, minTests = 5)
+  }
+
+  test("IvfSupport.probes: exact top-nProbe centroids by (dot desc, cid asc)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.listOfN(6, Gen.choose(-5.0, 5.0))
+    val centsGen = Gen.listOfN(5, vecGen)
+    check(forAll(vecGen, centsGen, Gen.choose(1, 5)) { (v, cs, nProbe) =>
+      val cents = cs.map(_.toArray).toArray
+      val got = graft.functions.IvfSupport
+        .probes(new GenericArrayData(v.toArray), cents, nProbe, isFloat = false)
+        .toIntArray().toSeq
+      val dots = cents.map(c => c.zip(v).map { case (a, b) => a * b }.sum)
+      val want = dots.indices.sortBy(i => (-dots(i), i)).take(nProbe)
+      got == want
+    }, minTests = 30)
+  }
+
   test("customerType: every (activeness, duration) lands in exactly one segment") {
     val activeness = Seq("very low", "low", "moderate", "high", "very high", "error")
     val durations = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 20.01, 100.0)
