@@ -74,6 +74,23 @@ final case class PartitionedParquetSink(path: String,
       .parquet(path)
 }
 
+/** Bucketed managed-table sink — the co-located-join layout
+  * (SURVEY.md §4 / SCALE.md): rows are hash-bucketed (and sorted)
+  * on the join key at WRITE time, so two tables bucketed the same way
+  * join with NO shuffle exchange on either side — at 100 TB that turns
+  * the recurring fact⋈fact join from the most expensive stage into a
+  * local merge. Write once, save every downstream join's exchange.
+  */
+final case class BucketedTableSink(table: String, bucketCols: Seq[String],
+    nBuckets: Int) extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.drop(1): _*)
+      .sortBy(bucketCols.head, bucketCols.drop(1): _*)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
 /** S8 — console preview (ETL_pipeline.py:352,364). */
 object ConsoleSink {
   def show(df: DataFrame, n: Int = 30): Unit = df.show(n, truncate = false)

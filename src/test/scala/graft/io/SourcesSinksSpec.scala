@@ -159,6 +159,31 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("BucketedTableSink: same-bucketed tables join with NO shuffle exchange") {
+    import spark.implicits._
+    val left = (1 to 100).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "rv")
+    BucketedTableSink("graft_bkt_l", Seq("k"), nBuckets = 4).write(left)
+    BucketedTableSink("graft_bkt_r", Seq("k"), nBuckets = 4).write(right)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the assertion is about bucketing,
+      // not about the broadcast path also having no shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bkt_l").join(spark.table("graft_bkt_r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("SortMergeJoin")
+        plan should not include "Exchange hashpartitioning"
+      }
+      joined.count() shouldBe 100L
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
+    }
+  }
+
   test("ParquetSink: roundtrip write/read") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "out.parquet").getAbsolutePath
