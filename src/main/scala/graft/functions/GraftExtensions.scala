@@ -50,6 +50,20 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "shingle_hashes(text, n) takes two args")
         ShingleHashes(children(0), intLit(children(1), "shingle width n"))
+      }),
+    (new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "simhash(text, bits) takes two args")
+        SimhashExpr(children(0), intLit(children(1), "simhash bits"))
+      }),
+    (new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "lsh_buckets(vec, nPlanes, nTables, dim) takes four args")
+        LshBuckets(children(0), intLit(children(1), "nPlanes"),
+          intLit(children(2), "nTables"), intLit(children(3), "dim"))
       }))
 
   /** Register the functions on a live session (idempotent). */

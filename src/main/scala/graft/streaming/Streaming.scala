@@ -117,6 +117,34 @@ object Streaming {
       }
       .start()
 
+  /** One search event — the stream-shaped `log_search` row. */
+  final case class SearchEvent(contract: String, keyword: String, ts: Timestamp)
+
+  /** Stream-stream interval join: attach to each view event the search
+    * events the same contract issued in the preceding `interval` — the
+    * streaming face of the Merge stage's "what did they search before
+    * watching". Both sides are watermarked, and the time-range
+    * predicate bounds the join state Spark must retain (each side keeps
+    * only `watermark + interval` of history — without the range
+    * condition a stream-stream join's state grows forever).
+    */
+  def searchesBeforeView(views: DataFrame, searches: DataFrame,
+      interval: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("contract"), col("category"), col("duration"),
+        col("ts").as("view_ts"))
+    val s = searches.withWatermark("ts", watermark)
+      .select(col("contract").as("s_contract"), col("keyword"),
+        col("ts").as("search_ts"))
+    v.join(s,
+      col("contract") === col("s_contract") &&
+        col("search_ts") <= col("view_ts") &&
+        col("search_ts") >= col("view_ts") - expr(s"INTERVAL $interval"))
+      .select("contract", "category", "duration", "view_ts",
+        "keyword", "search_ts")
+  }
+
   /** One finalized viewing session (emitted exactly once, on close). */
   final case class SessionSummary(
       contract: String,

@@ -44,6 +44,7 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     // registration list is what the injector consumed — both functions
     GraftFunctions.registrations.map(_._1.funcName).toSet shouldBe
-      Set("vec_dot", "minhash_signature", "shingle_hashes")
+      Set("vec_dot", "minhash_signature", "shingle_hashes", "simhash",
+        "lsh_buckets")
   }
 }

@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("searchesBeforeView: stream-stream interval join bounds matches to the window") {
+    implicit val ctx = spark.sqlContext
+    import Streaming.SearchEvent
+    val views = MemoryStream[ViewEvent]
+    val searches = MemoryStream[SearchEvent]
+    val q = Streaming.searchesBeforeView(views.toDF(), searches.toDF(),
+      interval = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sbv").outputMode("append").start()
+    withQuery(q) {
+      searches.addData(
+        SearchEvent("c1", "thriller", ts("2022-04-01 09:30:00")), // in window
+        SearchEvent("c1", "old news", ts("2022-04-01 08:00:00")), // too early
+        SearchEvent("c2", "other",    ts("2022-04-01 09:45:00"))) // other key
+      views.addData(ViewEvent("c1", "content", 10L, ts("2022-04-01 10:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sbv").selectExpr("contract", "keyword", "view_ts")
+      rowSet(out) shouldBe Set(
+        Seq("c1", "thriller", ts("2022-04-01 10:00:00")))
+    }
+  }
+
   test("runningActiveness: distinct-day state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
