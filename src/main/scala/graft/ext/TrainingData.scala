@@ -79,4 +79,41 @@ object TrainingData {
     */
   def hashSample(df: DataFrame, key: Column, permille: Int): DataFrame =
     df.filter(splitBucket(key, 1000) < permille)
+
+  /** Stratified layout-independent sample: per-stratum keep rate in
+    * permille (class rebalancing — downsample the over-represented
+    * source/language/quality tier). A row survives iff
+    * hash(key) mod 1000 < rate(stratum); strata absent from `rates`
+    * keep `defaultPermille`. Pure filter — no shuffle, no count pass —
+    * and every stratum's sample is a SUBSET of the unstratified
+    * [[hashSample]] at a higher rate (nested samples, the property
+    * that lets you grow/shrink a dataset without resampling history).
+    */
+  def stratifiedHashSample(df: DataFrame, key: Column, strataCol: String,
+      rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(splitBucket(key, 1000) < rate)
+  }
+
+  /** Weighted repetition (epoch upsampling): each row of stratum s is
+    * emitted `weights(s)` times (default `defaultCopies`) with a
+    * 0-based `copy` index — the standard "high-quality sources get
+    * more epochs" mix knob. A projection + generator explode: no
+    * shuffle; downstream shuffles see the post-repetition volume, so
+    * apply this LAST in the assembly chain.
+    */
+  def repeatByWeight(df: DataFrame, strataCol: String,
+      weights: Map[String, Int], defaultCopies: Int = 1): DataFrame = {
+    val copies = weights.foldLeft(lit(defaultCopies)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    // weight 0 drops the stratum: explode of an empty array emits no
+    // rows. (A bare sequence(0, copies-1) would NOT work — with start >
+    // stop Spark's sequence counts BACKWARDS, yielding [0, -1].)
+    df.withColumn("copy",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

@@ -468,6 +468,31 @@ object ExtQueries {
               |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 200
               |ORDER BY doc_id""".stripMargin)),
 
+    // Stratified (per-source) hash sample — class rebalancing with the
+    // same layout-independent stability; pure filter, no count pass.
+    Q("q_stratified_sample",
+      (s, dir) => TrainingData.stratifiedHashSample(docs(s, dir),
+          col("doc_id"), "source", Map("src0" -> 100, "src1" -> 500))
+        .orderBy("doc_id"),
+      Some(s"""SELECT * FROM documents
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 <
+              |  CASE WHEN source = 'src0' THEN 100
+              |       WHEN source = 'src1' THEN 500 ELSE 1000 END
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Weighted repetition (epoch upsampling): src0 ×3, src2 dropped,
+    // everything else ×1 — the training-mix knob as a generator
+    // projection (weight 0 = empty sequence = stratum removed).
+    Q("q_repeat_weighted",
+      (s, dir) => TrainingData.repeatByWeight(
+          docs(s, dir).select("doc_id", "source"), "source",
+          Map("src0" -> 3, "src2" -> 0))
+        .orderBy("doc_id", "copy"),
+      Some("""SELECT doc_id, source,
+             |  CAST(unnest(range(CASE WHEN source = 'src0' THEN 3
+             |    WHEN source = 'src2' THEN 0 ELSE 1 END)) AS INT) AS copy
+             |FROM documents ORDER BY doc_id, copy""".stripMargin)),
+
     // Multimodal plumbing: binary payload + typed metadata (the decode
     // itself is stubbed; see ext/Multimodal.scala).
     Q("q_binary_meta",

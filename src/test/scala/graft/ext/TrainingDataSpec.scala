@@ -74,6 +74,32 @@ class TrainingDataSpec extends SparkSpec {
       .count() shouldBe n
   }
 
+  test("stratifiedHashSample: per-stratum rates, nested in the flat sample") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val strat = TrainingData.stratifiedHashSample(df, col("id"), "src",
+      Map("a" -> 100, "b" -> 400))
+    // every stratum's survivors are a subset of the flat sample at its rate
+    val flat400 = rowSet(TrainingData.hashSample(df, col("id"), 400))
+    rowSet(strat) subsetOf flat400 shouldBe true
+    // stratum a at 100 permille ⊂ stratum a at 400 permille (nested growth)
+    rowSet(strat.filter(col("src") === "a")) subsetOf
+      rowSet(TrainingData.hashSample(df.filter(col("src") === "a"), col("id"), 400)) shouldBe true
+    // unknown strata keep the default (1000 = everything)
+    TrainingData.stratifiedHashSample(df, col("id"), "src", Map("zzz" -> 0))
+      .count() shouldBe 300L
+  }
+
+  test("repeatByWeight: copy counts per stratum, weight 0 drops the stratum") {
+    val df = Seq((1L, "hi"), (2L, "lo"), (3L, "drop"), (4L, "mid"))
+      .toDF("id", "src")
+    val out = TrainingData.repeatByWeight(df, "src",
+      Map("hi" -> 3, "drop" -> 0), defaultCopies = 1)
+    rowSet(out) shouldBe Set(
+      Seq(1L, "hi", 0), Seq(1L, "hi", 1), Seq(1L, "hi", 2),
+      Seq(2L, "lo", 0), Seq(4L, "mid", 0))
+  }
+
   test("uniformSample: deterministic for fixed seed and layout") {
     val df = (1L to 1000L).toDF("id")
     val a = TrainingData.uniformSample(df, 0.1, seed = 7).collect().map(_.getLong(0)).toSet
