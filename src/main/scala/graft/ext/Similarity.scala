@@ -147,6 +147,31 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Unit-normalize an embedding column (L2): after this, dot product
+    * IS cosine, so downstream pairwise math drops the per-pair norm
+    * divisions. Codegen'd builtins only (`transform` over the array).
+    */
+  def normalized(vec: Column): Column =
+    transform(vec, x => x / vec_norm(vec))
+
+  /** Symmetric int8 quantization of an embedding: scale = 127/max|v|,
+    * q[i] = round(v[i]·scale) ∈ [-127, 127] — 4× smaller than float32
+    * on disk and over the wire, which at 100 TB of embeddings is the
+    * difference between a shuffle that fits and one that doesn't.
+    * Returns (q array<tinyint>, scale) — [[dequantized]] restores the
+    * approximation v[i] ≈ q[i]/scale.
+    */
+  def quantizedInt8(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    struct(
+      transform(vec, x => round(x * scale).cast("tinyint")).as("q"),
+      scale.as("scale"))
+  }
+
+  def dequantized(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") / scale)
+
   /** Deterministic IVF coarse quantizer: the `nCells` corpus vectors
     * with the smallest (hash60(id), id) become the (L2-normalized)
     * centroid matrix — layout-independent and exactly reproducible in

@@ -360,6 +360,29 @@ object ExtQueries {
               |SELECT query_id, rank, id AS neighbor_id, round(cos, 6) AS cos
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Symmetric int8 embedding quantization (4× storage/shuffle
+    // reduction) — scalar projections of the (q, scale) struct so the
+    // oracle compares without array columns; reconstruction-error
+    // bounds live in SimilaritySpec.
+    Q("q_quantize",
+      (s, dir) => emb(s, dir)
+        .select(col("vec_id"), Similarity.quantizedInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"),
+          round(col("qs.scale"), 6).as("scale"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          element_at(col("qs.q"), 1).cast("int").as("q_first"),
+          element_at(col("qs.q"), 64).cast("int").as("q_last"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+             |q AS (SELECT vec_id, scale,
+             |    list_transform(v, x -> round(x * scale)) AS qv FROM m)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(qv[1] AS INT) AS q_first, CAST(qv[64] AS INT) AS q_last
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
     // Token statistics: whitespace + BPE-ish counts, mean token length.
     Q("q_token_stats",
       (s, dir) => docs(s, dir).select(

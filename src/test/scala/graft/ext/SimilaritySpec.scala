@@ -94,6 +94,29 @@ class SimilaritySpec extends SparkSpec {
     pairs should not be empty
   }
 
+  test("normalized: unit norm; quantizedInt8: range + reconstruction bound") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+    val norms = e.select(
+      round(vec_norm(Similarity.normalized(col("embedding"))), 9).as("n"))
+    rowList(norms.distinct()) shouldBe Seq(Seq(1.0))
+
+    val qd = e.select(col("embedding").cast("array<double>").as("v"),
+        Similarity.quantizedInt8(col("embedding")).as("qs"))
+      .select(col("v"), col("qs.q").as("q"), col("qs.scale").as("scale"),
+        Similarity.dequantized(col("qs.q"), col("qs.scale")).as("deq"))
+    // every quantized value in [-127, 127]
+    qd.select(explode(col("q")).as("x"))
+      .filter(col("x") < -127 || col("x") > 127).count() shouldBe 0L
+    // per-element reconstruction error ≤ half a quantization step
+    val bad = qd.select(
+      array_max(zip_with(col("v"), col("deq"),
+        (a, b) => abs(a - b))).as("max_err"),
+      (lit(0.5000001) / col("scale")).as("bound"))
+      .filter(col("max_err") > col("bound"))
+    bad.count() shouldBe 0L
+  }
+
   test("ivfTopK: exact cosines (subset of brute-force scored set), k-bounded, no self") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 10)
