@@ -321,6 +321,47 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Transitive near-dup clusters: connected components over a verified
+    * pair set — cluster id = the component's minimum document id, so
+    * "keep one per cluster" is `id === cluster`. THE step after pair
+    * generation in a real dedup pipeline (near-duplication is not
+    * transitive; A≈B≈C must dedup as one group even when A,C don't
+    * pair).
+    *
+    * Iterative min-label propagation: each round joins the current
+    * labels across the (bidirected) edge set and keeps the per-node
+    * minimum — one equi-join + one combinable agg per round,
+    * converging in ≤ component-diameter rounds (near-dup components
+    * are tiny and dense, so a handful; the driver only evaluates the
+    * converged? count, never the data). Deterministic for any input
+    * order. For adversarial long-chain graphs, swap in alternating
+    * large/small-star — the join shape stays the same.
+    */
+  def nearDupClusters(universe: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = universe.select(col("id"), col("id").as("cluster"))
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .cache()
+      next.count() // materialize before comparing against the old labels
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
     * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
     * route through [[Similarity]]'s LSH bucketing first.

@@ -182,6 +182,47 @@ object ExtQueries {
               |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Transitive near-dup clusters over the MinHash+LSH verified pairs
+    // — the "A≈B≈C dedups as one group" step. Spark runs min-label
+    // propagation (one join + one agg per round); the oracle computes
+    // the same components with a recursive CTE (min reachable id).
+    Q("q_dedup_clusters",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.nearDupClusters(
+            d.select(col("doc_id").as("id")),
+            Dedup.minhashDedupPairs(d, "doc_id", "text").select("id_a", "id_b"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS ca, b.id AS cb
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+              |shp AS (SELECT sh.* FROM sh
+              |        WHERE id IN (SELECT ca FROM cand) OR id IN (SELECT cb FROM cand)),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT ca AS ia, cb AS ib, count(*) AS shared
+              |  FROM cand JOIN shp a ON ca = a.id
+              |            JOIN shp b ON cb = b.id AND a.h = b.h
+              |  GROUP BY 1, 2),
+              |p AS (
+              |  SELECT ia AS id_a, ib AS id_b
+              |  FROM shared JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+              |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION ALL SELECT id_b, id_a FROM p),
+              |reach(id, lab) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src)
+              |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // SimHash fingerprints (tf-weighted, 60-bit).
     Q("q_simhash",
       (s, dir) => Dedup.simhash(docs(s, dir), "doc_id", "text")

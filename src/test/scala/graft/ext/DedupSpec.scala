@@ -145,6 +145,26 @@ class DedupSpec extends SparkSpec {
     banded shouldBe exact
   }
 
+  test("nearDupClusters: transitive components, min-id labels, singletons kept") {
+    val universe = (1L to 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(universe, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(1L) shouldBe 1L
+    got(2L) shouldBe 1L
+    got(3L) shouldBe 1L
+    got(7L) shouldBe 1L   // two hops from 1 — transitivity
+    got(10L) shouldBe 10L
+    got(11L) shouldBe 10L
+    got(20L) shouldBe 20L // singleton clusters as itself
+    got.size shouldBe 20
+    // empty pair set: every node is its own cluster, loop terminates
+    val solo = Dedup.nearDupClusters(universe,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    solo.filter(col("id") =!= col("cluster")).count() shouldBe 0L
+  }
+
   test("embeddingNearDupPairs: cosine threshold on hand vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),
