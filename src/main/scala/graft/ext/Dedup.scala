@@ -123,6 +123,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directed n-gram containment pairs: shared/|a| (how much of a is
+    * inside b) and shared/|b|, kept when either ≥ `minContainment` —
+    * the asymmetric near-dup Jaccard misses (a short doc fully embedded
+    * in a long one has tiny Jaccard but containment 1.0). Same
+    * inverted-index shape as [[ngramJaccardPairs]]: equi-join on the
+    * 8-byte shingle hash, never doc×doc.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = ShingleN, minContainment: Double = 0.9): DataFrame = {
+    val sets = docShingleSets(df, idCol, textCol, n).cache()
+    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
+      .withColumn("cont_a", col("shared").cast("double") / col("n_a"))
+      .withColumn("cont_b", col("shared").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+  }
+
+  /** Benchmark-contamination scan: corpus documents sharing at least
+    * `minShared` distinct n-gram shingles with any benchmark/eval
+    * document — the decontamination step every training corpus needs
+    * before an eval is trustworthy. One equi-join on the shingle hash
+    * (the benchmark side is typically tiny — AQE broadcasts it; no
+    * hint, so a large benchmark still plans sanely) + one combinable
+    * count. Returns (id, bench_id, shared); anti-join the corpus
+    * against the distinct `id`s to drop contaminated docs.
+    * `excludeSameId` is for a benchmark drawn FROM the corpus (shared
+    * id space), where (x, x) matches are tautological.
+    */
+  def contaminationReport(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = ShingleN, minShared: Int = 8,
+      excludeSameId: Boolean = false): DataFrame = {
+    val c = wordShingleHashes(corpus, corpusId, corpusText, n)
+    val b = wordShingleHashes(benchmark, benchId, benchText, n)
+      .select(col("id").as("bench_id"), col("h"))
+    val joined = c.join(b, Seq("h"))
+    val pairs = if (excludeSameId) joined.filter(col("id") =!= col("bench_id"))
+                else joined
+    pairs.groupBy("id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Surviving documents after exact dedup: keep the min-id row per
     * distinct content digest. A left-semi join of the corpus against
     * the winner set — the classic "drop duplicates, keep one, retain

@@ -182,6 +182,48 @@ object ExtQueries {
               |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Directed containment pairs — the asymmetric near-dup Jaccard
+    // misses (short doc embedded in a long one). τ = 0.6 over the
+    // bigger of the two directions.
+    Q("q_containment",
+      (s, dir) => Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+          minContainment = 0.6)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shinglesSql,
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT a.id AS ia, b.id AS ib, count(*) AS shared
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+              |  GROUP BY 1, 2)
+              |SELECT ia AS id_a, ib AS id_b,
+              |  round(CAST(shared AS DOUBLE) / sa.n, 6) AS cont_a,
+              |  round(CAST(shared AS DOUBLE) / sb.n, 6) AS cont_b
+              |FROM shared JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+              |WHERE greatest(CAST(shared AS DOUBLE) / sa.n,
+              |               CAST(shared AS DOUBLE) / sb.n) >= 0.6
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Benchmark decontamination: the 20% hash sample stands in as the
+    // "eval set"; any corpus doc sharing ≥ 8 distinct shingles with a
+    // benchmark doc is reported (self-matches excluded — the benchmark
+    // is drawn from the corpus here).
+    Q("q_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.contaminationReport(d, "doc_id", "text",
+            TrainingData.hashSample(d, col("doc_id"), 200), "doc_id", "text",
+            minShared = 8, excludeSameId = true)
+          .orderBy("id", "bench_id")
+      },
+      Some(s"""WITH $shinglesSql,
+              |b AS (SELECT id AS bench_id, h FROM sh
+              |      WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 200)
+              |SELECT sh.id, b.bench_id, count(*) AS shared
+              |FROM sh JOIN b USING (h)
+              |WHERE sh.id <> b.bench_id
+              |GROUP BY 1, 2 HAVING count(*) >= 8
+              |ORDER BY id, bench_id""".stripMargin)),
+
     // Transitive near-dup clusters over the MinHash+LSH verified pairs
     // — the "A≈B≈C dedups as one group" step. Spark runs min-label
     // propagation (one join + one agg per round); the oracle computes

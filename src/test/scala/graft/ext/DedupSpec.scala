@@ -145,6 +145,31 @@ class DedupSpec extends SparkSpec {
     banded shouldBe exact
   }
 
+  test("containmentPairs: embedded short doc — containment 1.0 where Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta"
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    // Jaccard at the default 0.5 threshold misses the pair entirely
+    Dedup.ngramJaccardPairs(df, "doc_id", "text").count() shouldBe 0L
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", minContainment = 0.9)
+      .collect()
+    cont.length shouldBe 1
+    cont.head.getAs[Double]("cont_a") shouldBe 1.0 // all of short is in long
+    cont.head.getAs[Double]("cont_b") should be < 0.2
+  }
+
+  test("contaminationReport: shared-shingle threshold against a benchmark set") {
+    val contaminated = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val clean = (100 to 112).map(i => s"other$i").mkString(" ")
+    val corpus = Seq((1L, contaminated), (2L, clean)).toDF("doc_id", "text")
+    val bench = Seq((50L, contaminated + " trailing words here"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, "doc_id", "text",
+      bench, "doc_id", "text", minShared = 8)
+    // doc 1 shares its full 10-shingle set; doc 2 shares nothing
+    rowSet(rep) shouldBe Set(Seq(1L, 50L, 10L))
+  }
+
   test("nearDupClusters: transitive components, min-id labels, singletons kept") {
     val universe = (1L to 20L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L))
