@@ -13,7 +13,8 @@ object PlanCheck {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_filter_ops", "q_join_agg", "q_category_pivot",
-        "q_customer360", "q_most_searched", "q_dedup_minhash", "q_ann_topk")
+        "q_customer360", "q_most_searched", "q_dedup_minhash", "q_ann_topk",
+        "q_ann_ivf", "q_trending_fused", "q_dedup_clusters", "q_containment")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
