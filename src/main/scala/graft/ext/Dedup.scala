@@ -381,13 +381,18 @@ object Dedup {
     * transitive; A≈B≈C must dedup as one group even when A,C don't
     * pair).
     *
-    * Iterative min-label propagation: each round joins the current
-    * labels across the (bidirected) edge set and keeps the per-node
-    * minimum — one equi-join + one combinable agg per round,
-    * converging in ≤ component-diameter rounds (near-dup components
-    * are tiny and dense, so a handful; the driver only evaluates the
-    * converged? count, never the data). Deterministic for any input
-    * order. For adversarial long-chain graphs, swap in alternating
+    * Iterative min-label propagation, restricted to PAIR MEMBERS: a
+    * node with no near-dup edge can never change label, so the loop
+    * iterates only over the (tiny) duplicated fraction of the corpus —
+    * at 100 TB that is the difference between re-shuffling the corpus
+    * per round and re-shuffling ~1% of it; singleton docs join the
+    * result once at the end via an anti-join projection. Each round is
+    * one equi-join + one combinable min-agg, converging in ≤
+    * component-diameter rounds (near-dup components are tiny and
+    * dense, so a handful). Labels only ever decrease, so convergence
+    * is "the label sum stopped falling" — one scalar agg per round,
+    * no comparison join. Deterministic for any input order. For
+    * adversarial long-chain graphs, swap in alternating
     * large/small-star — the join shape stays the same.
     */
   def nearDupClusters(universe: DataFrame, pairs: DataFrame): DataFrame = {
@@ -395,8 +400,14 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = universe.select(col("id"), col("id").as("cluster"))
-    var converged = false
+    val members = edges.select(col("src").as("id")).distinct()
+    var labels = members.select(col("id"), col("id").as("cluster")).cache()
+    // decimal(38,0) sum: overflow-proof for any id domain (ANSI mode
+    // would throw on a long sum of huge ids); null sum = no members
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == null // empty member set: nothing to iterate
     while (!converged) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -404,15 +415,19 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .cache()
-      next.count() // materialize before comparing against the old labels
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
     }
-    edges.unpersist()
-    labels
+    // edges stays cached: the returned plan is lazy and the singleton
+    // anti-join still reads it — unpersisting here would re-run the
+    // whole pair-generation pipeline when the caller evaluates.
+    val singletons = universe.select("id")
+      .join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.union(singletons)
   }
 
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
