@@ -66,6 +66,16 @@ class DedupSpec extends SparkSpec {
       Seq(Seq(1L, 2L, 1.0))
   }
 
+  test("ngramJaccardPairs: DF-1 prune on ≡ off (corpus-scale flag changes plan, not result)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val off = rowSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.3, pruneDf1 = false))
+    val on = rowSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.3, pruneDf1 = true))
+    on shouldBe off
+    on should not be empty
+  }
+
   test("ngramJaccardPairs: known partial overlap") {
     // doc1: shingles {a b c, b c d, c d e} ; doc2: {a b c, b c x, c x y}
     // shared = 1, union = 5 → jaccard 0.2 (below 0.5 → empty);

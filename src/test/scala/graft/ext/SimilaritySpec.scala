@@ -130,6 +130,15 @@ class SimilaritySpec extends SparkSpec {
     ivf.groupBy("query_id").count().filter(col("count") > 5).count() shouldBe 0L
   }
 
+  test("ivfTopK: nProbe clamped to nCells; probing everything ≡ brute force") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    // nProbe ≥ nCells scans every cell → exact result
+    val all = Similarity.ivfTopK(e, queries, k = 3, nCells = 4, nProbe = 99)
+    val exact = Similarity.bruteForceTopK(e, queries, k = 3)
+    rowSet(all) shouldBe rowSet(exact)
+  }
+
   test("ivfTopK: clustered vectors — same-cluster neighbors found (recall 1.0)") {
     // 4 clusters of exactly-parallel vectors (scale spread only): every
     // member has an identical cosine profile, so a whole cluster —
