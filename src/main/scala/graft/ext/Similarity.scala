@@ -149,25 +149,25 @@ object Similarity {
 
   /** Unit-normalize an embedding column (L2): after this, dot product
     * IS cosine, so downstream pairwise math drops the per-pair norm
-    * divisions. Codegen'd builtins only (`transform` over the array).
+    * divisions. One codegen'd O(d) pass
+    * ([[graft.functions.VectorNormalize]]) — the composable
+    * `transform(vec, x => x / vec_norm(vec))` re-evaluates the norm per
+    * ELEMENT inside an interpreted lambda, O(d²) per row.
     */
   def normalized(vec: Column): Column =
-    transform(vec, x => x / vec_norm(vec))
+    graft.functions.VectorFunctions.vec_normalize(vec)
 
   /** Symmetric int8 quantization of an embedding: scale = 127/max|v|,
     * q[i] = round(v[i]·scale) ∈ [-127, 127] — 4× smaller than float32
     * on disk and over the wire, which at 100 TB of embeddings is the
     * difference between a shuffle that fits and one that doesn't.
     * Returns (q array<tinyint>, scale) — [[dequantized]] restores the
-    * approximation v[i] ≈ q[i]/scale.
+    * approximation v[i] ≈ q[i]/scale. One codegen'd O(d) pass
+    * ([[graft.functions.VectorQuantize]]; same rounding as `round()`
+    * in Spark and DuckDB, so the oracle stays exact).
     */
-  def quantizedInt8(vec: Column): Column = {
-    val maxAbs = array_max(transform(vec, x => abs(x)))
-    val scale = lit(127.0) / maxAbs
-    struct(
-      transform(vec, x => round(x * scale).cast("tinyint")).as("q"),
-      scale.as("scale"))
-  }
+  def quantizedInt8(vec: Column): Column =
+    graft.functions.VectorFunctions.vec_quantize(vec)
 
   def dequantized(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") / scale)

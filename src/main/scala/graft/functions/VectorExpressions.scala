@@ -92,6 +92,119 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass JVM kernels for the unary vector transforms. The
+  * Column-composed forms (`transform(vec, x => x / vec_norm(vec))`)
+  * re-evaluate the norm/scale subexpression PER ELEMENT inside an
+  * interpreted higher-order lambda — O(d²) work per row and no
+  * codegen; these do one O(d) pass in the generated loop.
+  */
+object VectorSupport {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private def elem(vec: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+
+  /** v / ||v|| as array<double> (zero vector → zeros-over-zero = NaNs,
+    * matching the composable form's division semantics).
+    */
+  def normalize(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = elem(vec, i, isFloat); ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = elem(vec, i, isFloat) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Symmetric int8 quantization: struct(q array<tinyint>, scale) with
+    * scale = 127/max|v| and q[i] = round-half-away-from-zero(v[i]·scale)
+    * — the same rounding Spark's `round()` and DuckDB's `round()` use,
+    * which keeps the oracle exact.
+    */
+  def quantize(vec: ArrayData, isFloat: Boolean): InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(vec, i, isFloat))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = 127.0 / maxAbs
+    val q = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val x = elem(vec, i, isFloat) * scale
+      val r = if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+      q(i) = r.toByte
+      i += 1
+    }
+    InternalRow(new GenericArrayData(q), scale)
+  }
+}
+
+/** v/||v|| as one codegen'd O(d) pass (see [[VectorSupport]]). */
+case class VectorNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_normalize needs array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSupport.normalize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorSupport.normalize($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNormalize =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization as one codegen'd O(d) pass. */
+case class VectorQuantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_quantize needs array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    VectorSupport.quantize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorSupport.quantize($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): VectorQuantize =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the vector expressions. */
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
@@ -105,4 +218,10 @@ object VectorFunctions {
 
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  def vec_normalize(a: Column): Column =
+    GraftColumnBridge.column(VectorNormalize(GraftColumnBridge.expression(a)))
+
+  def vec_quantize(a: Column): Column =
+    GraftColumnBridge.column(VectorQuantize(GraftColumnBridge.expression(a)))
 }
