@@ -198,7 +198,9 @@ object Streaming {
               val t = e.ts.getTime
               cur = cur match {
                 case Some(s) if t - s.lastTs < gapMs =>
-                  Some(SessionState(s.start, math.max(s.lastTs, t),
+                  // min on start: a late-but-in-watermark event from an
+                  // earlier batch may precede the session's first event
+                  Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
                     s.total + e.duration, s.n + 1))
                 case Some(s) =>
                   closed ::= close(s)
