@@ -29,6 +29,8 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
+    // drop the warm-run caches so rep 1 isn't charged for them
+    spark.catalog.clearCache()
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -45,6 +47,13 @@ object Bench {
         // a failed query must not masquerade as a fast one
         samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+      // Pipelines that cache() internally (the dedup family) leave
+      // entries Spark's CacheManager would match on the NEXT rep's
+      // identical plan — later reps would then time a cache read, not
+      // the pipeline, and the orphaned storage would pressure every
+      // subsequent query. Clear between reps so each sample is the
+      // real end-to-end cost.
+      spark.catalog.clearCache()
     }
     def median(xs: List[Double]): Double =
       if (xs.contains(-1.0)) -1.0
@@ -55,8 +64,12 @@ object Bench {
     val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    // failures (-1 sentinels) must not SUBTRACT from the total — sum
+    // the successes and list the failures explicitly
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -78,50 +78,55 @@ object Dedup {
     jaccardTail(sh, sizes, minJaccard, pruneDf1)
   }
 
-  /** Shared Jaccard tail over the inverted shingle index: pair
-    * generation via self-join on h, shared-count aggregation, size
-    * lookup, threshold. `sizes` is (id, n_shingles) — a projection off
-    * the set arrays, not an aggregation.
+  /** Pair shared-shingle counts off the inverted index (id, h):
+    * self-join on h (id_a < id_b) + one combinable count. With
+    * `pruneDf1`, DF-1 shingles (hashes held by exactly one doc — they
+    * cannot produce a pair, and for natural text they are most of the
+    * index) are semi-joined away first: that extra agg + semi-join
+    * pass only pays off once the self-join's shuffle is the
+    * bottleneck, hence the flag (off at bench scale, on at corpus
+    * scale).
     */
-  private def jaccardTail(sh: DataFrame, sizes: DataFrame,
-      minJaccard: Double,
-      pruneDf1: Boolean = PruneDf1Default): DataFrame = {
-    val base =
+  private def sharedPairCounts(sh: DataFrame,
+      pruneDf1: Boolean): DataFrame = {
+    val input =
       if (pruneDf1) {
-        // DF-1 shingles (hashes held by exactly one doc) cannot
-        // produce a pair — for natural text that is most of the
-        // inverted index, so pruning them first shrinks the self-join
-        // input. The agg + semi-join cost two extra passes over the
-        // index, which only pays off once the self-join's shuffle is
-        // the bottleneck — hence the flag (off at bench scale, on at
-        // corpus scale).
         val repeated = sh.groupBy("h").count()
           .filter(col("count") >= 2).select("h")
-        val shR = sh.join(repeated, Seq("h"), "left_semi")
-        shR.as("a")
-          .join(shR.as("b"),
-            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      } else {
-        sh.as("a")
-          .join(sh.as("b"),
-            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      }
-    // No broadcast hint on sizes: it has one row per document — at
-    // corpus scale that must never be forced driver-side. The pair set
-    // is the small side; AQE picks the strategy.
-    val shared = base.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        sh.join(repeated, Seq("h"), "left_semi")
+      } else sh
+    input.as("a")
+      .join(input.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Join the per-document set sizes onto a shared-count pair frame.
+    * No broadcast hint on sizes: it has one row per document — at
+    * corpus scale that must never be forced driver-side. The pair set
+    * is the small side; AQE picks the strategy.
+    */
+  private def withSizes(shared: DataFrame, sizes: DataFrame): DataFrame =
     shared
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
+
+  /** Shared Jaccard tail over the inverted shingle index: pair
+    * generation + shared counts ([[sharedPairCounts]]), size lookup,
+    * threshold. `sizes` is (id, n_shingles) — a projection off the set
+    * arrays, not an aggregation.
+    */
+  private def jaccardTail(sh: DataFrame, sizes: DataFrame,
+      minJaccard: Double,
+      pruneDf1: Boolean = PruneDf1Default): DataFrame =
+    withSizes(sharedPairCounts(sh, pruneDf1), sizes)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Directed n-gram containment pairs: shared/|a| (how much of a is
     * inside b) and shared/|b|, kept when either ≥ `minContainment` —
@@ -131,19 +136,12 @@ object Dedup {
     * 8-byte shingle hash, never doc×doc.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = ShingleN, minContainment: Double = 0.9): DataFrame = {
+      n: Int = ShingleN, minContainment: Double = 0.9,
+      pruneDf1: Boolean = PruneDf1Default): DataFrame = {
     val sets = docShingleSets(df, idCol, textCol, n).cache()
     val sh = sets.select(col("id"), explode(col("hs")).as("h"))
     val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
-    val shared = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
+    withSizes(sharedPairCounts(sh, pruneDf1), sizes)
       .withColumn("cont_a", col("shared").cast("double") / col("n_a"))
       .withColumn("cont_b", col("shared").cast("double") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
@@ -402,12 +400,19 @@ object Dedup {
       .cache()
     val members = edges.select(col("src").as("id")).distinct()
     var labels = members.select(col("id"), col("id").as("cluster")).cache()
-    // decimal(38,0) sum: overflow-proof for any id domain (ANSI mode
-    // would throw on a long sum of huge ids); null sum = no members
+    // Numeric ids: convergence = the decimal(38,0) label sum stopped
+    // falling (labels only decrease; overflow-proof; null = empty).
+    // Non-numeric ids (string doc keys): the cast would yield null and
+    // silently skip the loop, so fall back to a changed-rows check —
+    // one small join over the member-restricted label set per round.
+    val numericIds = members.schema("id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = prevSum == null // empty member set: nothing to iterate
+    var prevSum = if (numericIds) labelSum(labels) else null
+    var converged =
+      if (numericIds) prevSum == null // empty member set
+      else labels.isEmpty
     while (!converged) {
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -415,9 +420,16 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .cache()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+      } else {
+        next.count() // materialize before comparing against the old labels
+        converged = next
+          .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+          .filter(col("cluster") =!= col("prev")).isEmpty
+      }
       labels.unpersist()
       labels = next
     }

@@ -38,6 +38,27 @@ object Similarity {
   def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Shared ranking tail of the three top-k paths: scored rows
+    * (query_id, id, cos) → rank by (cos desc, id asc), keep ≤ k,
+    * round-6 output. One place so the deterministic tie-break contract
+    * the oracles depend on cannot drift between paths.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Query side with norms, renamed for the scored join. */
+  private def querySide(queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
+      .withColumnRenamed("norm", "qnorm")
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self excluded), ranked by (cosine desc, id asc).
     * The query side is broadcast — the corpus is scanned exactly once,
@@ -45,19 +66,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val q = withNorm(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
-      .withColumnRenamed("norm", "qnorm")
+    val q = querySide(queries, idCol, vecCol)
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cos",
         cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component r[plane][d]:
@@ -194,7 +208,9 @@ object Similarity {
         case d: java.lang.Double => d.doubleValue()
       }.toArray
       val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / nrm)
+      // a zero corpus vector stays a zero centroid (dot 0 with
+      // everything) instead of poisoning every assignment with NaNs
+      if (nrm == 0.0) v else v.map(_ / nrm)
     }
   }
 
@@ -229,19 +245,11 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id", "vec", "norm")
-    val q = withNorm(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
-      .withColumnRenamed("norm", "qnorm")
     val scored = candidates
-      .join(broadcast(q), Seq("query_id"))
+      .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
       .withColumn("cos",
         cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -273,19 +281,11 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id")
       .distinct() // a pair colliding in several tables scores once
-    val q = withNorm(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")), "qvec")
-      .withColumnRenamed("norm", "qnorm")
     val scored = candidates
       .join(c, Seq("id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
       .withColumn("cos",
         cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -46,8 +46,13 @@ object IvfSupport {
       var j = 0
       while (j < nc) {
         // strict > keeps the LOWEST cid on ties — the deterministic
-        // tie-break the SQL oracle reproduces with (dot DESC, cid ASC)
-        if (!taken(j) && dots(j) > bestDot) { best = j; bestDot = dots(j) }
+        // tie-break the SQL oracle reproduces with (dot DESC, cid ASC).
+        // `best == -1` seeds with the first untaken cell, which also
+        // makes NaN dots (NaN input vectors) rank deterministically
+        // last-by-lowest-cid instead of leaving best at -1 and crashing.
+        if (!taken(j) && (best == -1 || dots(j) > bestDot)) {
+          best = j; bestDot = dots(j)
+        }
         j += 1
       }
       taken(best) = true

@@ -134,7 +134,9 @@ object VectorSupport {
       if (a > maxAbs) maxAbs = a
       i += 1
     }
-    val scale = 127.0 / maxAbs
+    // zero/empty vector: scale 1 with all-zero q reconstructs exactly
+    // (the raw formula would emit scale = Infinity and NaN elements)
+    val scale = if (maxAbs == 0.0) 1.0 else 127.0 / maxAbs
     val q = new Array[Byte](n)
     i = 0
     while (i < n) {

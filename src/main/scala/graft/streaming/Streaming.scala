@@ -197,11 +197,21 @@ object Streaming {
             evs.foreach { e =>
               val t = e.ts.getTime
               cur = cur match {
-                case Some(s) if t - s.lastTs < gapMs =>
-                  // min on start: a late-but-in-watermark event from an
-                  // earlier batch may precede the session's first event
+                case Some(s) if t - s.lastTs < gapMs && s.start - t < gapMs =>
+                  // within the gap of the session interval on either
+                  // side (min on start: a late-but-in-watermark event
+                  // may precede the session's first event)
                   Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
                     s.total + e.duration, s.n + 1))
+                case Some(s) if t < s.start =>
+                  // late by MORE than the gap: it cannot join the open
+                  // session, and retro-sessionizing against other late
+                  // events would need the full event buffer — emit it
+                  // as its own closed session (bounded-state tradeoff,
+                  // same spirit as the watermark cutoff)
+                  closed ::= SessionSummary(contract, new Timestamp(t),
+                    new Timestamp(t + gapMs), e.duration, 1)
+                  Some(s)
                 case Some(s) =>
                   closed ::= close(s)
                   Some(SessionState(t, t, e.duration, 1))
