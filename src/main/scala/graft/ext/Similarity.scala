@@ -35,8 +35,15 @@ object Similarity {
   def withNorm(df: DataFrame, vecCol: String = "vec"): DataFrame =
     df.withColumn("norm", norm(col(vecCol)))
 
+  /** Cosine from precomputed norms. A zero-norm vector has no defined
+    * cosine — emit null (ANSI mode would otherwise kill the job with
+    * DIVIDE_BY_ZERO on the first zero embedding in a 100 TB corpus):
+    * null ranks LAST under the `cos desc` window ordering and fails
+    * every `cos >= τ` threshold, which is exactly the semantic a
+    * zero/padding embedding should have.
+    */
   def cosineFromNorms(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    when(na * nb =!= 0.0, dot(a, b) / (na * nb))
 
   /** Shared ranking tail of the three top-k paths: scored rows
     * (query_id, id, cos) → rank by (cos desc, id asc), keep ≤ k,

@@ -200,6 +200,17 @@ class DedupSpec extends SparkSpec {
     solo.filter(col("id") =!= col("cluster")).count() shouldBe 0L
   }
 
+  test("nearDupClusters: string ids use the changed-rows convergence path") {
+    val universe = Seq("a", "b", "c", "d", "e").toDF("id")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(universe, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got("a") shouldBe "a"
+    got("b") shouldBe "a"
+    got("c") shouldBe "a" // transitive — fails if the loop is skipped
+    got("d") shouldBe "d"
+  }
+
   test("embeddingNearDupPairs: cosine threshold on hand vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -130,6 +130,27 @@ class SimilaritySpec extends SparkSpec {
     ivf.groupBy("query_id").count().filter(col("count") > 5).count() shouldBe 0L
   }
 
+  test("quantizedInt8: zero vector → scale 1, zero q (no Infinity/NaN)") {
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = df.select(Similarity.quantizedInt8(col("embedding")).as("qs"))
+      .select(col("qs.scale"), col("qs.q")).head()
+    r.getDouble(0) shouldBe 1.0
+    r.getSeq[Byte](1) shouldBe Seq(0, 0, 0)
+  }
+
+  test("ivfTopK: zero and NaN vectors in the corpus do not crash assignment") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f)),                    // zero vector
+      (3L, Array(Float.NaN, 1.0f)),               // NaN vector
+      (4L, Array(1.0f, 0.1f)), (5L, Array(0.1f, 1.0f)))
+    val e = vecs.toDF("vec_id", "embedding")
+    // must plan + execute without AIOOBE; ranks bounded
+    val out = Similarity.ivfTopK(e, e.filter(col("vec_id") === 0), k = 2,
+      nCells = 4, nProbe = 4)
+    out.count() should be <= 2L
+  }
+
   test("ivfTopK: nProbe clamped to nCells; probing everything ≡ brute force") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 5)

@@ -114,6 +114,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("closedSessions: late event beyond the gap closes alone, not merged across silence") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.closedSessions(in.toDS(), gapMs = 30L * 60 * 1000,
+      watermark = "6 hours") // wide watermark: the late event is NOT dropped
+      .writeStream.format("memory").queryName("cs2").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ViewEvent("c1", "content", 10L, ts("2022-04-01 12:00:00")))
+      q.processAllAvailable()
+      // 55 minutes BEFORE the open session — more than the gap away
+      in.addData(ViewEvent("c1", "content", 5L, ts("2022-04-01 11:05:00")))
+      q.processAllAvailable()
+      val out = spark.table("cs2").selectExpr("contract", "session_start",
+        "session_end", "totalDuration", "n_events")
+      // the late event finalized alone; the 12:00 session is still open
+      rowSet(out) shouldBe Set(
+        Seq("c1", ts("2022-04-01 11:05:00"), ts("2022-04-01 11:35:00"), 5L, 1))
+    }
+  }
+
   test("runningActiveness: distinct-day state accumulates across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
