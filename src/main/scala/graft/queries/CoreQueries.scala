@@ -546,6 +546,53 @@ object CoreQueries {
               |  ${dsumSql("value")} AS total_value, count(*) AS n_events
               |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
+    // F-family: semi-structured extraction — get_json_object +
+    // from_json over the JSON-shaped props column, aggregated per
+    // extracted key. DuckDB twins via json_extract.
+    Q("q_json_extract",
+      (s, dir) => Tables(s, dir, "events")
+        .select(
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k2"),
+          col("value"))
+        .filter(col("k") === col("k2")) // both extraction paths agree
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("k"),
+      Some(s"""SELECT CAST(json_extract(props, '$$.k') AS INT) AS k,
+              |  count(*) AS n, ${dsumSql("value")} AS total
+              |FROM events GROUP BY k ORDER BY k""".stripMargin)),
+
+    // W-family breadth: lag/lead/ntile/cume_dist over a keyed ordered
+    // window — the offset/distribution functions the rank queries
+    // don't touch. Total tie-break order (ts, event_id... ts alone is
+    // not unique) via (ts, value) then event fields.
+    Q("q_window_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("value").asc, col("event_type").asc)
+        Tables(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .orderBy("user_id", "ts", "value", "event_type")
+      },
+      Some("""SELECT user_id, ts, value, event_type,
+             |  lag(value, 1) OVER w AS prev_value,
+             |  lead(event_type, 1) OVER w AS next_type,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM events
+             |WHERE user_id < 10
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY ts ASC, value ASC, event_type ASC)
+             |ORDER BY user_id, ts, value, event_type""".stripMargin)),
+
     // Sliding event-time windows (1 h size, 30 min slide): each event
     // lands in exactly size/slide = 2 windows. DuckDB reproduces the
     // epoch-aligned window starts with integer epoch arithmetic
