@@ -705,6 +705,27 @@ object CoreQueries {
               |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     // CUBE face of the same (all 4 grouping combinations).
+    // Explicit GROUPING SETS through the spark.sql TEXT surface — the
+    // registry otherwise exercises only the Column API; identical SQL
+    // runs on both engines (modulo grouping_id vs GROUPING alias).
+    Q("q_grouping_sets",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+                 |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                 |  count(*) AS n,
+                 |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                 |FROM lineitem
+                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+              |  count(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin)),
+
     Q("q_cube",
       (s, dir) => Tables(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
