@@ -35,6 +35,28 @@ object Interaction {
       .groupBy(contract)
       .agg(approx_count_distinct(device, rsd).as("TotalDevices"))
 
+  /** Error-bound verification face of [[totalDevicesApprox]]: exact and
+    * HLL++ distinct in ONE aggregation pass, emitting the exact count
+    * plus a `WithinBound` boolean — |est − exact| ≤ max(1, tol·rsd·exact).
+    * The boolean (not the estimate, which is engine-specific) is what a
+    * cross-engine oracle can hash-pin: HLL++'s rsd is a documented
+    * parameter, so "the estimate honors its own error contract" is a
+    * deterministic, checkable claim even though the estimate isn't.
+    * tol = 4 standard deviations keeps false alarms ~1e-4 per group
+    * while still catching any real sketch regression.
+    */
+  def totalDevicesApproxCheck(df: DataFrame, contract: String = "Contract",
+      device: String = "Mac", rsd: Double = 0.01,
+      tol: Double = 4.0): DataFrame =
+    df.select(contract, device)
+      .groupBy(contract)
+      .agg(countDistinct(device).as("TotalDevicesExact"),
+        approx_count_distinct(device, rsd).as("est"))
+      .select(col(contract), col("TotalDevicesExact"),
+        (abs(col("est") - col("TotalDevicesExact")).cast("double") <=
+          greatest(lit(1.0), lit(tol * rsd) * col("TotalDevicesExact")))
+          .as("WithinBound"))
+
   /** A1 incremental — MERGEABLE distinct sketches (Apache DataSketches
     * HLL via Spark's `hll_sketch_agg`): one sketch per (contract,
     * grain) partition, e.g. per day. Daily jobs persist sketches;
@@ -55,6 +77,30 @@ object Interaction {
     sketches.groupBy(col(contract))
       .agg(hll_sketch_estimate(
         hll_union_agg(col("device_sketch"))).as("TotalDevices"))
+
+  /** Error-bound verification face of the sketch→merge path: the merged
+    * estimate joined against the exact distinct count, emitting exact +
+    * `WithinBound` (same contract as [[totalDevicesApproxCheck]]).
+    * DataSketches HLL at the default lgConfigK=12 has rsd ≈
+    * 1.04/√4096 ≈ 1.63%; tol = 4σ → 6.5% relative (min 1 absolute).
+    * This pins the MERGE property — union of per-grain sketches must
+    * estimate the range-wide distinct within the sketch's own bound —
+    * which is the whole point of the incremental pattern.
+    */
+  def mergeDeviceSketchesCheck(df: DataFrame, contract: String = "Contract",
+      device: String = "Mac", grain: Column,
+      relBound: Double = 0.065): DataFrame = {
+    val est = mergeDeviceSketches(
+      deviceSketches(df, contract, device, grain), contract)
+      .withColumnRenamed("TotalDevices", "est")
+    val exact = totalDevices(df, contract, device)
+      .withColumnRenamed("TotalDevices", "TotalDevicesExact")
+    est.join(exact, Seq(contract))
+      .select(col(contract), col("TotalDevicesExact"),
+        (abs(col("est") - col("TotalDevicesExact")) <=
+          greatest(lit(1.0), lit(relBound) * col("TotalDevicesExact")))
+          .as("WithinBound"))
+  }
 
   /** Activeness bucket edges (ETL_pipeline.py:52-57): Days_Active →
     * label; out-of-range (0 or >31) → "error".

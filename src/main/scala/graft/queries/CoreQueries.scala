@@ -223,43 +223,75 @@ object CoreQueries {
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // A1 scale variant — approx_count_distinct (HLL++): the 100 TB
-    // answer to exact distinct's expand+shuffle. Rows-only check —
-    // HLL estimates differ across engines by design; the exact/approx
-    // agreement is asserted in ScalaTest instead.
+    // answer to exact distinct's expand+shuffle. The estimate itself is
+    // engine-specific, so the FULL oracle pins the error CONTRACT
+    // instead: exact count + a within_bound boolean (|est−exact| ≤
+    // max(1, 4·rsd·exact)) that DuckDB replays as literal TRUE — any
+    // sketch regression flips a row to false and hash-mismatches.
+    // The pure estimate face is Interaction.totalDevicesApprox
+    // (spec-pinned exact agreement in InteractionSpec).
     Q("q_total_devices_approx",
-      (s, dir) => Interaction.totalDevicesApprox(events(s, dir), "user_id", "props")
-        .select(col("user_id"), col("TotalDevices").as("total_devices"))
+      (s, dir) => Interaction.totalDevicesApproxCheck(events(s, dir), "user_id", "props")
+        .select(col("user_id"),
+          col("TotalDevicesExact").as("total_devices_exact"),
+          col("WithinBound").as("within_bound"))
         .orderBy("user_id"),
-      None),
+      Some("""SELECT user_id, count(DISTINCT props) AS total_devices_exact,
+             |  TRUE AS within_bound
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // A6 faithful face — percentile_approx with the reference's
-    // accuracy=100 (ETL_pipeline.py:113-118). Rows-only: the
-    // approximation differs from DuckDB's; the exact variant
-    // q_quantiles carries the oracle. The three quartiles are projected
-    // to scalar columns (not an array) so rows-only hashing can sort them.
+    // accuracy=100 (ETL_pipeline.py:113-118). The approx VALUES differ
+    // per engine, so the FULL oracle pins the rank-error contract
+    // instead: Greenwald-Khanna guarantees rank error ≤ n/accuracy, so
+    // each approx quartile must lie between the exact interpolated
+    // percentiles at p ± 2/accuracy (doubled to absorb the n-vs-(n−1)
+    // rank-convention gap between the bound and percentile_cont).
+    // Output = exact quartiles (same values q_quantiles pins) + three
+    // booleans DuckDB replays as TRUE.
     Q("q_quantiles_approx",
       (s, dir) => Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 100)")
-          .as("quartiles"))
+        .agg(
+          expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 100)")
+            .as("qa"),
+          expr("""percentile(l_quantity,
+                 array(0.23, 0.25, 0.27, 0.48, 0.50, 0.52, 0.73, 0.75, 0.77))""")
+            .as("qe"))
         .select(col("l_returnflag"),
-          element_at(col("quartiles"), 1).as("q1"),
-          element_at(col("quartiles"), 2).as("median"),
-          element_at(col("quartiles"), 3).as("q3"))
+          element_at(col("qe"), 2).as("q1"),
+          element_at(col("qe"), 5).as("median"),
+          element_at(col("qe"), 8).as("q3"),
+          element_at(col("qa"), 1).between(
+            element_at(col("qe"), 1), element_at(col("qe"), 3)).as("q1_ok"),
+          element_at(col("qa"), 2).between(
+            element_at(col("qe"), 4), element_at(col("qe"), 6)).as("median_ok"),
+          element_at(col("qa"), 3).between(
+            element_at(col("qe"), 7), element_at(col("qe"), 9)).as("q3_ok"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS q1,
+             |  quantile_cont(l_quantity, 0.50) AS median,
+             |  quantile_cont(l_quantity, 0.75) AS q3,
+             |  TRUE AS q1_ok, TRUE AS median_ok, TRUE AS q3_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // A1 incremental — mergeable DataSketches HLL per (user, day),
-    // unioned back to a range-wide distinct estimate. Rows-only
-    // (sketch binaries are engine-specific); exact-vs-merged agreement
-    // is asserted in InteractionSpec.
+    // unioned back to a range-wide distinct estimate. Sketch binaries
+    // are engine-specific, so the FULL oracle pins the merge contract:
+    // union of per-day sketches must estimate the range-wide distinct
+    // within the sketch's documented rsd (lgConfigK=12 → 4σ ≈ 6.5%,
+    // min 1 absolute) — exact count + within_bound TRUE per row.
     Q("q_hll_merge",
-      (s, dir) => Interaction.mergeDeviceSketches(
-          Interaction.deviceSketches(events(s, dir), "user_id", "props",
-            grain = to_date(col("ts"))), "user_id")
-        .withColumn("TotalDevices", col("TotalDevices").cast("long"))
+      (s, dir) => Interaction.mergeDeviceSketchesCheck(
+          events(s, dir), "user_id", "props", grain = to_date(col("ts")))
+        .select(col("user_id"),
+          col("TotalDevicesExact").as("total_devices_exact"),
+          col("WithinBound").as("within_bound"))
         .orderBy("user_id"),
-      None),
+      Some("""SELECT user_id, count(DISTINCT props) AS total_devices_exact,
+             |  TRUE AS within_bound
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // A2+F1+P14 — activeness buckets over distinct active days (:46-60).
     Q("q_activeness",
@@ -710,14 +742,22 @@ object CoreQueries {
     // runs on both engines (modulo grouping_id vs GROUPING alias).
     Q("q_grouping_sets",
       (s, dir) => {
-        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
-        s.sql(s"""SELECT l_returnflag, l_linestatus,
-                 |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
-                 |  count(*) AS n,
-                 |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-                 |FROM lineitem
-                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-                 |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin)
+        // Scoped registration: a unique view name (concurrent-safe),
+        // dropped before returning — spark.sql analyzes eagerly, so the
+        // returned plan no longer references the view and the session
+        // catalog is left exactly as found (no `lineitem` registration
+        // leaking into later queries that may run against another dir).
+        val view = s"lineitem_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        Tables(s, dir, "lineitem").createOrReplaceTempView(view)
+        try
+          s.sql(s"""SELECT l_returnflag, l_linestatus,
+                   |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                   |  count(*) AS n,
+                   |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                   |FROM $view
+                   |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                   |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin)
+        finally s.catalog.dropTempView(view)
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
               |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

@@ -136,6 +136,47 @@ object ExtQueries {
              |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental dedup against an already-processed corpus
+    // (Dedup.unseenByBloom): the broadcast-Bloom filter path — NO join,
+    // NO shuffle on the new side. Bloom bit patterns are
+    // engine-specific, so the oracle pins the filter's CONTRACT per
+    // row instead of its survivors: for every new doc, the exact
+    // seen/unseen verdict (DuckDB replays the digest semi-join) plus
+    // no_false_negative = "kept ⇒ genuinely unseen" — Bloom filters
+    // cannot have false negatives, so any seen doc surviving the filter
+    // flips its row to false and hash-mismatches. The FP drop rate
+    // (≤ ~2·fpp of genuinely-new docs) is asserted in ModelsSpec.
+    // Split: seen = hash-bucket < 500 of doc_id (same md5 formula as
+    // q_hash_sample), new = the rest.
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val isSeen = TrainingData.splitBucket(col("doc_id"), 1000) < 500
+        val seen = d.filter(isSeen)
+        val fresh = d.filter(!isSeen)
+        val kept = Dedup.unseenByBloom(fresh, seen, "doc_id", "text",
+          expectedSeen = 1000L, fpp = 0.01)
+        val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+          .withColumn("seen_exact", lit(true))
+        fresh.withColumn("digest", md5(col("text")))
+          .join(kept.select(col("doc_id"), lit(true).as("kept")), Seq("doc_id"), "left")
+          .join(seenDigests, Seq("digest"), "left")
+          .select(col("doc_id"),
+            coalesce(col("seen_exact"), lit(false)).as("seen_exact"),
+            (!(coalesce(col("seen_exact"), lit(false)) &&
+              coalesce(col("kept"), lit(false)))).as("no_false_negative"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH seen AS (
+              |  SELECT DISTINCT md5(text) AS digest FROM documents
+              |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
+              |SELECT doc_id,
+              |  md5(text) IN (SELECT digest FROM seen) AS seen_exact,
+              |  TRUE AS no_false_negative
+              |FROM documents
+              |WHERE NOT (${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Canonical normalization for case/punct-insensitive dedup keys.
     Q("q_normalize",
       (s, dir) => docs(s, dir).select(

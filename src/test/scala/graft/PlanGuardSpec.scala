@@ -30,4 +30,19 @@ class PlanGuardSpec extends SparkSpec {
     }
     withClue(offenders.mkString("\n")) { offenders shouldBe empty }
   }
+
+  test("no registry query leaves temp views behind in the session catalog") {
+    val sfDir = "/root/testdata/sf0.001"
+    def views(): Set[String] =
+      spark.catalog.listTables().collect().map(_.name).toSet
+    val before = views()
+    val leakers = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir) // building the plan is where registration happens
+        val leaked = views() -- before
+        leaked.foreach(spark.catalog.dropTempView) // isolate per query
+        if (leaked.nonEmpty) Some(s"$name: ${leaked.mkString(", ")}") else None
+    }
+    withClue(leakers.mkString("\n")) { leakers shouldBe empty }
+  }
 }
