@@ -385,15 +385,26 @@ object Dedup {
     * at 100 TB that is the difference between re-shuffling the corpus
     * per round and re-shuffling ~1% of it; singleton docs join the
     * result once at the end via an anti-join projection. Each round is
-    * one equi-join + one combinable min-agg, converging in ≤
-    * component-diameter rounds (near-dup components are tiny and
-    * dense, so a handful). Labels only ever decrease, so convergence
-    * is "the label sum stopped falling" — one scalar agg per round,
-    * no comparison join. Deterministic for any input order. For
-    * adversarial long-chain graphs, swap in alternating
-    * large/small-star — the join shape stays the same.
+    * one equi-join + one combinable min-agg, PLUS a pointer-doubling
+    * step (cluster ← label(cluster), a self-join of the label map —
+    * label values are always member ids, so the lookup always hits):
+    * propagation alone needs diameter rounds, which an adversarial
+    * long chain turns into a driver-synchronized crawl; with doubling
+    * the label's reach doubles per round, so convergence is
+    * O(log diameter) — a 1000-node path converges in ~10 rounds
+    * (pinned in DedupSpec). Labels only ever decrease (doubling maps a
+    * label to that node's own, ≤, label), so convergence is "the label
+    * sum stopped falling" — one scalar agg per round, no comparison
+    * join. Deterministic for any input order.
+    *
+    * `maxRounds` is a fail-loud backstop: with doubling, hitting it
+    * means a graph of diameter ≳ 2^maxRounds — impossible for real
+    * data, so exceeding it signals a convergence bug, and silently
+    * returning half-merged clusters (dedup keeping both halves of a
+    * duplicate class) would be far worse than failing.
     */
-  def nearDupClusters(universe: DataFrame, pairs: DataFrame): DataFrame = {
+  def nearDupClusters(universe: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -413,13 +424,34 @@ object Dedup {
     var converged =
       if (numericIds) prevSum == null // empty member set
       else labels.isEmpty
+    var rounds = 0
     while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxRounds rounds — " +
+            "with pointer doubling that implies diameter ≥ 2^rounds; " +
+            "this is a bug, not a data property")
+      rounds += 1
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.union(prop)
+      val merged = labels.union(prop)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .cache()
+      // pointer doubling: cluster ← label(cluster). Every label value
+      // is a member id (min over member ids), so the self-join is a
+      // total lookup; the composed label is still a reachable member
+      // of the same component and still ≤ the old label.
+      //
+      // localCheckpoint (not cache) — the self-join references the
+      // round's plan TWICE, so lineage doubles per round and planning
+      // alone OOMs after ~10 rounds; truncating the plan each round
+      // keeps it constant-size. (On a cluster with lossy executors,
+      // swap for reliable checkpoint with a checkpoint dir.)
+      val next = merged
+        .join(merged.select(col("id").as("cluster"), col("cluster").as("c2")),
+          Seq("cluster"))
+        .select(col("id"), col("c2").as("cluster"))
+        .localCheckpoint(true)
       if (numericIds) {
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0

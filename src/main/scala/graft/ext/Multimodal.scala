@@ -139,13 +139,111 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (pure JVM — WAV/PCM):
+    * "frames" are `nFrames` contiguous time segments of the sample
+    * stream (the audio analog of [[ImageIoCodec]]'s horizontal strips),
+    * each featurized as a `featDim`-bin normalized amplitude histogram;
+    * width = the segment's sample count, height = the sample rate —
+    * both read from the REAL parsed header, so a wrong parse cannot
+    * hash-match an oracle. Multi-channel audio uses channel 0.
+    * Non-PCM16 or unparseable payloads fall back to [[StubCodec]].
+    */
+  object WavCodec extends MediaCodec {
+    private def parsePcm16(bytes: Array[Byte]): Option[(Array[Int], Int)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val data = ais.readAllBytes()
+          val frameSize = fmt.getFrameSize // channels × 2 bytes
+          val n = data.length / frameSize
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize // channel 0 only
+            samples(i) = ((data(off + 1) << 8) | (data(off) & 0xff))
+            i += 1
+          }
+          Some((samples, fmt.getSampleRate.toInt))
+        }
+      } catch { case _: Exception => None }
+
+    def decodeFrames(mediaId: Long, bytes: Array[Byte], nFrames: Int,
+        featDim: Int): Iterator[MediaFeature] =
+      parsePcm16(bytes) match {
+        case Some((samples, rate)) if samples.nonEmpty =>
+          val n = samples.length
+          val strips = math.min(nFrames, n)
+          (0 until strips).iterator.map { f =>
+            val s0 = f * n / strips
+            val s1 = (f + 1) * n / strips
+            val hist = new Array[Int](featDim)
+            var j = s0
+            while (j < s1) {
+              hist(((samples(j) + 32768) * featDim) / 65536) += 1
+              j += 1
+            }
+            val len = math.max(s1 - s0, 1)
+            MediaFeature(mediaId, f, s1 - s0, rate, hist.map(_.toFloat / len))
+          }
+        case _ => StubCodec.decodeFrames(mediaId, bytes, nFrames, featDim)
+      }
+  }
+
+  /** Deterministic canonical PCM16 mono WAV (44-byte RIFF header +
+    * little-endian samples), sample i = ((seed·2654435761 + i·40503)
+    * mod 65536) − 32768 — integer arithmetic a SQL oracle replays
+    * exactly, so a registry query can prove the REAL header/PCM parse
+    * end-to-end (the generator writes the format by hand; the codec
+    * parses it through the independent `javax.sound.sampled` stack).
+    */
+  def synthWavSample(seed: Long, i: Int): Int =
+    (((seed * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt
+
+  def synthWavBytes(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    var i = 0
+    while (i < nSamples) { bb.putShort(synthWavSample(seed, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Default multi-modality codec: sniff the container magic and route
+    * — RIFF/WAVE → [[WavCodec]], image magic → [[ImageIoCodec]],
+    * anything else → [[StubCodec]] (via ImageIoCodec's fallback). One
+    * [[extractFeatures]] pass over a mixed image+audio+opaque corpus
+    * decodes every row with the right real codec.
+    */
+  object MediaIoCodec extends MediaCodec {
+    private def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decodeFrames(mediaId: Long, bytes: Array[Byte], nFrames: Int,
+        featDim: Int): Iterator[MediaFeature] =
+      if (looksLikeWav(bytes)) WavCodec.decodeFrames(mediaId, bytes, nFrames, featDim)
+      else ImageIoCodec.decodeFrames(mediaId, bytes, nFrames, featDim)
+  }
+
   /** Decode + feature-extract: one `mapPartitions` pass (partition =
     * batch; a native codec would be initialized once per partition,
     * not per row — the reason this is not a per-row UDF). Default
-    * codec: real JVM image decode with stub fallback for non-images.
+    * codec: magic-byte routing to real JVM image/audio decode with
+    * stub fallback for opaque payloads.
     */
   def extractFeatures(media: DataFrame, nFrames: Int = 4,
-      featDim: Int = 8, codec: MediaCodec = ImageIoCodec): Dataset[MediaFeature] = {
+      featDim: Int = 8, codec: MediaCodec = MediaIoCodec): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]

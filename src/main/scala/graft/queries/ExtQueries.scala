@@ -591,8 +591,33 @@ object ExtQueries {
              |  array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS trunc
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Context-window packing: running token count → fixed-budget bin.
+    // Context-window packing — PRIMARY (scale) path: sharded by
+    // `source`, so each shard's cumulative-token window sorts
+    // independently in its own task instead of one global single-task
+    // sort (the q_pack_global plan). Bins are per-shard; at 100 TB the
+    // shard column is whatever parallelism unit the packer wants
+    // (source, date, hash bucket).
     Q("q_pack",
+      (s, dir) => TrainingData.packIntoBins(
+          docs(s, dir), "text", "doc_id", budget = 2000, shard = Some("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("tokens_before").cast("long").as("tokens_before"), col("bin"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |  CAST(SUM(len(string_split(text, ' ')))
+             |    OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |    - len(string_split(text, ' ')) AS BIGINT) AS tokens_before,
+             |  CAST(FLOOR((SUM(len(string_split(text, ' ')))
+             |    OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |    - len(string_split(text, ' '))) / 2000.0) AS INT) AS bin
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Unsharded packing BASELINE: one global token stream — the exact
+    // reference semantic for a corpus small enough to sort in one task
+    // (single-task window documented in TrainingData.packIntoBins; the
+    // registered scale path is the sharded q_pack above — same
+    // demotion pattern as q_embed_neardup vs q_embed_neardup_lsh).
+    Q("q_pack_global",
       (s, dir) => TrainingData.packIntoBins(
           docs(s, dir), "text", "doc_id", budget = 2000)
         .select(col("doc_id"), col("n_tokens"),
@@ -675,7 +700,57 @@ object ExtQueries {
              |  round(CAST(CASE WHEN n = 0 THEN CAST(-0.5 AS REAL)
              |    ELSE CAST(CAST(ord(substr(text, CAST((frame_idx * 4) % n AS INT) + 1, 1)) AS REAL)
              |         / CAST(255 AS REAL) AS REAL) - CAST(0.5 AS REAL) END AS DOUBLE), 6) AS f0
-             |FROM fr ORDER BY media_id, frame_idx""".stripMargin))
+             |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // REAL audio decode through the same one-pass plumbing: even
+    // doc_ids become deterministic PCM16 WAV payloads (44-byte RIFF
+    // header + LE samples, synthWavBytes), odd ids stay opaque text
+    // bytes — ONE extractFeatures pass routes each row through
+    // MediaIoCodec's magic-byte sniff (WAV → javax.sound.sampled
+    // parse, else stub). The WAV samples are integer-arithmetic
+    // deterministic, so the oracle replays header-derived width(=
+    // segment sample count)/height(=sample rate) AND the amplitude
+    // histogram — a wrong PCM parse cannot hash-match.
+    Q("q_media_audio",
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val bytes =
+              if (id % 2 == 0) Multimodal.synthWavBytes(id, nSamples = 200, sampleRate = 8000)
+              else text.getBytes("UTF-8")
+            (id, bytes)
+          }.toDF("media_id", "content")
+        Multimodal.extractFeatures(media, nFrames = 2, featDim = 4).toDF()
+          .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+            round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH wav AS (
+             |  SELECT media_id, i,
+             |    ((media_id * 2654435761 + i * 40503) % 65536) - 32768 AS sample
+             |  FROM (SELECT doc_id AS media_id, unnest(range(0, 200)) AS i
+             |        FROM documents WHERE doc_id % 2 = 0)),
+             |wavf AS (
+             |  SELECT media_id, CAST(i // 100 AS INT) AS frame_idx,
+             |    CAST(100 AS INT) AS width, CAST(8000 AS INT) AS height,
+             |    round(CAST(CAST(coalesce(SUM(CASE WHEN ((sample + 32768) * 4) // 65536 = 0
+             |        THEN 1 END), 0) AS REAL) / CAST(100 AS REAL) AS DOUBLE), 6) AS f0
+             |  FROM wav GROUP BY media_id, i // 100),
+             |base AS (SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+             |         FROM documents WHERE doc_id % 2 = 1),
+             |fr AS (SELECT media_id, text, n,
+             |    unnest(range(0, least(2, 1 + n // 64))) AS frame_idx FROM base),
+             |stubf AS (
+             |  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             |    CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+             |    round(CAST(CASE WHEN n = 0 THEN CAST(-0.5 AS REAL)
+             |      ELSE CAST(CAST(ord(substr(text, CAST((frame_idx * 4) % n AS INT) + 1, 1)) AS REAL)
+             |           / CAST(255 AS REAL) AS REAL) - CAST(0.5 AS REAL) END AS DOUBLE), 6) AS f0
+             |  FROM fr)
+             |SELECT * FROM wavf UNION ALL SELECT * FROM stubf
+             |ORDER BY media_id, frame_idx""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

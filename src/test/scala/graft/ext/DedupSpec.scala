@@ -200,6 +200,26 @@ class DedupSpec extends SparkSpec {
     solo.filter(col("id") =!= col("cluster")).count() shouldBe 0L
   }
 
+  test("nearDupClusters: adversarial 1000-node path converges in O(log n) rounds") {
+    // A path graph is the worst case for plain min-label propagation
+    // (diameter = n-1 rounds); pointer doubling must crush it to
+    // ~log2(n) rounds. maxRounds = 16 would throw without doubling —
+    // this pins the bounded-rounds behavior, not just the answer.
+    val n = 1000L
+    val universe = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(universe, pairs, maxRounds = 16)
+    got.filter(col("cluster") =!= 0L).count() shouldBe 0L
+    got.count() shouldBe n
+  }
+
+  test("nearDupClusters: exceeding maxRounds fails loud, not half-merged") {
+    val universe = (0L until 10L).toDF("id")
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    an[IllegalStateException] should be thrownBy
+      Dedup.nearDupClusters(universe, pairs, maxRounds = 1).collect()
+  }
+
   test("nearDupClusters: string ids use the changed-rows convergence path") {
     val universe = Seq("a", "b", "c", "d", "e").toDF("id")
     val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
