@@ -672,6 +672,33 @@ object CoreQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // STATEFUL STREAMING under the hard gate: a real Structured
+    // Streaming run (file source micro-batches → flatMapGroupsWithState
+    // emit-on-close sessions → foreachBatch), with time-ordered staging
+    // + sentinel batches making watermark progression deterministic
+    // (graft.streaming.StreamingGate). Closed sessions must equal the
+    // batch gaps-and-islands sessionization — the same oracle family as
+    // q_session_window, with duration = floor(value) for exact integer
+    // sums. This puts the state machine, watermark advancement, and
+    // event-time timeouts under the DuckDB hash gate, not just specs.
+    Q("q_closed_sessions",
+      (s, dir) => graft.streaming.StreamingGate.closedSessionsFromFiles(s, dir),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, CAST(floor(value) AS BIGINT) AS dur,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  SUM(dur) AS total_duration,
+             |  CAST(count(*) AS INT) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // As-of (backward) join — Spark has no native operator; the
     // union + running-last composition attaches each view's latest
     // preceding purchase value per user. Oracle = DuckDB ASOF JOIN.

@@ -154,10 +154,20 @@ object Streaming {
       n_events: Int)
 
   /** Internal per-key state of [[closedSessions]] (public: the state
-    * encoder's generated code constructs it reflectively).
+    * encoder's generated code constructs it reflectively). Times are
+    * epoch MICROseconds — `Timestamp.getTime` is millis and would
+    * silently truncate the micros the event-time column carries
+    * (session bounds must round-trip exactly for the oracle gate).
     */
   final case class SessionState(
       start: Long, lastTs: Long, total: Long, n: Int)
+
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   /** Emit-on-close sessions — the `flatMapGroupsWithState` face of
     * [[sessionWatch]]: where the built-in `session_window` re-emits a
@@ -177,6 +187,7 @@ object Streaming {
       watermark: String = "1 hour"): Dataset[SessionSummary] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.contract)
@@ -184,20 +195,20 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (contract: String, batch: Iterator[ViewEvent], state: GroupState[SessionState]) =>
           def close(s: SessionState): SessionSummary =
-            SessionSummary(contract, new Timestamp(s.start),
-              new Timestamp(s.lastTs + gapMs), s.total, s.n)
+            SessionSummary(contract, tsFromMicros(s.start),
+              tsFromMicros(s.lastTs + gapUs), s.total, s.n)
           if (state.hasTimedOut) {
             val out = state.getOption.map(close).iterator
             state.remove()
             out
           } else {
-            val evs = batch.toArray.sortBy(_.ts.getTime)
+            val evs = batch.toArray.sortBy(e => epochMicros(e.ts))
             var closed = List.empty[SessionSummary]
             var cur = state.getOption
             evs.foreach { e =>
-              val t = e.ts.getTime
+              val t = epochMicros(e.ts)
               cur = cur match {
-                case Some(s) if t - s.lastTs < gapMs && s.start - t < gapMs =>
+                case Some(s) if t - s.lastTs < gapUs && s.start - t < gapUs =>
                   // within the gap of the session interval on either
                   // side (min on start: a late-but-in-watermark event
                   // may precede the session's first event)
@@ -209,8 +220,8 @@ object Streaming {
                   // events would need the full event buffer — emit it
                   // as its own closed session (bounded-state tradeoff,
                   // same spirit as the watermark cutoff)
-                  closed ::= SessionSummary(contract, new Timestamp(t),
-                    new Timestamp(t + gapMs), e.duration, 1)
+                  closed ::= SessionSummary(contract, tsFromMicros(t),
+                    tsFromMicros(t + gapUs), e.duration, 1)
                   Some(s)
                 case Some(s) =>
                   closed ::= close(s)
@@ -221,7 +232,9 @@ object Streaming {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // setTimeoutTimestamp is epoch millis — round UP so the
+              // timeout never fires sub-millisecond early
+              state.setTimeoutTimestamp((s.lastTs + gapUs + 999L) / 1000L)
             }
             closed.reverse.iterator
           }
