@@ -17,6 +17,49 @@ import org.apache.spark.sql.SparkSession
   * query is systematically advantaged by a freshly-idle JVM.
   */
 object Bench {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Hot-key stress fixtures + the queries that must survive them —
+    * derived at runtime from the driver tables (no extra testdata):
+    * one key carries 20% of the rows (`pmod(key, 5) = 0` remapped),
+    * which is the shape that breaks naive hash-partitioned joins and
+    * pair-generating dedup at scale. Benchmarked plain vs the
+    * engine's skew answers (AQE skew split; explicit saltedJoin; the
+    * dedup family's candidate-bounding) so a regression in any of
+    * them shows up as a timing cliff in the `skew` section.
+    */
+  private val hotText =
+    "the quick brown fox jumps over the lazy dog again and again in every duplicated document body"
+
+  private def skewedOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").withColumn("o_custkey",
+      when(pmod(col("o_orderkey"), lit(5)) === 0, lit(1L)).otherwise(col("o_custkey")))
+
+  private def skewedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").withColumn("text",
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(hotText)).otherwise(col("text")))
+
+  private def skewQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_plain_join" -> ((s, dir) =>
+      skewedOrders(s, dir)
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))),
+    "skew_salted_join" -> ((s, dir) =>
+      graft.ops.SkewJoin.saltedJoin(
+          skewedOrders(s, dir).withColumnRenamed("o_custkey", "c_custkey"),
+          Tables(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          Seq("c_custkey"), salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))),
+    "skew_dedup_exact" -> ((s, dir) =>
+      graft.ext.Dedup.exactDedup(skewedDocs(s, dir), "doc_id", "text")),
+    "skew_dedup_minhash" -> ((s, dir) =>
+      graft.ext.Dedup.minhashDedupPairs(skewedDocs(s, dir), "doc_id", "text")),
+    "skew_dedup_ngram" -> ((s, dir) =>
+      graft.ext.Dedup.ngramJaccardPairs(skewedDocs(s, dir), "doc_id", "text")))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -26,50 +69,60 @@ object Bench {
     // broadcast threshold, UTC) — bench what the engine prescribes
     val spark = GraftSession.local(cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
-    }
-    // drop the warm-run caches so rep 1 isn't charged for them
-    spark.catalog.clearCache()
-    val names = SparkEntry.queries.keys.toSeq
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-      .withDefaultValue(Nil)
-    (1 to reps).foreach { _ =>
-      names.foreach { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        // a failed query must not masquerade as a fast one
-        samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+
+    /** Warm once at the small sf (codegen + JIT), then time `reps`
+      * round-robin passes at the target sf with the cache cleared
+      * between reps (internal cache() entries would otherwise make
+      * later reps time a cache read); median per query, -1 = failed.
+      */
+    def timeAll(queries: Map[String, (SparkSession, String) => DataFrame])
+        : Seq[(String, Double)] = {
+      queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
-      // Pipelines that cache() internally (the dedup family) leave
-      // entries Spark's CacheManager would match on the NEXT rep's
-      // identical plan — later reps would then time a cache read, not
-      // the pipeline, and the orphaned storage would pressure every
-      // subsequent query. Clear between reps so each sample is the
-      // real end-to-end cost.
+      // drop the warm-run caches so rep 1 isn't charged for them
       spark.catalog.clearCache()
-    }
-    def median(xs: List[Double]): Double =
-      if (xs.contains(-1.0)) -1.0
-      else {
-        val s = xs.sorted
-        s(s.size / 2)
+      val names = queries.keys.toSeq
+      val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+        .withDefaultValue(Nil)
+      (1 to reps).foreach { _ =>
+        names.foreach { name =>
+          val fn = queries(name)
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          // a failed query must not masquerade as a fast one
+          samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        spark.catalog.clearCache()
       }
-    val results = names.map(n => n -> median(samples(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      def median(xs: List[Double]): Double =
+        if (xs.contains(-1.0)) -1.0
+        else {
+          val s = xs.sorted
+          s(s.size / 2)
+        }
+      names.map(n => n -> median(samples(n)))
+    }
+
+    def toJson(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+
+    val results = timeAll(SparkEntry.queries)
+    val skewResults = timeAll(skewQueries)
     // failures (-1 sentinels) must not SUBTRACT from the total — sum
-    // the successes and list the failures explicitly
-    val failed = results.collect { case (k, v) if v < 0 => k }
+    // the successes and list the failures explicitly (skew included:
+    // a skew-stress timing cliff or failure must be driver-visible)
+    val all = results ++ skewResults
+    val failed = all.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"skew":${toJson(skewResults)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
