@@ -14,7 +14,9 @@ object PlanCheck {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_filter_ops", "q_join_agg", "q_category_pivot",
         "q_customer360", "q_most_searched", "q_dedup_minhash", "q_ann_topk",
-        "q_ann_ivf", "q_trending_fused", "q_dedup_clusters", "q_containment")
+        "q_ann_ivf", "q_trending_fused", "q_dedup_clusters", "q_containment",
+        "q_dedup_incremental", "q_embed_neardup_lsh", "q_tfidf",
+        "q_heavy_hitters", "q_pack")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

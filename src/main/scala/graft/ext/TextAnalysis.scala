@@ -109,6 +109,40 @@ object TextAnalysis {
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
       "\\s+", " "))
 
+  /** TF-IDF top terms per document — the retrieval/quality-analysis
+    * staple (what characterizes this document against the corpus).
+    * tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (the
+    * smoothed form, never negative); score = tf·idf; top `k` terms per
+    * doc by (score desc, term asc) — a total tie-break, so the result
+    * is deterministic and oracle-checkable.
+    *
+    * Scale shape: one explode + two hash aggregations (both map-side
+    * combinable) + one broadcast-friendly join of the per-term df
+    * (vocabulary-sized — numbers of distinct terms, not documents) back
+    * onto the per-doc tf, then a per-doc top-k window. `nDocs` rides in
+    * as a driver literal from one cheap count agg — the same deliberate
+    * two-job constant-fold as the reference's quantile thresholds
+    * (ETL_pipeline.py:113-123); everything else is fully distributed.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.select(col(idCol)).agg(count(lit(1))).head().getLong(0)
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(docFreq, Seq("term"))
+      .withColumn("score", col("tf") *
+        (log((lit(nDocs) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * `h := (h*31 + (tokenHash60(t) mod 2^20)) mod 2^30`, left fold in
     * token order. Order-sensitive (unlike a bag-of-words hash) so

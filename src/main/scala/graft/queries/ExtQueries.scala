@@ -554,6 +554,48 @@ object ExtQueries {
              |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF top-3 terms per document (smoothed idf, total tie-break).
+    // ln() replays across engines; scores round to 6 decimals on both
+    // sides. The one driver literal is the corpus doc count (documented
+    // two-job constant-fold, TextAnalysis.tfIdfTopTerms).
+    Q("q_tfidf",
+      (s, dir) => TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id", "rank"),
+      Some("""WITH tf AS (
+             |  SELECT id, term, count(*) AS tf FROM (
+             |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+             |    FROM documents)
+             |  GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT id, term, tf, df,
+             |    tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             |r AS (SELECT id, term, tf, df, score,
+             |    CAST(row_number() OVER (PARTITION BY id
+             |      ORDER BY score DESC, term ASC) AS INT) AS rank
+             |  FROM scored)
+             |SELECT id, rank, term, tf, df, round(score, 6) AS score
+             |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin)),
+
+    // Frequency sketch (DataSketches frequent-items via Spark 4's
+    // approx_top_k): THE approximate heavy-hitters answer at 100 TB —
+    // one pass, mergeable, fixed memory, where exact global top-k
+    // needs a full groupBy. Sized exactly here (maxItemsTracked ≫
+    // distinct props), the sketch's counts are provably exact, so the
+    // oracle is a plain exact histogram — the same exact-regime
+    // pinning used for the HLL family.
+    Q("q_heavy_hitters",
+      (s, dir) => Tables(s, dir, "events")
+        .agg(expr("approx_top_k(props, 200, 1000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy("item"),
+      Some("""SELECT props AS item, count(*) AS cnt
+             |FROM events GROUP BY props ORDER BY item""".stripMargin)),
+
     // Rolling polynomial document fingerprint (order-sensitive).
     Q("q_fingerprint",
       (s, dir) => docs(s, dir).select(

@@ -80,6 +80,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfIdfTopTerms: corpus-wide terms score low, distinctive terms rank first") {
+    val df = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common filler words here")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 1: "common" tf=3 but df=3 (idf = ln(4/4)+1 = 1 → score 3);
+    // "rare1" tf=1 df=1 (score = ln(2)+1 ≈ 1.693) — tf wins here
+    top((1L, 1))._1 shouldBe "common"
+    top((1L, 1))._4 shouldBe 3.0 +- 1e-9
+    top((1L, 2))._1 shouldBe "rare1"
+    // doc 2: rare2 (≈1.693) outranks common (1.0)
+    top((2L, 1))._1 shouldBe "rare2"
+    top((2L, 2))._1 shouldBe "common"
+  }
+
+  test("approx_top_k: heavy hitter survives the sketch in the APPROX regime") {
+    import org.apache.spark.sql.functions.expr
+    // 1000 distinct cold items + one hot item at 20% — maxItemsTracked
+    // 64 ≪ 1001 distinct forces real sketch behavior; the frequent-
+    // items guarantee is that a ≥ n/maxItemsTracked item is reported.
+    val rows = (1 to 1000).map(i => s"cold_$i") ++ Seq.fill(250)("hot")
+    val top = rows.toDF("item")
+      .agg(expr("approx_top_k(item, 5, 64)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count")).collect()
+    top.map(_.getString(0)) should contain("hot")
+    // estimates may overcount (never undercount) in this sketch family
+    val hot = top.find(_.getString(0) == "hot").get.getLong(1)
+    hot should be >= 250L
+  }
+
   test("tokenHash60: stable 60-bit non-negative hash, distinct across tokens") {
     val df = Seq("alpha", "beta", "alpha").toDF("t")
       .select(TextAnalysis.tokenHash60(col("t")).as("h"))
