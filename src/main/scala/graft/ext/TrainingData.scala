@@ -64,6 +64,36 @@ object TrainingData {
       .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
   }
 
+  /** Split each document into overlapping token-window chunks — the
+    * standard pretraining/RAG chunker: chunk i covers tokens
+    * [i·stride, i·stride + chunkSize) with stride = chunkSize −
+    * overlap; a document shorter than one chunk yields exactly one
+    * chunk. Pure projection + generator explode (row-local, no
+    * shuffle); downstream ops see post-chunking volume.
+    *
+    * The chunk count is `ceil((n − overlap) / stride)` guarded with
+    * `when(n ≤ chunkSize, 1)` — a bare sequence(0, negative) would
+    * count BACKWARDS (same trap [[repeatByWeight]] documents).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap $overlap must be in [0, chunkSize $chunkSize)")
+    val stride = chunkSize - overlap
+    val nChunks = when(size(col("toks")) <= chunkSize, lit(1))
+      .otherwise(ceil((size(col("toks")) - lit(overlap)).cast("double") / stride)
+        .cast("int"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_tokens"))
+  }
+
   /** Seeded uniform sample (Bernoulli per row). Deterministic for a
     * fixed seed AND fixed partitioning — document the caveat: Spark's
     * sample seeds per partition, so a repartition changes membership.

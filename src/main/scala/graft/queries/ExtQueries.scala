@@ -674,6 +674,49 @@ object ExtQueries {
              |    - len(string_split(text, ' '))) / 2000.0) AS INT) AS bin
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Overlapping token-window chunking (size 64, overlap 16 → stride
+    // 48): the pretraining/RAG chunker as a row-local generator
+    // projection; short docs yield exactly one chunk.
+    Q("q_chunk",
+      (s, dir) => TrainingData.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |c AS (SELECT doc_id, ws,
+             |    CAST(unnest(range(0, CASE WHEN len(ws) <= 64 THEN 1
+             |      ELSE CAST(ceil((len(ws) - 16) / 48.0) AS INT) END)) AS INT) AS chunk_idx
+             |  FROM t)
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text,
+             |  CAST(len(list_slice(ws, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT) AS chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Corpus accounting per source: the dataset-card numbers every
+    // training corpus reports — doc count, token volume, summed
+    // quality — one map-side-combinable aggregation over codegen'd
+    // projections. Quality (already 6-decimal) sums through
+    // DECIMAL(18,6) so the float total is order-independent (same rule
+    // as every dsum in the registry).
+    Q("q_corpus_stats",
+      (s, dir) => docs(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("total_tokens"),
+          max(TextAnalysis.tokenCountWs(col("text"))).as("max_tokens"),
+          sum(TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)"))
+            .cast("double").as("sum_quality"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  SUM(len(string_split(text, ' '))) AS total_tokens,
+             |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
+             |  CAST(SUM(CAST(round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+             |    + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(len(text), 1))
+             |    + 0.25 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+             |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Layout-independent 20% hash sample (same stability story).
     Q("q_hash_sample",
       (s, dir) => TrainingData.hashSample(docs(s, dir), col("doc_id"), 200)

@@ -63,6 +63,29 @@ class TrainingDataSpec extends SparkSpec {
       Seq(1L, 0L, 0), Seq(2L, 3L, 0), Seq(3L, 0L, 0))
   }
 
+  test("chunkTokens: overlap windows, short doc = one chunk, boundary exact") {
+    // 10 tokens, size 4, overlap 2 → stride 2 → ceil((10-2)/2) = 4 chunks
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val out = TrainingData.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getInt(3))).toMap
+    out((1L, 0)) shouldBe ("t0 t1 t2 t3", 4)
+    out((1L, 1)) shouldBe ("t2 t3 t4 t5", 4) // overlap of 2 with chunk 0
+    out((1L, 3)) shouldBe ("t6 t7 t8 t9", 4) // last chunk exactly flush
+    out.keys.count(_._1 == 1L) shouldBe 4
+    // doc shorter than one chunk: exactly one (whole-doc) chunk
+    out((2L, 0)) shouldBe ("short doc", 2)
+    out.keys.count(_._1 == 2L) shouldBe 1
+    // every token index is covered by some chunk (no gaps at stride
+    // boundaries) — the property that matters for pretraining windows
+    val covered = out.collect { case ((1L, i), _) =>
+      (i * 2) until math.min(i * 2 + 4, 10) }.flatten.toSet
+    covered shouldBe (0 until 10).toSet
+  }
+
   test("hashSample: subset, layout-stable, ~permille fraction") {
     val df = (1L to 1000L).toDF("id")
     val s = TrainingData.hashSample(df, col("id"), permille = 200)
