@@ -116,13 +116,16 @@ object TextAnalysis {
     * doc by (score desc, term asc) — a total tie-break, so the result
     * is deterministic and oracle-checkable.
     *
-    * Scale shape: one explode + two hash aggregations (both map-side
-    * combinable) + one broadcast-friendly join of the per-term df
-    * (vocabulary-sized — numbers of distinct terms, not documents) back
-    * onto the per-doc tf, then a per-doc top-k window. `nDocs` rides in
-    * as a driver literal from one cheap count agg — the same deliberate
-    * two-job constant-fold as the reference's quantile thresholds
-    * (ETL_pipeline.py:113-123); everything else is fully distributed.
+    * Scale shape: ONE scan — explode → per-(doc, term) count (map-side
+    * combinable), then df via `count() OVER (PARTITION BY term)` on
+    * that aggregate (tf has exactly one row per (doc, term), so the
+    * partition count IS the document frequency). The window replaces
+    * the naive second scan + second aggregation + join — and makes no
+    * small-vocabulary broadcast assumption, which matters when the
+    * long-tail vocabulary of a 100 TB corpus is itself huge. `nDocs`
+    * rides in as a driver literal from one cheap count agg — the same
+    * deliberate two-job constant-fold as the reference's quantile
+    * thresholds (ETL_pipeline.py:113-123).
     */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -131,10 +134,9 @@ object TextAnalysis {
     val tf = df.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(docFreq, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("score", col("tf") *
         (log((lit(nDocs) + 1.0) / (col("df") + lit(1.0))) + lit(1.0)))
       .withColumn("rank", row_number().over(w))

@@ -551,6 +551,41 @@ object CoreQueries {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Join-family completeness beyond the reference surface: FULL
+    // OUTER (both unmatched sides kept — count(col) skips the nulls
+    // each side contributes) aggregated per segment so the output is
+    // small and total-ordered.
+    Q("q_full_outer",
+      (s, dir) => Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          count(col("c_custkey")).as("n_cust_rows"))
+        .orderBy("segment"),
+      Some("""SELECT coalesce(c_mktsegment, 'NO_CUSTOMER') AS segment,
+             |  count(o_orderkey) AS n_orders, count(c_custkey) AS n_cust_rows
+             |FROM orders FULL JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin)),
+
+    // LEFT ANTI as a first-class registry face (the dedup family uses
+    // it internally): customers with no high-value order (every
+    // customer has SOME order in this data, so the unrestricted
+    // anti-join would be an empty — weak — check; the filter pushes
+    // into the right-side scan before the anti semi-shuffle).
+    Q("q_anti_join",
+      (s, dir) => Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_totalprice") > 250000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // J1 — fact ⋈ broadcast dim + agg (:285-286 shape on TPC-H).
     Q("q_join_agg",
       (s, dir) => Tables(s, dir, "orders")
