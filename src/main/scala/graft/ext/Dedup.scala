@@ -410,7 +410,14 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     val members = edges.select(col("src").as("id")).distinct()
-    var labels = members.select(col("id"), col("id").as("cluster")).cache()
+    // initialize to min(self, neighbors) — one aggregation over the
+    // (symmetric) edge set that is exactly round 1's propagation
+    // output, so pair/star components (the common near-dup shape)
+    // start already-converged and the loop only runs to confirm
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("cluster"))
+      .cache()
     // Numeric ids: convergence = the decimal(38,0) label sum stopped
     // falling (labels only decrease; overflow-proof; null = empty).
     // Non-numeric ids (string doc keys): the cast would yield null and

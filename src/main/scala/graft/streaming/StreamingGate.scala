@@ -49,21 +49,27 @@ object StreamingGate {
 
   private val Sentinel = "__sentinel__"
 
-  /** Write `df` as a single parquet file `data/f<i>.parquet` with a
-    * deterministic, strictly increasing modification time — the file
-    * source orders batches by modTime, so this pins replay order.
+  /** Move the single part file under `srcDir` to `data/f<i>.parquet`
+    * with a deterministic, strictly increasing modification time — the
+    * file source orders batches by modTime, so this pins replay order.
     */
-  private def writeSlice(df: DataFrame, stage: Path, i: Int, baseMs: Long): Unit = {
-    val tmp = stage.resolve(s"tmp$i").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
+  private def promoteSlice(srcDir: java.io.File, stage: Path, i: Int,
+      baseMs: Long): Unit = {
+    val part = srcDir.listFiles()
       .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"no part file written under $tmp"))
+      .getOrElse(sys.error(s"no part file written under $srcDir"))
     val dest = stage.resolve("data").resolve(f"f$i%02d.parquet")
     Files.createDirectories(dest.getParent)
     Files.move(part.toPath, dest)
     dest.toFile.setLastModified(baseMs + i * 60000L)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  /** Write `df` as a single parquet file slice (tiny frames only). */
+  private def writeSlice(df: DataFrame, stage: Path, i: Int, baseMs: Long): Unit = {
+    val tmp = stage.resolve(s"tmp$i")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    promoteSlice(tmp.toFile, stage, i, baseMs)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
   /** Sessionize the events table through the real streaming stack and
@@ -86,18 +92,26 @@ object StreamingGate {
         col("ts"))
       val baseMs = System.currentTimeMillis() - 3600000L
       // day-of-month slices: each file strictly after the previous one
-      // in event time (events span one month; UTC session timezone)
-      val slices = Seq((1, 10), (11, 20), (21, 31))
-      slices.zipWithIndex.foreach { case ((lo, hi), i) =>
-        writeSlice(ev.filter(dayofmonth(col("ts")).between(lo, hi)),
-          stage, i, baseMs)
+      // in event time (events span one month; UTC session timezone).
+      // ONE scan + one hash shuffle on the slice id writes all slices
+      // (each slice's rows land in exactly one task → one part file per
+      // slice dir), replacing a filtered re-scan per slice.
+      val nSlices = 2
+      val tmp = stage.resolve("sliced")
+      ev.withColumn("slice",
+          when(dayofmonth(col("ts")) <= 15, 0).otherwise(1))
+        .repartition(nSlices, col("slice"))
+        .write.partitionBy("slice").parquet(tmp.toString)
+      (0 until nSlices).foreach { i =>
+        promoteSlice(tmp.resolve(s"slice=$i").toFile, stage, i, baseMs)
       }
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
       val farFuture = Timestamp.valueOf("2024-06-01 00:00:00")
       val later = new Timestamp(farFuture.getTime + 3600000L)
       Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
         writeSlice(Seq((Sentinel, "view", 0L, t))
           .toDF("contract", "category", "duration", "ts"),
-          stage, slices.size + i, baseMs)
+          stage, nSlices + i, baseMs)
       }
 
       val stream = s.readStream
