@@ -404,7 +404,15 @@ object Dedup {
     * duplicate class) would be far worse than failing.
     */
   def nearDupClusters(universe: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64): DataFrame =
+    nearDupClusters(universe, pairs, maxRounds, initMin = true)
+
+  /** `initMin` A/B knob (dev): min(self, neighbors) init vs identity
+    * init — the former starts pair/star components converged at the
+    * cost of one extra aggregation over the edge set.
+    */
+  private[graft] def nearDupClusters(universe: DataFrame, pairs: DataFrame,
+      maxRounds: Int, initMin: Boolean): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -414,9 +422,11 @@ object Dedup {
     // (symmetric) edge set that is exactly round 1's propagation
     // output, so pair/star components (the common near-dup shape)
     // start already-converged and the loop only runs to confirm
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("m"))
-      .select(col("id"), least(col("id"), col("m")).as("cluster"))
+    var labels = (if (initMin)
+        edges.groupBy(col("src").as("id"))
+          .agg(min(col("dst")).as("m"))
+          .select(col("id"), least(col("id"), col("m")).as("cluster"))
+      else members.select(col("id"), col("id").as("cluster")))
       .cache()
     // Numeric ids: convergence = the decimal(38,0) label sum stopped
     // falling (labels only decrease; overflow-proof; null = empty).

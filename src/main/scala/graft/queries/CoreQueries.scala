@@ -734,6 +734,40 @@ object CoreQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // STREAM-STREAM interval join under the hard gate: a real
+    // Structured Streaming run of searchesBeforeView (both sides
+    // watermarked, time-range-bounded join state) over staged
+    // micro-batch slices; views = 'view' events, searches = 'click'
+    // events keyed by event id. The emitted match set must equal the
+    // batch interval join, which is the oracle.
+    Q("q_stream_join",
+      (s, dir) => graft.streaming.StreamingGate.searchJoinFromFiles(s, dir),
+      Some("""SELECT v.user_id, v.ts AS view_ts,
+             |  CAST(floor(v.value) AS BIGINT) AS duration,
+             |  s.event_id AS search_event_id, s.ts AS search_ts
+             |FROM events v JOIN events s
+             |  ON v.user_id = s.user_id AND s.ts <= v.ts
+             |  AND s.ts >= v.ts - INTERVAL 60 MINUTE
+             |WHERE v.event_type = 'view' AND s.event_type = 'click'
+             |ORDER BY v.user_id, view_ts, search_event_id""".stripMargin)),
+
+    // STATEFUL running activeness under the hard gate: a real
+    // mapGroupsWithState run (update mode) over staged micro-batch
+    // slices; the final upserted row per contract must equal the batch
+    // distinct-day aggregation + bucketing, which is the oracle.
+    Q("q_running_activeness",
+      (s, dir) => graft.streaming.StreamingGate.runningActivenessFromFiles(s, dir),
+      Some("""SELECT user_id, CAST(d AS INT) AS days_active, CASE
+             |  WHEN d BETWEEN 1 AND 7 THEN 'very low'
+             |  WHEN d BETWEEN 8 AND 14 THEN 'low'
+             |  WHEN d BETWEEN 15 AND 21 THEN 'moderate'
+             |  WHEN d BETWEEN 22 AND 28 THEN 'high'
+             |  WHEN d BETWEEN 29 AND 31 THEN 'very high'
+             |  ELSE 'error' END AS activeness
+             |FROM (SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS d
+             |      FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // As-of (backward) join — Spark has no native operator; the
     // union + running-last composition attaches each view's latest
     // preceding purchase value per user. Oracle = DuckDB ASOF JOIN.

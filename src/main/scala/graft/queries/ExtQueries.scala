@@ -705,16 +705,20 @@ object ExtQueries {
           count(lit(1)).as("n_docs"),
           sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("total_tokens"),
           max(TextAnalysis.tokenCountWs(col("text"))).as("max_tokens"),
+          // returned AS the decimal — a final decimal→double cast is
+          // not correctly-rounded identically across engines (1-ulp
+          // driver/local divergence, round-3 hash-red), and the
+          // decimal sum is already exact
           sum(TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)"))
-            .cast("double").as("sum_quality"))
+            .as("sum_quality"))
         .orderBy("source"),
       Some("""SELECT source, count(*) AS n_docs,
              |  SUM(len(string_split(text, ' '))) AS total_tokens,
              |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
-             |  CAST(SUM(CAST(round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+             |  SUM(CAST(round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
              |    + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(len(text), 1))
              |    + 0.25 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-             |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+             |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS sum_quality
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // Layout-independent 20% hash sample (same stability story).

@@ -261,8 +261,12 @@ object Streaming {
         GroupStateTimeout.NoTimeout) {
         (contract: String, batch: Iterator[ViewEvent], state: GroupState[Set[String]]) =>
           val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+          // explicit UTC (the session timezone), not the executor
+          // JVM's default zone — day bucketing must not depend on
+          // where the executor runs
           val newDays = batch.map(e =>
-            e.ts.toLocalDateTime.toLocalDate.format(fmt)).toSet
+            e.ts.toInstant.atOffset(java.time.ZoneOffset.UTC)
+              .toLocalDate.format(fmt)).toSet
           val days = state.getOption.getOrElse(Set.empty) ++ newDays
           state.update(days)
           val n = days.size

@@ -9,43 +9,48 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** Drives the STATEFUL streaming path under the same hard oracle gate
-  * as the batch registry: a REAL Structured Streaming execution
-  * (file source → micro-batches → `flatMapGroupsWithState` →
-  * `foreachBatch`), not a batch face of it — the
-  * [[Streaming.closedSessions]] state machine, watermark advancement,
-  * and event-time timeouts all actually run.
+/** Drives the STATEFUL streaming paths under the same hard oracle gate
+  * as the batch registry: REAL Structured Streaming executions
+  * (file source → micro-batches → stateful operator → `foreachBatch`),
+  * not batch faces — the [[Streaming.closedSessions]] state machine,
+  * the [[Streaming.searchesBeforeView]] stream-stream interval join,
+  * and the [[Streaming.runningActiveness]] custom state all actually
+  * run, with watermark advancement and event-time timeouts live.
   *
   * Determinism story (what makes a streaming run oracle-checkable):
-  * - the events table is staged into files partitioned by TIME RANGE
-  *   with strictly increasing modification times, so the file source
-  *   (`maxFilesPerTrigger = 1`) replays them as micro-batches in event-
-  *   time order — the watermark only ever moves forward past data that
-  *   has already arrived, so no event is ever late and the
+  * - the input table is staged into files split on a FULL DATE
+  *   threshold (the midpoint of the event date range) with strictly
+  *   increasing modification times, so the file source
+  *   (`maxFilesPerTrigger = 1`) replays them as micro-batches in
+  *   event-time order — the watermark only ever moves forward past
+  *   data that has already arrived, so no event is ever late and the
   *   late-data tradeoffs documented on [[Streaming.closedSessions]]
-  *   never trigger;
-  * - two sentinel files follow the real slices: the first advances max
-  *   event time far past every real session, the second triggers the
-  *   micro-batch whose watermark (= sentinel1 − delay) fires the
-  *   event-time timeout that closes every still-open real session.
-  *   Sentinel rows are filtered from the output (their own sessions
-  *   are never emitted, or closed and then filtered);
-  * - therefore: emitted sessions = EXACTLY the batch gaps-and-islands
-  *   sessionization of the same events, which is the DuckDB oracle.
+  *   never trigger. A calendar-field split (day-of-month) would
+  *   interleave slices across a month boundary; the date threshold
+  *   holds for ANY input range;
+  * - each staged file's CONTENT is byte-deterministic: one scan + one
+  *   hash shuffle on the slice id writes all slices, and a
+  *   partition-local sort on (slice, ts, …all columns) pins row order
+  *   (slice leads so the partitioned write inserts no extra — and not
+  *   guaranteed-stable — sort of its own; equal-key rows are fully
+  *   identical rows, so their relative order cannot matter);
+  * - where a state timeout must fire ([[closedSessionsFromFiles]]),
+  *   two sentinel files follow the real slices: the first advances max
+  *   event time far past every real session (data-driven: max real ts
+  *   + 1 year), the second triggers the micro-batch whose watermark
+  *   fires the event-time timeout that closes every still-open real
+  *   session. Sentinel rows are filtered from the output;
+  * - therefore: emitted results = EXACTLY the batch formulation of the
+  *   same query over the same events, which is the DuckDB oracle.
   *
-  * At 100 TB/day the same topology runs unbounded: the staging step is
-  * replaced by the real landing directory, the sentinels by the
+  * At 100 TB/day the same topologies run unbounded: the staging step
+  * is replaced by the real landing directory, the sentinels by the
   * continuous arrival of newer days, and foreachBatch by a parquet/
-  * JDBC sink — state per key stays one fixed-size SessionState either
-  * way.
+  * JDBC sink — state stays bounded either way (one fixed-size
+  * SessionState per key; join state bounded by watermark + interval;
+  * ≤31 day-strings per contract).
   */
 object StreamingGate {
-
-  private val stageSchema = StructType(Seq(
-    StructField("contract", StringType),
-    StructField("category", StringType),
-    StructField("duration", LongType),
-    StructField("ts", TimestampType)))
 
   private val Sentinel = "__sentinel__"
 
@@ -72,41 +77,71 @@ object StreamingGate {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
-  /** Sessionize the events table through the real streaming stack and
-    * return the closed sessions as a batch DataFrame: (user_id,
-    * session_start, session_end, total_duration, n_events), ordered.
-    * duration = floor(value) so the sum is exact integer arithmetic on
-    * both engines.
+  /** Midpoint date of `df`'s `ts` range — the slice threshold. */
+  private def midpointDate(lo: java.sql.Date, hi: java.sql.Date): java.sql.Date =
+    java.sql.Date.valueOf(lo.toLocalDate.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(lo.toLocalDate, hi.toLocalDate) / 2))
+
+  /** Stage `df` (must carry a `ts` timestamp column) into `stage/data`
+    * as event-time-ordered slice files: rows with `to_date(ts) <=
+    * cutoff` form slice 0, the rest slice 1 — so slice 0 is entirely
+    * earlier in EVENT TIME than slice 1 whatever calendar range the
+    * input spans. Returns the number of slice files written (1 when
+    * one side of the threshold is empty).
     */
-  def closedSessionsFromFiles(s: SparkSession, dir: String,
+  private def stageOrderedSlices(df: DataFrame, stage: Path, baseMs: Long,
+      cutoff: java.sql.Date, startIdx: Int = 0): Int = {
+    val tmp = stage.resolve(s"sliced$startIdx")
+    val orderCols = ("slice" +: "ts" +: df.columns.filterNot(_ == "ts").toSeq)
+      .map(col)
+    df.withColumn("slice",
+        when(to_date(col("ts")) <= lit(cutoff), 0).otherwise(1))
+      .repartition(2, col("slice"))
+      .sortWithinPartitions(orderCols: _*)
+      .write.partitionBy("slice").parquet(tmp.toString)
+    val sliceDirs = tmp.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("slice="))
+      .sortBy(_.getName)
+    sliceDirs.zipWithIndex.foreach { case (d, i) =>
+      promoteSlice(d, stage, startIdx + i, baseMs)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    sliceDirs.length
+  }
+
+  private def newStage(): Path = Files.createTempDirectory(
+    Files.createDirectories(Paths.get("target", "streamtmp").toAbsolutePath),
+    "gate_")
+
+  private val sessionStageSchema = StructType(Seq(
+    StructField("contract", StringType),
+    StructField("category", StringType),
+    StructField("duration", LongType),
+    StructField("ts", TimestampType)))
+
+  /** Sessionize arbitrary prepared events (contract, category,
+    * duration, ts) through the real streaming stack and return the
+    * closed sessions as a batch DataFrame: (contract, session_start,
+    * session_end, total_duration, n_events), ordered.
+    */
+  def closedSessionsFromEvents(s: SparkSession, ev: DataFrame,
       gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
     import s.implicits._
-    val stage = Files.createTempDirectory(
-      Files.createDirectories(Paths.get("target", "streamtmp").toAbsolutePath),
-      "gate_")
+    val stage = newStage()
     try {
-      val ev = Tables(s, dir, "events").select(
-        col("user_id").cast("string").as("contract"),
-        col("event_type").as("category"),
-        floor(col("value")).cast("long").as("duration"),
-        col("ts"))
       val baseMs = System.currentTimeMillis() - 3600000L
-      // day-of-month slices: each file strictly after the previous one
-      // in event time (events span one month; UTC session timezone).
-      // ONE scan + one hash shuffle on the slice id writes all slices
-      // (each slice's rows land in exactly one task → one part file per
-      // slice dir), replacing a filtered re-scan per slice.
-      val nSlices = 2
-      val tmp = stage.resolve("sliced")
-      ev.withColumn("slice",
-          when(dayofmonth(col("ts")) <= 15, 0).otherwise(1))
-        .repartition(nSlices, col("slice"))
-        .write.partitionBy("slice").parquet(tmp.toString)
-      (0 until nSlices).foreach { i =>
-        promoteSlice(tmp.resolve(s"slice=$i").toFile, stage, i, baseMs)
-      }
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-      val farFuture = Timestamp.valueOf("2024-06-01 00:00:00")
+      val bounds = ev.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
+        max(col("ts")).as("maxTs")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      val nSlices = stageOrderedSlices(
+        ev.select("contract", "category", "duration", "ts"),
+        stage, baseMs, cutoff)
+      // Sentinels are data-driven: far past the latest real event, so
+      // the final watermark closes every real session whatever range
+      // the input spans (month/year boundaries included).
+      val farFuture = new Timestamp(
+        bounds.getTimestamp(2).getTime + 365L * 24 * 3600 * 1000)
       val later = new Timestamp(farFuture.getTime + 3600000L)
       Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
         writeSlice(Seq((Sentinel, "view", 0L, t))
@@ -115,7 +150,7 @@ object StreamingGate {
       }
 
       val stream = s.readStream
-        .schema(stageSchema)
+        .schema(sessionStageSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.resolve("data").toString)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Streaming.SessionSummary]
@@ -134,11 +169,169 @@ object StreamingGate {
       query.stop()
 
       buf.synchronized { buf.filter(_.contract != Sentinel).toSeq }.toDS().toDF()
+        .select(col("contract"), col("session_start"), col("session_end"),
+          col("totalDuration").as("total_duration"), col("n_events"))
+        .orderBy("contract", "session_start")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** The registry face: sessionize the events table; duration =
+    * floor(value) so the sum is exact integer arithmetic on both
+    * engines.
+    */
+  def closedSessionsFromFiles(s: SparkSession, dir: String,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val ev = Tables(s, dir, "events").select(
+      col("user_id").cast("string").as("contract"),
+      col("event_type").as("category"),
+      floor(col("value")).cast("long").as("duration"),
+      col("ts"))
+    closedSessionsFromEvents(s, ev, gapMinutes, watermark)
+      .select(col("contract").cast("long").as("user_id"),
+        col("session_start"), col("session_end"),
+        col("total_duration"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val taggedStageSchema = StructType(Seq(
+    StructField("contract", StringType),
+    StructField("category", StringType),
+    StructField("duration", LongType),
+    StructField("keyword", StringType),
+    StructField("ts", TimestampType),
+    StructField("side", StringType)))
+
+  /** One emitted view↔search match (the collected join row). */
+  private final case class JoinedRow(contract: String, duration: Long,
+      view_ts: Timestamp, keyword: String, search_ts: Timestamp)
+
+  /** STREAM-STREAM interval join under the gate: views (event_type =
+    * 'view') joined to the searches (event_type = 'click', keyword =
+    * the click's event id) the same user issued in the preceding
+    * `intervalMinutes` — a REAL [[Streaming.searchesBeforeView]] run.
+    *
+    * Both sides are staged into ONE tagged file stream and split with
+    * filters, so every micro-batch carries the same time range of both
+    * sides by construction — no cross-source batch-alignment hazard:
+    * a boundary match (search late in slice 0, view early in slice 1)
+    * is still found because the join buffers each side in state until
+    * the watermark passes beyond its join window. Inner-join matches
+    * emit eagerly in append mode, so no sentinel is needed: once all
+    * files are processed the emitted set IS the batch interval join,
+    * which is the DuckDB oracle.
+    */
+  def searchJoinFromFiles(s: SparkSession, dir: String,
+      intervalMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    val stage = newStage()
+    try {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val events = Tables(s, dir, "events")
+      val tagged = events.filter(col("event_type") === "view").select(
+          col("user_id").cast("string").as("contract"),
+          col("event_type").as("category"),
+          floor(col("value")).cast("long").as("duration"),
+          lit(null).cast("string").as("keyword"),
+          col("ts"), lit("v").as("side"))
+        .unionByName(events.filter(col("event_type") === "click").select(
+          col("user_id").cast("string").as("contract"),
+          lit(null).cast("string").as("category"),
+          lit(null).cast("long").as("duration"),
+          col("event_id").cast("string").as("keyword"),
+          col("ts"), lit("s").as("side")))
+      val bounds = tagged.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      stageOrderedSlices(tagged, stage, baseMs, cutoff)
+
+      val stream = s.readStream
+        .schema(taggedStageSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val views = stream.filter(col("side") === "v")
+        .select("contract", "category", "duration", "ts")
+      val searches = stream.filter(col("side") === "s")
+        .select("contract", "keyword", "ts")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[JoinedRow]
+      val query = Streaming.searchesBeforeView(views, searches,
+          interval = s"$intervalMinutes minutes", watermark = watermark)
+        .select(col("contract"), col("duration"), col("view_ts"),
+          col("keyword"), col("search_ts"))
+        .as[JoinedRow]
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[JoinedRow], _: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      buf.synchronized { buf.toSeq }.toDS().toDF()
         .select(col("contract").cast("long").as("user_id"),
-          col("session_start"), col("session_end"),
-          col("totalDuration").as("total_duration"),
-          col("n_events"))
-        .orderBy("user_id", "session_start")
+          col("view_ts"), col("duration"),
+          col("keyword").cast("long").as("search_event_id"),
+          col("search_ts"))
+        .orderBy("user_id", "view_ts", "search_event_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** STATEFUL running activeness under the gate: a REAL
+    * [[Streaming.runningActiveness]] (`mapGroupsWithState`, update
+    * mode) run over the staged event slices; the LAST update emitted
+    * per contract — upserted batch by batch, exactly what a downstream
+    * serving table would hold — is the contract's final distinct-day
+    * count and bucket, which equals the batch activeness aggregation,
+    * the DuckDB oracle. No sentinel: `NoTimeout` state emits on every
+    * batch a key appears in, so the final upsert is complete once all
+    * files are processed.
+    */
+  def runningActivenessFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = newStage()
+    try {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val ev = Tables(s, dir, "events").select(
+        col("user_id").cast("string").as("contract"),
+        col("event_type").as("category"),
+        floor(col("value")).cast("long").as("duration"),
+        col("ts"))
+      val bounds = ev.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      stageOrderedSlices(ev, stage, baseMs, cutoff)
+
+      val stream = s.readStream
+        .schema(sessionStageSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val last = scala.collection.mutable.HashMap.empty[String, Streaming.ActivenessUpdate]
+      val query = Streaming.runningActiveness(stream.as[Streaming.ViewEvent])
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("update")
+        .foreachBatch { (batch: Dataset[Streaming.ActivenessUpdate], _: Long) =>
+          // foreachBatch runs epochs sequentially, so last write wins
+          // in batch order — the serving-table upsert semantic
+          val rows = batch.collect()
+          last.synchronized { rows.foreach(u => last(u.contract) = u) }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      last.synchronized { last.values.toSeq }.toDS().toDF()
+        .select(col("contract").cast("long").as("user_id"),
+          col("daysActive").as("days_active"), col("activeness"))
+        .orderBy("user_id")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
