@@ -40,7 +40,18 @@ object Bench {
     Tables(s, dir, "documents").withColumn("text",
       when(pmod(col("doc_id"), lit(5)) === 0, lit(hotText)).otherwise(col("text")))
 
+  /** Every `skew_*` entry has a `base_*` twin running the SAME
+    * operator on the UNSKEWED table (same row count, same code path),
+    * so the skew tax is a direct per-pair delta in the JSON — without
+    * the pair, a skew timing is uninterpretable (is 2 s the operator
+    * or the hot key?).
+    */
   private def skewQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "base_plain_join" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))),
     "skew_plain_join" -> ((s, dir) =>
       skewedOrders(s, dir)
         .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -53,10 +64,16 @@ object Bench {
           Seq("c_custkey"), salts = 8)
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_price"))),
+    "base_dedup_exact" -> ((s, dir) =>
+      graft.ext.Dedup.exactDedup(Tables(s, dir, "documents"), "doc_id", "text")),
     "skew_dedup_exact" -> ((s, dir) =>
       graft.ext.Dedup.exactDedup(skewedDocs(s, dir), "doc_id", "text")),
+    "base_dedup_minhash" -> ((s, dir) =>
+      graft.ext.Dedup.minhashDedupPairs(Tables(s, dir, "documents"), "doc_id", "text")),
     "skew_dedup_minhash" -> ((s, dir) =>
       graft.ext.Dedup.minhashDedupPairs(skewedDocs(s, dir), "doc_id", "text")),
+    "base_dedup_ngram" -> ((s, dir) =>
+      graft.ext.Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text")),
     "skew_dedup_ngram" -> ((s, dir) =>
       graft.ext.Dedup.ngramJaccardPairs(skewedDocs(s, dir), "doc_id", "text")))
 
@@ -76,7 +93,7 @@ object Bench {
       * later reps time a cache read); median per query, -1 = failed.
       */
     def timeAll(queries: Map[String, (SparkSession, String) => DataFrame])
-        : Seq[(String, Double)] = {
+        : Seq[(String, List[Double])] = {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
@@ -100,21 +117,29 @@ object Bench {
         }
         spark.catalog.clearCache()
       }
-      def median(xs: List[Double]): Double =
-        if (xs.contains(-1.0)) -1.0
-        else {
-          val s = xs.sorted
-          s(s.size / 2)
-        }
-      names.map(n => n -> median(samples(n)))
+      names.map(n => n -> samples(n))
     }
+
+    // median for the headline; min-of-reps alongside — the same-JVM
+    // run is GC/JIT-pressure-noisy and the MIN is the statistic least
+    // contaminated by it, so cross-round regressions should be judged
+    // on min (a plan regression moves the min; noise does not)
+    def median(xs: List[Double]): Double =
+      if (xs.contains(-1.0)) -1.0
+      else { val s = xs.sorted; s(s.size / 2) }
+    def minRep(xs: List[Double]): Double =
+      if (xs.contains(-1.0)) -1.0 else xs.min
 
     def toJson(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
 
-    val results = timeAll(SparkEntry.queries)
-    val skewResults = timeAll(skewQueries)
+    val samples = timeAll(SparkEntry.queries)
+    val skewSamples = timeAll(skewQueries)
+    val results = samples.map { case (k, xs) => k -> median(xs) }
+    val skewResults = skewSamples.map { case (k, xs) => k -> median(xs) }
+    val resultsMin = samples.map { case (k, xs) => k -> minRep(xs) }
+    val skewMin = skewSamples.map { case (k, xs) => k -> minRep(xs) }
     // failures (-1 sentinels) must not SUBTRACT from the total — sum
     // the successes and list the failures explicitly (skew included:
     // a skew-stress timing cliff or failure must be driver-visible)
@@ -122,7 +147,7 @@ object Bench {
     val failed = all.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"skew":${toJson(skewResults)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"queries_min":${toJson(resultsMin)},"skew":${toJson(skewResults)},"skew_min":${toJson(skewMin)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -768,6 +768,27 @@ object CoreQueries {
              |      FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // WINDOWED AGG under the hard gate: a real append-mode streaming
+    // run of windowedCategoryStats — windows emit only when the
+    // watermark finalizes them, so the emitted set equals the batch
+    // date_trunc aggregation, which is the oracle.
+    Q("q_stream_window",
+      (s, dir) => graft.streaming.StreamingGate.windowStatsFromFiles(s, dir),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
+             |  SUM(CAST(floor(value) AS BIGINT)) AS total_duration,
+             |  count(*) AS n_events
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY window_start, user_id, event_type""".stripMargin)),
+
+    // STREAMING EXACT DEDUP under the hard gate: every distinct
+    // payload survives exactly once across micro-batch boundaries;
+    // the surviving set (payload column only — the carrier row for a
+    // duplicated payload is arrival-order-dependent) must equal the
+    // batch DISTINCT, which is the oracle.
+    Q("q_stream_dedup",
+      (s, dir) => graft.streaming.StreamingGate.streamDedupFromFiles(s, dir),
+      Some("SELECT DISTINCT props FROM events ORDER BY props")),
+
     // As-of (backward) join — Spark has no native operator; the
     // union + running-last composition attaches each view's latest
     // preceding purchase value per user. Oracle = DuckDB ASOF JOIN.

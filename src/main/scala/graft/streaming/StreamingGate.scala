@@ -203,8 +203,11 @@ object StreamingGate {
     StructField("ts", TimestampType),
     StructField("side", StringType)))
 
-  /** One emitted view↔search match (the collected join row). */
-  private final case class JoinedRow(contract: String, duration: Long,
+  /** One emitted view↔search match (the collected join row). Public:
+    * the encoder's generated code constructs and reads it
+    * reflectively, so a `private` modifier breaks codegen.
+    */
+  final case class JoinedRow(contract: String, duration: Long,
       view_ts: Timestamp, keyword: String, search_ts: Timestamp)
 
   /** STREAM-STREAM interval join under the gate: views (event_type =
@@ -278,6 +281,128 @@ object StreamingGate {
           col("keyword").cast("long").as("search_event_id"),
           col("search_ts"))
         .orderBy("user_id", "view_ts", "search_event_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** WINDOWED AGGREGATION under the gate: a REAL append-mode
+    * [[Streaming.windowedCategoryStats]] run — the watermark must
+    * finalize every hourly window (windows emit only when the
+    * watermark passes their end, so this exercises the state-eviction
+    * machinery, not just the agg), driven by the same sentinel pattern
+    * as the session gate. The finalized-window set must equal the
+    * batch `date_trunc` aggregation, which is the oracle.
+    */
+  def windowStatsFromFiles(s: SparkSession, dir: String,
+      windowDuration: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    val stage = newStage()
+    try {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val ev = Tables(s, dir, "events").select(
+        col("user_id").cast("string").as("contract"),
+        col("event_type").as("category"),
+        floor(col("value")).cast("long").as("duration"),
+        col("ts"))
+      val bounds = ev.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
+        max(col("ts")).as("maxTs")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      val nSlices = stageOrderedSlices(ev, stage, baseMs, cutoff)
+      val farFuture = new Timestamp(
+        bounds.getTimestamp(2).getTime + 365L * 24 * 3600 * 1000)
+      val later = new Timestamp(farFuture.getTime + 3600000L)
+      Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
+        writeSlice(Seq((Sentinel, "view", 0L, t))
+          .toDF("contract", "category", "duration", "ts"),
+          stage, nSlices + i, baseMs)
+      }
+
+      val stream = s.readStream
+        .schema(sessionStageSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[
+        (Timestamp, String, String, Long, Long)]
+      val query = Streaming.windowedCategoryStats(stream,
+          windowDuration = windowDuration, watermark = watermark)
+        .select(col("window.start").as("window_start"), col("contract"),
+          col("category"), col("TotalDuration"), col("n_events"))
+        .as[(Timestamp, String, String, Long, Long)]
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append") // only watermark-finalized windows emit
+        .foreachBatch {
+          (batch: Dataset[(Timestamp, String, String, Long, Long)], _: Long) =>
+            val rows = batch.collect()
+            buf.synchronized { buf ++= rows }
+            ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      buf.synchronized { buf.filter(_._2 != Sentinel).toSeq }
+        .toDF("window_start", "contract", "category", "total_duration", "n_events")
+        .select(col("window_start"),
+          col("contract").cast("long").as("user_id"),
+          col("category").as("event_type"),
+          col("total_duration"), col("n_events"))
+        .orderBy("window_start", "user_id", "event_type")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** STREAMING EXACT DEDUP under the gate: a REAL
+    * [[Streaming.streamingExactDedup]] run over the staged slices.
+    * The gate pins the state CONTRACT — every distinct payload is
+    * emitted exactly once across micro-batch boundaries (a state miss
+    * would re-emit a seen key; a state over-hold would drop a new
+    * one) — so the output projects the payload column only: which
+    * carrier ROW survives for a duplicated payload is
+    * arrival-order-dependent, but the surviving SET is exact. The
+    * watermark is set far past the replayed range so no state evicts
+    * (the eviction tradeoff is spec-covered); the result must equal
+    * the batch DISTINCT, which is the oracle.
+    */
+  def streamDedupFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage = newStage()
+    try {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val ev = Tables(s, dir, "events")
+        .select(col("props"), col("ts"))
+      val bounds = ev.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      stageOrderedSlices(ev, stage, baseMs, cutoff)
+
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("props", StringType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val query = Streaming.streamingExactDedup(stream, textCol = "props",
+          watermark = "3650 days")
+        .select("props").as[String]
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[String], _: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      buf.synchronized { buf.toSeq }.toDF("props").orderBy("props")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }

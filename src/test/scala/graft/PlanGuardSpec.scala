@@ -31,6 +31,66 @@ class PlanGuardSpec extends SparkSpec {
     withClue(offenders.mkString("\n")) { offenders shouldBe empty }
   }
 
+  /** Load-bearing plan facts for the headline queries, pinned so a
+    * plan regression fails CI instead of only drifting the bench:
+    * dict joins must broadcast, fused single-scan queries must stay
+    * single-scan, and shuffle counts must not grow.
+    */
+  test("headline queries keep their load-bearing plan shapes") {
+    val sfDir = "/root/testdata/sf0.001"
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def count(plan: String, pat: String): Int =
+      pat.r.findAllIn(plan).length
+
+    // dict lookups broadcast — a sort-merge join here would shuffle
+    // the full events table against a 4-row dictionary
+    val trending = planOf("q_trending")
+    count(trending, "BroadcastHashJoin") should be >= 2
+    count(trending, "SortMergeJoin") shouldBe 0
+
+    // the fused variants' whole point is ONE scan of events/documents
+    val trendingFused = planOf("q_trending_fused")
+    count(trendingFused, "BroadcastHashJoin") should be >= 2
+    count(trendingFused, "SortMergeJoin") shouldBe 0
+    count(trendingFused, "FileScan") shouldBe 1
+    count(planOf("q_tfidf"), "FileScan") shouldBe 1
+
+    // q1_agg: one partial-agg shuffle + the final sort, nothing else;
+    // codegen markers (*(n)) only materialize once AQE finalizes the
+    // plan, so execute before asserting whole-stage codegen is on
+    val q1df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    val q1 = q1df.queryExecution.executedPlan.toString
+    count(q1, "Exchange hashpartitioning") shouldBe 1
+    q1df.collect() // finalize THIS queryExecution (count() plans a new one)
+    count(q1df.queryExecution.executedPlan.toString,
+      "\\*\\(\\d+\\)") should be > 0 // whole-stage codegen on
+
+    // fused customer360 profile: the profile agg + quantile barrier
+    // budget is 4 shuffles / 2 scans (one scan lives in the cached
+    // quantile subtree) — growth means the fusion regressed
+    val c360 = planOf("q_customer360")
+    count(c360, "Exchange hashpartitioning") should be <= 4
+    count(c360, "FileScan") should be <= 2
+    count(c360, "SortMergeJoin") shouldBe 0
+  }
+
+  test("filter queries push their predicates into the parquet scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan (pre-AQE) exposes the scan nodes with their metadata
+    for (name <- Seq("q_filter_ops", "q_most_searched", "q_trending")) {
+      val scans = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+      withClue(s"$name: no FileSourceScanExec found") { scans should not be empty }
+      withClue(s"$name: empty PushedFilters on every scan") {
+        scans.exists(f =>
+          f.metadata.getOrElse("PushedFilters", "[]") != "[]") shouldBe true
+      }
+    }
+  }
+
   test("no registry query leaves temp views behind in the session catalog") {
     val sfDir = "/root/testdata/sf0.001"
     def views(): Set[String] =

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.Streaming.ViewEvent
+
+/** The streaming GATE harness driven over calendar boundaries the
+  * sf fixtures never cross (they span Jan 1–30 only): month and year
+  * edges, and a degenerate single-day range. Reference semantic at
+  * stake: date-partitioned daily logs (ETL_pipeline.py:22-29) cross
+  * month boundaries routinely — a staging split keyed on a calendar
+  * FIELD (day-of-month) rather than a full date would replay slices
+  * out of event-time order there, push real events beyond the
+  * watermark, and silently mis-sessionize.
+  */
+class StreamingGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Deterministic per-day events for `contracts` over [startDay,
+    * endDay]: a two-event morning session (09:00, 09:10) and a
+    * midnight-straddling session (23:50, +15 min into the NEXT day) —
+    * so sessions cross every day edge in the range, including the
+    * month/year edge.
+    */
+  private def mkEvents(contracts: Seq[String], startDay: String,
+      endDay: String): DataFrame = {
+    val start = java.time.LocalDate.parse(startDay)
+    val end = java.time.LocalDate.parse(endDay)
+    val days = Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end)).toSeq
+    val rows = for {
+      c <- contracts
+      d <- days
+    } yield Seq(
+      (c, "content", 7L, Timestamp.valueOf(d.atTime(9, 0))),
+      (c, "content", 3L, Timestamp.valueOf(d.atTime(9, 10))),
+      (c, "content", 5L, Timestamp.valueOf(d.atTime(23, 50))),
+      (c, "content", 2L, Timestamp.valueOf(d.plusDays(1).atTime(0, 5))))
+    rows.flatten.toDF("contract", "category", "duration", "ts")
+  }
+
+  /** Independent batch comparator: gaps-and-islands sessionization
+    * with window functions (the DuckDB oracle's formulation, in
+    * Spark).
+    */
+  private def batchSessions(ev: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy("contract").orderBy("ts")
+    val g = ev
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("ts").cast("double") - col("prev").cast("double") >=
+          gapMinutes * 60.0, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    g.groupBy("contract", "sid")
+      .agg(min("ts").as("session_start"),
+        (max(col("ts")) + expr(s"INTERVAL $gapMinutes MINUTES")).as("session_end"),
+        sum("duration").as("total_duration"),
+        count(lit(1)).cast("int").as("n_events"))
+      .drop("sid")
+  }
+
+  private def checkGateMatchesBatch(ev: DataFrame): DataFrame = {
+    val got = StreamingGate.closedSessionsFromEvents(spark, ev,
+      gapMinutes = 30, watermark = "1 hour")
+    val want = batchSessions(ev, 30).select(
+      "contract", "session_start", "session_end", "total_duration", "n_events")
+    rowSet(got) shouldBe rowSet(want)
+    got
+  }
+
+  test("gate: sessions crossing a MONTH boundary replay in order and match batch") {
+    val ev = mkEvents(Seq("c1", "c2"), "2024-01-20", "2024-02-10")
+    val got = checkGateMatchesBatch(ev)
+    // the midnight session on the month edge actually straddles it
+    val edge = got.filter(col("session_start") === ts("2024-01-31 23:50:00"))
+      .collect()
+    edge.length shouldBe 2 // one per contract
+    edge.foreach(_.getTimestamp(2) shouldBe ts("2024-02-01 00:35:00"))
+    // both months contribute closed sessions (nothing dropped as late)
+    got.filter(month(col("session_start")) === 1).count() should be > 0L
+    got.filter(month(col("session_start")) === 2).count() should be > 0L
+  }
+
+  test("gate: sessions crossing a YEAR boundary replay in order and match batch") {
+    val ev = mkEvents(Seq("c1"), "2023-12-25", "2024-01-05")
+    val got = checkGateMatchesBatch(ev)
+    got.filter(col("session_start") === ts("2023-12-31 23:50:00"))
+      .collect().map(_.getTimestamp(2)).toSeq shouldBe
+      Seq(ts("2024-01-01 00:35:00"))
+    got.filter(year(col("session_start")) === 2023).count() should be > 0L
+    got.filter(year(col("session_start")) === 2024).count() should be > 0L
+  }
+
+  test("gate: single-day input degenerates to one slice and still matches batch") {
+    val ev = Seq(
+      ("c1", "content", 7L, ts("2024-03-15 09:00:00")),
+      ("c1", "content", 3L, ts("2024-03-15 09:10:00")),
+      ("c1", "content", 5L, ts("2024-03-15 12:00:00")))
+      .toDF("contract", "category", "duration", "ts")
+    checkGateMatchesBatch(ev).count() shouldBe 2L
+  }
+
+  test("windowedCategoryStats: daily windows split cleanly at a month boundary") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.windowedCategoryStats(in.toDF(), "1 day", "1 day")
+      .writeStream.format("memory").queryName("wcs_mb").outputMode("complete").start()
+    try {
+      in.addData(
+        ViewEvent("c1", "content", 10L, ts("2024-01-31 23:30:00")),
+        ViewEvent("c1", "content", 5L, ts("2024-01-31 23:59:00")),
+        ViewEvent("c1", "content", 7L, ts("2024-02-01 00:01:00")))
+      q.processAllAvailable()
+      val out = spark.table("wcs_mb")
+        .selectExpr("window.start", "TotalDuration", "n_events")
+      rowSet(out) shouldBe Set(
+        Seq(ts("2024-01-31 00:00:00"), 15L, 2L),
+        Seq(ts("2024-02-01 00:00:00"), 7L, 1L))
+    } finally q.stop()
+  }
+
+  test("sessionWatch: one session merges across the month boundary") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.sessionWatch(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw_mb").outputMode("complete").start()
+    try {
+      in.addData(
+        ViewEvent("c1", "content", 10L, ts("2024-01-31 23:50:00")),
+        ViewEvent("c1", "content", 5L, ts("2024-02-01 00:05:00")), // same session
+        ViewEvent("c1", "content", 7L, ts("2024-02-01 06:00:00"))) // new session
+      q.processAllAvailable()
+      val out = spark.table("sw_mb")
+        .selectExpr("contract", "session_start", "TotalDuration", "n_events")
+      rowSet(out) shouldBe Set(
+        Seq("c1", ts("2024-01-31 23:50:00"), 15L, 2L),
+        Seq("c1", ts("2024-02-01 06:00:00"), 7L, 1L))
+    } finally q.stop()
+  }
+}
