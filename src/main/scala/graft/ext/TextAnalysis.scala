@@ -145,6 +145,41 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** PII redaction: emails, IPv4 literals, and phone-shaped digit
+    * runs replaced by typed placeholder tags — the scrubbing pass
+    * every training corpus runs before anything else sees the text.
+    * A pure `regexp_replace` chain (codegen'd, row-local, zero
+    * shuffle); the patterns avoid backreferences and lookarounds so
+    * RE2-based engines replay them identically. Email first (its
+    * local part may contain digits the later patterns would chew on),
+    * then IPs (dotted digits) before bare phone runs.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>")
+  }
+
+  /** Within-document repetition signal: the fraction of word n-grams
+    * that are duplicates of an earlier n-gram (1 − distinct/total) —
+    * the Gopher/C4-style repetition filter. Row-local higher-order
+    * array expressions (no explode, no shuffle); documents shorter
+    * than `n` tokens score 0.
+    */
+  def repeatedNgramRatio(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - (n - 1)
+    // sequence() is guarded non-negative: sequence(0, -k) counts
+    // BACKWARDS, it does not return empty
+    val grams = transform(sequence(lit(0), greatest(total, lit(1)) - 1),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double")
+        / total.cast("double"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * `h := (h*31 + (tokenHash60(t) mod 2^20)) mod 2^30`, left fold in
     * token order. Order-sensitive (unlike a bag-of-words hash) so

@@ -610,6 +610,56 @@ object ExtQueries {
               |    (a, b) -> (a * 31 + b) % $FpMod) AS fp
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII scrubbing: the derived column plants an email, a phone and
+    // an IP per row (deterministic from doc_id, so both engines build
+    // the identical input over the real table) and the redaction chain
+    // must replace all three; the doc text tail proves non-PII text
+    // passes through untouched. Row-local regexp projection.
+    Q("q_redact_pii",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.redactPii(concat_ws(" ",
+            concat(lit("contact doc"), col("doc_id").cast("string"),
+              lit("@example.com")),
+            lit("call 555-123-4567"),
+            concat(lit("ip 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string")),
+            substring(col("text"), 1, 40))).as("redacted"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    'contact doc' || doc_id || '@example.com' ||
+             |      ' call 555-123-4567 ip 10.0.0.' || (doc_id % 256) ||
+             |      ' ' || substr(text, 1, 40),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Within-doc repetition (Gopher/C4 repetition filter): fraction of
+    // duplicated word 3-grams, with the filter verdict computed from
+    // the ROUNDED ratio so the boolean can't flip on a ulp.
+    Q("q_repetition",
+      (s, dir) => docs(s, dir).select(
+          col("doc_id"),
+          round(TextAnalysis.repeatedNgramRatio(col("text"), 3), 6)
+            .as("rep_ratio"))
+        .withColumn("is_repetitive", (col("rep_ratio") > 0.5).cast("boolean"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id,
+             |    list_transform(range(0, greatest(len(ws) - 2, 1)),
+             |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS grams,
+             |    len(ws) - 2 AS total
+             |  FROM t)
+             |SELECT doc_id,
+             |  round(CASE WHEN total <= 0 THEN 0.0
+             |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total
+             |    END, 6) AS rep_ratio,
+             |  round(CASE WHEN total <= 0 THEN 0.0
+             |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total
+             |    END, 6) > 0.5 AS is_repetitive
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Stable md5-derived train/valid/test split (layout-independent,
     // re-run-stable — the property a training split must have).
     Q("q_hash_split",

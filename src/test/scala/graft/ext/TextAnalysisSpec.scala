@@ -114,6 +114,35 @@ class TextAnalysisSpec extends SparkSpec {
     hot should be >= 250L
   }
 
+  test("redactPii: emails, IPs and phone runs replaced; clean text untouched") {
+    val out = Seq(
+      "mail me at john.doe+x@corp.example.org now",
+      "server 192.168.0.1 port 8080",
+      "call 555 123 4567 or 555-123-4567",
+      "no pii here 12.5 degrees v1.2")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    out(0) shouldBe "mail me at <EMAIL> now"
+    out(1) shouldBe "server <IP> port 8080"
+    out(2) shouldBe "call <PHONE> or <PHONE>"
+    out(3) shouldBe "no pii here 12.5 degrees v1.2"
+  }
+
+  test("repeatedNgramRatio: distinct grams score 0, repeated grams the dup fraction") {
+    val out = Seq(
+      "a b c d e",   // 3 distinct 3-grams
+      "a a a a a",   // one distinct 3-gram of 3 → 2/3 duplicated
+      "a b",         // shorter than n
+      "")            // empty
+      .toDF("t")
+      .select(round(TextAnalysis.repeatedNgramRatio(col("t"), 3), 6).as("r"))
+      .as[Double].collect()
+    out(0) shouldBe 0.0
+    out(1) shouldBe 0.666667
+    out(2) shouldBe 0.0
+    out(3) shouldBe 0.0
+  }
+
   test("tokenHash60: stable 60-bit non-negative hash, distinct across tokens") {
     val df = Seq("alpha", "beta", "alpha").toDF("t")
       .select(TextAnalysis.tokenHash60(col("t")).as("h"))
