@@ -339,6 +339,40 @@ object ExtQueries {
               |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // SEMANTIC DEDUP CLUSTERS: the composition the corpus pipeline
+    // actually runs — embedding-cosine near-dup pairs from the LSH
+    // bucket join feed the same min-label/pointer-doubling clustering
+    // as the text path (operators compose; nothing is re-implemented).
+    // Oracle = LSH replay + cosine filter + recursive-CTE components.
+    Q("q_semantic_clusters",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Dedup.nearDupClusters(
+            e.select(col("vec_id").as("id")),
+            Similarity.lshNearDupPairs(e, minCos = 0.45)
+              .select("id_a", "id_b"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $embNormSql,
+              |$lshIndexSql,
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+              |  FROM idx a JOIN idx b
+              |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |p AS (
+              |  SELECT ia, ib FROM cand
+              |  JOIN n na ON ia = na.vec_id JOIN n nb ON ib = nb.vec_id
+              |  WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.45),
+              |edges AS (
+              |  SELECT ia AS src, ib AS dst FROM p
+              |  UNION ALL SELECT ib, ia FROM p),
+              |reach(id, lab) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src)
+              |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin)),
+
     // Embedding-cosine near-dup — exact all-pairs BASELINE. Small-scale
     // oracle twin of q_embed_neardup_lsh (the non-equi self-join is a
     // nested loop — documented as the thing the LSH path replaces at
