@@ -130,8 +130,11 @@ object Bench {
     def minRep(xs: List[Double]): Double =
       if (xs.contains(-1.0)) -1.0 else xs.min
 
+    // ms precision — full doubles double the line length, and the
+    // driver captures a bounded TAIL of it (r3's line lost its head,
+    // including `total`); see also the trailing `value_tail` below
     def toJson(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + v }
+      results.map { case (k, v) => f""""$k":${v}%.3f""" }
         .mkString("{", ",", "}")
 
     val samples = timeAll(SparkEntry.queries)
@@ -147,7 +150,9 @@ object Bench {
     val failed = all.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"queries_min":${toJson(resultsMin)},"skew":${toJson(skewResults)},"skew_min":${toJson(skewMin)},"sf":"$sfDir"}""")
+    // `value_tail` duplicates the total at the END of the line so a
+    // head-truncated capture still carries the headline number
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"queries_min":${toJson(resultsMin)},"skew":${toJson(skewResults)},"skew_min":${toJson(skewMin)},"sf":"$sfDir","value_tail":$total%.3f}""")
     spark.stop()
   }
 }
