@@ -768,6 +768,57 @@ object CoreQueries {
              |      FROM events GROUP BY user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // Left-semi join face: existence filtering without duplication —
+    // the shape Catalyst also rewrites IN-subqueries and INTERSECT
+    // into; at scale it ships only the join keys of the probe side.
+    Q("q_semi_join",
+      (s, dir) => Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Set-operator faces: INTERSECT and EXCEPT (both distinct-set
+    // semantics — Spark plans them as semi/anti joins over distincts,
+    // so they inherit the same scale shape as q_semi_join).
+    Q("q_set_ops",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val viewers = ev.filter(col("event_type") === "view").select("user_id")
+        val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
+        viewers.intersect(buyers).withColumn("tag", lit("both"))
+          .unionByName(viewers.except(buyers).withColumn("tag", lit("view_only")))
+          .orderBy("user_id", "tag")
+      },
+      Some("""SELECT user_id, 'both' AS tag FROM
+             |  (SELECT user_id FROM events WHERE event_type = 'view'
+             |   INTERSECT
+             |   SELECT user_id FROM events WHERE event_type = 'purchase')
+             |UNION ALL
+             |SELECT user_id, 'view_only' AS tag FROM
+             |  (SELECT user_id FROM events WHERE event_type = 'view'
+             |   EXCEPT
+             |   SELECT user_id FROM events WHERE event_type = 'purchase')
+             |ORDER BY user_id, tag""".stripMargin)),
+
+    // Collect-aggregate face: the per-key gathered list, made
+    // deterministic (collect_set is orderless → sort_array) and
+    // projected to a string so the cross-engine compare is exact.
+    Q("q_collect_agg",
+      (s, dir) => Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+            .as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+             |  count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // WINDOWED AGG under the hard gate: a real append-mode streaming
     // run of windowedCategoryStats — windows emit only when the
     // watermark finalizes them, so the emitted set equals the batch
