@@ -29,6 +29,19 @@ object GraftSession {
     "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
     "spark.sql.session.timeZone" -> "UTC")
 
+  /** Production streaming profile: RocksDB-backed state store. The
+    * default HDFSBackedStateStoreProvider keeps every key's state on
+    * the executor HEAP — at 100 TB/day key cardinality that is an OOM,
+    * not a tuning problem; RocksDB spills state to local disk with
+    * incremental checkpointing. Not the local/test default (tiny state,
+    * JNI startup cost); a deployment merges this into its conf. The
+    * stateful operators are provider-agnostic — pinned by the RocksDB
+    * case in StreamingGateSpec.
+    */
+  val rocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   def builder(parallelism: Int, appName: String = "graft"): SparkSession.Builder =
     tuningConfigs(parallelism).foldLeft(
       SparkSession.builder().appName(appName)) {

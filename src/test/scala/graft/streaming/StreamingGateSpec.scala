@@ -109,6 +109,35 @@ class StreamingGateSpec extends SparkSpec {
     checkGateMatchesBatch(ev).count() shouldBe 2L
   }
 
+  test("closedSessions runs unchanged on the RocksDB state store (production profile)") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.GraftSession.rocksDbStateStore(key))
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ViewEvent]
+      val q = Streaming.closedSessions(in.toDS(), gapMs = 30L * 60 * 1000,
+        watermark = "1 hour")
+        .writeStream.format("memory").queryName("cs_rocks").outputMode("append").start()
+      try {
+        in.addData(
+          ViewEvent("c1", "content", 10L, ts("2024-01-31 23:50:00")),
+          ViewEvent("c1", "content", 5L, ts("2024-02-01 00:05:00")))
+        q.processAllAvailable()
+        // a much later event closes the session in-batch — the state
+        // round-trips through RocksDB across micro-batches
+        in.addData(ViewEvent("c1", "content", 7L, ts("2024-02-01 12:00:00")))
+        q.processAllAvailable()
+        rowSet(spark.table("cs_rocks").selectExpr("contract", "session_start",
+          "session_end", "totalDuration", "n_events")) shouldBe Set(
+          Seq("c1", ts("2024-01-31 23:50:00"), ts("2024-02-01 00:35:00"), 15L, 2))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("windowedCategoryStats: daily windows split cleanly at a month boundary") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
