@@ -491,6 +491,25 @@ object Dedup {
     labels.union(singletons)
   }
 
+  /** Exact edit-distance verification over candidate pairs — the
+    * short-text fuzzy-dedup finisher: a banding pass (SimHash/MinHash)
+    * proposes candidates, and Levenshtein scores each one exactly.
+    * The candidate frame is broadcast (candidates ≪ corpus by
+    * construction — that is the whole point of banding), so the corpus
+    * is scanned twice but never shuffled; the O(|a|·|b|) distance runs
+    * once per candidate pair, never per cross-pair.
+    */
+  def editDistanceVerify(d: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val t = d.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val withA = t.join(broadcast(pairs.select("id_a", "id_b")),
+        col("__id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("__text").as("__text_a"))
+    t.join(broadcast(withA), col("__id") === col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__text_a"), col("__text")).as("edit_dist"))
+  }
+
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
     * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
     * route through [[Similarity]]'s LSH bucketing first.

@@ -50,6 +50,30 @@ object Merge {
       .drop("index" +: dropCols: _*)
   }
 
+  /** Batch upsert — the MERGE INTO shape of the load stage
+    * (ETL_pipeline.py:198-211 overwrites the whole table per run; this
+    * is the keyed refresh a production load does instead): rows in
+    * `updates` replace `base` rows with the same key, unmatched update
+    * rows insert, unmatched base rows persist. One unionByName + one
+    * keyed window = a single shuffle on the key, the minimum any
+    * hash-based MERGE pays; at 100 TB route recurring upserts through
+    * bucketed layouts (io.Sinks.BucketedTableSink) so even that
+    * shuffle amortizes to zero. `tieBreak` orders within `updates`
+    * when it carries several rows per key (e.g. latest-timestamp
+    * wins); ties beyond it keep an arbitrary update row, so pass a
+    * total order anywhere the output is compared.
+    */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String],
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__src").desc +: tieBreak: _*)
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
   /** P6 — the reference's Total_ rename loop (ETL_pipeline.py:292-294)
     * as a single select (one projection, not five plan rewrites).
     */

@@ -781,6 +781,34 @@ object CoreQueries {
              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Batch upsert (MERGE INTO shape): updates derived from the base
+    // table itself (upper-cased names for keys ≡ 0 mod 3; inserts at
+    // shifted keys for keys ≡ 0 mod 7) so both engines build identical
+    // input; matched rows replace, unmatched updates insert, the rest
+    // persist — one shuffle on the key.
+    Q("q_upsert",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment")
+        val updates = cust
+          .filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .withColumn("c_name", upper(col("c_name")))
+          .unionByName(cust
+            .filter(pmod(col("c_custkey"), lit(7)) === 0)
+            .withColumn("c_custkey", col("c_custkey") + 1000000)
+            .withColumn("c_name", upper(col("c_name"))))
+        graft.ops.Merge.upsertByKey(cust, updates, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+             |  c_mktsegment
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey + 1000000, upper(c_name), c_mktsegment
+             |FROM customer WHERE c_custkey % 7 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Set-operator faces: INTERSECT and EXCEPT (both distinct-set
     // semantics — Spark plans them as semi/anti joins over distincts,
     // so they inherit the same scale shape as q_semi_join).

@@ -339,6 +339,41 @@ object ExtQueries {
               |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // FUZZY-DEDUP FINISHER: exact Levenshtein over the SimHash-banded
+    // candidates — banding proposes, edit distance disposes; the
+    // candidate frame broadcasts so the corpus never shuffles for the
+    // verify. Both engines compute the same unit-cost edit distance.
+    Q("q_edit_pairs",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.editDistanceVerify(d, "doc_id", "text",
+            Dedup.simhashBandedPairs(
+              Dedup.simhash(d, "doc_id", "text"), maxDist = 3))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              |          FROM documents),
+              |h AS (SELECT id, ${h60("tok")} AS h FROM t),
+              |v AS (SELECT id,
+              |    $simhashVotesSql
+              |  FROM h GROUP BY id),
+              |fp AS (SELECT id, $simhashFpSql AS simhash FROM v),
+              |chunks AS (
+              |  SELECT id, simhash, ch.chunk,
+              |    (simhash >> (ch.chunk * ${SimhashBits / 4})) & ${(1L << (SimhashBits / 4)) - 1} AS chunk_val
+              |  FROM fp CROSS JOIN (VALUES (0), (1), (2), (3)) AS ch(chunk)),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS ia, b.id AS ib,
+              |    a.simhash AS sa, b.simhash AS sb
+              |  FROM chunks a JOIN chunks b
+              |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.id < b.id),
+              |cand AS (SELECT ia, ib FROM pairs WHERE bit_count(xor(sa, sb)) <= 3)
+              |SELECT ia AS id_a, ib AS id_b,
+              |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist
+              |FROM cand JOIN documents da ON ia = da.doc_id
+              |          JOIN documents db ON ib = db.doc_id
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // SEMANTIC DEDUP CLUSTERS: the composition the corpus pipeline
     // actually runs — embedding-cosine near-dup pairs from the LSH
     // bucket join feed the same min-label/pointer-doubling clustering

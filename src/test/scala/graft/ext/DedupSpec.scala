@@ -231,6 +231,13 @@ class DedupSpec extends SparkSpec {
     got("d") shouldBe "d"
   }
 
+  test("editDistanceVerify: exact Levenshtein per candidate pair") {
+    val d = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    rowSet(Dedup.editDistanceVerify(d, "id", "text", pairs)) shouldBe Set(
+      Seq(1L, 2L, 3), Seq(1L, 3L, 0))
+  }
+
   test("embeddingNearDupPairs: cosine threshold on hand vectors") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -35,6 +35,20 @@ class MergeSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("k", "rk", "rv")
   }
 
+  test("upsertByKey: matched rows replace, unmatched updates insert, rest persist") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val updates = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    rowSet(Merge.upsertByKey(base, updates, Seq("k"))) shouldBe
+      Set(Seq(1, "a"), Seq(2, "B"), Seq(3, "c"), Seq(4, "D"))
+  }
+
+  test("upsertByKey: tieBreak picks the winning update row within a key") {
+    val base = Seq((1, "old", 0)).toDF("k", "v", "ts")
+    val updates = Seq((1, "early", 5), (1, "late", 9)).toDF("k", "v", "ts")
+    rowSet(Merge.upsertByKey(base, updates, Seq("k"),
+      tieBreak = Seq(col("ts").desc))) shouldBe Set(Seq(1, "late", 9))
+  }
+
   test("renameWithPrefix: renames listed columns only, preserves order") {
     val df = Seq((1, 2, 3)).toDF("a", "b", "c")
     val out = Merge.renameWithPrefix(df, Seq("a", "c"), "Total_")
