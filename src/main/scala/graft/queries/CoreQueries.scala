@@ -781,6 +781,38 @@ object CoreQueries {
              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Data-quality constraint report (the deequ-style validation a
+    // load gates on): four rules — completeness, key uniqueness, a
+    // numeric range and a categorical domain — measured in ONE
+    // aggregation pass; the range rule genuinely fails on this data,
+    // exercising the violation branch.
+    Q("q_data_quality",
+      (s, dir) => {
+        import graft.ext.Quality
+        Quality.report(Tables(s, dir, "events"), Seq(
+          Quality.Rule("event_id_unique",
+            Quality.uniqueness(col("event_id")), _ >= 1.0),
+          Quality.Rule("event_type_known",
+            Quality.inSetRatio(col("event_type"),
+              Seq("click", "view", "purchase", "signup", "error")), _ >= 1.0),
+          Quality.Rule("user_id_complete",
+            Quality.completeness(col("user_id")), _ >= 1.0),
+          Quality.Rule("value_in_0_100",
+            Quality.inRangeRatio(col("value"), 0.0, 100.0), _ >= 1.0)))
+          .orderBy("rule")
+      },
+      Some("""WITH m AS (SELECT
+             |  round(CAST(count(DISTINCT event_id) AS DOUBLE) / greatest(count(*), 1), 6) AS uq,
+             |  round(CAST(SUM(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6) AS ik,
+             |  round(CAST(count(user_id) AS DOUBLE) / greatest(count(*), 1), 6) AS cp,
+             |  round(CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0.0 AND value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6) AS rng
+             |  FROM events)
+             |SELECT 'event_id_unique' AS rule, uq AS value, uq >= 1.0 AS passed FROM m
+             |UNION ALL SELECT 'event_type_known', ik, ik >= 1.0 FROM m
+             |UNION ALL SELECT 'user_id_complete', cp, cp >= 1.0 FROM m
+             |UNION ALL SELECT 'value_in_0_100', rng, rng >= 1.0 FROM m
+             |ORDER BY rule""".stripMargin)),
+
     // Batch upsert (MERGE INTO shape): updates derived from the base
     // table itself (upper-cased names for keys ≡ 0 mod 3; inserts at
     // shifted keys for keys ≡ 0 mod 7) so both engines build identical
