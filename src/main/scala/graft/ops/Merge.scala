@@ -74,6 +74,29 @@ object Merge {
       .drop("__src", "__rn")
   }
 
+  /** SCD Type-2 apply — the history-tracking upsert: `updates` rows
+    * (carrying `effective` as their change timestamp) become new open
+    * versions; the previously-open version of each key closes at the
+    * next version's start; already-closed periods are immutable
+    * (their `valid_to` is non-null and `coalesce` preserves it); the
+    * latest version per key stays open (`valid_to` null). One
+    * unionByName + one keyed window — same single-shuffle shape as
+    * [[upsertByKey]], with the window computing `lead(valid_from)`
+    * instead of picking a winner. Multiple updates per key chain
+    * correctly in one call (each closes at the next's start).
+    */
+  def scd2Apply(history: DataFrame, updates: DataFrame, keys: Seq[String],
+      effective: String): DataFrame = {
+    val toType = history.schema("valid_to").dataType
+    val newRows = updates.withColumnRenamed(effective, "valid_from")
+      .withColumn("valid_to", lit(null).cast(toType))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("valid_from"))
+    history.unionByName(newRows)
+      .withColumn("__next", lead(col("valid_from"), 1).over(w))
+      .withColumn("valid_to", coalesce(col("valid_to"), col("__next")))
+      .drop("__next")
+  }
+
   /** P6 — the reference's Total_ rename loop (ETL_pipeline.py:292-294)
     * as a single select (one projection, not five plan rewrites).
     */

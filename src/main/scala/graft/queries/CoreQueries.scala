@@ -781,6 +781,45 @@ object CoreQueries {
              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // SCD Type-2 history apply: a closed legacy period (keys ≡ 0 mod
+    // 5), a currently-open version for every key, and an update wave
+    // (keys ≡ 0 mod 3) — the open rows must close at the update's
+    // effective date, closed periods stay immutable, the newest
+    // version stays open. All inputs derive from the base table so
+    // both engines build identical history.
+    Q("q_scd2",
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        val hist = cust
+          .withColumn("valid_from", lit(java.sql.Date.valueOf("2024-01-01")))
+          .withColumn("valid_to", lit(null).cast("date"))
+          .unionByName(cust.filter(pmod(col("c_custkey"), lit(5)) === 0)
+            .withColumn("c_mktsegment", lit("LEGACY"))
+            .withColumn("valid_from", lit(java.sql.Date.valueOf("2023-01-01")))
+            .withColumn("valid_to", lit(java.sql.Date.valueOf("2024-01-01"))))
+        val upd = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .withColumn("c_mktsegment", lit("UPDATED"))
+          .withColumn("eff", lit(java.sql.Date.valueOf("2024-06-01")))
+        graft.ops.Merge.scd2Apply(hist, upd, Seq("c_custkey"), "eff")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH hist AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, 'LEGACY', DATE '2023-01-01', DATE '2024-01-01'
+             |  FROM customer WHERE c_custkey % 5 = 0),
+             |upd AS (
+             |  SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+             |    DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+             |  FROM customer WHERE c_custkey % 3 = 0),
+             |a AS (SELECT * FROM hist UNION ALL SELECT * FROM upd)
+             |SELECT c_custkey, c_mktsegment, valid_from,
+             |  coalesce(valid_to, lead(valid_from)
+             |    OVER (PARTITION BY c_custkey ORDER BY valid_from)) AS valid_to
+             |FROM a ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // Data-quality constraint report (the deequ-style validation a
     // load gates on): four rules — completeness, key uniqueness, a
     // numeric range and a categorical domain — measured in ONE

@@ -49,6 +49,33 @@ class MergeSpec extends SparkSpec {
       tieBreak = Seq(col("ts").desc))) shouldBe Set(Seq(1, "late", 9))
   }
 
+  test("scd2Apply: open rows close at the update, closed periods immutable, newest stays open") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val hist = Seq(
+      (1, "old", d("2023-01-01"), Option(d("2024-01-01"))), // closed period
+      (1, "cur", d("2024-01-01"), Option.empty[java.sql.Date]), // open
+      (2, "cur", d("2024-01-01"), Option.empty[java.sql.Date])) // open, no update
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1, "new", d("2024-06-01"))).toDF("k", "v", "eff")
+    rowSet(Merge.scd2Apply(hist, upd, Seq("k"), "eff")) shouldBe Set(
+      Seq(1, "old", d("2023-01-01"), d("2024-01-01")), // untouched
+      Seq(1, "cur", d("2024-01-01"), d("2024-06-01")), // closed by update
+      Seq(1, "new", d("2024-06-01"), null),            // new open version
+      Seq(2, "cur", d("2024-01-01"), null))            // still open
+  }
+
+  test("scd2Apply: multiple updates per key chain in one call") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val hist = Seq((1, "a", d("2024-01-01"), Option.empty[java.sql.Date]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq((1, "b", d("2024-02-01")), (1, "c", d("2024-03-01")))
+      .toDF("k", "v", "eff")
+    rowSet(Merge.scd2Apply(hist, upd, Seq("k"), "eff")) shouldBe Set(
+      Seq(1, "a", d("2024-01-01"), d("2024-02-01")),
+      Seq(1, "b", d("2024-02-01"), d("2024-03-01")),
+      Seq(1, "c", d("2024-03-01"), null))
+  }
+
   test("renameWithPrefix: renames listed columns only, preserves order") {
     val df = Seq((1, 2, 3)).toDF("a", "b", "c")
     val out = Merge.renameWithPrefix(df, Seq("a", "c"), "Total_")
