@@ -127,6 +127,26 @@ object TrainingData {
     df.filter(splitBucket(key, 1000) < rate)
   }
 
+  /** Deterministic fixed-N sample per stratum: exactly
+    * min(n, |stratum|) rows per stratum, chosen by md5-hash order with
+    * the key as total tie-break — layout-independent and re-run-stable
+    * like every sampler here, but with an EXACT size ("exactly 10k
+    * examples per language") that rate-based sampling cannot promise.
+    * Costs one shuffle on the stratum (the rank window) — when a rate
+    * is acceptable, [[stratifiedHashSample]] is the zero-shuffle path;
+    * a skew note: a mega-stratum makes a mega-partition, so pick the
+    * stratum column at sensible cardinality or pre-salt.
+    */
+  def fixedNPerStratum(df: DataFrame, key: Column, strataCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Weighted repetition (epoch upsampling): each row of stratum s is
     * emitted `weights(s)` times (default `defaultCopies`) with a
     * 0-based `copy` index — the standard "high-quality sources get

@@ -860,6 +860,20 @@ object ExtQueries {
               |       WHEN source = 'src1' THEN 500 ELSE 1000 END
               |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic fixed-N per-stratum sample: exactly 50 docs per
+    // source by md5-hash order — the exact-size counterpart of the
+    // rate-based stratified sample above.
+    Q("q_fixed_sample",
+      (s, dir) => TrainingData.fixedNPerStratum(
+          docs(s, dir), col("doc_id"), "source", n = 50)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 50
+             |ORDER BY doc_id""".stripMargin)),
+
     // Weighted repetition (epoch upsampling): src0 ×3, src2 dropped,
     // everything else ×1 — the training-mix knob as a generator
     // projection (weight 0 = empty sequence = stratum removed).

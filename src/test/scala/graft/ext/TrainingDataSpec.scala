@@ -113,6 +113,25 @@ class TrainingDataSpec extends SparkSpec {
       .count() shouldBe 300L
   }
 
+  test("fixedNPerStratum: exact size per stratum, layout-stable, nested") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val s = TrainingData.fixedNPerStratum(df, col("id"), "src", n = 20)
+    s.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 20L, "b" -> 20L)
+    // stratum smaller than n → whole stratum survives
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "src")
+    TrainingData.fixedNPerStratum(tiny, col("id"), "src", n = 10)
+      .count() shouldBe 3L
+    // layout-independent: same survivors after repartition
+    rowSet(TrainingData.fixedNPerStratum(df.repartition(11), col("id"), "src", 20)) shouldBe
+      rowSet(s)
+    // nested growth: top-20 ⊂ top-50 per stratum (hash order is a total order)
+    rowSet(s) subsetOf
+      rowSet(TrainingData.fixedNPerStratum(df, col("id"), "src", 50)) shouldBe true
+  }
+
   test("repeatByWeight: copy counts per stratum, weight 0 drops the stratum") {
     val df = Seq((1L, "hi"), (2L, "lo"), (3L, "drop"), (4L, "mid"))
       .toDF("id", "src")
