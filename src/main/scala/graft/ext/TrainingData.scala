@@ -147,6 +147,62 @@ object TrainingData {
       .drop("__rk")
   }
 
+  /** Temperature-flattened corpus mix (α = 0.5): downsample each
+    * stratum so expected sampled sizes are ∝ √n_s — the standard
+    * multilingual/multi-source rebalancing knob ("sample language s
+    * with probability ∝ n_s^α"), normalized so the SMALLEST stratum is
+    * kept whole (a filter can only downsample). Per-stratum keep rate
+    * in permille:
+    *
+    *   rate_s = floor( sqrt( (1\,000\,000 · n_min) div n_s ) )
+    *
+    * α is fixed at 0.5 deliberately: `sqrt` of an exact integer is
+    * correctly rounded under IEEE-754 on every engine, and the
+    * argument is produced by INTEGER division — so the rate is
+    * bit-identical across Spark and any SQL oracle, with no
+    * `pow(double)` cross-engine drift. Membership then reuses the
+    * layout-independent [[splitBucket]] hash.
+    *
+    * Shape at scale: one tiny `groupBy(strata).count()` agg (rows =
+    * #strata), min over that, broadcast back — the corpus itself is
+    * scanned with a pure filter, never shuffled. Same ship-the-
+    * quantizer pattern as IVF centroid seeding.
+    */
+  def temperatureMix(df: DataFrame, key: Column, strataCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .select(col(strataCol),
+        floor(sqrt(expr("(1000000 * __nmin) div __n").cast("double")))
+          .cast("int").as("__rate"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(splitBucket(key, 1000) < col("__rate"))
+      .select(df.columns.map(col): _*) // restore caller's column order
+  }
+
+  /** Cap each stratum at a token budget: walk the stratum in md5-hash
+    * order (key as total tie-break — the same stable order as
+    * [[fixedNPerStratum]]) and keep documents while the running token
+    * count BEFORE the document is under `budget` — so the straddling
+    * document is kept and every stratum lands in
+    * [budget, budget + max_doc_tokens). The "no more than N tokens
+    * from any one domain" corpus-construction rule as one
+    * cumulative-sum window. Skew note: one window partition per
+    * stratum — a mega-stratum makes a mega-partition; pre-salt or
+    * sub-shard `strataCol` if a single stratum exceeds executor-
+    * partition scale.
+    */
+  def capTokensPerStratum(df: DataFrame, key: Column, strataCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(key.cast("string")), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__before", sum(col("__nt")).over(w) - col("__nt"))
+      .filter(col("__before") < budget)
+      .drop("__nt", "__before")
+  }
+
   /** Weighted repetition (epoch upsampling): each row of stratum s is
     * emitted `weights(s)` times (default `defaultCopies`) with a
     * 0-based `copy` index — the standard "high-quality sources get

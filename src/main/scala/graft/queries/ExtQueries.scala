@@ -874,6 +874,41 @@ object ExtQueries {
              |WHERE rk <= 50
              |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-flattened language mix (α = 0.5): per-lang keep rate
+    // floor(sqrt((1e6·n_min) div n_s)) permille — integer div + sqrt of
+    // an exact integer is correctly rounded everywhere, so the rate is
+    // bit-identical cross-engine (no pow(double) drift).
+    Q("q_temperature_mix",
+      (s, dir) => TrainingData.temperatureMix(
+          docs(s, dir), col("doc_id"), "lang")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+              |r AS (SELECT lang, CAST(floor(sqrt(CAST(
+              |    (1000000 * (SELECT min(n) FROM c)) // n AS DOUBLE))) AS INT) AS rate
+              |  FROM c)
+              |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+              |FROM documents d JOIN r USING (lang)
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < rate
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source token-budget cap: keep docs in md5-hash order while
+    // the running token count before the doc is under 800 — the "no
+    // more than N tokens from any one domain" rule; straddler kept.
+    Q("q_token_cap",
+      (s, dir) => TrainingData.capTokensPerStratum(
+          docs(s, dir), col("doc_id"), "source", "text", budget = 800L)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM (
+             |  SELECT *, sum(len(string_split(text, ' '))) OVER (
+             |      PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    - len(string_split(text, ' ')) AS tok_before
+             |  FROM documents)
+             |WHERE tok_before < 800
+             |ORDER BY doc_id""".stripMargin)),
+
     // Weighted repetition (epoch upsampling): src0 ×3, src2 dropped,
     // everything else ×1 — the training-mix knob as a generator
     // projection (weight 0 = empty sequence = stratum removed).

@@ -132,6 +132,45 @@ class TrainingDataSpec extends SparkSpec {
       rowSet(TrainingData.fixedNPerStratum(df, col("id"), "src", 50)) shouldBe true
   }
 
+  test("temperatureMix: smallest stratum whole, rates follow sqrt(n_min/n_s)") {
+    // strata sizes 400 / 100 / 25 → n_min 25 → rates 250‰ / 500‰ / 1000‰
+    val df = ((1L to 400L).map((_, "a")) ++ (401L to 500L).map((_, "b")) ++
+      (501L to 525L).map((_, "c"))).toDF("id", "src")
+    val out = TrainingData.temperatureMix(df, col("id"), "src")
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("c") shouldBe 25L // smallest stratum fully kept
+    // expected ≈ n_s · rate/1000 = 100 / 50 / 25: generous hash bands
+    kept("a").toDouble should be (100.0 +- 40.0)
+    kept("b").toDouble should be (50.0 +- 25.0)
+    // survivors ≡ the stratified hash sample at the derived rates —
+    // pins the rate formula (400: 1e6·25/400 = 62500 → √ = 250)
+    rowSet(out) shouldBe rowSet(TrainingData.stratifiedHashSample(
+      df, col("id"), "src", Map("a" -> 250, "b" -> 500, "c" -> 1000)))
+    // layout-independent
+    rowSet(TrainingData.temperatureMix(df.repartition(9), col("id"), "src")) shouldBe
+      rowSet(out)
+  }
+
+  test("capTokensPerStratum: cuts at the budget in hash order, straddler kept") {
+    val df = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f"), (3L, "s", "g h"),
+      (4L, "t", "x y z w v u")).toDF("id", "src", "text")
+    // hash order within s drives who is "before" the cut; compute it
+    val order = df.filter(col("src") === "s")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .collect().map(_.getLong(0))
+    // budget 4: first doc (≤3 tokens, before=0) kept; second doc
+    // before=3 < 4 kept (straddler); third before≥5 dropped
+    val out = TrainingData.capTokensPerStratum(df, col("id"), "src", "text", 4L)
+    val keptS = out.filter(col("src") === "s").collect().map(_.getLong(0)).toSet
+    keptS shouldBe order.take(2).toSet
+    // t: single 6-token doc, before=0 < 4 → kept whole
+    out.filter(col("src") === "t").count() shouldBe 1L
+    // schema passes through unchanged (helper cols dropped)
+    out.columns.toSeq shouldBe Seq("id", "src", "text")
+  }
+
   test("repeatByWeight: copy counts per stratum, weight 0 drops the stratum") {
     val df = Seq((1L, "hi"), (2L, "lo"), (3L, "drop"), (4L, "mid"))
       .toDF("id", "src")
