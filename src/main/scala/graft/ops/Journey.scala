@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over an event log: ordered funnels and
+  * cohort retention — the two workhorse behavioral queries a Customer
+  * 360 store gets asked next, after the per-user profile
+  * (SURVEY.md §3.1's interaction branch is the per-user face; these
+  * are the across-users faces).
+  */
+object Journey {
+
+  /** Strictly-ordered funnel: a user completes step k at the EARLIEST
+    * event of `steps(k)` that is strictly later than their step-k-1
+    * completion (greedy earliest chain — identical to the classic
+    * sequential-min-CTE definition, since each minimum is taken over
+    * events after the previous minimum).
+    *
+    * Shape at scale: filter to funnel event types (pushed to the
+    * scan), ONE shuffle on the user key, then a per-user sorted fold
+    * (`aggregate` over the collected step events — state is one
+    * timestamp per step, O(steps)); the final per-step rollup is a
+    * `steps.size`-row aggregate. No self-joins, no per-step passes
+    * over the log. Per-user collected state is only that user's
+    * funnel-step events; a pathological hot user is bounded by their
+    * own event count (salt the user key upstream if one user exceeds
+    * a partition).
+    *
+    * Output: one row per step — `step_idx`, `step`, `n_users` (users
+    * completing the step), `total_delay_us` (sum over completing
+    * users of microseconds since their previous step; 0 for step 0) —
+    * exact integers, so the oracle compare is drift-free.
+    */
+  def funnel(df: DataFrame, userCol: Column, tsCol: Column,
+      typeCol: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val k = steps.size
+    val stepIdx = steps.tail.zipWithIndex.foldLeft(
+      when(typeCol === steps.head, 0)) { case (w, (s, i)) => w.when(typeCol === s, i + 1) }
+
+    val perUser = df
+      .filter(typeCol.isin(steps: _*))
+      .select(userCol.as("__u"), tsCol.as("__ts"), stepIdx.as("__k"))
+      .groupBy("__u")
+      .agg(array_sort(collect_list(struct(col("__ts").as("ts"), col("__k").as("k"))))
+        .as("evs"))
+      // Greedy chain fold: acc(k) = completion time of step k (1-based
+      // element_at; pos k-1). An event advances step e.k iff that step
+      // is still open and the previous step closed strictly earlier.
+      // CaseWhen branches evaluate lazily, so element_at(acc, 0) is
+      // never touched for step-0 events (ANSI-safe).
+      .withColumn("reach", aggregate(
+        col("evs"),
+        array_repeat(lit(null).cast("timestamp"), k),
+        (acc, e) => {
+          val ki = e.getField("k")
+          val ts = e.getField("ts")
+          val prevClosed = when(ki === 0, lit(true))
+            .otherwise(element_at(acc, ki).isNotNull && ts > element_at(acc, ki))
+          transform(acc, (t, i) =>
+            when(i === ki && t.isNull && prevClosed, ts).otherwise(t))
+        }))
+
+    perUser
+      .select(col("reach"), posexplode(col("reach")).as(Seq("si", "rt")))
+      .withColumn("delay_us",
+        when(col("rt").isNull, lit(null).cast("long"))
+          .when(col("si") === 0, lit(0L))
+          .otherwise(unix_micros(col("rt")) -
+            unix_micros(element_at(col("reach"), col("si")))))
+      .groupBy("si")
+      .agg(count(col("rt")).as("n_users"), sum(col("delay_us")).as("total_delay_us"))
+      .select(
+        col("si").cast("int").as("step_idx"),
+        element_at(array(steps.map(lit): _*), col("si") + 1).as("step"),
+        col("n_users"), col("total_delay_us"))
+      .orderBy("step_idx")
+  }
+
+  /** Weekly cohort retention: cohort = ISO week (Monday-aligned
+    * `date_trunc`) of a user's first event; a cohort member is
+    * "active at offset w" if they have any event in cohort-week + w.
+    *
+    * Shape at scale: ONE shuffle on the user key collapses the log to
+    * (user, first-week, distinct-active-weeks) — per-user state is
+    * bounded by calendar weeks of history, not events — then the
+    * explode + (cohort, offset) rollup runs on |users| × weeks rows,
+    * orders of magnitude smaller than the log. `retention` is a
+    * single int/int division (correctly rounded on any engine), not a
+    * float sum.
+    */
+  def cohortRetention(df: DataFrame, userCol: Column, tsCol: Column): DataFrame = {
+    val act = df
+      .select(userCol.as("__u"), to_date(date_trunc("week", tsCol)).as("__wk"))
+      .groupBy("__u")
+      .agg(min(col("__wk")).as("cohort"), collect_set(col("__wk")).as("wks"))
+      .select(col("__u"), col("cohort"), explode(col("wks")).as("wk"))
+      .withColumn("week_offset", floor(datediff(col("wk"), col("cohort")) / 7).cast("int"))
+    act
+      .groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_active")) // (user, week) rows are distinct by construction
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort")))
+      .withColumn("retention", round(col("n_active") / col("cohort_size"), 6))
+      .orderBy("cohort", "week_offset")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Behavior, Interaction, Merge, RangeJoin, TopK}
+import graft.ops.{AsOfJoin, Behavior, Interaction, Journey, Merge, RangeJoin, TopK}
 
 /** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
   * (FIXTURES.md §B): every parity operator gets a named query plus an
@@ -706,6 +706,82 @@ object CoreQueries {
              |  count(*) AS n_events
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Strictly-ordered funnel (signup → view → purchase): greedy
+    // earliest chain per user ≡ the sequential-min-CTE definition the
+    // oracle spells out. One shuffle on the user key; outputs are
+    // exact integers (counts + microsecond delay sums), so the compare
+    // is float-free.
+    Q("q_funnel",
+      (s, dir) => Journey.funnel(Tables(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "purchase")),
+      Some("""WITH t0 AS (SELECT user_id, min(ts) AS r FROM events
+             |        WHERE event_type = 'signup' GROUP BY 1),
+             |t1 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+             |        JOIN t0 ON e.user_id = t0.user_id
+             |        WHERE e.event_type = 'view' AND e.ts > t0.r GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+             |        JOIN t1 ON e.user_id = t1.user_id
+             |        WHERE e.event_type = 'purchase' AND e.ts > t1.r GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, count(*) AS n_users,
+             |    CAST(CASE WHEN count(*) = 0 THEN NULL ELSE 0 END AS BIGINT) AS total_delay_us
+             |  FROM t0
+             |  UNION ALL
+             |  SELECT CAST(1 AS INT), 'view', count(*),
+             |    CAST(sum(epoch_us(t1.r) - epoch_us(t0.r)) AS BIGINT)
+             |  FROM t1 JOIN t0 ON t1.user_id = t0.user_id
+             |  UNION ALL
+             |  SELECT CAST(2 AS INT), 'purchase', count(*),
+             |    CAST(sum(epoch_us(t2.r) - epoch_us(t1.r)) AS BIGINT)
+             |  FROM t2 JOIN t1 ON t2.user_id = t1.user_id)
+             |ORDER BY step_idx""".stripMargin)),
+
+    // Weekly cohort retention: cohort = Monday-truncated week of the
+    // user's first event; active-at-offset from the user's distinct
+    // activity weeks. Log collapses in ONE user-key shuffle; retention
+    // is a single int/int division (engine-stable), not a float sum.
+    Q("q_retention",
+      (s, dir) => Journey.cohortRetention(Tables(s, dir, "events"),
+        col("user_id"), col("ts")),
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |        CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+             |a AS (SELECT u.user_id, c.cohort,
+             |        CAST(datediff('day', c.cohort, u.wk) // 7 AS INT) AS week_offset
+             |      FROM uw u JOIN c ON u.user_id = c.user_id),
+             |r AS (SELECT cohort, week_offset, count(*) AS n_active
+             |      FROM a GROUP BY 1, 2),
+             |s AS (SELECT cohort, n_active AS cohort_size FROM r WHERE week_offset = 0)
+             |SELECT r.cohort, r.week_offset, r.n_active, s.cohort_size,
+             |  round(r.n_active / s.cohort_size, 6) AS retention
+             |FROM r JOIN s ON r.cohort = s.cohort
+             |ORDER BY r.cohort, r.week_offset""".stripMargin)),
+
+    // U-family inverse of A4: unpivot (melt) the per-user category
+    // pivot back to long form — Spark's native unpivot vs DuckDB's
+    // SQL-standard UNPIVOT. Nulls are filled to 0 on both sides first
+    // (the two engines disagree on dropping NULL measures).
+    Q("q_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables(s, dir, "events")
+          .groupBy("user_id").pivot("event_type", types)
+          .agg(dsum(col("value")))
+          .na.fill(0.0, types)
+          .unpivot(Array(col("user_id")), types.map(col).toArray,
+            "event_type", "total_value")
+          .orderBy("user_id", "event_type")
+      },
+      Some(s"""WITH p AS (SELECT user_id,
+              |  ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+                   s"coalesce(CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS $t")
+                   .mkString(",\n              |  ")}
+              |  FROM events GROUP BY user_id)
+              |SELECT user_id, event_type, total_value
+              |FROM p UNPIVOT (total_value FOR event_type IN (click, error, purchase, signup, view))
+              |ORDER BY user_id, event_type""".stripMargin)),
 
     // STATEFUL STREAMING under the hard gate: a real Structured
     // Streaming run (file source micro-batches → flatMapGroupsWithState

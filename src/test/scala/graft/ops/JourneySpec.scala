@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JourneySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict ordering — out-of-order and equal-ts events don't chain") {
+    val ev = Seq(
+      // u1 completes all three, with a decoy earlier view BEFORE signup
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "view"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: purchase before view → stops at view
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 10:30:00"), "purchase"),
+      (2L, ts("2024-01-02 11:00:00"), "view"),
+      // u3: view at EXACTLY signup's ts → strict > blocks step 2
+      (3L, ts("2024-01-03 10:00:00"), "signup"),
+      (3L, ts("2024-01-03 10:00:00"), "view"),
+      // u4: never signs up → counts nowhere
+      (4L, ts("2024-01-04 10:00:00"), "view"),
+      (4L, ts("2024-01-04 11:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+
+    val out = Journey.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "view", "purchase")).collect()
+    out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq((0, "signup", 3L), (1, "view", 2L), (2, "purchase", 1L))
+    // delays: step0 total 0; view = u1 1h + u2 1h = 7200s; purchase = u1 1h
+    out.map(_.getLong(3)).toSeq shouldBe Seq(0L, 7200L * 1000000, 3600L * 1000000)
+  }
+
+  test("funnel: greedy earliest chain matches sequential-min semantics") {
+    // two signups: chain must hang off the FIRST one; the view between
+    // them converts (it is after signup #1)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:30:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Journey.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "view")).collect()
+    out.map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      Seq((0, 1L, 0L), (1, 1L, 1800L * 1000000))
+  }
+
+  test("funnel: layout-independent") {
+    val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    val a = Journey.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+      Seq("signup", "view", "purchase"))
+    val b = Journey.funnel(ev.repartition(7), col("user_id"), col("ts"),
+      col("event_type"), Seq("signup", "view", "purchase"))
+    rowSet(a) shouldBe rowSet(b)
+  }
+
+  test("cohortRetention: cohorts by first week, offsets and shares") {
+    val ev = Seq(
+      // cohort 2024-01-01 (Mon): u1 active wk0+wk1, u2 only wk0
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-10 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      // cohort 2024-01-08: u3 active wk0 and wk2 (skips wk1)
+      (3L, ts("2024-01-08 10:00:00")), (3L, ts("2024-01-22 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Journey.cohortRetention(ev, col("user_id"), col("ts"))
+      .select("cohort", "week_offset", "n_active", "cohort_size", "retention")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    out shouldBe Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0),
+      ("2024-01-08", 2, 1L, 1L, 1.0))
+  }
+}
