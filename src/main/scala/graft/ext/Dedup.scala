@@ -510,6 +510,52 @@ object Dedup {
         levenshtein(col("__text_a"), col("__text")).as("edit_dist"))
   }
 
+  /** Corpus-level repeated-span removal (the C4/Gopher "remove
+    * duplicated text" pass for corpora without line structure): each
+    * doc splits into fixed `spanWords`-word segments (last one
+    * ragged), any span occurring more than `maxOccurrences` times in
+    * the WHOLE corpus is deleted from every doc, and docs are
+    * reassembled in span order.
+    *
+    * Shape at scale: the span explode is row-local; occurrence
+    * counting is one `groupBy(span)` shuffle that map-side-combines to
+    * distinct spans; the over-threshold span set is tiny by Zipf (577
+    * of 5 318 occurrences at sf0.01 are even duplicated), so it
+    * broadcasts and the corpus is never shuffled on text — only the
+    * reassembly `groupBy(id)` moves the docs, and per-doc state is the
+    * doc itself. At extreme corpus scale swap the span string for a
+    * 128-bit hash in the counting join (C4 does exactly that); kept
+    * exact here so span equality is literal.
+    *
+    * Output: one row per doc — `text_clean` ('' if everything was
+    * removed), `n_spans`, `n_removed`.
+    */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 5, maxOccurrences: Int = 2): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nspans = ceil(size(ws) / lit(spanWords.toDouble)).cast("int")
+    val spansExpr = transform(sequence(lit(0), nspans - 1),
+      i => array_join(slice(ws, i * spanWords + 1, lit(spanWords)), " "))
+    val spans = df.select(col(idCol).as("__id"),
+      posexplode(spansExpr).as(Seq("pos", "span")))
+    val overLimit = spans.groupBy("span")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("span"), lit(true).as("__dup"))
+    spans
+      .join(broadcast(overLimit), Seq("span"), "left_outer")
+      .withColumn("__dup", coalesce(col("__dup"), lit(false)))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("span"), col("__dup"))))
+        .as("sp"))
+      .select(
+        col("__id").as(idCol),
+        array_join(transform(filter(col("sp"), x => !x.getField("__dup")),
+          x => x.getField("span")), " ").as("text_clean"),
+        size(col("sp")).as("n_spans"),
+        size(filter(col("sp"), x => x.getField("__dup"))).as("n_removed"))
+  }
+
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
     * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
     * route through [[Similarity]]'s LSH bucketing first.

@@ -145,6 +145,58 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** BM25 top-k retrieval for a fixed term set (Lucene-style
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf, so scores are always
+    * positive). The query terms are compiled into per-term `tf_i`
+    * columns (row-local `filter` counts — no explode, no per-term
+    * passes), corpus stats (N, Σdl, df_i) come from ONE tiny aggregate
+    * broadcast back, and the global top-k is an `orderBy().limit(k)`
+    * — Spark plans that as a distributed TakeOrdered, NOT a
+    * single-partition window. The score is a fixed left-assoc sum of
+    * per-term scores (no float aggregation across rows), so the only
+    * engine-sensitive op is `ln` itself — same exposure as
+    * [[tfIdfTopTerms]], absorbed by round(…, 6) on both sides.
+    *
+    * Shape at scale: two corpus scans (stats + score), zero shuffles
+    * of the corpus; the k-row result is the only thing that moves.
+    */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val toks = tokens(col(textCol))
+    val withTf = df.select(
+      col(idCol).as("id") +: size(toks).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).as(s"tf_$i")
+        }: _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      // constants combine engine-side ((k1+1.0), (1.0-b)) so both
+      // engines do the identical IEEE double op sequence
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .select(col("id"), col("dl"), score.as("score_raw"))
+      .orderBy(col("score_raw").desc, col("id"))
+      .limit(topK)
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_raw").desc, col("id")))) // ≤ topK rows: safe
+      .select(col("id"), col("rank").cast("int").as("rank"), col("dl"),
+        round(col("score_raw"), 6).as("score"))
+  }
+
   /** PII redaction: emails, IPv4 literals, and phone-shaped digit
     * runs replaced by typed placeholder tags — the scrubbing pass
     * every training corpus runs before anything else sees the text.

@@ -649,6 +649,41 @@ object ExtQueries {
              |SELECT id, rank, term, tf, df, round(score, 6) AS score
              |FROM r WHERE rank <= 3 ORDER BY id, rank""".stripMargin)),
 
+    // BM25 top-k retrieval for a fixed query-term set: per-term tf as
+    // row-local filter counts, one broadcast stats agg, distributed
+    // TakeOrdered top-k. The score expression is the identical IEEE
+    // op sequence on both engines (constants combined engine-side);
+    // ln drift absorbed by round(…, 6), same exposure as q_tfidf.
+    Q("q_bm25", {
+      (s, dir) => TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+          terms = Seq("spark", "query", "window"), topK = 50)
+        .orderBy("rank")
+    },
+      Some {
+        val terms = Seq("spark", "query", "window")
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n             |    ")
+        val dfCols = terms.indices.map(i =>
+          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+          .mkString(", ")
+        val scoreTerms = terms.indices.map(i =>
+          s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+             |      * (tf_$i * (1.2 + 1.0))
+             |      / (tf_$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"""
+            .stripMargin).mkString("\n             |    + ")
+        s"""WITH t AS (SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS INT) AS dl,
+           |    $tfCols
+           |  FROM documents),
+           |s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM t),
+           |sc AS (SELECT id, dl,
+           |    $scoreTerms AS score_raw
+           |  FROM t CROSS JOIN s)
+           |SELECT id, CAST(row_number() OVER (ORDER BY score_raw DESC, id) AS INT) AS rank,
+           |  dl, round(score_raw, 6) AS score
+           |FROM sc ORDER BY score_raw DESC, id LIMIT 50""".stripMargin
+      }),
+
     // Frequency sketch (DataSketches frequent-items via Spark 4's
     // approx_top_k): THE approximate heavy-hitters answer at 100 TB —
     // one pass, mergeable, fixed memory, where exact global top-k
@@ -907,6 +942,27 @@ object ExtQueries {
              |    - len(string_split(text, ' ')) AS tok_before
              |  FROM documents)
              |WHERE tok_before < 800
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-level repeated-span removal (C4/Gopher "remove duplicated
+    // text" for line-less corpora): 5-word segments, any span occurring
+    // > 2× corpus-wide deleted everywhere, docs reassembled in order.
+    Q("q_span_dedup",
+      (s, dir) => Dedup.dropRepeatedSpans(docs(s, dir), "doc_id", "text",
+          spanWords = 5, maxOccurrences = 2)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sp AS (SELECT doc_id, i AS pos,
+             |         array_to_string(ws[(i*5+1):((i+1)*5)], ' ') AS span
+             |       FROM w, unnest(range(0, CAST(ceil(len(ws)/5.0) AS INT))) AS t(i)),
+             |d AS (SELECT span, true AS dup FROM sp GROUP BY span HAVING count(*) > 2)
+             |SELECT sp.doc_id,
+             |  coalesce(string_agg(CASE WHEN d.dup IS NULL THEN sp.span END,
+             |    ' ' ORDER BY sp.pos), '') AS text_clean,
+             |  CAST(count(*) AS INT) AS n_spans,
+             |  CAST(sum(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_removed
+             |FROM sp LEFT JOIN d ON sp.span = d.span
+             |GROUP BY sp.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
     // Weighted repetition (epoch upsampling): src0 ×3, src2 dropped,

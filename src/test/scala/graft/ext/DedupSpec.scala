@@ -249,4 +249,26 @@ class DedupSpec extends SparkSpec {
     rowSet(out.select("id_a", "id_b")) shouldBe Set(
       Seq(1L, 2L), Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L))
   }
+
+  test("dropRepeatedSpans: corpus-wide span counting, ragged tail, order kept") {
+    // span width 2, threshold 1: "a b" appears in docs 1,2 and twice in
+    // doc 3 → removed everywhere; ragged tails ("e") survive.
+    val df = Seq(
+      (1L, "a b c d e"),   // spans: "a b" (dup), "c d", "e"
+      (2L, "a b x y"),     // spans: "a b" (dup), "x y"
+      (3L, "a b a b"),     // spans: "a b" ×2 (dup) → fully removed
+      (4L, "z")            // single short span survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(df, "doc_id", "text",
+      spanWords = 2, maxOccurrences = 1)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    byId(1L) shouldBe (("c d e", 3, 1))
+    byId(2L) shouldBe (("x y", 2, 1))
+    byId(3L) shouldBe (("", 2, 2))   // everything removed → empty, row kept
+    byId(4L) shouldBe (("z", 1, 0))
+    // layout-independent
+    rowSet(Dedup.dropRepeatedSpans(df.repartition(5), "doc_id", "text", 2, 1)) shouldBe
+      rowSet(out)
+  }
 }

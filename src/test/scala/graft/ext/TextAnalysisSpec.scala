@@ -154,4 +154,34 @@ class TextAnalysisSpec extends SparkSpec {
       h should be < (1L << 60)
     }
   }
+
+  test("bm25Rank: hand-computed scores, ranks, zero-tf doc scores 0") {
+    val df = Seq(
+      (1L, "a a b"), // dl 3, tf 2
+      (2L, "b c"),   // dl 2, tf 0 → score 0
+      (3L, "a")      // dl 1, tf 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(df, "doc_id", "text", Seq("a"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3))).toList
+    // N=3, df=2, avgdl=2; idf = ln((3-2+0.5)/2.5 + 1) = ln(1.6)
+    val idf = math.log(1.6)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    // length normalization: d3 (tf 1 in a 1-token doc, idf·2.2/1.75)
+    // outranks d1 (tf 2 in a 3-token doc, idf·4.4/3.65)
+    out.map(_._1) shouldBe List(3L, 1L, 2L)
+    out.map(_._2) shouldBe List(1, 2, 3)
+    out(0)._3 shouldBe (math.rint(s(1, 1) * 1e6) / 1e6 +- 1e-9)
+    out(1)._3 shouldBe (math.rint(s(2, 3) * 1e6) / 1e6 +- 1e-9)
+    out(2)._3 shouldBe 0.0
+  }
+
+  test("bm25Rank: multi-term sums per-term scores; topK truncates") {
+    val df = Seq((1L, "x y"), (2L, "x x"), (3L, "y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val one = TextAnalysis.bm25Rank(df, "doc_id", "text", Seq("x", "y"), topK = 2)
+    one.count() shouldBe 2L
+    // doc 1 has both terms — it must outrank the single-term docs
+    one.collect().head.getLong(0) shouldBe 1L
+  }
 }
