@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Behavior, Interaction, Journey, Merge, RangeJoin, TopK}
+import graft.ops.{AsOfJoin, Behavior, Interaction, Journey, Merge, RangeJoin, TimeSeries, TopK}
 
 /** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
   * (FIXTURES.md §B): every parity operator gets a named query plus an
@@ -782,6 +782,39 @@ object CoreQueries {
               |SELECT user_id, event_type, total_value
               |FROM p UNPIVOT (total_value FOR event_type IN (click, error, purchase, signup, view))
               |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Per-key trailing-hour moving aggregate via a TIME-range window
+    // frame (RANGE, not ROWS — equal-ts peers share frames, and the
+    // frame is by event time, not row count). Sum in DECIMAL(18,2).
+    Q("q_moving_agg",
+      (s, dir) => TimeSeries.movingAgg(
+          Tables(s, dir, "events").filter(col("user_id") < 20),
+          col("user_id"), col("ts"), col("value"), windowSec = 3600L)
+        .select("user_id", "ts", "event_id", "moving_sum", "moving_n")
+        .orderBy("user_id", "ts", "event_id"),
+      Some("""SELECT user_id, ts, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+             |  count(*) OVER w AS moving_n
+             |FROM events WHERE user_id < 20
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // Burst debounce: drop events < 5 min after the key's previous
+    // event ((ts, event_id) order) — lag-based duplicate/retry
+    // collapse, one key shuffle.
+    Q("q_debounce",
+      (s, dir) => TimeSeries.debounce(Tables(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), minGapSec = 300L)
+        .select("user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "ts", "event_id"),
+      Some("""SELECT user_id, ts, event_id, event_type FROM (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    lag(ts, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 300000000
+             |ORDER BY user_id, ts, event_id""".stripMargin)),
 
     // STATEFUL STREAMING under the hard gate: a real Structured
     // Streaming run (file source micro-batches → flatMapGroupsWithState
