@@ -78,6 +78,23 @@ class PlanGuardSpec extends SparkSpec {
     count(c360, "Exchange hashpartitioning") should be <= 4
     count(c360, "FileScan") should be <= 2
     count(c360, "SortMergeJoin") shouldBe 0
+
+    // bm25: global top-k must be the distributed TakeOrdered, never a
+    // single-partition global sort/window over the corpus
+    val bm25 = planOf("q_bm25")
+    count(bm25, "TakeOrderedAndProject") shouldBe 1
+    count(bm25, "SortMergeJoin") shouldBe 0
+
+    // span dedup: the over-threshold span set joins back as a
+    // BROADCAST — a sort-merge join here would shuffle the corpus
+    // text a second time just to mark duplicates
+    val span = planOf("q_span_dedup")
+    count(span, "BroadcastHashJoin") should be >= 1
+    count(span, "SortMergeJoin") shouldBe 0
+
+    // funnel: exactly one data shuffle (the user-key groupBy); the
+    // per-step rollup and final sort ride on k-row data
+    count(planOf("q_funnel"), "Exchange hashpartitioning") shouldBe 2
   }
 
   test("filter queries push their predicates into the parquet scan") {
