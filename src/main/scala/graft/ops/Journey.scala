@@ -79,6 +79,27 @@ object Journey {
       .orderBy("step_idx")
   }
 
+  /** Event transition matrix (first-order user-flow): for each
+    * consecutive event pair within a user's (ts, tie) order, count
+    * (from → to) transitions and each destination's share of its
+    * source row — the Markov/Sankey view of the event log. One
+    * key shuffle for the lead window; the count rollup and the
+    * |types|² share window ride on tiny data. `share` is a single
+    * int/int division, engine-stable.
+    */
+  def transitionMatrix(df: DataFrame, userCol: Column, tsCol: Column,
+      typeCol: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    df.select(typeCol.as("from_type"),
+        lead(typeCol, 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-aligned
     * `date_trunc`) of a user's first event; a cohort member is
     * "active at offset w" if they have any event in cohort-week + w.

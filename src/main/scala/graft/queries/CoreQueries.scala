@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Behavior, Interaction, Journey, Merge, RangeJoin, TimeSeries, TopK}
+import graft.ops.{AsOfJoin, Behavior, Interaction, Journey, Merge, RangeJoin, Stats, TimeSeries, TopK}
 
 /** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
   * (FIXTURES.md §B): every parity operator gets a named query plus an
@@ -815,6 +815,90 @@ object CoreQueries {
              |  FROM events)
              |WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 300000000
              |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // First-order event transition matrix (user-flow / Sankey): counts
+    // and per-source shares of consecutive event-type pairs.
+    Q("q_transitions",
+      (s, dir) => Journey.transitionMatrix(Tables(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id")),
+      Some("""WITH s AS (SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  round(n / (sum(n) OVER (PARTITION BY from_type)), 6) AS share
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // Per-group Pearson correlation from EXACT integer-scaled moment
+    // sums (Spark's corr() accumulates doubles order-dependently —
+    // unreproducible and un-oracle-able; the moment sums are exact,
+    // commutative, and map-side-combinable). Final O(1) formula in
+    // double, identical op order both engines, round(…, 6).
+    Q("q_corr",
+      (s, dir) => Stats.corrBy(Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_returnflag"),
+      Some(s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+              |    sum(xi) AS sx, sum(yi) AS sy, sum(xi*xi) AS sxx,
+              |    sum(yi*yi) AS syy, sum(xi*yi) AS sxy
+              |  FROM (SELECT l_returnflag,
+              |      CAST(round(l_quantity * 1000000.0) AS HUGEINT) AS xi,
+              |      CAST(round(l_extendedprice * 1000000.0) AS HUGEINT) AS yi
+              |    FROM lineitem) GROUP BY 1),
+              |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+              |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+              |    CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+              |    CAST(sxy AS DOUBLE) AS sxy
+              |  FROM m)
+              |SELECT l_returnflag, n,
+              |  CASE WHEN nd*sxx - sx*sx > 0 AND nd*syy - sy*sy > 0 THEN
+              |    round((nd*sxy - sx*sy) / sqrt(nd*sxx - sx*sx) / sqrt(nd*syy - sy*sy), 6)
+              |  END AS corr
+              |FROM d ORDER BY l_returnflag""".stripMargin)),
+
+    // Per-group least-squares fit (y = value over x = hour-of-day)
+    // from the same exact-moment machinery.
+    Q("q_linear_fit",
+      (s, dir) => Stats.linearFitBy(Tables(s, dir, "events"),
+          Seq("event_type"), hour(col("ts")).cast("double"), col("value"))
+        .orderBy("event_type"),
+      Some("""WITH m AS (SELECT event_type, count(*) AS n,
+             |    sum(xi) AS sx, sum(yi) AS sy, sum(xi*xi) AS sxx,
+             |    sum(yi*yi) AS syy, sum(xi*yi) AS sxy
+             |  FROM (SELECT event_type,
+             |      CAST(round(CAST(hour(ts) AS DOUBLE) * 1000000.0) AS HUGEINT) AS xi,
+             |      CAST(round(value * 1000000.0) AS HUGEINT) AS yi
+             |    FROM events) GROUP BY 1),
+             |d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+             |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             |    CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy
+             |  FROM m)
+             |SELECT event_type, n,
+             |  CASE WHEN nd*sxx - sx*sx > 0 THEN
+             |    round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) END AS slope,
+             |  CASE WHEN nd*sxx - sx*sx > 0 THEN
+             |    round((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd / 1000000.0, 6)
+             |  END AS intercept
+             |FROM d ORDER BY event_type""".stripMargin)),
+
+    // Per-group population stddev, exact-moment path (same rationale
+    // as q_corr: built-in stddev is order-dependent).
+    Q("q_stddev",
+      (s, dir) => Stats.stddevPopBy(Tables(s, dir, "events"),
+          Seq("event_type"), col("value"))
+        .orderBy("event_type"),
+      Some("""WITH m AS (SELECT event_type, count(*) AS n,
+             |    sum(xi) AS sx, sum(xi*xi) AS sxx
+             |  FROM (SELECT event_type,
+             |      CAST(round(value * 1000000.0) AS HUGEINT) AS xi
+             |    FROM events) GROUP BY 1)
+             |SELECT event_type, n,
+             |  round(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS stddev_pop
+             |FROM m ORDER BY event_type""".stripMargin)),
 
     // STATEFUL STREAMING under the hard gate: a real Structured
     // Streaming run (file source micro-batches → flatMapGroupsWithState

@@ -61,6 +61,23 @@ class JourneySpec extends SparkSpec {
     rowSet(a) shouldBe rowSet(b)
   }
 
+  test("transitionMatrix: consecutive pairs per user, shares per source") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "b", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "a", 3L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 4L),
+      (2L, ts("2024-01-01 11:00:00"), "a", 5L)
+      // last event per user has no successor → no row
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Journey.transitionMatrix(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toList
+    // from a: a→b (u1), a→a (u2) → shares 0.5/0.5; from b: b→a (u1) → 1.0
+    out shouldBe List(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0))
+  }
+
   test("cohortRetention: cohorts by first week, offsets and shares") {
     val ev = Seq(
       // cohort 2024-01-01 (Mon): u1 active wk0+wk1, u2 only wk0

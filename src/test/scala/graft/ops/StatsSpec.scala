@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corrBy: perfect and inverse correlation exact; agrees with built-in corr") {
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),     // y = 2x → 1
+      ("b", 1.0, 3.0), ("b", 2.0, 2.0), ("b", 3.0, 1.0),     // y = -x → -1
+      ("c", 1.0, 1.3), ("c", 2.0, 0.9), ("c", 3.0, 2.7), ("c", 4.0, 1.1)
+    ).toDF("g", "x", "y")
+    val out = Stats.corrBy(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out("a") shouldBe 1.0
+    out("b") shouldBe -1.0
+    val builtin = df.filter($"g" === "c").agg(corr("x", "y")).head().getDouble(0)
+    out("c") shouldBe (builtin +- 1e-6)
+  }
+
+  test("corrBy: zero variance → null; layout-independent") {
+    val df = Seq(("a", 5.0, 1.0), ("a", 5.0, 2.0), ("a", 5.0, 3.0))
+      .toDF("g", "x", "y")
+    Stats.corrBy(df, Seq("g"), col("x"), col("y"))
+      .head().isNullAt(2) shouldBe true
+    val big = (1 to 500).map(i => ("g", i * 0.37, math.sin(i))).toDF("g", "x", "y")
+    val a = Stats.corrBy(big, Seq("g"), col("x"), col("y")).head().getDouble(2)
+    val b = Stats.corrBy(big.repartition(13), Seq("g"), col("x"), col("y"))
+      .head().getDouble(2)
+    a shouldBe b // bit-identical, not just close: exact moments
+  }
+
+  test("linearFitBy: exact fit on a perfect line, residual case vs closed form") {
+    val df = Seq(("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0))
+      .toDF("g", "x", "y") // y = 2x + 1
+    val r = Stats.linearFitBy(df, Seq("g"), col("x"), col("y")).head()
+    r.getDouble(2) shouldBe 2.0
+    r.getDouble(3) shouldBe 1.0
+  }
+
+  test("stddevPopBy agrees with built-in stddev_pop") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 4.0), ("a", 4.0),
+      ("a", 5.0), ("a", 5.0), ("a", 7.0), ("a", 9.0)).toDF("g", "x")
+    val exact = Stats.stddevPopBy(df, Seq("g"), col("x")).head().getDouble(2)
+    exact shouldBe 2.0 // the classic example: σ = 2
+    val builtin = df.agg(stddev_pop("x")).head().getDouble(0)
+    exact shouldBe (builtin +- 1e-6)
+  }
+}
