@@ -33,8 +33,17 @@ object Journey {
     * users of microseconds since their previous step; 0 for step 0) —
     * exact integers, so the oracle compare is drift-free.
     */
+  /** `maxStepGapSec`: when set, a step only counts within that many
+    * seconds of the previous step's completion — the "convert within
+    * T" product-analytics semantic. The greedy chain stays correct:
+    * the earliest in-window candidate is still taken, and a candidate
+    * beyond the window never closes the step (it can't "use up" the
+    * slot — a later event re-tests against the SAME previous-step
+    * time).
+    */
   def funnel(df: DataFrame, userCol: Column, tsCol: Column,
-      typeCol: Column, steps: Seq[String]): DataFrame = {
+      typeCol: Column, steps: Seq[String],
+      maxStepGapSec: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val k = steps.size
     val stepIdx = steps.tail.zipWithIndex.foldLeft(
@@ -57,8 +66,14 @@ object Journey {
         (acc, e) => {
           val ki = e.getField("k")
           val ts = e.getField("ts")
+          val inWindow = maxStepGapSec match {
+            case Some(g) => unix_micros(ts) -
+              unix_micros(element_at(acc, ki)) <= lit(g * 1000000L)
+            case None => lit(true)
+          }
           val prevClosed = when(ki === 0, lit(true))
-            .otherwise(element_at(acc, ki).isNotNull && ts > element_at(acc, ki))
+            .otherwise(element_at(acc, ki).isNotNull &&
+              ts > element_at(acc, ki) && inWindow)
           transform(acc, (t, i) =>
             when(i === ki && t.isNull && prevClosed, ts).otherwise(t))
         }))

@@ -738,6 +738,38 @@ object CoreQueries {
              |  FROM t2 JOIN t1 ON t2.user_id = t1.user_id)
              |ORDER BY step_idx""".stripMargin)),
 
+    // Time-bounded funnel: each step must land within 6 h of the
+    // previous step's completion ("convert within T"). Same greedy
+    // chain ≡ sequential-min equivalence, with the window as an extra
+    // conjunct on both sides.
+    Q("q_funnel_window",
+      (s, dir) => Journey.funnel(Tables(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "purchase"), maxStepGapSec = Some(21600L)),
+      Some("""WITH t0 AS (SELECT user_id, min(ts) AS r FROM events
+             |        WHERE event_type = 'signup' GROUP BY 1),
+             |t1 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+             |        JOIN t0 ON e.user_id = t0.user_id
+             |        WHERE e.event_type = 'view' AND e.ts > t0.r
+             |          AND epoch_us(e.ts) - epoch_us(t0.r) <= 21600000000 GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS r FROM events e
+             |        JOIN t1 ON e.user_id = t1.user_id
+             |        WHERE e.event_type = 'purchase' AND e.ts > t1.r
+             |          AND epoch_us(e.ts) - epoch_us(t1.r) <= 21600000000 GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, count(*) AS n_users,
+             |    CAST(CASE WHEN count(*) = 0 THEN NULL ELSE 0 END AS BIGINT) AS total_delay_us
+             |  FROM t0
+             |  UNION ALL
+             |  SELECT CAST(1 AS INT), 'view', count(*),
+             |    CAST(sum(epoch_us(t1.r) - epoch_us(t0.r)) AS BIGINT)
+             |  FROM t1 JOIN t0 ON t1.user_id = t0.user_id
+             |  UNION ALL
+             |  SELECT CAST(2 AS INT), 'purchase', count(*),
+             |    CAST(sum(epoch_us(t2.r) - epoch_us(t1.r)) AS BIGINT)
+             |  FROM t2 JOIN t1 ON t2.user_id = t1.user_id)
+             |ORDER BY step_idx""".stripMargin)),
+
     // Weekly cohort retention: cohort = Monday-truncated week of the
     // user's first event; active-at-offset from the user's distinct
     // activity weeks. Log collapses in ONE user-key shuffle; retention

@@ -52,6 +52,27 @@ class JourneySpec extends SparkSpec {
       Seq((0, 1L, 0L), (1, 1L, 1800L * 1000000))
   }
 
+  test("funnel: maxStepGapSec bounds each step; boundary inclusive; late events don't consume slots") {
+    val ev = Seq(
+      // u1: view in window (2h), purchase out of window (7h after view)
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 12:00:00"), "view"),
+      (1L, ts("2024-01-01 19:00:00"), "purchase"),
+      // u2: first view out of window; the second too → no conversion,
+      // and the early out-of-window view must not block the re-test
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-01 16:30:00"), "view"),
+      (2L, ts("2024-01-01 17:30:00"), "view"),
+      // u3: view at EXACTLY +6h → inclusive bound keeps it
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 16:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Journey.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("signup", "view", "purchase"), maxStepGapSec = Some(21600L))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toList
+    out shouldBe List((0, 3L), (1, 2L), (2, 0L))
+  }
+
   test("funnel: layout-independent") {
     val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
     val a = Journey.funnel(ev, col("user_id"), col("ts"), col("event_type"),
