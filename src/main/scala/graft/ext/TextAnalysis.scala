@@ -145,6 +145,34 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Per-source corpus diversity: document count, summed type-token
+    * ratio (distinct/total tokens per doc — kept as an EXACT
+    * DECIMAL(18,6) sum; a decimal→double cast at scale 6 is the known
+    * cross-engine 1-ulp hash hazard), and Shannon entropy of the
+    * language distribution over a FIXED language set (closed-world
+    * conditional counts — no distinct-values job, and the entropy sum
+    * is a fixed left-assoc expression, never a float aggregation).
+    * One map-side-combinable shuffle for everything.
+    */
+  def corpusDiversity(df: DataFrame, srcCol: String, langCol: String,
+      textCol: String, langs: Seq[String]): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ttr = round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+      .cast("decimal(18,6)")
+    val langCounts = langs.map(l =>
+      sum(when(col(langCol) === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val g = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ttr).as("sum_ttr") +: langCounts: _*)
+    val nD = col("n_docs").cast("double")
+    val entropy = langs.map { l =>
+      val p = col(s"c_$l").cast("double") / nD
+      when(col(s"c_$l") > 0, p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    g.select(col(srcCol), col("n_docs"), col("sum_ttr"),
+      round(-entropy, 6).as("lang_entropy"))
+  }
+
   /** BM25 top-k retrieval for a fixed term set (Lucene-style
     * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf, so scores are always
     * positive). The query terms are compiled into per-term `tf_i`

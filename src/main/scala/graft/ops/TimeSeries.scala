@@ -33,6 +33,38 @@ object TimeSeries {
       .withColumn("moving_n", count(lit(1)).over(w))
   }
 
+  /** Daily-volume anomaly scores: roll the log up to per-(key, day)
+    * counts, then z-score each day against the key's TRAILING
+    * `trailing` observed days (ROWS frame excluding the current day
+    * — observed days, so a silent gap day simply isn't in the
+    * baseline). z is null until a full baseline exists or when the
+    * baseline has zero variance.
+    *
+    * Scale: the daily rollup is the only pass over the log (one
+    * map-side-combinable shuffle); the window runs on keys×days rows.
+    * Baseline sums are exact integers (Σn as long, Σn² in
+    * DECIMAL(38,0) — a 10¹²-events/day key squares past int64); only
+    * the final z formula runs in double, identically ordered on both
+    * engines.
+    */
+  def volumeAnomaly(df: DataFrame, keyCol: String, tsCol: Column,
+      trailing: Int = 7): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-trailing, -1)
+    val cnt = count(lit(1)).over(w)
+    val sx = sum(col("n")).over(w)
+    val sxx = sum((col("n") * col("n")).cast("decimal(38,0)")).over(w)
+    val (cntD, sxD, sxxD) = (cnt.cast("double"), sx.cast("double"),
+      sxx.cast("double"))
+    val nD = col("n").cast("double")
+    val vn = cntD * sxxD - sxD * sxD
+    daily.withColumn("z",
+      when(cnt === trailing && vn > 0,
+        round((nD - sxD / cntD) / (sqrt(vn) / cntD), 6)))
+  }
+
   /** Burst debounce: drop an event when the key's PREVIOUS event (in
     * (ts, tieCol) order) is less than `minGapSec` seconds earlier —
     * the lag-based collapse of duplicate-click/retry bursts. This is

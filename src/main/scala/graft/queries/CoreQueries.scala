@@ -932,6 +932,33 @@ object CoreQueries {
              |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS stddev_pop
              |FROM m ORDER BY event_type""".stripMargin)),
 
+    // Daily-volume anomaly detection: per-type daily counts z-scored
+    // against the trailing 7 observed days (exact integer baseline
+    // sums; z null until a full baseline / zero variance).
+    Q("q_anomaly",
+      (s, dir) => TimeSeries.volumeAnomaly(Tables(s, dir, "events"),
+          "event_type", col("ts"), trailing = 7)
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT event_type, day, n,
+             |    count(*) OVER w AS cnt,
+             |    sum(n) OVER w AS sx,
+             |    sum(n * n) OVER w AS sxx
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, day, n,
+             |  CASE WHEN cnt = 7 AND CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+             |    round((CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+             |      / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |         / CAST(cnt AS DOUBLE)), 6)
+             |  END AS z
+             |FROM b ORDER BY event_type, day""".stripMargin)),
+
     // STATEFUL STREAMING under the hard gate: a real Structured
     // Streaming run (file source micro-batches → flatMapGroupsWithState
     // emit-on-close sessions → foreachBatch), with time-ordered staging

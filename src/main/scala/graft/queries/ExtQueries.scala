@@ -965,6 +965,32 @@ object ExtQueries {
              |GROUP BY sp.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Per-source corpus diversity: doc count, EXACT decimal TTR sum,
+    // and closed-world language entropy (fixed 5-lang set; entropy is
+    // a fixed left-assoc expression, never a float aggregation).
+    Q("q_diversity",
+      (s, dir) => TextAnalysis.corpusDiversity(docs(s, dir),
+          "source", "lang", "text", Seq("de", "en", "es", "fr", "zh"))
+        .orderBy("source"),
+      Some {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val cCols = langs.map(l =>
+          s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
+        val terms = langs.map(l =>
+          s"""CASE WHEN c_$l > 0 THEN (CAST(c_$l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |      * ln(CAST(c_$l AS DOUBLE) / CAST(n_docs AS DOUBLE)) ELSE 0.0 END"""
+            .stripMargin).mkString("\n             |    + ")
+        s"""WITH t AS (SELECT source, lang,
+           |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |      / len(string_split(text, ' ')), 6) AS DECIMAL(18,6)) AS ttr
+           |  FROM documents),
+           |g AS (SELECT source, count(*) AS n_docs, sum(ttr) AS sum_ttr, $cCols
+           |  FROM t GROUP BY 1)
+           |SELECT source, n_docs, sum_ttr,
+           |  round(-($terms), 6) AS lang_entropy
+           |FROM g ORDER BY source""".stripMargin
+      }),
+
     // Weighted repetition (epoch upsampling): src0 ×3, src2 dropped,
     // everything else ×1 — the training-mix knob as a generator
     // projection (weight 0 = empty sequence = stratum removed).

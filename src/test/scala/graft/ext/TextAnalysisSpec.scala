@@ -176,6 +176,25 @@ class TextAnalysisSpec extends SparkSpec {
     out(2)._3 shouldBe 0.0
   }
 
+  test("corpusDiversity: entropy of closed lang set, exact decimal TTR sum") {
+    val df = Seq(
+      ("s1", "en", "a a b"),   // ttr 2/3 → 0.666667
+      ("s1", "en", "x y"),     // ttr 1.0
+      ("s1", "de", "k"), ("s1", "de", "m"),
+      ("s2", "en", "q q")      // ttr 0.5
+    ).toDF("source", "lang", "text")
+    val out = TextAnalysis.corpusDiversity(df, "source", "lang", "text",
+        Seq("de", "en", "es", "fr", "zh"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3)))).toMap
+    val (n1, ttr1, h1) = out("s1")
+    n1 shouldBe 4L
+    ttr1 shouldBe (0.666667 + 1.0 + 1.0 + 1.0 +- 1e-9)
+    h1 shouldBe (math.log(2.0) +- 1e-6) // uniform 2-of-4 / 2-of-4 split
+    val (n2, ttr2, h2) = out("s2")
+    (n2, ttr2, h2) shouldBe ((1L, 0.5, 0.0)) // single lang → entropy 0
+  }
+
   test("bm25Rank: multi-term sums per-term scores; topK truncates") {
     val df = Seq((1L, "x y"), (2L, "x x"), (3L, "y"), (4L, "z"))
       .toDF("doc_id", "text")

@@ -30,6 +30,27 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3.0, 2L), (2L, 3.0, 2L))
   }
 
+  test("volumeAnomaly: trailing-7 z-score; null until full baseline and on zero variance") {
+    // key "a": 7 baseline days with counts 7,13,10,10,10,10,10 then a
+    // 20-count spike; key "b": constant 5s → zero variance → z null
+    val counts = Map(1 -> 7, 2 -> 13, 3 -> 10, 4 -> 10, 5 -> 10, 6 -> 10,
+      7 -> 10, 8 -> 20)
+    val rows =
+      counts.toSeq.flatMap { case (d, c) =>
+        Seq.fill(c)(("a", ts(f"2024-01-$d%02d 10:00:00"))) } ++
+      (1 to 8).flatMap(d => Seq.fill(5)(("b", ts(f"2024-01-$d%02d 10:00:00"))))
+    val out = TimeSeries.volumeAnomaly(rows.toDF("event_type", "ts"),
+      "event_type", col("ts"), trailing = 7)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // days 1..7 have no full baseline → null
+    (1 to 7).foreach(d => out(("a", f"2024-01-$d%02d")) shouldBe None)
+    val (sx, sxx) = (70.0, 49.0 + 169.0 + 5 * 100.0)
+    val expect = (20.0 - sx / 7.0) / (math.sqrt(7.0 * sxx - sx * sx) / 7.0)
+    out(("a", "2024-01-08")).get shouldBe (expect +- 1e-6)
+    out(("b", "2024-01-08")) shouldBe None // zero-variance baseline
+  }
+
   test("debounce: gap to previous raw event, chain of bursts collapses to the first") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),
