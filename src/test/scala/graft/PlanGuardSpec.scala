@@ -95,6 +95,16 @@ class PlanGuardSpec extends SparkSpec {
     // funnel: exactly one data shuffle (the user-key groupBy); the
     // per-step rollup and final sort ride on k-row data
     count(planOf("q_funnel"), "Exchange hashpartitioning") shouldBe 2
+
+    // exact-moment stats: all six moment sums must ride ONE groupBy
+    // exchange over ONE scan — a second shuffle or scan means the
+    // single-aggregate fusion regressed
+    val corr = planOf("q_corr")
+    count(corr, "Exchange hashpartitioning") shouldBe 1
+    count(corr, "FileScan") shouldBe 1
+
+    // volume anomaly: the daily rollup is the only pass over the log
+    count(planOf("q_anomaly"), "FileScan") shouldBe 1
   }
 
   test("filter queries push their predicates into the parquet scan") {
