@@ -147,6 +147,18 @@ object TrainingData {
       .drop("__rk")
   }
 
+  /** Probability-proportional-to-size sampling: keep a row with
+    * probability `weight` (a per-row column in [0, 1]) — the
+    * "sample documents proportional to quality" knob. Membership is
+    * the same layout-independent md5 bucket as every sampler here
+    * (`bucket < floor(weight·1000)`), so the sample is deterministic,
+    * repeatable, and a pure filter the scan can stream through —
+    * zero shuffles at any corpus size. Note the per-mille floor: a
+    * weight below 1/1000 keeps nothing.
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(splitBucket(key, 1000) < floor(weight * 1000.0).cast("int"))
+
   /** Temperature-flattened corpus mix (α = 0.5): downsample each
     * stratum so expected sampled sizes are ∝ √n_s — the standard
     * multilingual/multi-source rebalancing knob ("sample language s

@@ -77,6 +77,23 @@ object Stats {
       when(vxn > 0, round(intercept, 6)).as("intercept"): _*)
   }
 
+  /** Per-group min-max feature scaling: (x − min)/(max − min) as
+    * `<xName>_norm`, null for a degenerate (constant) group. Group
+    * stats are one tiny agg broadcast back — the corpus itself is
+    * never shuffled (same ship-the-stats pattern as the samplers);
+    * min/max are exact, the single division is engine-stable.
+    */
+  def minMaxNormalizeBy(df: DataFrame, groupCols: Seq[String], x: Column,
+      xName: String): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(min(x).as("__mn"), max(x).as("__mx"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(s"${xName}_norm",
+        when(col("__mx") > col("__mn"),
+          round((x - col("__mn")) / (col("__mx") - col("__mn")), 6)))
+      .drop("__mn", "__mx")
+  }
+
   /** Population standard deviation per group from exact moments. */
   def stddevPopBy(df: DataFrame, groupCols: Seq[String], x: Column,
       scaleDigits: Int = 6): DataFrame = {

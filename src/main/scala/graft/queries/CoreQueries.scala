@@ -959,6 +959,23 @@ object CoreQueries {
              |  END AS z
              |FROM b ORDER BY event_type, day""".stripMargin)),
 
+    // Per-group min-max feature scaling: value → [0,1] within its
+    // event type; group stats broadcast back, corpus never shuffled.
+    Q("q_minmax_norm",
+      (s, dir) => Stats.minMaxNormalizeBy(
+          Tables(s, dir, "events").filter(col("value").isNotNull)
+            .select("event_id", "event_type", "value"),
+          Seq("event_type"), col("value"), "value")
+        .select("event_id", "event_type", "value", "value_norm")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_type, value,
+             |  CASE WHEN mx > mn THEN round((value - mn) / (mx - mn), 6) END AS value_norm
+             |FROM (SELECT event_id, event_type, value,
+             |    min(value) OVER (PARTITION BY event_type) AS mn,
+             |    max(value) OVER (PARTITION BY event_type) AS mx
+             |  FROM events WHERE value IS NOT NULL)
+             |ORDER BY event_id""".stripMargin)),
+
     // STATEFUL STREAMING under the hard gate: a real Structured
     // Streaming run (file source micro-batches → flatMapGroupsWithState
     // emit-on-close sessions → foreachBatch), with time-ordered staging

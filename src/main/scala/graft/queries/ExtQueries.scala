@@ -927,6 +927,20 @@ object ExtQueries {
               |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < rate
               |ORDER BY doc_id""".stripMargin)),
 
+    // PPS sampling: keep each doc with probability ∝ its (capped)
+    // length — weight = least(n_chars, 1000)/1000, the same md5
+    // bucket membership as every sampler (pure filter, zero shuffle).
+    Q("q_weighted_sample",
+      (s, dir) => TrainingData.weightedHashSample(docs(s, dir),
+          col("doc_id"),
+          least(col("n_chars"), lit(1000)).cast("double") / lit(1000.0))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source, n_chars FROM documents
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000
+              |  < CAST(floor((CAST(least(n_chars, 1000) AS DOUBLE) / 1000.0) * 1000.0) AS INT)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Per-source token-budget cap: keep docs in md5-hash order while
     // the running token count before the doc is under 800 — the "no
     // more than N tokens from any one domain" rule; straddler kept.

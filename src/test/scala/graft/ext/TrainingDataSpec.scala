@@ -86,6 +86,24 @@ class TrainingDataSpec extends SparkSpec {
     covered shouldBe (0 until 10).toSet
   }
 
+  test("weightedHashSample: weight 1 keeps all, 0 drops all, monotone in weight") {
+    val df = (1L to 400L).map(i => (i, i % 4)).toDF("id", "w4")
+    TrainingData.weightedHashSample(df, col("id"), lit(1.0)).count() shouldBe 400L
+    TrainingData.weightedHashSample(df, col("id"), lit(0.0)).count() shouldBe 0L
+    // per-row weight w4/4 ∈ {0, .25, .5, .75}: rows with weight 0 all
+    // gone; each kept row must also survive at any HIGHER weight
+    val kept = TrainingData.weightedHashSample(df, col("id"),
+      col("w4").cast("double") / 4.0)
+    kept.filter(col("w4") === 0).count() shouldBe 0L
+    val atHalf = TrainingData.weightedHashSample(df, col("id"), lit(0.5))
+      .collect().map(_.getLong(0)).toSet
+    kept.filter(col("w4") === 2).collect().map(_.getLong(0))
+      .forall(atHalf.contains) shouldBe true
+    // layout-independent
+    rowSet(TrainingData.weightedHashSample(df.repartition(7), col("id"),
+      col("w4").cast("double") / 4.0)) shouldBe rowSet(kept)
+  }
+
   test("hashSample: subset, layout-stable, ~permille fraction") {
     val df = (1L to 1000L).toDF("id")
     val s = TrainingData.hashSample(df, col("id"), permille = 200)

@@ -41,6 +41,19 @@ class StatsSpec extends SparkSpec {
     r.getDouble(3) shouldBe 1.0
   }
 
+  test("minMaxNormalizeBy: per-group scaling, degenerate group → null") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 15.0),
+      ("b", 4L, 7.0), ("b", 5L, 7.0)).toDF("g", "id", "x")
+    val out = Stats.minMaxNormalizeBy(df, Seq("g"), col("x"), "x")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out(1L) shouldBe Some(0.0)
+    out(2L) shouldBe Some(1.0)
+    out(3L) shouldBe Some(0.5)
+    out(4L) shouldBe None // constant group has no scale
+    out(5L) shouldBe None
+  }
+
   test("stddevPopBy agrees with built-in stddev_pop") {
     val df = Seq(("a", 2.0), ("a", 4.0), ("a", 4.0), ("a", 4.0),
       ("a", 5.0), ("a", 5.0), ("a", 7.0), ("a", 9.0)).toDF("g", "x")
