@@ -609,7 +609,7 @@ object CoreQueries {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("total_value"), col("n_events"))
         .orderBy("window_start", "event_type"),
-      Some(s"""SELECT date_trunc('day', ts) AS window_start, event_type,
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
               |  ${dsumSql("value")} AS total_value, count(*) AS n_events
               |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
@@ -998,7 +998,7 @@ object CoreQueries {
              |  FROM g)
              |SELECT user_id, min(ts) AS session_start,
              |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-             |  SUM(dur) AS total_duration,
+             |  CAST(SUM(dur) AS BIGINT) AS total_duration,
              |  CAST(count(*) AS INT) AS n_events
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
@@ -1194,7 +1194,7 @@ object CoreQueries {
     Q("q_stream_window",
       (s, dir) => graft.streaming.StreamingGate.windowStatsFromFiles(s, dir),
       Some("""SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
-             |  SUM(CAST(floor(value) AS BIGINT)) AS total_duration,
+             |  CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_duration,
              |  count(*) AS n_events
              |FROM events GROUP BY 1, 2, 3
              |ORDER BY window_start, user_id, event_type""".stripMargin)),

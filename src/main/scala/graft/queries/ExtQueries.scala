@@ -867,12 +867,12 @@ object ExtQueries {
             .as("sum_quality"))
         .orderBy("source"),
       Some("""SELECT source, count(*) AS n_docs,
-             |  SUM(len(string_split(text, ' '))) AS total_tokens,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
              |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens,
-             |  SUM(CAST(round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+             |  CAST(SUM(CAST(round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
              |    + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(len(text), 1))
              |    + 0.25 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-             |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS sum_quality
+             |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_quality
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // Layout-independent 20% hash sample (same stability story).
@@ -998,7 +998,7 @@ object ExtQueries {
            |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
            |      / len(string_split(text, ' ')), 6) AS DECIMAL(18,6)) AS ttr
            |  FROM documents),
-           |g AS (SELECT source, count(*) AS n_docs, sum(ttr) AS sum_ttr, $cCols
+           |g AS (SELECT source, count(*) AS n_docs, CAST(sum(ttr) AS DECIMAL(28,6)) AS sum_ttr, $cCols
            |  FROM t GROUP BY 1)
            |SELECT source, n_docs, sum_ttr,
            |  round(-($terms), 6) AS lang_entropy
