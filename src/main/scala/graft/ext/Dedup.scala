@@ -217,12 +217,27 @@ object Dedup {
   def unseenByBloom(newDocs: DataFrame, seen: DataFrame,
       idCol: String, textCol: String,
       expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bloom = seen.stat.bloomFilter(md5(col(textCol)), expectedSeen, fpp)
-    val spark = newDocs.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((digest: String) =>
-      digest != null && bloomBc.value.mightContainString(digest))
-    newDocs.filter(!mightContain(md5(col(textCol))))
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedSeen, fpp)
+    // Bloom over xxhash64(text), built by the distributed
+    // bloom_filter_agg aggregate (no driver round-trip, codegen'd
+    // probe) and handed to might_contain as a scalar subquery — the
+    // exact shape Spark's own runtime row-level filtering plans.
+    val bloomDf = seen.select(GraftColumnBridge.column(
+      new BloomFilterAggregate(
+        XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L),
+        Literal(expectedSeen), Literal(numBits)
+      ).toAggregateExpression()).as("bloom"))
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      GraftColumnBridge.scalarSubquery(bloomDf),
+      XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L)))
+    // coalesce: an empty seen side yields a null filter -> keep all;
+    // null text never probes true -> kept, matching the prior
+    // null-digest behavior. False negatives remain impossible.
+    newDocs.filter(col(textCol).isNull || !coalesce(mightContain, lit(false)))
   }
 
   /** MinHash signature per document: one array<long> of the K minima,

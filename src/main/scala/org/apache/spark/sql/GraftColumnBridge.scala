@@ -11,6 +11,17 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a one-row/one-column DataFrame as a Catalyst scalar
+    * subquery expression (the shape `BloomFilterMightContain` and
+    * friends require for their filter side — Spark's runtime
+    * row-level filtering injects the same form). The child plan is
+    * already analyzed, so the outer query just plans and broadcasts
+    * the subquery result.
+    */
+  def scalarSubquery(df: Dataset[Row]): Expression =
+    catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[Row]].logicalPlan)
+
   /** Register a builder in a live session's FunctionRegistry
     * (`sessionState` is `private[sql]`; this is the sanctioned-shape
     * bridge for registering non-UDF Catalyst expressions outside
