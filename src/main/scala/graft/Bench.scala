@@ -92,8 +92,8 @@ object Bench {
       * between reps (internal cache() entries would otherwise make
       * later reps time a cache read); median per query, -1 = failed.
       */
-    def timeAll(queries: Map[String, (SparkSession, String) => DataFrame])
-        : Seq[(String, List[Double])] = {
+    def timeAll(queries: Map[String, (SparkSession, String) => DataFrame],
+        repsFor: String => Int = _ => reps): Seq[(String, List[Double])] = {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
@@ -102,18 +102,20 @@ object Bench {
       val names = queries.keys.toSeq
       val samples = scala.collection.mutable.Map.empty[String, List[Double]]
         .withDefaultValue(Nil)
-      (1 to reps).foreach { _ =>
+      (1 to reps).foreach { rep =>
         names.foreach { name =>
-          val fn = queries(name)
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-            }
-          // a failed query must not masquerade as a fast one
-          samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          if (rep <= repsFor(name)) {
+            val fn = queries(name)
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                false
+              }
+            // a failed query must not masquerade as a fast one
+            samples(name) ::= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          }
         }
         spark.catalog.clearCache()
       }
@@ -132,12 +134,23 @@ object Bench {
 
     // ms precision — full doubles double the line length, and the
     // driver captures a bounded TAIL of it (r3's line lost its head,
-    // including `total`); see also the trailing `value_tail` below
+    // including `total`); Locale.ROOT so a comma-decimal JVM locale
+    // can't turn the line into invalid JSON ("value":58,500)
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(results: Seq[(String, Double)]): String =
-      results.map { case (k, v) => f""""$k":${v}%.3f""" }
+      results.map { case (k, v) => s""""$k":${num(v)}""" }
         .mkString("{", ",", "}")
 
-    val samples = timeAll(SparkEntry.queries)
+    // the streaming-gate queries run a REAL micro-batch execution per
+    // rep (staging + checkpointing + N triggers) — their cost is gate
+    // harness, not operator throughput, so their min-of-reps carries
+    // no signal: run them ONCE per bench and spend the reps on the
+    // batch operators whose medians the cross-round compare reads
+    val gateQueries = Set("q_closed_sessions", "q_stream_join",
+      "q_running_activeness", "q_stream_window", "q_stream_dedup")
+    val samples = timeAll(SparkEntry.queries,
+      repsFor = name => if (gateQueries(name)) 1 else reps)
     val skewSamples = timeAll(skewQueries)
     val results = samples.map { case (k, xs) => k -> median(xs) }
     val skewResults = skewSamples.map { case (k, xs) => k -> median(xs) }
@@ -149,18 +162,14 @@ object Bench {
     val all = results ++ skewResults
     val failed = all.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // the streaming-gate queries run a REAL micro-batch execution per
-    // rep (staging + checkpointing + N triggers) — their cost is gate
-    // harness, not operator throughput; broken out so total comparisons
-    // against batch-only baselines can subtract it at a glance
-    val gateQueries = Set("q_closed_sessions", "q_stream_join",
-      "q_running_activeness", "q_stream_window", "q_stream_dedup")
+    // gate cost stays broken out so total comparisons against
+    // batch-only baselines can subtract it at a glance
     val gateSec = results
       .collect { case (k, v) if gateQueries(k) && v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // `value_tail` duplicates the total at the END of the line so a
     // head-truncated capture still carries the headline number
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"queries_min":${toJson(resultsMin)},"skew":${toJson(skewResults)},"skew_min":${toJson(skewMin)},"sf":"$sfDir","streaming_gate_sec":$gateSec%.3f,"value_tail":$total%.3f}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n":$reps,"failed":$failedJson,"queries":${toJson(results)},"queries_min":${toJson(resultsMin)},"skew":${toJson(skewResults)},"skew_min":${toJson(skewMin)},"sf":"$sfDir","streaming_gate_sec":${num(gateSec)},"value_tail":${num(total)}}""")
     spark.stop()
   }
 }

@@ -26,14 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  /** Exact scaled moments per group: n, sx, sy, sxx, syy, sxy. */
+  /** Exact scaled moments per group: n, sx, sy, sxx, syy, sxy.
+    *
+    * A row contributes only when BOTH x and y are non-null — a
+    * half-null row in `n` but not in `sxy` would bias every derived
+    * statistic. Groups whose rows are all null survive with n = 0
+    * and null sums (the finishers emit null for them).
+    */
   def moments(df: DataFrame, groupCols: Seq[String], x: Column, y: Column,
       scaleDigits: Int = 6): DataFrame = {
     val m = math.pow(10, scaleDigits)
-    val xi = round(x * m).cast("decimal(38,0)")
-    val yi = round(y * m).cast("decimal(38,0)")
+    val valid = x.isNotNull && y.isNotNull
+    val xi = when(valid, round(x * m)).cast("decimal(38,0)")
+    val yi = when(valid, round(y * m)).cast("decimal(38,0)")
     df.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).as("n"),
+      count(xi).as("n"),
       sum(xi).as("sx"), sum(yi).as("sy"),
       sum((xi * xi).cast("decimal(38,0)")).as("sxx"),
       sum((yi * yi).cast("decimal(38,0)")).as("syy"),
@@ -85,13 +92,20 @@ object Stats {
     */
   def minMaxNormalizeBy(df: DataFrame, groupCols: Seq[String], x: Column,
       xName: String): DataFrame = {
-    val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(min(x).as("__mn"), max(x).as("__mx"))
-    df.join(broadcast(stats), groupCols)
+    // null-safe (<=>) join: a null group key still gets its stats row
+    // (groupBy emits one for the null group; a plain equi-join would
+    // silently drop those input rows)
+    val stats = groupCols.foldLeft(
+        df.groupBy(groupCols.map(col): _*)
+          .agg(min(x).as("__mn"), max(x).as("__mx"))) {
+      (d, c) => d.withColumnRenamed(c, s"__g_$c")
+    }
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(stats), cond)
       .withColumn(s"${xName}_norm",
         when(col("__mx") > col("__mn"),
           round((x - col("__mn")) / (col("__mx") - col("__mn")), 6)))
-      .drop("__mn", "__mx")
+      .drop(groupCols.map(c => s"__g_$c") :+ "__mn" :+ "__mx": _*)
   }
 
   /** Population standard deviation per group from exact moments. */

@@ -872,12 +872,14 @@ object CoreQueries {
       (s, dir) => Stats.corrBy(Tables(s, dir, "lineitem"),
           Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
         .orderBy("l_returnflag"),
-      Some(s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+      Some(s"""WITH m AS (SELECT l_returnflag, count(xi) AS n,
               |    sum(xi) AS sx, sum(yi) AS sy, sum(xi*xi) AS sxx,
               |    sum(yi*yi) AS syy, sum(xi*yi) AS sxy
               |  FROM (SELECT l_returnflag,
-              |      CAST(round(l_quantity * 1000000.0) AS HUGEINT) AS xi,
-              |      CAST(round(l_extendedprice * 1000000.0) AS HUGEINT) AS yi
+              |      CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              |        THEN CAST(round(l_quantity * 1000000.0) AS HUGEINT) END AS xi,
+              |      CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              |        THEN CAST(round(l_extendedprice * 1000000.0) AS HUGEINT) END AS yi
               |    FROM lineitem) GROUP BY 1),
               |d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
               |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
@@ -896,12 +898,14 @@ object CoreQueries {
       (s, dir) => Stats.linearFitBy(Tables(s, dir, "events"),
           Seq("event_type"), hour(col("ts")).cast("double"), col("value"))
         .orderBy("event_type"),
-      Some("""WITH m AS (SELECT event_type, count(*) AS n,
+      Some("""WITH m AS (SELECT event_type, count(xi) AS n,
              |    sum(xi) AS sx, sum(yi) AS sy, sum(xi*xi) AS sxx,
              |    sum(yi*yi) AS syy, sum(xi*yi) AS sxy
              |  FROM (SELECT event_type,
-             |      CAST(round(CAST(hour(ts) AS DOUBLE) * 1000000.0) AS HUGEINT) AS xi,
-             |      CAST(round(value * 1000000.0) AS HUGEINT) AS yi
+             |      CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+             |        THEN CAST(round(CAST(hour(ts) AS DOUBLE) * 1000000.0) AS HUGEINT) END AS xi,
+             |      CASE WHEN ts IS NOT NULL AND value IS NOT NULL
+             |        THEN CAST(round(value * 1000000.0) AS HUGEINT) END AS yi
              |    FROM events) GROUP BY 1),
              |d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
              |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
@@ -921,7 +925,7 @@ object CoreQueries {
       (s, dir) => Stats.stddevPopBy(Tables(s, dir, "events"),
           Seq("event_type"), col("value"))
         .orderBy("event_type"),
-      Some("""WITH m AS (SELECT event_type, count(*) AS n,
+      Some("""WITH m AS (SELECT event_type, count(xi) AS n,
              |    sum(xi) AS sx, sum(xi*xi) AS sxx
              |  FROM (SELECT event_type,
              |      CAST(round(value * 1000000.0) AS HUGEINT) AS xi

@@ -54,6 +54,33 @@ class StatsSpec extends SparkSpec {
     out(5L) shouldBe None
   }
 
+  test("moments: a half-null row contributes to nothing (no biased n)") {
+    // (x, null) rows must not inflate n: corr over the 3 complete
+    // rows of a perfect line is exactly 1, and stddev over {2,4}
+    // with a null mixed in is exactly 1
+    val df = Seq(("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)),
+      ("a", Some(3.0), Some(6.0)), ("a", Some(9.0), None), ("a", None, Some(9.0)))
+      .toDF("g", "x", "y")
+    val r = Stats.corrBy(df, Seq("g"), col("x"), col("y")).head()
+    r.getLong(1) shouldBe 3L
+    r.getDouble(2) shouldBe 1.0
+    val s = Stats.stddevPopBy(
+      Seq(("a", Some(2.0)), ("a", Some(4.0)), ("a", None)).toDF("g", "x"),
+      Seq("g"), col("x")).head()
+    s.getLong(1) shouldBe 2L
+    s.getDouble(2) shouldBe 1.0
+  }
+
+  test("minMaxNormalizeBy: null group key rows survive with their own stats") {
+    val df = Seq((Some("a"), 1L, 10.0), (Some("a"), 2L, 20.0),
+      (None, 3L, 5.0), (None, 4L, 15.0)).toDF("g", "id", "x")
+    val out = Stats.minMaxNormalizeBy(df, Seq("g"), col("x"), "x")
+    out.count() shouldBe 4 // the null-key rows are not dropped
+    val byId = out.collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    byId(3L) shouldBe 0.0
+    byId(4L) shouldBe 1.0
+  }
+
   test("stddevPopBy agrees with built-in stddev_pop") {
     val df = Seq(("a", 2.0), ("a", 4.0), ("a", 4.0), ("a", 4.0),
       ("a", 5.0), ("a", 5.0), ("a", 7.0), ("a", 9.0)).toDF("g", "x")
