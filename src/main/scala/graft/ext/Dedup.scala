@@ -15,8 +15,11 @@ import HashDefs._
   *   (or, in [[ngramJaccardPairs]]' exact mode, via the inverted
   *   shingle index — an equi-join on shingle, never a cross join).
   *   The shingle→doc inverted index is the one big shuffle; hot
-  *   shingles are the skew risk, handled by dropping
-  *   ultra-high-document-frequency shingles (they carry no signal).
+  *   shingles are the skew risk, handled by routing
+  *   high-document-frequency posting lists through a bucketed
+  *   triangle self-join ([[trianglePairs]]) that spreads their
+  *   quadratic pair generation across tasks — exact results, no
+  *   signal dropped.
   * - MinHash signatures are one aggregation over the exploded
   *   shingles (map-side partial min), LSH banding turns near-dup
   *   search into an equi-join on (band, bandHash).
@@ -71,35 +74,150 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = ShingleN, minJaccard: Double = 0.5,
-      pruneDf1: Boolean = PruneDf1Default): DataFrame = {
-    val sets = docShingleSets(df, idCol, textCol, n).cache()
-    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
-    jaccardTail(sh, sizes, minJaccard, pruneDf1)
+      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
+    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, n)
+    val sh = repSets.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = repSets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
+    val repPairs = jaccardTail(sh, sizes, minJaccard, hotDf, hotBuckets)
+    val inter = interPairs(repPairs, members)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    // identical texts have jaccard exactly 1.0 — no shingle math needed
+    val intra = intraPairs(members, hotDf, hotBuckets)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= minJaccard)
+    inter.union(intra)
+  }
+
+  /** Exact-duplicate collapse feeding the pairwise ops: shingle sets
+    * for one REPRESENTATIVE (min-id) document per distinct text, plus
+    * the (rep, id, k, rep_nsh) member map (k = cluster size, rep_nsh
+    * = the rep's shingle count — both ride the SAME window shuffle so
+    * the intra-cluster expansion needs no further aggregation).
+    * Web-scale corpora are 30-50% byte-identical boilerplate; without
+    * the collapse every identical cluster of size d multiplies each
+    * of its shingle posting lists by d and the pair stage by d² —
+    * with it, near-dup work scales with DISTINCT texts and duplicate
+    * clusters cost only their (irreducible) output expansion. One
+    * shuffle, of (id, digest, hash-set) — the text itself never
+    * shuffles (the shingle arrays are computed row-local by the
+    * codegen'd expression first, and at ~8 bytes a shingle travel
+    * cheaper than the text they summarize).
+    */
+  private def collapsedShingleSets(df: DataFrame, idCol: String,
+      textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy("__dg")
+    val wo = wp.orderBy("id")
+    val ranked = df.select(col(idCol).as("id"), md5(col(textCol)).as("__dg"),
+        graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
+      .select(col("id"), col("hs"),
+        row_number().over(wo).as("__rn"),
+        min("id").over(wp).as("rep"),
+        count(lit(1)).over(wp).as("k"),
+        // default ordered frame ends at the current row, so first()
+        // reads the min-id row — the representative's shingle count
+        first(size(col("hs"))).over(wo).as("rep_nsh"))
+      .cache()
+    (ranked.filter(col("__rn") === 1).select("id", "hs"),
+      ranked.select(col("rep"), col("id"), col("k"), col("rep_nsh")))
+  }
+
+  /** Rep-level pair rows joined back to both clusters' members: every
+    * (member of a) × (member of b) combination inherits the rep
+    * pair's columns, as `__ia`/`__ib` (id order NOT canonicalized —
+    * direction-sensitive measures like containment must swap their
+    * columns when least/greatest flips the pair).
+    */
+  private def interPairs(repPairs: DataFrame, members: DataFrame): DataFrame =
+    repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("__ia")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("__ib")), Seq("id_b"))
+
+  /** All member pairs inside each duplicate cluster whose rep has a
+    * non-empty shingle set (two empty-set docs share nothing and were
+    * never paired before the collapse either). Cluster size `k` rides
+    * on the member map, so no aggregation here: clusters below the
+    * hot threshold self-join on the rep, and a million-member
+    * boilerplate cluster expands across triangle cells instead of one
+    * task.
+    */
+  private def intraPairs(members: DataFrame, hotDf: Int,
+      hotBuckets: Int): DataFrame = {
+    val im = members.filter(col("k") >= 2 && col("rep_nsh") >= 1)
+      .select(col("id"), col("rep").as("h"), col("k"))
+    val cold = im.filter(col("k") < hotDf).select("id", "h")
+    val hot = im.filter(col("k") >= hotDf).select("id", "h")
+    cold.as("a").join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .union(trianglePairs(hot, hotBuckets))
   }
 
   /** Pair shared-shingle counts off the inverted index (id, h):
-    * self-join on h (id_a < id_b) + one combinable count. With
-    * `pruneDf1`, DF-1 shingles (hashes held by exactly one doc — they
-    * cannot produce a pair, and for natural text they are most of the
-    * index) are semi-joined away first: that extra agg + semi-join
-    * pass only pays off once the self-join's shuffle is the
-    * bottleneck, hence the flag (off at bench scale, on at corpus
-    * scale).
+    * equi-join on h (never doc×doc) + one combinable count, with the
+    * posting lists split by document frequency:
+    *
+    *  - **cold** shingles (df < `hotDf`) pair up in the plain
+    *    self-join on h — df² per key is task-sized noise. DF-1
+    *    shingles (held by one doc — most of a natural-text index, and
+    *    pair-sterile) are filtered off the same df annotation for
+    *    free, so the old optional prune pass is now unconditional.
+    *  - **hot** shingles take [[trianglePairs]]: the single-task d²/2
+    *    pair blowup on a boilerplate shingle is the one straggler AQE
+    *    cannot split (it is compute inside a task, not shuffle-read
+    *    volume), so the work is pre-split across bucket cells instead.
+    *
+    * Cost of the split: one map-side-combinable df aggregation whose
+    * h-partitioned output the self-join exchanges then reuse.
     */
-  private def sharedPairCounts(sh: DataFrame,
-      pruneDf1: Boolean): DataFrame = {
-    val input =
-      if (pruneDf1) {
-        val repeated = sh.groupBy("h").count()
-          .filter(col("count") >= 2).select("h")
-        sh.join(repeated, Seq("h"), "left_semi")
-      } else sh
-    input.as("a")
-      .join(input.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  private def sharedPairCounts(sh: DataFrame, hotDf: Int,
+      hotBuckets: Int): DataFrame =
+    coOccurringPairs(sh, hotDf, hotBuckets)
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
+
+  /** One (id_a < id_b) row per co-occurrence of two ids under a key
+    * `h` — the pair-generation core shared by the shingle index and
+    * the duplicate-cluster expansion.
+    */
+  private def coOccurringPairs(sh: DataFrame, hotDf: Int,
+      hotBuckets: Int): DataFrame = {
+    val dfByH = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+    val annotated = sh.join(dfByH, Seq("h")).filter(col("__df") >= 2)
+    val cold = annotated.filter(col("__df") < hotDf).select("id", "h")
+    val hot = annotated.filter(col("__df") >= hotDf).select("id", "h")
+    val coldPairs = cold.as("a")
+      .join(cold.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    coldPairs.union(trianglePairs(hot, hotBuckets))
+  }
+
+  /** Bucketed triangle self-join for hot posting lists: documents
+    * hash into B buckets, and each cell (i ≤ j) of the bucket-pair
+    * triangle becomes its own equi-join key (h, i, j), so a df-d
+    * key's d²/2 pair generation spreads over B(B+1)/2 tasks instead
+    * of landing on whichever one task owns h. A row in bucket b
+    * replicates to the B−b cells right of it on the left side and the
+    * b+1 cells above it on the right side, which makes every
+    * unordered pair meet in EXACTLY one cell: (x in i, y in j, i<j)
+    * only under key (h,i,j) with x left and y right; same-bucket
+    * twins (i=j) appear in both orders and are cut to one by id
+    * order. Diagonal cells order by id; off-diagonal pairs are
+    * canonicalized with least/greatest.
+    */
+  private def trianglePairs(hot: DataFrame, buckets: Int): DataFrame = {
+    val bucket = pmod(xxhash64(col("id")), lit(buckets)).cast("int")
+    val left = hot.select(col("id"), col("h"), bucket.as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(buckets - 1))))
+    val right = hot.select(col("id"), col("h"), bucket.as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    left.as("a").join(right.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
+          (col("a.bi") =!= col("a.bj") || col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
   }
 
   /** Join the per-document set sizes onto a shared-count pair frame.
@@ -120,9 +238,9 @@ object Dedup {
     * arrays, not an aggregation.
     */
   private def jaccardTail(sh: DataFrame, sizes: DataFrame,
-      minJaccard: Double,
-      pruneDf1: Boolean = PruneDf1Default): DataFrame =
-    withSizes(sharedPairCounts(sh, pruneDf1), sizes)
+      minJaccard: Double, hotDf: Int = HotShingleDf,
+      hotBuckets: Int = HotShingleBuckets): DataFrame =
+    withSizes(sharedPairCounts(sh, hotDf, hotBuckets), sizes)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -137,16 +255,29 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = ShingleN, minContainment: Double = 0.9,
-      pruneDf1: Boolean = PruneDf1Default): DataFrame = {
-    val sets = docShingleSets(df, idCol, textCol, n).cache()
-    val sh = sets.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = sets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
-    withSizes(sharedPairCounts(sh, pruneDf1), sizes)
+      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
+    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, n)
+    val sh = repSets.select(col("id"), explode(col("hs")).as("h"))
+    val sizes = repSets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
+    val repPairs = withSizes(sharedPairCounts(sh, hotDf, hotBuckets), sizes)
       .withColumn("cont_a", col("shared").cast("double") / col("n_a"))
       .withColumn("cont_b", col("shared").cast("double") / col("n_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
       .select(col("id_a"), col("id_b"),
         round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
+    // containment is directional: cont_a belongs to whichever member
+    // id ends up as id_a, so a least/greatest flip swaps the columns
+    val flip = col("__ia") > col("__ib")
+    val inter = interPairs(repPairs, members)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(flip, col("cont_b")).otherwise(col("cont_a")).as("cont_a"),
+        when(flip, col("cont_a")).otherwise(col("cont_b")).as("cont_b"))
+    val intra = intraPairs(members, hotDf, hotBuckets)
+      .select(col("id_a"), col("id_b"),
+        lit(1.0).as("cont_a"), lit(1.0).as("cont_b"))
+      .filter(lit(1.0) >= minContainment)
+    inter.union(intra)
   }
 
   /** Benchmark-contamination scan: corpus documents sharing at least

@@ -43,15 +43,24 @@ object HashDefs {
   /** Simhash width (bits of the 60-bit md5-derived token hash used). */
   val SimhashBits: Int = 60
 
-  /** Default for the DF-1 shingle prune in the n-gram Jaccard
-    * self-join. The prune (drop shingles held by exactly one doc
-    * before self-joining) is the right call once the self-join's
-    * shuffle dominates — i.e. at corpus scale — but at bench scale its
-    * extra agg + semi-join pass over the whole inverted index costs
-    * 10-30% more than the self-join saves (measured warm ×3 at sf0.1;
-    * the 3.3× in BENCH_r01 was single-run cold-plan noise).
-    * Overridable per call; env knob for experiments.
+  /** Document-frequency threshold above which a shingle's posting
+    * list takes the bucketed triangle self-join instead of the plain
+    * pair self-join. A df-d key generates d²/2 pairs inside whichever
+    * single task owns the key in the plain join: below ~d=512 that is
+    * noise, above it is the straggler that stalls the pair-count
+    * stage on a skewed corpus (boilerplate headers, templated spam).
+    * Env knob for experiments; per-call override on the dedup ops.
     */
-  val PruneDf1Default: Boolean =
-    sys.env.get("GRAFT_NGRAM_PRUNE_DF1").exists(_.toBoolean)
+  val HotShingleDf: Int =
+    sys.env.get("GRAFT_HOT_SHINGLE_DF").map(_.toInt).getOrElse(512)
+
+  /** Bucket count B for the triangle self-join on hot shingles: a hot
+    * posting list spreads its pair generation over B(B+1)/2 cell
+    * tasks at the price of replicating hot postings (B+1)/2 times.
+    * B=16 turns a df-10⁵ key's 5·10⁹ single-task pairs into 136 cells
+    * of ~37M — task-sized — while the replication stays 8.5× on ONLY
+    * the hot rows.
+    */
+  val HotShingleBuckets: Int =
+    sys.env.get("GRAFT_HOT_SHINGLE_BUCKETS").map(_.toInt).getOrElse(16)
 }

@@ -66,14 +66,35 @@ class DedupSpec extends SparkSpec {
       Seq(Seq(1L, 2L, 1.0))
   }
 
-  test("ngramJaccardPairs: DF-1 prune on ≡ off (corpus-scale flag changes plan, not result)") {
+  test("ngramJaccardPairs: triangle path ≡ plain self-join (skew split changes plan, not result)") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
-    val off = rowSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      minJaccard = 0.3, pruneDf1 = false))
-    val on = rowSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      minJaccard = 0.3, pruneDf1 = true))
-    on shouldBe off
-    on should not be empty
+    // hotDf=2 forces EVERY pair-producing shingle through the triangle
+    // cells; hotDf=MaxValue disables the split entirely
+    val plain = rowSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.3, hotDf = Int.MaxValue))
+    val triangle = rowSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.3, hotDf = 2, hotBuckets = 4))
+    triangle shouldBe plain
+    triangle should not be empty
+    // same equivalence for the directed-containment consumer
+    val plainC = rowSet(Dedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.3, hotDf = Int.MaxValue))
+    val triangleC = rowSet(Dedup.containmentPairs(docs, "doc_id", "text",
+      minContainment = 0.3, hotDf = 2, hotBuckets = 4))
+    triangleC shouldBe plainC
+    triangleC should not be empty
+  }
+
+  test("trianglePairs: each unordered pair meets exactly once (duplicate-pair audit)") {
+    // 40 identical docs → every shingle is hot at hotDf=2; a pair
+    // double-counted in any bucket cell would inflate `shared` past
+    // the union size and push jaccard over 1.0
+    val df = (1L to 40L).map(i => (i, doc)).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      minJaccard = 0.9, hotDf = 2, hotBuckets = 4)
+    out.count() shouldBe (40L * 39L) / 2
+    out.select(max(col("jaccard"))).head().getDouble(0) shouldBe 1.0
+    out.select(min(col("jaccard"))).head().getDouble(0) shouldBe 1.0
   }
 
   test("ngramJaccardPairs: known partial overlap") {
