@@ -128,11 +128,14 @@ object Similarity {
     * Recall/cost dial: per-table collision prob for angle θ is
     * (1 − θ/π)^nPlanes, so more planes → smaller buckets (cheaper)
     * but lower recall, and more tables → higher recall at the cost of
-    * replicating the corpus index nTables×. The defaults (8 tables ×
-    * 6 planes + 1-bit multiprobe) hold recall ≈0.9 even for weak
-    * neighbors (cos ≈ 0.3, the hardest regime — measured on the
-    * testdata embeddings); near-dup-grade neighbors (cos ≥ 0.8)
-    * tolerate far more planes.
+    * replicating the corpus index nTables×. Measured on the
+    * planted-geometry fixture (SimilaritySpec: 60 near-dup twins + 3
+    * cluster geometries, cos ≥ 0.6 neighbors): the defaults (8 tables
+    * × 6 planes) reach recall 0.99 single-probe and 1.00 with 1-bit
+    * multiprobe; on the flat testdata embeddings (weak cos ≈ 0.3
+    * neighbors, the hardest regime) recall ≈0.9 at the same
+    * defaults. Near-dup-grade neighbors (cos ≥ 0.8) tolerate far
+    * more planes.
     *
     * Scale shape: the corpus shuffles once on (table, bucket) — an
     * equi-join, never a cross join — and the candidate set, not the
@@ -228,7 +231,9 @@ object Similarity {
     * `nProbe` nearest cells, and score EXACT cosine only inside probed
     * cells (an equi-join on cell, never a cross join). Recall/cost
     * dial: nProbe/nCells is the fraction of the corpus scanned per
-    * query. Fully deterministic (hash-selected centroids, cid
+    * query — measured on the planted-geometry fixture
+    * (SimilaritySpec, nCells=16): recall 0.94 at nProbe=1, 1.00 at
+    * nProbe=4. Fully deterministic (hash-selected centroids, cid
     * tie-break), so the registry oracle replays the whole pipeline in
     * DuckDB.
     */

@@ -185,6 +185,110 @@ class SimilaritySpec extends SparkSpec {
     (exact intersect ivf).size.toDouble / exact.size shouldBe 1.0
   }
 
+  /** Planted-geometry recall fixture: a deterministic 64-d corpus
+    * (fixed-seed gaussians) with
+    *  - 60 near-dup twin pairs (≈0.3% perturbation → cos ≥ 0.99),
+    *  - 4 tight isotropic clusters of 8 (cos ≈ 0.95 within),
+    *  - 2 parallel-ray clusters of 6 (cos exactly 1.0 within),
+    *  - 3 elongated clusters of 10 (heavier noise, cos ≈ 0.75-0.9),
+    *  - 120 background noise vectors (pairwise cos ≈ 0 at d=64).
+    * Three distinct geometries + the twins give the recall dials a
+    * fixture where "true neighbor" spans the easy (cos 1.0) through
+    * moderate (cos 0.75) regimes.
+    */
+  private lazy val planted: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val dim = 64
+    val rnd = new scala.util.Random(42)
+    def gauss(scale: Double) = Array.fill(dim)((rnd.nextGaussian() * scale).toFloat)
+    def plus(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x + y }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val queryIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var id = 0L
+    def add(v: Array[Float], query: Boolean = false): Unit = {
+      rows += ((id, v)); if (query) queryIds += id; id += 1
+    }
+    (0 until 60).foreach { _ =>            // near-dup twins
+      val base = gauss(1.0)
+      add(base, query = true); add(plus(base, gauss(0.025)))
+    }
+    (0 until 4).foreach { _ =>             // tight isotropic clusters
+      val center = gauss(1.0)
+      (0 until 8).foreach { i => add(plus(center, gauss(0.18)), query = i == 0) }
+    }
+    (0 until 2).foreach { _ =>             // parallel rays: cos exactly 1
+      val dir = gauss(1.0)
+      (0 until 6).foreach { i =>
+        add(dir.map(x => (x * (1.0 + 0.2 * i)).toFloat), query = i == 0)
+      }
+    }
+    (0 until 3).foreach { _ =>             // elongated / noisy clusters
+      val center = gauss(1.0)
+      (0 until 10).foreach { i => add(plus(center, gauss(0.45)), query = i == 0) }
+    }
+    (0 until 120).foreach(_ => add(gauss(1.0)))  // background
+    val corpus = rows.toSeq.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(queryIds.toSeq: _*))
+    (corpus, queries)
+  }
+
+  private def recallAt(exact: Set[Seq[Any]], approx: Set[Seq[Any]]): Double =
+    (exact intersect approx).size.toDouble / exact.size
+
+  /** Ground truth for the recall dials: the exact top-3 restricted to
+    * MEANINGFUL neighbors (cos ≥ 0.6). A twin query's top-1 is its
+    * twin but ranks 2-3 are random background at cos ≈ 0.2 — no
+    * bucketed index finds those, and no near-dup/similarity use case
+    * wants them, so scoring them against the recall dial would only
+    * measure noise.
+    */
+  private def meaningfulTop3(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    rowSet(Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .filter(col("cos") >= 0.6).select("query_id", "neighbor_id"))
+
+  test("lshTopK recall dials on planted geometries: multiprobe lifts recall, ≥0.9 at defaults") {
+    val (corpus, queries) = planted
+    val exact = meaningfulTop3(corpus, queries)
+    val on = rowSet(Similarity.lshTopK(corpus, queries, k = 3, multiProbe = true)
+      .select("query_id", "neighbor_id"))
+    val off = rowSet(Similarity.lshTopK(corpus, queries, k = 3, multiProbe = false)
+      .select("query_id", "neighbor_id"))
+    val (rOn, rOff) = (recallAt(exact, on), recallAt(exact, off))
+    info(f"lshTopK planted recall: multiprobe on=$rOn%.3f off=$rOff%.3f")
+    withClue(s"recall multiprobe on=$rOn off=$rOff: ") {
+      rOn should be >= 0.9
+      rOn should be >= rOff  // the probe ring can only add candidates
+    }
+  }
+
+  test("ivfTopK recall dials on planted geometries: monotone in nProbe, ≥0.9 at nProbe=4") {
+    val (corpus, queries) = planted
+    val exact = meaningfulTop3(corpus, queries)
+    val r = Seq(1, 2, 4).map { p =>
+      p -> recallAt(exact,
+        rowSet(Similarity.ivfTopK(corpus, queries, k = 3, nCells = 16, nProbe = p)
+          .select("query_id", "neighbor_id")))
+    }.toMap
+    info(r.toSeq.sortBy(_._1)
+      .map { case (p, v) => f"nProbe=$p recall=$v%.3f" }.mkString("ivfTopK planted: ", ", ", ""))
+    withClue(s"recall by nProbe=$r: ") {
+      r(1) should be <= r(2)
+      r(2) should be <= r(4)
+      r(4) should be >= 0.9
+    }
+  }
+
+  test("lshNearDupPairs on planted twins: ≥0.9 of the 60 planted near-dup pairs recovered") {
+    val (corpus, _) = planted
+    // planted twins are ids (2i, 2i+1) for i < 60
+    val truth = (0 until 60).map(i => Seq[Any](2L * i, 2L * i + 1)).toSet
+    val found = rowSet(Similarity.lshNearDupPairs(corpus, minCos = 0.98)
+      .select("id_a", "id_b"))
+    val recall = (truth intersect found).size.toDouble / truth.size
+    withClue(s"planted-twin recall=$recall: ") { recall should be >= 0.9 }
+  }
+
   test("lsh_buckets expression agrees with the composable lshBucket per table") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(20).select(col("vec_id"), col("embedding"))
