@@ -106,20 +106,21 @@ object Dedup {
     */
   private def collapsedShingleSets(df: DataFrame, idCol: String,
       textCol: String, n: Int): (DataFrame, DataFrame) = {
-    val wp = org.apache.spark.sql.expressions.Window.partitionBy("__dg")
-    val wo = wp.orderBy("id")
-    val ranked = df.select(col(idCol).as("id"), md5(col(textCol)).as("__dg"),
-        graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
-      .select(col("id"), col("hs"),
-        row_number().over(wo).as("__rn"),
-        min("id").over(wp).as("rep"),
-        count(lit(1)).over(wp).as("k"),
-        // default ordered frame ends at the current row, so first()
-        // reads the min-id row — the representative's shingle count
-        first(size(col("hs"))).over(wo).as("rep_nsh"))
-      .cache()
-    (ranked.filter(col("__rn") === 1).select("id", "hs"),
-      ranked.select(col("rep"), col("id"), col("k"), col("rep_nsh")))
+    val base = df.select(col(idCol).as("id"), md5(col(textCol)).as("__dg"),
+      graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
+    // hash-agg + join, NOT a window: no sort, no row_number, and the
+    // cluster frame is small per distinct text so AQE can broadcast
+    // it. The join output is cached because a broadcast join leaves
+    // the streamed side UN-materialized — without the cache every
+    // downstream branch would re-scan the corpus and re-shingle it.
+    val clusters = base.select("__dg", "id").groupBy("__dg")
+      .agg(min("id").as("rep"), count(lit(1)).as("k"))
+    val joined = base.join(clusters, Seq("__dg")).cache()
+    (joined.filter(col("id") === col("rep")).select("id", "hs"),
+      joined.select(col("rep"), col("id"), col("k"),
+        // members have byte-identical text, so a member's own shingle
+        // count IS its representative's
+        size(col("hs")).as("rep_nsh")))
   }
 
   /** Rep-level pair rows joined back to both clusters' members: every

@@ -45,9 +45,13 @@ object DevCollapse {
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("shared")).count()
       }
-      // stage 3: the full collapsed op
-      time(s"full-collapsed  run$i") {
+      // stage 3: the full collapsed ops
+      time(s"full-ngram      run$i") {
         graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()
+      }
+      time(s"full-containmnt run$i") {
+        graft.ext.Dedup.containmentPairs(docs, "doc_id", "text",
+          minContainment = 0.6).count()
       }
     }
     spark.stop()
