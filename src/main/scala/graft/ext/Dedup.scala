@@ -76,9 +76,9 @@ object Dedup {
       n: Int = ShingleN, minJaccard: Double = 0.5,
       hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
     val (repSets, members) = collapsedShingleSets(df, idCol, textCol, n)
-    val sh = repSets.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = repSets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
-    val repPairs = jaccardTail(sh, sizes, minJaccard, hotDf, hotBuckets)
+    val sh = repSets.select(col("id"), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("nsh"))
+    val repPairs = jaccardTail(sh, minJaccard, hotDf, hotBuckets)
     val inter = interPairs(repPairs, members)
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
@@ -92,7 +92,7 @@ object Dedup {
   /** Exact-duplicate collapse feeding the pairwise ops: shingle sets
     * for one REPRESENTATIVE (min-id) document per distinct text, plus
     * the (rep, id, k, rep_nsh) member map (k = cluster size, rep_nsh
-    * = the rep's shingle count — both ride the SAME window shuffle so
+    * = the rep's shingle count — both ride the same collapse join so
     * the intra-cluster expansion needs no further aggregation).
     * Web-scale corpora are 30-50% byte-identical boilerplate; without
     * the collapse every identical cluster of size d multiplies each
@@ -171,27 +171,39 @@ object Dedup {
     * Cost of the split: one map-side-combinable df aggregation whose
     * h-partitioned output the self-join exchanges then reuse.
     */
+  /** `payload` columns on the index rows ride along into the pair
+    * rows as `<p>_a`/`<p>_b` (and into the grouping key — they are
+    * functions of the ids). Carrying the 8-byte set size this way
+    * saves joining the (much larger) pair frame against a sizes
+    * lookup twice.
+    */
   private def sharedPairCounts(sh: DataFrame, hotDf: Int,
-      hotBuckets: Int): DataFrame =
-    coOccurringPairs(sh, hotDf, hotBuckets)
-      .groupBy("id_a", "id_b")
+      hotBuckets: Int, payload: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("id_a", "id_b") ++
+      payload.flatMap(p => Seq(s"${p}_a", s"${p}_b"))
+    coOccurringPairs(sh, hotDf, hotBuckets, payload)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("shared"))
+  }
 
   /** One (id_a < id_b) row per co-occurrence of two ids under a key
     * `h` — the pair-generation core shared by the shingle index and
     * the duplicate-cluster expansion.
     */
   private def coOccurringPairs(sh: DataFrame, hotDf: Int,
-      hotBuckets: Int): DataFrame = {
+      hotBuckets: Int, payload: Seq[String] = Nil): DataFrame = {
+    val keep = Seq("id", "h") ++ payload
     val dfByH = sh.groupBy("h").agg(count(lit(1)).as("__df"))
     val annotated = sh.join(dfByH, Seq("h")).filter(col("__df") >= 2)
-    val cold = annotated.filter(col("__df") < hotDf).select("id", "h")
-    val hot = annotated.filter(col("__df") >= hotDf).select("id", "h")
+    val cold = annotated.filter(col("__df") < hotDf).select(keep.map(col): _*)
+    val hot = annotated.filter(col("__df") >= hotDf).select(keep.map(col): _*)
     val coldPairs = cold.as("a")
       .join(cold.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    coldPairs.union(trianglePairs(hot, hotBuckets))
+      .select(Seq(col("a.id").as("id_a"), col("b.id").as("id_b")) ++
+        payload.flatMap(p =>
+          Seq(col(s"a.$p").as(s"${p}_a"), col(s"b.$p").as(s"${p}_b"))): _*)
+    coldPairs.union(trianglePairs(hot, hotBuckets, payload))
   }
 
   /** Bucketed triangle self-join for hot posting lists: documents
@@ -207,43 +219,39 @@ object Dedup {
     * order. Diagonal cells order by id; off-diagonal pairs are
     * canonicalized with least/greatest.
     */
-  private def trianglePairs(hot: DataFrame, buckets: Int): DataFrame = {
+  private def trianglePairs(hot: DataFrame, buckets: Int,
+      payload: Seq[String] = Nil): DataFrame = {
     val bucket = pmod(xxhash64(col("id")), lit(buckets)).cast("int")
-    val left = hot.select(col("id"), col("h"), bucket.as("bi"))
+    val keep = Seq(col("id"), col("h")) ++ payload.map(col)
+    val left = hot.select(keep :+ bucket.as("bi"): _*)
       .withColumn("bj", explode(sequence(col("bi"), lit(buckets - 1))))
-    val right = hot.select(col("id"), col("h"), bucket.as("bj"))
+    val right = hot.select(keep :+ bucket.as("bj"): _*)
       .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    // payload columns follow the least/greatest canonicalization
+    val aFirst = col("a.id") < col("b.id")
     left.as("a").join(right.as("b"),
         col("a.h") === col("b.h") &&
           col("a.bi") === col("b.bi") && col("a.bj") === col("b.bj") &&
           (col("a.bi") =!= col("a.bj") || col("a.id") < col("b.id")))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .select(Seq(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b")) ++
+        payload.flatMap(p => Seq(
+          when(aFirst, col(s"a.$p")).otherwise(col(s"b.$p")).as(s"${p}_a"),
+          when(aFirst, col(s"b.$p")).otherwise(col(s"a.$p")).as(s"${p}_b"))): _*)
   }
 
-  /** Join the per-document set sizes onto a shared-count pair frame.
-    * No broadcast hint on sizes: it has one row per document — at
-    * corpus scale that must never be forced driver-side. The pair set
-    * is the small side; AQE picks the strategy.
-    */
-  private def withSizes(shared: DataFrame, sizes: DataFrame): DataFrame =
-    shared
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n_shingles", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n_shingles", "n_b"), Seq("id_b"))
-
   /** Shared Jaccard tail over the inverted shingle index: pair
-    * generation + shared counts ([[sharedPairCounts]]), size lookup,
-    * threshold. `sizes` is (id, n_shingles) — a projection off the set
-    * arrays, not an aggregation.
+    * generation + shared counts ([[sharedPairCounts]]), threshold.
+    * `sh` must carry `nsh` (the owning document's set size) — it rides
+    * the index rows as payload, so no sizes-lookup join touches the
+    * pair frame.
     */
-  private def jaccardTail(sh: DataFrame, sizes: DataFrame,
-      minJaccard: Double, hotDf: Int = HotShingleDf,
+  private def jaccardTail(sh: DataFrame, minJaccard: Double,
+      hotDf: Int = HotShingleDf,
       hotBuckets: Int = HotShingleBuckets): DataFrame =
-    withSizes(sharedPairCounts(sh, hotDf, hotBuckets), sizes)
+    sharedPairCounts(sh, hotDf, hotBuckets, payload = Seq("nsh"))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")).cast("double"))
+        col("shared").cast("double") / (col("nsh_a") + col("nsh_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
 
@@ -258,11 +266,11 @@ object Dedup {
       n: Int = ShingleN, minContainment: Double = 0.9,
       hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
     val (repSets, members) = collapsedShingleSets(df, idCol, textCol, n)
-    val sh = repSets.select(col("id"), explode(col("hs")).as("h"))
-    val sizes = repSets.select(col("id"), size(col("hs")).cast("long").as("n_shingles"))
-    val repPairs = withSizes(sharedPairCounts(sh, hotDf, hotBuckets), sizes)
-      .withColumn("cont_a", col("shared").cast("double") / col("n_a"))
-      .withColumn("cont_b", col("shared").cast("double") / col("n_b"))
+    val sh = repSets.select(col("id"), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("nsh"))
+    val repPairs = sharedPairCounts(sh, hotDf, hotBuckets, payload = Seq("nsh"))
+      .withColumn("cont_a", col("shared").cast("double") / col("nsh_a"))
+      .withColumn("cont_b", col("shared").cast("double") / col("nsh_b"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
       .select(col("id_a"), col("id_b"),
         round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))

@@ -145,6 +145,42 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** CCNet-style unigram language-model quality score: per document,
+    * the mean log10 probability of its whitespace tokens under the
+    * corpus' OWN unigram distribution — the classic "fluent prose vs
+    * rare-token soup" quality axis (a low mean logprob marks
+    * gibberish, boilerplate code, and mojibake without shipping an
+    * external LM). Self-scored: the vocabulary is one count
+    * aggregation over the exploded tokens; each DISTINCT token's
+    * logprob is computed once there and rounded to DECIMAL(18,6), so
+    * the per-document sums are EXACT decimal aggregations —
+    * commutative and layout-independent, where summing raw double
+    * logs would drift with partitioning (same discipline as
+    * [[graft.ops.Stats]]' moment sums).
+    *
+    * Scale: explode → vocab agg (map-side combinable, one shuffle on
+    * the term) → token⋈vocab equi-join (term-partitioned) → per-doc
+    * agg (second shuffle, on id). The corpus total rides a one-row
+    * broadcast (the ship-the-quantizer shape, like BM25's stats).
+    * Terms travel as strings for oracle parity; at corpus scale the
+    * join currency swaps to [[tokenHash60]] like the dedup family.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("n_total"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log10(col("c").cast("double") / col("n_total")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    toks.join(lp, Seq("term"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp").as("sum_lp"))
+      .withColumn("logprob_avg",
+        round(col("sum_lp").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Per-source corpus diversity: document count, summed type-token
     * ratio (distinct/total tokens per doc — kept as an EXACT
     * DECIMAL(18,6) sum; a decimal→double cast at scale 6 is the known

@@ -623,6 +623,29 @@ object ExtQueries {
              |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style unigram LM quality score, self-scored on the corpus'
+    // own token distribution. Per-distinct-token log10 rounds to
+    // DECIMAL(18,6) once in the vocab, so per-document sums are exact
+    // decimal aggregations on both engines; the final avg casts the
+    // exact sum to double with identical op order.
+    Q("q_unigram_lp",
+      (s, dir) => TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |vocab AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+             |n AS (SELECT sum(c) AS n_total FROM vocab),
+             |lp AS (
+             |  SELECT term,
+             |    CAST(round(log10(CAST(c AS DOUBLE) / n_total), 6) AS DECIMAL(18,6)) AS lp
+             |  FROM vocab CROSS JOIN n)
+             |SELECT id, count(*) AS n_tokens,
+             |  CAST(sum(lp) AS DECIMAL(28,6)) AS sum_lp,
+             |  round(CAST(CAST(sum(lp) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS logprob_avg
+             |FROM toks JOIN lp USING (term)
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
     // TF-IDF top-3 terms per document (smoothed idf, total tie-break).
     // ln() replays across engines; scores round to 6 decimals on both
     // sides. The one driver literal is the corpus doc count (documented

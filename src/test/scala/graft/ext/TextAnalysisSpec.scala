@@ -203,4 +203,32 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1 has both terms — it must outrank the single-term docs
     one.collect().head.getLong(0) shouldBe 1L
   }
+
+  test("unigramLogProb: hand-checked probabilities; common prose beats rare soup") {
+    // corpus tokens: a a a b → p(a)=3/4, p(b)=1/4
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe (math.log10(0.75) +- 1e-5)
+    out(2L)._1 shouldBe 1L
+    out(2L)._2 shouldBe (math.log10(0.25) +- 1e-5)
+
+    // a doc of corpus-common tokens scores above one of singletons
+    val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "zxq qvw jjk pqr")
+    val scored = TextAnalysis.unigramLogProb(corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    scored(1L) should be > scored(99L)
+  }
+
+  test("unigramLogProb: layout-independent (exact decimal sums)") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val a = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = TextAnalysis.unigramLogProb(docs.repartition(13), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    a shouldBe b
+  }
 }
