@@ -107,6 +107,25 @@ class PlanGuardSpec extends SparkSpec {
 
     // volume anomaly: the daily rollup is the only pass over the log
     count(planOf("q_anomaly"), "FileScan") shouldBe 1
+
+    // pairwise dedup: the exact-collapse cache is load-bearing — the
+    // cluster join broadcasts, leaving the streamed side
+    // unmaterialized, so without InMemoryRelation every downstream
+    // branch re-scans and re-shingles the corpus
+    for (name <- Seq("q_dedup_ngram", "q_containment")) {
+      val plan = planOf(name)
+      withClue(s"$name lost the collapse cache: ") {
+        count(plan, "InMemoryTableScan") should be >= 1
+      }
+      count(plan, "SortMergeJoin") shouldBe 0
+    }
+
+    // unigram LM score: vocab agg + per-doc agg are the only data
+    // shuffles (+1 for the one-row total agg); the vocab join must
+    // stay an equi-join on the term
+    val ulp = planOf("q_unigram_lp")
+    count(ulp, "Exchange hashpartitioning") should be <= 4
+    count(ulp, "CartesianProduct") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {
