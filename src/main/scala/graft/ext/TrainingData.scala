@@ -189,7 +189,7 @@ object TrainingData {
           .cast("int").as("__rate"))
     df.join(broadcast(rates), Seq(strataCol))
       .filter(splitBucket(key, 1000) < col("__rate"))
-      .select(df.columns.map(col): _*) // restore caller's column order
+      .select(df.columns.toIndexedSeq.map(col): _*) // restore caller's column order
   }
 
   /** Cap each stratum at a token budget: walk the stratum in md5-hash

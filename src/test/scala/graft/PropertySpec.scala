@@ -103,6 +103,34 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }, minTests = 30)
   }
 
+  /** Random corpora with planted duplication: words drawn from a
+    * 12-token vocabulary (dense shingle overlap), ~1/3 of docs
+    * repeated verbatim (exercises the exact-collapse expansion), doc
+    * count 2-30.
+    */
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(2, 30)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf(
+        "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l"))
+    } yield ws.mkString(" "))
+    dups <- Gen.listOfN(n / 3 + 1, Gen.choose(0, n - 1))
+  } yield (docs ++ dups.map(docs)).zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }
+
+  test("ngram pairs: triangle path ≡ plain self-join on arbitrary duplicated corpora") {
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val plain = graft.ext.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        minJaccard = 0.2, hotDf = Int.MaxValue).collect().toSet
+      // hotDf=2 routes every pair-producing key through triangle cells
+      val tri = graft.ext.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        minJaccard = 0.2, hotDf = 2, hotBuckets = 3).collect().toSet
+      tri == plain
+    }, minTests = 8)
+  }
+
   test("customerType: every (activeness, duration) lands in exactly one segment") {
     val activeness = Seq("very low", "low", "moderate", "high", "very high", "error")
     val durations = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 20.01, 100.0)
