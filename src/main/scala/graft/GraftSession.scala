@@ -27,6 +27,13 @@ object GraftSession {
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
     "spark.sql.shuffle.partitions" -> parallelism.toString,
     "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024 * 1024).toString,
+    // scan split size pinned (not inherited): 128 MB input splits keep
+    // a 100 TB scan at ~800k tasks and one split comfortably inside a
+    // few-GB executor even after decode inflation
+    "spark.sql.files.maxPartitionBytes" -> (128 * 1024 * 1024).toString,
+    // zstd output: ~25-30% smaller than snappy at comparable CPU — at
+    // 100 TB that is tens of TB of storage and shuffle-read bytes
+    "spark.sql.parquet.compression.codec" -> "zstd",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** Production streaming profile: RocksDB-backed state store. The

@@ -48,6 +48,8 @@ class ModelsSpec extends SparkSpec {
     c("spark.sql.adaptive.skewJoin.enabled") shouldBe "true"
     c("spark.sql.shuffle.partitions") shouldBe "48"
     c("spark.sql.session.timeZone") shouldBe "UTC"
+    c("spark.sql.files.maxPartitionBytes") shouldBe (128 * 1024 * 1024).toString
+    c("spark.sql.parquet.compression.codec") shouldBe "zstd"
     graft.GraftSession.builder(48) should not be null
   }
 }
