@@ -159,17 +159,16 @@ object Dedup {
     * posting lists split by document frequency:
     *
     *  - **cold** shingles (df < `hotDf`) pair up in the plain
-    *    self-join on h — df² per key is task-sized noise. DF-1
-    *    shingles (held by one doc — most of a natural-text index, and
-    *    pair-sterile) are filtered off the same df annotation for
-    *    free, so the old optional prune pass is now unconditional.
+    *    self-join on h — df² per key is task-sized noise (DF-1
+    *    shingles match nothing there; their shuffle volume is the
+    *    corpus-scale extension point for a repeated-keys semi-join).
     *  - **hot** shingles take [[trianglePairs]]: the single-task d²/2
     *    pair blowup on a boilerplate shingle is the one straggler AQE
     *    cannot split (it is compute inside a task, not shuffle-read
     *    volume), so the work is pre-split across bucket cells instead.
     *
-    * Cost of the split: one map-side-combinable df aggregation whose
-    * h-partitioned output the self-join exchanges then reuse.
+    * Cost of the split: one map-side-combinable df aggregation
+    * reduced to the broadcast heavy-hitter set.
     */
   /** `payload` columns on the index rows ride along into the pair
     * rows as `<p>_a`/`<p>_b` (and into the grouping key — they are
@@ -189,14 +188,24 @@ object Dedup {
   /** One (id_a < id_b) row per co-occurrence of two ids under a key
     * `h` — the pair-generation core shared by the shingle index and
     * the duplicate-cluster expansion.
+    *
+    * Hot/cold routing is by BROADCAST of the heavy-hitter key set
+    * (df ≥ hotDf), which is tiny by Zipf — ≤ |index|/hotDf keys, in
+    * practice orders of magnitude fewer — so the cold self-join stays
+    * free of any annotation join and the routing itself is a
+    * row-local filter. If a pathological corpus ever made the hot set
+    * unbroadcastable, the fallback is joining the df aggregate onto
+    * the index instead (same semantics, one more shuffle).
     */
   private def coOccurringPairs(sh: DataFrame, hotDf: Int,
       hotBuckets: Int, payload: Seq[String] = Nil): DataFrame = {
-    val keep = Seq("id", "h") ++ payload
-    val dfByH = sh.groupBy("h").agg(count(lit(1)).as("__df"))
-    val annotated = sh.join(dfByH, Seq("h")).filter(col("__df") >= 2)
-    val cold = annotated.filter(col("__df") < hotDf).select(keep.map(col): _*)
-    val hot = annotated.filter(col("__df") >= hotDf).select(keep.map(col): _*)
+    val keep = (Seq("id", "h") ++ payload).map(col)
+    val hotKeys = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= hotDf).select("h")
+    val cold = sh.join(broadcast(hotKeys), Seq("h"), "left_anti")
+      .select(keep: _*)
+    val hot = sh.join(broadcast(hotKeys), Seq("h"), "left_semi")
+      .select(keep: _*)
     val coldPairs = cold.as("a")
       .join(cold.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
