@@ -181,6 +181,62 @@ object TextAnalysis {
         round(col("sum_lp").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Adjacent-token pair frequencies — the statistic a BPE/WordPiece
+    * tokenizer trainer computes every merge round (which symbol pair
+    * is most frequent?). Pairs are built ROW-LOCALLY with `zip_with`
+    * over two shifted slices of the token array (no posexplode +
+    * self-join on position), so the only shuffle is the pair-count
+    * aggregation, which is map-side combinable: hot pairs ("of the")
+    * collapse to one partial row per task before they travel. The
+    * global top-k is `orderBy().limit(k)` — a distributed
+    * TakeOrdered, not a single-partition sort.
+    *
+    * Scale: explode emits one row per adjacent pair (≈ token count),
+    * the same volume TF-IDF's explode carries; at 100 TB the pair
+    * strings would swap to [[tokenHash60]] pairs with a small
+    * hash→string lookup for the final k rows.
+    */
+  def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val ws = tokens(lower(col(textCol)))
+    val pairs = when(size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Zipf head: the corpus' top-k tokens with rank, frequency, and
+    * cumulative frequency share — the rank-frequency profile used to
+    * sanity-check a corpus against Zipf's law (a truncated or
+    * boilerplate-heavy crawl shows up as a distorted head share).
+    *
+    * Shape: one explode → vocab count (map-side combinable), a
+    * distributed TakeOrdered for the top-k, then rank + running share
+    * over the K SURVIVING ROWS only (single-partition window over k
+    * rows, not the vocabulary); the corpus token total rides a
+    * one-row broadcast (ship-the-quantizer, like BM25's stats). The
+    * share divides exact BIGINTs in double and rounds to 6 — the
+    * cross-engine-stable discipline the other ratio queries use.
+    */
+  def zipfHead(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val total = vocab.agg(sum("freq").as("n_total"))
+    val head = vocab.orderBy(col("freq").desc, col("term").asc).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("term").asc)
+    head.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        round(sum("freq").over(w).cast("double") / col("n_total"), 6))
+      .select(col("rank"), col("term"), col("freq"), col("cum_share"))
+  }
+
   /** Per-source corpus diversity: document count, summed type-token
     * ratio (distinct/total tokens per doc — kept as an EXACT
     * DECIMAL(18,6) sum; a decimal→double cast at scale 6 is the known

@@ -91,6 +91,16 @@ final case class BucketedTableSink(table: String, bucketCols: Seq[String],
       .saveAsTable(table)
 }
 
+/** ORC sink — zstd-compressed, the same codec profile as the parquet
+  * output path (GraftSession pins zstd); pairs with
+  * [[graft.io.Sources.readOrc]] for the ORC half of the columnar-lake
+  * surface.
+  */
+final case class OrcSink(path: String) extends Sink {
+  override def write(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
+}
+
 /** S8 — console preview (ETL_pipeline.py:352,364). */
 object ConsoleSink {
   def show(df: DataFrame, n: Int = 30): Unit = df.show(n, truncate = false)

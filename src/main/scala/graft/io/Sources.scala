@@ -93,6 +93,17 @@ object Sources {
   def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** ORC scan — the columnar interchange format for Hive-era lakes
+    * (the reference's lake is parquet-only; ORC closes the other half
+    * of the columnar-lake surface). Same pushdown story as parquet:
+    * predicates land in the scan's PushedFilters and unused columns
+    * never leave the stripe, so the 100 TB economics are identical.
+    */
+  def readOrc(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "no ORC input paths")
+    spark.read.orc(paths: _*)
+  }
+
   /** Partition-pruned read of a Hive-style `date=YYYYMMDD/` layout
     * (written by [[PartitionedParquetSink]]): the BETWEEN predicate
     * lands in the scan's PartitionFilters, so out-of-range directories

@@ -80,4 +80,35 @@ object TimeSeries {
         unix_micros(tsCol) - unix_micros(col("__prev")) >= minGapSec * 1000000L)
       .drop("__prev")
   }
+
+  /** Daily gap-fill with forward-fill: roll the log up to per-(key,
+    * day) sums, then densify each key's [first, last] day range,
+    * carrying the last OBSERVED day's value across the gap and
+    * flagging carried rows with `filled = true`.
+    *
+    * The spine is generated from each observed row's gap to its NEXT
+    * observed day (`lead` + `sequence`/`explode`) — no date-dimension
+    * join and no second pass: the forward-filled value for every
+    * synthetic day between two observations IS the left observation's
+    * value, so the fill rides the explode for free.
+    *
+    * Scale: one map-side-combinable shuffle for the daily rollup, one
+    * key-partitioned sort for `lead`; spine rows are generated where
+    * they are consumed (no shuffle of filled rows). Row growth is
+    * bounded by keys × calendar-days, independent of event volume. A
+    * key silent for years would explode a long spine — cap spans
+    * upstream if the calendar can outgrow a partition.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: Column,
+      valCol: Column): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(tsCol).as("__obs"))
+      .agg(sum(valCol.cast("decimal(18,2)")).cast("double").as("value"))
+    val w = Window.partitionBy(keyCol).orderBy("__obs")
+    daily
+      .withColumn("__next", lead(col("__obs"), 1).over(w))
+      .withColumn("day", explode(expr(
+        "sequence(__obs, coalesce(date_sub(__next, 1), __obs), interval 1 day)")))
+      .withColumn("filled", col("day") =!= col("__obs"))
+      .select(col(keyCol), col("day"), col("value"), col("filled"))
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.io.{OrcSink, Sources}
 import graft.ops.{AsOfJoin, Behavior, Interaction, Journey, Merge, RangeJoin, Stats, TimeSeries, TopK}
 
 /** SURVEY.md §2 operator inventory re-targeted onto the driver testdata
@@ -431,6 +432,28 @@ object CoreQueries {
               |  ${dsumSql("l_quantity")} AS sum_qty
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ORC round-trip: write a lineitem slice through the OrcSink, read
+    // it back via Sources.readOrc with a pushdown-eligible predicate,
+    // and aggregate — proves write/read fidelity for the ORC half of
+    // the columnar-lake surface (oracle runs the same aggregate over
+    // the original parquet rows).
+    Q("q_orc_roundtrip",
+      (s, dir) => {
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_orc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+        OrcSink(tmp).write(Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+        Sources.readOrc(s, Seq(tmp))
+          .filter(col("l_quantity") > 25)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE l_quantity > 25
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // A7 deterministic — dropDuplicates(subset) as rank-1-per-key (:302).
     Q("q_drop_duplicates",
       (s, dir) => {
@@ -847,6 +870,30 @@ object CoreQueries {
              |  FROM events)
              |WHERE prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 300000000
              |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // Daily gap-fill + forward-fill: densify each event_type's daily
+    // value series over its [first, last] day span, carrying the last
+    // observed value across silent days (filled = true). The fill
+    // rides the lead+sequence explode — no date-dimension join.
+    Q("q_gap_fill",
+      (s, dir) => TimeSeries.gapFill(Tables(s, dir, "events"),
+          "event_type", col("ts"), col("value"))
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS obs,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT event_type, obs, value,
+             |    lead(obs) OVER (PARTITION BY event_type ORDER BY obs) AS nxt
+             |  FROM daily)
+             |SELECT event_type, CAST(d AS DATE) AS day, value,
+             |  CAST(d AS DATE) <> obs AS filled
+             |FROM (SELECT event_type, obs, value,
+             |    unnest(generate_series(CAST(obs AS TIMESTAMP),
+             |      CAST(coalesce(nxt - 1, obs) AS TIMESTAMP),
+             |      INTERVAL 1 DAY)) AS d
+             |  FROM g)
+             |ORDER BY event_type, day""".stripMargin)),
 
     // First-order event transition matrix (user-flow / Sankey): counts
     // and per-source shares of consecutive event-type pairs.

@@ -1028,6 +1028,37 @@ object ExtQueries {
            |FROM g ORDER BY source""".stripMargin
       }),
 
+    // BPE merge statistic: top-50 adjacent-token pairs by frequency —
+    // the per-round counting pass of a tokenizer trainer. Pairs are
+    // row-local (zip_with over shifted slices); one map-side-combined
+    // shuffle + distributed TakeOrdered.
+    Q("q_bpe_pairs",
+      (s, dir) => TextAnalysis.bpePairs(docs(s, dir), "text", topK = 50),
+      Some("""WITH ws AS (SELECT string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |p AS (SELECT unnest(list_transform(range(1, len(w)),
+             |    i -> w[i] || ' ' || w[i+1])) AS pair FROM ws)
+             |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+             |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    // Zipf head: top-100 tokens with rank and cumulative corpus share —
+    // the rank-frequency profile for corpus health checks. Vocab agg +
+    // TakeOrdered; the k-row head (not the vocabulary) takes the rank
+    // window, and the token total rides a one-row broadcast.
+    Q("q_zipf",
+      (s, dir) => TextAnalysis.zipfHead(docs(s, dir), "text", topK = 100),
+      Some("""WITH v AS (SELECT t AS term, count(*) AS freq
+             |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS t
+             |        FROM documents) GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS n_total FROM v),
+             |h AS (SELECT term, freq FROM v
+             |      ORDER BY freq DESC, term LIMIT 100)
+             |SELECT CAST(row_number() OVER w AS INT) AS rank, term, freq,
+             |  round(CAST(SUM(freq) OVER w AS DOUBLE) / n_total, 6) AS cum_share
+             |FROM h, tot
+             |WINDOW w AS (ORDER BY freq DESC, term)
+             |ORDER BY rank""".stripMargin)),
+
     // Weighted repetition (epoch upsampling): src0 ×3, src2 dropped,
     // everything else ×1 — the training-mix knob as a generator
     // projection (weight 0 = empty sequence = stratum removed).

@@ -15,7 +15,7 @@ class PlanGuardSpec extends SparkSpec {
     * - q_ann_topk: brute-force exact baseline — the non-equi
     *   (id =!= query_id) join against the broadcast QUERY side is the
     *   intended "scan corpus once" plan, not a corpus×corpus loop.
-    * - q_temperature_mix / q_bm25 / q_unigram_lp:
+    * - q_temperature_mix / q_bm25 / q_unigram_lp / q_zipf:
     *   crossJoin(broadcast(agg)) against a ONE-ROW corpus-stats
     *   aggregate — the lazy scalar-subquery shape
     *   (ship-the-quantizer); the nested loop runs once per row against
@@ -23,7 +23,7 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_temperature_mix", "q_bm25",
-      "q_unigram_lp")
+      "q_unigram_lp", "q_zipf")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

@@ -176,6 +176,31 @@ class TextAnalysisSpec extends SparkSpec {
     out(2)._3 shouldBe 0.0
   }
 
+  test("bpePairs: adjacent pairs counted, case-folded, ties broken by pair; short docs skipped") {
+    val df = Seq(
+      "The cat sat",     // "the cat", "cat sat"
+      "the cat ran",     // "the cat", "cat ran"
+      "cat",             // 1 token -> no pairs
+      "dog ran"          // "dog ran"
+    ).toDF("text")
+    val out = TextAnalysis.bpePairs(df, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    out shouldBe List(("the cat", 2L), ("cat ran", 1L), ("cat sat", 1L))
+  }
+
+  test("zipfHead: rank by freq then term, cumulative share over corpus total") {
+    // tokens: a×4, b×2, c×1, d×1 — total 8
+    val df = Seq("a a b", "a b c", "A d").toDF("text")
+    val out = TextAnalysis.zipfHead(df, "text", topK = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    out shouldBe List(
+      (1, "a", 4L, 0.5),       // 4/8
+      (2, "b", 2L, 0.75),      // 6/8
+      (3, "c", 1L, 0.875))     // 7/8 — "d" loses the tie, truncated
+  }
+
   test("corpusDiversity: entropy of closed lang set, exact decimal TTR sum") {
     val df = Seq(
       ("s1", "en", "a a b"),   // ttr 2/3 → 0.666667

@@ -191,4 +191,28 @@ class SourcesSinksSpec extends SparkSpec {
     ParquetSink(dir).write(df)
     rowSet(spark.read.parquet(dir)) shouldBe Set(Seq(1, "a"), Seq(2, "b"))
   }
+
+  test("OrcSink + readOrc: roundtrip preserves schema and values; filter pushes to the scan") {
+    import spark.implicits._
+    val dir = new java.io.File(tempDir(), "out.orc").getAbsolutePath
+    val df = Seq((1L, 10.5, "a"), (2L, 20.5, "b"), (3L, 30.5, "c"))
+      .toDF("k", "x", "v")
+    OrcSink(dir).write(df)
+    val read = Sources.readOrc(spark, Seq(dir))
+    // names and types survive; nullability widens on read-back (file
+    // sources report nullable), same as parquet
+    read.schema.map(f => (f.name, f.dataType)) shouldBe
+      df.schema.map(f => (f.name, f.dataType))
+    rowSet(read) shouldBe
+      Set(Seq(1L, 10.5, "a"), Seq(2L, 20.5, "b"), Seq(3L, 30.5, "c"))
+    // predicate reaches the ORC scan (PushedFilters), same as parquet
+    val plan = read.filter($"x" > 15.0).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    withClue(plan) {
+      plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("GreaterThan(x,15.0)")) shouldBe true
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Sources.readOrc(spark, Seq.empty)
+  }
 }

@@ -30,6 +30,28 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 3.0, 2L), (2L, 3.0, 2L))
   }
 
+  test("gapFill: densifies per-key day span, carries last observed value, flags fills") {
+    val ev = Seq(
+      // key "a": days 1, 4 observed -> 2,3 filled with day-1's sum
+      ("a", ts("2024-01-01 09:00:00"), 1.0),
+      ("a", ts("2024-01-01 15:00:00"), 2.0), // same day, sums to 3.0
+      ("a", ts("2024-01-04 10:00:00"), 8.0),
+      // key "b": single day -> no fills
+      ("b", ts("2024-02-10 10:00:00"), 5.0)
+    ).toDF("k", "ts", "value")
+    val out = TimeSeries.gapFill(ev, "k", col("ts"), col("value"))
+      .orderBy("k", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getBoolean(3))).toList
+    out shouldBe List(
+      ("a", "2024-01-01", 3.0, false),
+      ("a", "2024-01-02", 3.0, true),
+      ("a", "2024-01-03", 3.0, true),
+      ("a", "2024-01-04", 8.0, false),
+      ("b", "2024-02-10", 5.0, false))
+  }
+
   test("volumeAnomaly: trailing-7 z-score; null until full baseline and on zero variance") {
     // key "a": 7 baseline days with counts 7,13,10,10,10,10,10 then a
     // 20-count spike; key "b": constant 5s → zero variance → z null
