@@ -429,12 +429,25 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-  /** Full MinHash+LSH near-dup pipeline: shingle-set projection →
-    * signature projection → band explode → candidate equi-join →
-    * exact-Jaccard verify ≥ `minJaccard`.
+  /** Full MinHash+LSH near-dup pipeline: exact-duplicate collapse →
+    * signature projection over the REPRESENTATIVES → band explode →
+    * candidate equi-join → exact-Jaccard verify ≥ `minJaccard` →
+    * member expansion.
+    *
+    * The collapse ([[collapsedShingleSets]], shared with the ngram
+    * family) is the skew answer: byte-identical texts share every
+    * band, so without it a d-member boilerplate cluster floods the
+    * bucket join with d²/2 candidate pairs that all verify at
+    * jaccard 1.0 — quadratic work for pairs known by construction.
+    * With it, LSH only ever buckets DISTINCT texts; identical-text
+    * pairs re-enter as [[intraPairs]] (triangle-split for hot
+    * clusters) with a literal 1.0, and cross-cluster rep pairs fan
+    * back out to members via [[interPairs]]. Output is identical to
+    * the uncollapsed pipeline: equal texts ⇒ equal signatures ⇒
+    * co-bucketed in every band ⇒ always candidates, always jaccard 1.
     *
     * The verify step never explodes: a candidate pair joins both
-    * documents' hash ARRAYS and computes |a ∩ b| with one codegen'd
+    * reps' hash ARRAYS and computes |a ∩ b| with one codegen'd
     * `array_intersect` per pair — replacing the previous
     * explode → 3-join → groupBy inverted-index tail (~1.4 s of
     * exchange overhead at sf0.1 for the same numbers). The candidate
@@ -443,17 +456,25 @@ object Dedup {
     * reshuffled.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.5): DataFrame = {
-    val sets = docShingleSets(df, idCol, textCol).cache()
-    val candidates = lshCandidatePairs(lshBands(minhashSignature(sets)))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      minJaccard: Double = 0.5, hotDf: Int = HotShingleDf,
+      hotBuckets: Int = HotShingleBuckets): DataFrame = {
+    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, ShingleN)
+    val candidates = lshCandidatePairs(lshBands(minhashSignature(repSets)))
+    val repPairs = candidates
+      .join(repSets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(repSets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard", col("shared").cast("double") /
         (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    val inter = interPairs(repPairs, members)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+    val intra = intraPairs(members, hotDf, hotBuckets)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= minJaccard)
+    inter.union(intra)
   }
 
   /** SimHash fingerprint per document over the 60-bit token hashes
