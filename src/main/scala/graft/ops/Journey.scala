@@ -143,4 +143,37 @@ object Journey {
       .withColumn("retention", round(col("n_active") / col("cohort_size"), 6))
       .orderBy("cohort", "week_offset")
   }
+
+  /** Top-k session paths: sessionize by inactivity gap (lag-based,
+    * the same `>= gap` break rule as the session-window queries),
+    * join each session's first `maxLen` event types into a `>`-path,
+    * and count sessions per path — the "what do users actually do"
+    * flow-mining query behind Sankey/path-explorer UIs.
+    *
+    * Shape at scale: ONE shuffle on the user key (the session window
+    * + the per-session collect ride the same partitioning), then a
+    * map-side-combinable path count and a distributed TakeOrdered for
+    * the top k. Per-session state is capped: `collect_list` gathers
+    * only that session's events and the path truncates to `maxLen`
+    * types, so a bot session of a million events costs its collect
+    * but never a megabyte-wide string or a hot aggregation key — and
+    * hot PATHS ("view" alone) collapse map-side before they travel.
+    */
+  def topPaths(df: DataFrame, userCol: Column, tsCol: Column,
+      typeCol: Column, tieCol: Column, gapMin: Int = 30,
+      maxLen: Int = 8, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    val brk = when(unix_micros(tsCol) - unix_micros(lag(tsCol, 1).over(w))
+      >= gapMin * 60L * 1000000L, 1).otherwise(0)
+    df.withColumn("__sid",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(userCol.as("__u"), col("__sid"))
+      .agg(array_join(slice(transform(
+          array_sort(collect_list(struct(tsCol.as("t"), tieCol.as("i"),
+            typeCol.as("y")))),
+          x => x("y")), 1, maxLen), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
 }

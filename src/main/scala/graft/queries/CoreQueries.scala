@@ -730,6 +730,29 @@ object CoreQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Top-20 session paths: 30-min-gap sessions, first 8 event types
+    // joined by '>' — flow mining over the same break rule as
+    // q_session_window. One user-key shuffle + path count +
+    // TakeOrdered.
+    Q("q_top_paths",
+      (s, dir) => Journey.topPaths(Tables(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |p AS (SELECT user_id, sid,
+             |    array_to_string(list_slice(
+             |      list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
+             |  FROM s GROUP BY 1, 2)
+             |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+             |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
+
     // Strictly-ordered funnel (signup → view → purchase): greedy
     // earliest chain per user ≡ the sequential-min-CTE definition the
     // oracle spells out. One shuffle on the user key; outputs are
@@ -1070,6 +1093,22 @@ object CoreQueries {
              |  AND s.ts >= v.ts - INTERVAL 60 MINUTE
              |WHERE v.event_type = 'view' AND s.event_type = 'click'
              |ORDER BY v.user_id, view_ts, search_event_id""".stripMargin)),
+
+    // STREAM-STREAM LEFT-OUTER interval join under the hard gate:
+    // unmatched views emit with null search columns only when the
+    // watermark closes their window (sentinel-driven) — the emitted
+    // set must equal the batch LEFT JOIN, which is the oracle.
+    Q("q_stream_outer_join",
+      (s, dir) => graft.streaming.StreamingGate.searchJoinOuterFromFiles(s, dir),
+      Some("""SELECT v.user_id, v.event_id AS view_event_id,
+             |  v.ts AS view_ts, CAST(floor(v.value) AS BIGINT) AS duration,
+             |  s.event_id AS search_event_id, s.ts AS search_ts
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') s
+             |  ON v.user_id = s.user_id AND s.ts <= v.ts
+             |  AND s.ts >= v.ts - INTERVAL 60 MINUTE
+             |ORDER BY v.user_id, view_event_id,
+             |  coalesce(search_event_id, -1)""".stripMargin)),
 
     // STATEFUL running activeness under the hard gate: a real
     // mapGroupsWithState run (update mode) over staged micro-batch

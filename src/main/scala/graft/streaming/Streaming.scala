@@ -145,6 +145,40 @@ object Streaming {
         "keyword", "search_ts")
   }
 
+  /** LEFT-OUTER variant of [[searchesBeforeView]]: every view emits —
+    * matched rows eagerly, unmatched rows with null search columns
+    * once the watermark proves no in-window search can still arrive
+    * (view_ts + interval behind the watermark). This is the streaming
+    * face of "views with and without an attributable search": the
+    * null rows are the unattributed traffic a marketing join must not
+    * silently drop.
+    *
+    * `views` must carry (contract, view_id, duration, ts) — the view's
+    * own event id makes the output row identity explicit, which an
+    * outer join needs (an unmatched view has no search id to anchor
+    * on). State stays bounded exactly as the inner join: each side
+    * buffers only rows newer than watermark − interval; the OUTER
+    * semantics change only WHEN unmatched rows emit, not what is
+    * retained.
+    */
+  def searchesBeforeViewOuter(views: DataFrame, searches: DataFrame,
+      interval: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("contract"), col("view_id"), col("duration"),
+        col("ts").as("view_ts"))
+    val s = searches.withWatermark("ts", watermark)
+      .select(col("contract").as("s_contract"), col("keyword"),
+        col("ts").as("search_ts"))
+    v.join(s,
+      col("contract") === col("s_contract") &&
+        col("search_ts") <= col("view_ts") &&
+        col("search_ts") >= col("view_ts") - expr(s"INTERVAL $interval"),
+      "leftOuter")
+      .select("contract", "view_id", "duration", "view_ts",
+        "keyword", "search_ts")
+  }
+
   /** One finalized viewing session (emitted exactly once, on close). */
   final case class SessionSummary(
       contract: String,

@@ -302,6 +302,106 @@ object StreamingGate {
     }
   }
 
+  /** One emitted left-outer join row (view side always present;
+    * keyword/search_ts null when no in-window search existed). Public
+    * for the encoder's generated code, like [[JoinedRow]].
+    */
+  final case class OuterJoinedRow(contract: String, view_id: String,
+      duration: Long, view_ts: Timestamp, keyword: String,
+      search_ts: Timestamp)
+
+  /** STREAM-STREAM LEFT-OUTER interval join under the gate: a REAL
+    * [[Streaming.searchesBeforeViewOuter]] run. Unlike the inner
+    * gate, unmatched views only emit when the watermark passes their
+    * join window, so this needs the session gate's sentinel pattern:
+    * two far-future slices advance the watermark past every real
+    * view's window (closing the outer state), and the sentinel's own
+    * rows are filtered from the output. Emitted set = the batch LEFT
+    * JOIN with the same interval predicate, which is the oracle.
+    */
+  def searchJoinOuterFromFiles(s: SparkSession, dir: String,
+      intervalMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    val stage = newStage()
+    try withStatePartitions(s, 8) {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val events = Tables(s, dir, "events")
+      // keyword doubles as the generic event-id carrier on BOTH sides:
+      // the view's own id on 'v' rows, the search id on 's' rows
+      val tagged = events.filter(col("event_type") === "view").select(
+          col("user_id").cast("string").as("contract"),
+          col("event_type").as("category"),
+          floor(col("value")).cast("long").as("duration"),
+          col("event_id").cast("string").as("keyword"),
+          col("ts"), lit("v").as("side"))
+        .unionByName(events.filter(col("event_type") === "click").select(
+          col("user_id").cast("string").as("contract"),
+          lit(null).cast("string").as("category"),
+          lit(null).cast("long").as("duration"),
+          col("event_id").cast("string").as("keyword"),
+          col("ts"), lit("s").as("side")))
+      val bounds = tagged.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
+        max(col("ts")).as("maxTs")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      val nSlices = stageOrderedSlices(tagged, stage, baseMs, cutoff)
+      val farFuture = new Timestamp(
+        bounds.getTimestamp(2).getTime + 365L * 24 * 3600 * 1000)
+      val later = new Timestamp(farFuture.getTime + 3600000L)
+      // each sentinel slice carries BOTH sides: the global watermark is
+      // the MIN across the two branch watermark operators, so a
+      // views-only sentinel would leave the searches branch (and with
+      // it the join's eviction watermark) pinned at the real-data max
+      Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
+        val rows: Seq[(String, String, java.lang.Long, String, Timestamp, String)] =
+          Seq((Sentinel, "view", 0L, "0", t, "v"),
+            (Sentinel, null, null, "0", t, "s"))
+        writeSlice(rows
+          .toDF("contract", "category", "duration", "keyword", "ts", "side"),
+          stage, nSlices + i, baseMs)
+      }
+
+      val stream = s.readStream
+        .schema(taggedStageSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val views = stream.filter(col("side") === "v")
+        .select(col("contract"), col("keyword").as("view_id"),
+          col("duration"), col("ts"))
+      val searches = stream.filter(col("side") === "s")
+        .select("contract", "keyword", "ts")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[OuterJoinedRow]
+      val query = Streaming.searchesBeforeViewOuter(views, searches,
+          interval = s"$intervalMinutes minutes", watermark = watermark)
+        .select(col("contract"), col("view_id"), col("duration"),
+          col("view_ts"), col("keyword"), col("search_ts"))
+        .as[OuterJoinedRow]
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[OuterJoinedRow], _: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      buf.synchronized { buf.filter(_.contract != Sentinel).toSeq }
+        .toDS().toDF()
+        .select(col("contract").cast("long").as("user_id"),
+          col("view_id").cast("long").as("view_event_id"),
+          col("view_ts"), col("duration"),
+          col("keyword").cast("long").as("search_event_id"),
+          col("search_ts"))
+        .orderBy(col("user_id"), col("view_event_id"),
+          coalesce(col("search_event_id"), lit(-1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** WINDOWED AGGREGATION under the gate: a REAL append-mode
     * [[Streaming.windowedCategoryStats]] run — the watermark must
     * finalize every hourly window (windows emit only when the

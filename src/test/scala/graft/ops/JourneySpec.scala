@@ -117,4 +117,33 @@ class JourneySpec extends SparkSpec {
       ("2024-01-08", 0, 1L, 1L, 1.0),
       ("2024-01-08", 2, 1L, 1L, 1.0))
   }
+
+  test("topPaths: gap break splits sessions, maxLen truncates, ties break by path") {
+    val ev = Seq(
+      // u1 session 1: view > click; then a 31-min gap starts session 2: view
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:36:00"), 3L, "view"),
+      // u2 one session: view > click (29-min gap does NOT break)
+      (2L, ts("2024-01-02 10:00:00"), 4L, "view"),
+      (2L, ts("2024-01-02 10:29:00"), 5L, "click"),
+      // u3: equal-ts events ordered by event_id
+      (3L, ts("2024-01-03 10:00:00"), 7L, "b"),
+      (3L, ts("2024-01-03 10:00:00"), 6L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Journey.topPaths(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), maxLen = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    out shouldBe List(("view>click", 2L), ("a>b", 1L), ("view", 1L))
+
+    // maxLen truncation: 3-event session keeps its first 2 types
+    val long = Seq(
+      (9L, ts("2024-01-01 10:00:00"), 1L, "x"),
+      (9L, ts("2024-01-01 10:01:00"), 2L, "y"),
+      (9L, ts("2024-01-01 10:02:00"), 3L, "z")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    Journey.topPaths(long, col("user_id"), col("ts"), col("event_type"),
+        col("event_id"), maxLen = 2, topK = 10)
+      .collect().map(_.getString(0)).toList shouldBe List("x>y")
+  }
 }

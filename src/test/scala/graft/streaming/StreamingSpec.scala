@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("searchesBeforeViewOuter: matches emit eagerly, unmatched views null-pad on watermark") {
+    implicit val ctx = spark.sqlContext
+    import Streaming.SearchEvent
+    val views = MemoryStream[OuterViewEvent]
+    val searches = MemoryStream[SearchEvent]
+    val q = Streaming.searchesBeforeViewOuter(views.toDF(), searches.toDF(),
+      interval = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sbvo").outputMode("append").start()
+    withQuery(q) {
+      searches.addData(SearchEvent("c1", "thriller", ts("2022-04-01 09:30:00")))
+      views.addData(
+        OuterViewEvent("c1", "v1", 10L, ts("2022-04-01 10:00:00")), // matched
+        OuterViewEvent("c2", "v2", 20L, ts("2022-04-01 10:00:00"))) // no search
+      q.processAllAvailable()
+      def rows = rowSet(spark.table("sbvo")
+        .selectExpr("contract", "view_id", "keyword"))
+      // matched row emits eagerly; the unmatched view waits in state
+      rows shouldBe Set(Seq("c1", "v1", "thriller"))
+      // advance BOTH branch watermarks far past v2's join window (the
+      // advancing pair matches itself — equal ts is within the window)
+      views.addData(OuterViewEvent("cx", "vx", 0L, ts("2022-04-02 00:00:00")))
+      searches.addData(SearchEvent("cx", "kx", ts("2022-04-02 00:00:00")))
+      q.processAllAvailable()
+      rows shouldBe Set(Seq("c1", "v1", "thriller"), Seq("c2", "v2", null),
+        Seq("cx", "vx", "kx"))
+    }
+  }
+
   test("closedSessions: late event beyond the gap closes alone, not merged across silence") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[ViewEvent]
@@ -235,3 +263,9 @@ class StreamingSpec extends SparkSpec {
     }
   }
 }
+
+/** View event carrying its own id — input shape of
+  * [[Streaming.searchesBeforeViewOuter]] (top-level for the encoder).
+  */
+final case class OuterViewEvent(contract: String, view_id: String,
+    duration: Long, ts: java.sql.Timestamp)
