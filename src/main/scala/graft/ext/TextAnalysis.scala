@@ -225,8 +225,12 @@ object TextAnalysis {
     */
   def zipfHead(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the total and the head both derive from the vocab agg,
+    // and without the cache each branch re-scans the corpus (vocab ≪
+    // corpus, so this is the cheap side of that trade)
     val vocab = df.select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
+      .cache()
     val total = vocab.agg(sum("freq").as("n_total"))
     val head = vocab.orderBy(col("freq").desc, col("term").asc).limit(topK)
     val w = Window.orderBy(col("freq").desc, col("term").asc)

@@ -126,6 +126,37 @@ class PlanGuardSpec extends SparkSpec {
     val ulp = planOf("q_unigram_lp")
     count(ulp, "Exchange hashpartitioning") should be <= 4
     count(ulp, "CartesianProduct") shouldBe 0
+
+    // BPE pairs: pairs are row-local (zip_with), so ONE scan, ONE
+    // pair-count exchange, and a distributed TakeOrdered — a second
+    // exchange means a posexplode self-join crept back in
+    val bpe = planOf("q_bpe_pairs")
+    count(bpe, "Exchange hashpartitioning") shouldBe 1
+    count(bpe, "FileScan") shouldBe 1
+    count(bpe, "TakeOrderedAndProject") shouldBe 1
+
+    // Zipf head: the rank/share window may only run on the k-row head
+    // (one single-partition exchange of k rows); BOTH the total and
+    // the head must ride the cached vocab (the corpus is scanned once
+    // to fill it — the 2 FileScan strings are the fill plan printed
+    // inside each InMemoryRelation, not 2 executions)
+    val zipf = planOf("q_zipf")
+    count(zipf, "TakeOrderedAndProject") shouldBe 1
+    count(zipf, "InMemoryTableScan") shouldBe 2
+
+    // gap-fill: daily rollup + key window; the spine explode rides
+    // the window output, never a date-dimension join
+    val gf = planOf("q_gap_fill")
+    count(gf, "Exchange hashpartitioning") shouldBe 2
+    count(gf, "FileScan") shouldBe 1
+    count(gf, "Join") shouldBe 0
+
+    // top paths: the session agg reuses the window's user
+    // partitioning (subset-satisfies-clustering), so exactly two data
+    // exchanges: the user window + the path count
+    val tp = planOf("q_top_paths")
+    count(tp, "Exchange hashpartitioning") shouldBe 2
+    count(tp, "TakeOrderedAndProject") shouldBe 1
   }
 
   test("filter queries push their predicates into the parquet scan") {
