@@ -152,6 +152,13 @@ object Bench {
       "q_stream_dedup")
     val samples = timeAll(SparkEntry.queries,
       repsFor = name => if (gateQueries(name)) 1 else reps)
+    // drop registry caches before the skew section: the base_* twins
+    // share logical plans (and therefore cache entries) with registry
+    // queries, so without this the base twin rides a warm collapse
+    // cache the skew twin has to build — the measured "skew tax" was
+    // mostly that asymmetry (both twins still warm across their own
+    // reps, symmetrically)
+    spark.catalog.clearCache()
     val skewSamples = timeAll(skewQueries)
     val results = samples.map { case (k, xs) => k -> median(xs) }
     val skewResults = skewSamples.map { case (k, xs) => k -> median(xs) }

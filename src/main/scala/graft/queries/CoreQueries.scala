@@ -454,6 +454,61 @@ object CoreQueries {
               |FROM lineitem WHERE l_quantity > 25
               |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Schema evolution: two parquet slices with DIFFERENT schemas (the
+    // second adds l_quantity) read back through mergeSchema — the
+    // lake's added-a-column-last-month reality. Old rows surface the
+    // new column as null; the aggregate proves both the union and the
+    // null semantics (oracle replays the slice split over the source
+    // rows).
+    Q("q_merge_schema",
+      (s, dir) => {
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_ms_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+        val li = Tables(s, dir, "lineitem")
+        li.filter(col("l_linenumber") <= 3)
+          .select("l_orderkey", "l_returnflag")
+          .write.mode("overwrite").parquet(s"$tmp/v1")
+        li.filter(col("l_linenumber") > 3)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").parquet(s"$tmp/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/v1", s"$tmp/v2")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("l_quantity")).as("n_with_qty"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_rows,
+              |  count(CASE WHEN l_linenumber > 3 THEN 1 END) AS n_with_qty,
+              |  CAST(SUM(CASE WHEN l_linenumber > 3
+              |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_qty
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
+    // S4's scale path under the driver gate: date-partitioned write +
+    // range-pruned read (the predicate prunes at the file index — the
+    // PartitionFilters assert lives in SourcesSinksSpec; here the
+    // surviving rows must equal the batch date filter).
+    Q("q_partition_prune",
+      (s, dir) => {
+        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_pp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+        val ev = Tables(s, dir, "events")
+          .withColumn("date", date_format(to_date(col("ts")), "yyyyMMdd").cast("int"))
+        graft.io.PartitionedParquetSink(tmp).write(
+          ev.select("date", "event_id", "user_id", "event_type", "value"))
+        Sources.readDatePartitioned(s, tmp, 20240108, 20240114)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+              |  ${dsumSql("value")} AS sum_value
+              |FROM events
+              |WHERE CAST(strftime(ts, '%Y%m%d') AS INT) BETWEEN 20240108 AND 20240114
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // A7 deterministic — dropDuplicates(subset) as rank-1-per-key (:302).
     Q("q_drop_duplicates",
       (s, dir) => {
