@@ -598,9 +598,15 @@ object Dedup {
     */
   private[graft] def nearDupClusters(universe: DataFrame, pairs: DataFrame,
       maxRounds: Int, initMin: Boolean): DataFrame = {
+    // symmetrize in ONE pass over the pairs plan: the union-of-two-
+    // selects form evaluates `pairs` twice while filling the cache,
+    // and the pairs plan upstream (LSH + collapse) is the expensive
+    // part of the whole clustering
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     val members = edges.select(col("src").as("id")).distinct()
     // initialize to min(self, neighbors) — one aggregation over the
