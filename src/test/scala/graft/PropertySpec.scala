@@ -131,6 +131,78 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }, minTests = 8)
   }
 
+  test("minhash pairs: collapsed pipeline ≡ uncollapsed LSH on arbitrary duplicated corpora") {
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      // round-4 form: LSH directly over every document, no collapse
+      val sets = graft.ext.Dedup.docShingleSets(df, "doc_id", "text")
+      val uncollapsed = graft.ext.Dedup.lshCandidatePairs(
+          graft.ext.Dedup.lshBands(graft.ext.Dedup.minhashSignature(sets)))
+        .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("shared",
+          org.apache.spark.sql.functions.size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (org.apache.spark.sql.functions.size(col("hs_a"))
+            + org.apache.spark.sql.functions.size(col("hs_b"))
+            - col("shared")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .collect().map(_.toSeq).toSet
+      // hotDf=2 also routes every intra cluster through triangle cells
+      val collapsed = graft.ext.Dedup
+        .minhashDedupPairs(df, "doc_id", "text", hotDf = 2, hotBuckets = 3)
+        .collect().map(_.toSeq).toSet
+      collapsed == uncollapsed
+    }, minTests = 8)
+  }
+
+  test("gapFill: dense per-key coverage, observed values exact, fills carry last observation") {
+    val dayGen = Gen.choose(1, 25)
+    val evGen = Gen.listOfN(12, for {
+      k <- Gen.oneOf("a", "b", "c")
+      d <- dayGen
+      v <- Gen.choose(0, 50)
+    } yield (k, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00"), v.toDouble))
+    check(forAll(evGen) { rows =>
+      val df = rows.toDF("k", "ts", "value")
+      val out = graft.ops.TimeSeries.gapFill(df, "k", col("ts"), col("value"))
+        .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate,
+          r.getDouble(2), r.getBoolean(3)))
+      val byKey = rows.groupBy(_._1)
+      out.groupBy(_._1).forall { case (k, kr) =>
+        val days = byKey(k).map(_._2.toLocalDateTime.toLocalDate).distinct
+        val (lo, hi) = (days.min, days.max)
+        val expectDays = Iterator.iterate(lo)(_.plusDays(1))
+          .takeWhile(!_.isAfter(hi)).toSeq
+        val obsSum = byKey(k).groupBy(_._2.toLocalDateTime.toLocalDate)
+          .map { case (d, es) => d -> es.map(_._3).sum }
+        // dense coverage, exact observed sums, fills = carry of the
+        // most recent observed day's sum
+        kr.map(_._2).toSeq.sorted == expectDays &&
+          kr.forall { case (_, d, v, filled) =>
+            val carrySrc = obsSum.keys.filter(!_.isAfter(d)).max
+            filled == !obsSum.contains(d) && v == obsSum(carrySrc)
+          }
+      }
+    }, minTests = 8)
+  }
+
+  test("bpePairs: pair-count mass equals token transitions over the corpus") {
+    val wordGen = Gen.oneOf("a", "b", "c", "Dd", "ee")
+    val textGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    check(forAll(Gen.listOfN(10, textGen)) { texts =>
+      val df = texts.toDF("text")
+      val out = graft.ext.TextAnalysis.bpePairs(df, "text", topK = 1000)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val expectedMass = texts.map(t => math.max(t.split(" ").length - 1, 0)).sum
+      out.map(_._2).sum == expectedMass &&
+        out.forall { case (p, c) => c >= 1 && p == p.toLowerCase } &&
+        out.sortBy { case (p, c) => (-c, p) }.toSeq == out.toSeq
+    }, minTests = 8)
+  }
+
   test("customerType: every (activeness, duration) lands in exactly one segment") {
     val activeness = Seq("very low", "low", "moderate", "high", "very high", "error")
     val durations = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 20.01, 100.0)
