@@ -147,9 +147,9 @@ object Bench {
     // harness, not operator throughput, so their min-of-reps carries
     // no signal: run them ONCE per bench and spend the reps on the
     // batch operators whose medians the cross-round compare reads
-    val gateQueries = Set("q_closed_sessions", "q_stream_join",
-      "q_stream_outer_join", "q_running_activeness", "q_stream_window",
-      "q_stream_dedup")
+    val gateQueries = Set("q_closed_sessions", "q_stream_sessions_tws",
+      "q_stream_join", "q_stream_outer_join", "q_running_activeness",
+      "q_stream_window", "q_stream_dedup")
     val samples = timeAll(SparkEntry.queries,
       repsFor = name => if (gateQueries(name)) 1 else reps)
     // drop registry caches before the skew section: the base_* twins

@@ -1132,6 +1132,29 @@ object CoreQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // The SAME session machine on Spark 4's transformWithState
+    // (StatefulProcessor + explicit event-time timers, RocksDB state
+    // store — column families are unsupported on the HDFS provider):
+    // identical oracle to q_closed_sessions, so the two APIs are
+    // pinned equivalent under the hard gate.
+    Q("q_stream_sessions_tws",
+      (s, dir) => graft.streaming.StreamingGate.closedSessionsTwsFromFiles(s, dir),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, CAST(floor(value) AS BIGINT) AS dur,
+             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start,
+             |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |  CAST(SUM(dur) AS BIGINT) AS total_duration,
+             |  CAST(count(*) AS INT) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // STREAM-STREAM interval join under the hard gate: a real
     // Structured Streaming run of searchesBeforeView (both sides
     // watermarked, time-range-bounded join state) over staged

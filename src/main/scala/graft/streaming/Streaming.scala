@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming variants of the interaction-branch analytics
@@ -273,6 +275,107 @@ object Streaming {
             closed.reverse.iterator
           }
       }
+  }
+
+  /** [[closedSessions]] re-expressed on Spark 4's `transformWithState`
+    * (the StatefulProcessor API that supersedes
+    * flatMapGroupsWithState): same once-per-session emit-on-close
+    * contract, same in-batch fold, with the event-time timeout
+    * expressed as an explicit REGISTERED TIMER (fired when the
+    * watermark passes lastTs + gap) instead of the implicit
+    * per-group timeout slot.
+    *
+    * Semantics parity with [[closedSessions]] is oracle-gated
+    * (q_stream_sessions_tws shares q_closed_sessions' oracle). One
+    * operational difference worth the new API: timers are explicit
+    * objects — re-keying a session DELETES the stale timer rather
+    * than overwriting a single slot, which is the part
+    * flatMapGroupsWithState hid and the part that goes wrong first
+    * in hand-rolled processors.
+    */
+  def closedSessionsTws(events: Dataset[ViewEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[SessionSummary] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.contract)(Encoders.STRING)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())(
+        Encoders.product[SessionSummary])
+
+  /** The [[closedSessionsTws]] state machine. Public top-level class:
+    * the processor is serialized into the stateful operator and its
+    * state encoder generates code against it.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, ViewEvent, SessionSummary] {
+    private val gapUs = gapMs * 1000L
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def closeSession(contract: String, s: SessionState): SessionSummary =
+      SessionSummary(contract, tsFromMicros(s.start),
+        tsFromMicros(s.lastTs + gapUs), s.total, s.n)
+
+    /** Timer slot for a session: epoch millis, rounded UP so the
+      * timeout never fires sub-millisecond early (same rule as the
+      * fMGWS face).
+      */
+    private def timerFor(s: SessionState): Long =
+      (s.lastTs + gapUs + 999L) / 1000L
+
+    override def handleInputRows(contract: String, rows: Iterator[ViewEvent],
+        tv: TimerValues): Iterator[SessionSummary] = {
+      val evs = rows.toArray.sortBy(e => epochMicros(e.ts))
+      val prev = if (session.exists()) Some(session.get()) else None
+      var closed = List.empty[SessionSummary]
+      var cur = prev
+      evs.foreach { e =>
+        val t = epochMicros(e.ts)
+        cur = cur match {
+          case Some(s) if t - s.lastTs < gapUs && s.start - t < gapUs =>
+            Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
+              s.total + e.duration, s.n + 1))
+          case Some(s) if t < s.start =>
+            // late by more than the gap: its own closed session (the
+            // same bounded-state tradeoff closedSessions documents)
+            closed ::= SessionSummary(contract, tsFromMicros(t),
+              tsFromMicros(t + gapUs), e.duration, 1)
+            Some(s)
+          case Some(s) =>
+            closed ::= closeSession(contract, s)
+            Some(SessionState(t, t, e.duration, 1))
+          case None =>
+            Some(SessionState(t, t, e.duration, 1))
+        }
+      }
+      cur.foreach { s =>
+        // explicit timer hygiene: drop the previous session's timer
+        // before arming the new one (timers accumulate, they are not
+        // a single slot like fMGWS's setTimeoutTimestamp)
+        prev.filter(p => timerFor(p) != timerFor(s))
+          .foreach(p => getHandle.deleteTimer(timerFor(p)))
+        session.update(s)
+        getHandle.registerTimer(timerFor(s))
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(contract: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      if (session.exists()) {
+        val s = session.get()
+        // stale-timer guard: only the timer armed for the CURRENT
+        // lastTs may close the session
+        if (info.getExpiryTimeInMs() >= timerFor(s)) {
+          session.clear()
+          Iterator.single(closeSession(contract, s))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
   }
 
   /** A2 streaming — running distinct-active-days count and activeness

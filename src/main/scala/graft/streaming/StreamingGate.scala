@@ -141,7 +141,9 @@ object StreamingGate {
     * session_end, total_duration, n_events), ordered.
     */
   def closedSessionsFromEvents(s: SparkSession, ev: DataFrame,
-      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+      gapMinutes: Int = 30, watermark: String = "1 hour",
+      sessionize: (Dataset[Streaming.ViewEvent], Long, String) =>
+        Dataset[Streaming.SessionSummary] = Streaming.closedSessions(_, _, _)): DataFrame = {
     import s.implicits._
     val stage = newStage()
     try withStatePartitions(s, 8) {
@@ -170,8 +172,8 @@ object StreamingGate {
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.resolve("data").toString)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Streaming.SessionSummary]
-      val query = Streaming.closedSessions(stream.as[Streaming.ViewEvent],
-          gapMs = gapMinutes * 60000L, watermark = watermark)
+      val query = sessionize(stream.as[Streaming.ViewEvent],
+          gapMinutes * 60000L, watermark)
         .writeStream
         .option("checkpointLocation", stage.resolve("ckpt").toString)
         .outputMode("append")
@@ -198,17 +200,36 @@ object StreamingGate {
     * engines.
     */
   def closedSessionsFromFiles(s: SparkSession, dir: String,
-      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+      gapMinutes: Int = 30, watermark: String = "1 hour",
+      sessionize: (Dataset[Streaming.ViewEvent], Long, String) =>
+        Dataset[Streaming.SessionSummary] = Streaming.closedSessions(_, _, _)): DataFrame = {
     val ev = Tables(s, dir, "events").select(
       col("user_id").cast("string").as("contract"),
       col("event_type").as("category"),
       floor(col("value")).cast("long").as("duration"),
       col("ts"))
-    closedSessionsFromEvents(s, ev, gapMinutes, watermark)
+    closedSessionsFromEvents(s, ev, gapMinutes, watermark, sessionize)
       .select(col("contract").cast("long").as("user_id"),
         col("session_start"), col("session_end"),
         col("total_duration"), col("n_events"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** [[closedSessionsFromFiles]] on the `transformWithState` session
+    * machine ([[Streaming.closedSessionsTws]]): same staged slices,
+    * same batch oracle. transformWithState needs state-store column
+    * families, so the RocksDB provider (the production profile) is
+    * pinned for the run and restored after — this gate is therefore
+    * also the registry's standing RocksDB execution.
+    */
+  def closedSessionsTwsFromFiles(s: SparkSession, dir: String,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, graft.GraftSession.rocksDbStateStore(key))
+    try closedSessionsFromFiles(s, dir, gapMinutes, watermark,
+      sessionize = Streaming.closedSessionsTws(_, _, _))
+    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
   private val taggedStageSchema = StructType(Seq(

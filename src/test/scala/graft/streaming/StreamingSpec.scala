@@ -93,6 +93,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("closedSessionsTws: transformWithState twin matches the fMGWS session machine") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState needs column families → RocksDB provider (the
+    // production profile; HDFS-backed stores reject it outright)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, graft.GraftSession.rocksDbStateStore(key))
+    try {
+    val in = MemoryStream[ViewEvent]
+    val q = Streaming.closedSessionsTws(in.toDS(), gapMs = 30L * 60 * 1000,
+      watermark = "1 hour")
+      .writeStream.format("memory").queryName("cstws").outputMode("append").start()
+    withQuery(q) {
+      // same scenario as the closedSessions spec: c1 opens a 2-event
+      // session, c2 opens a 1-event session
+      in.addData(
+        ViewEvent("c1", "content", 10L, ts("2022-04-01 10:00:00")),
+        ViewEvent("c1", "content", 5L, ts("2022-04-01 10:20:00")),
+        ViewEvent("c2", "commerce", 3L, ts("2022-04-01 10:00:00")))
+      q.processAllAvailable()
+      spark.table("cstws").count() shouldBe 0L // nothing closed yet
+
+      // a much later c1 event closes c1's session in-batch and moves
+      // the watermark past c2's 10:30 timer
+      in.addData(ViewEvent("c1", "content", 7L, ts("2022-04-01 13:00:00")))
+      q.processAllAvailable()
+      // next batch: c2's expired TIMER fires and closes its session;
+      // c1's 13:00 session closes in-batch; 16:00 stays open
+      in.addData(ViewEvent("c1", "content", 1L, ts("2022-04-01 16:00:00")))
+      q.processAllAvailable()
+
+      val out = spark.table("cstws").selectExpr("contract", "session_start",
+        "session_end", "totalDuration", "n_events")
+      rowSet(out) shouldBe Set(
+        Seq("c1", ts("2022-04-01 10:00:00"), ts("2022-04-01 10:50:00"), 15L, 2),
+        Seq("c2", ts("2022-04-01 10:00:00"), ts("2022-04-01 10:30:00"), 3L, 1),
+        Seq("c1", ts("2022-04-01 13:00:00"), ts("2022-04-01 13:30:00"), 7L, 1))
+    }
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("searchesBeforeView: stream-stream interval join bounds matches to the window") {
     implicit val ctx = spark.sqlContext
     import Streaming.SearchEvent
