@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, HashDefs, Multimodal, Similarity, TextAnalysis, TrainingData}
+import graft.ext.{CorpusPipeline, Dedup, HashDefs, Multimodal, Similarity, TextAnalysis, TrainingData}
 import graft.queries.CoreQueries.Q
 
 /** Training-data-pipeline extension operators (BASELINE.json north
@@ -29,16 +29,19 @@ object ExtQueries {
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
 
   /** Distinct word 3-shingle hashes per doc — SQL twin of
-    * [[Dedup.wordShingleHashes]].
+    * [[Dedup.wordShingleHashes]]. `src` lets the same CTE run over a
+    * filtered document set (q_corpus_prepare scopes it to the
+    * pipeline's survivors).
     */
-  private val shinglesSql =
+  private def shinglesSqlFrom(src: String): String =
     s"""sh AS (
        |  SELECT DISTINCT doc_id AS id, ${h60("shingle")} AS h
        |  FROM (
        |    SELECT doc_id, unnest(list_transform(
        |      range(1, len(ws) - ${ShingleN - 2}),
        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)))""".stripMargin
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)))""".stripMargin
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   private val jaccardTailSql =
     """sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -897,6 +900,71 @@ object ExtQueries {
              |    + 0.25 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
              |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_quality
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // END-TO-END corpus preparation: lang gate → quality gate → exact
+    // dedup → MinHash near-dup dedup → stable split, as ONE call
+    // (ext.CorpusPipeline) — and ONE oracle replaying all five stages
+    // (the near-dup stage re-runs the full LSH + recursive-CTE cluster
+    // replay, scoped to the gated survivor set).
+    Q("q_corpus_prepare",
+      (s, dir) => CorpusPipeline.prepare(docs(s, dir), "doc_id", "text",
+          allowedLangs = Seq("en", "de", "fr"), minQuality = 0.5)
+        .orderBy("doc_id"),
+      Some {
+        val split = s"${h60("CAST(doc_id AS VARCHAR)")} % 100"
+        s"""WITH RECURSIVE
+           |scored AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS ws,
+           |    round(0.5 * least(CAST(len(text) AS DOUBLE) / 500.0, 1.0)
+           |      + 0.25 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / greatest(len(text), 1))
+           |      + 0.25 * least(CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+           |          / greatest(len(ws), 1) * 5.0, 1.0), 6) AS quality,
+           |    $langScoreSql
+           |  FROM documents),
+           |lid AS (SELECT *, $langPredSql AS lang_pred FROM scored),
+           |kept AS (
+           |  SELECT doc_id, text, ws, quality, lang_pred FROM lid
+           |  WHERE lang_pred IN ('en', 'de', 'fr') AND quality >= 0.5),
+           |exact AS (
+           |  SELECT k.* FROM kept k
+           |  JOIN (SELECT md5(text) AS dg, min(doc_id) AS rep
+           |        FROM kept GROUP BY 1) w
+           |    ON md5(k.text) = w.dg AND k.doc_id = w.rep),
+           |${shinglesSqlFrom("exact")},
+           |$minhashSql,
+           |$bandsSql,
+           |cand AS (
+           |  SELECT DISTINCT a.id AS ca, b.id AS cb
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+           |shp AS (SELECT sh.* FROM sh
+           |        WHERE id IN (SELECT ca FROM cand) OR id IN (SELECT cb FROM cand)),
+           |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+           |shared AS (
+           |  SELECT ca AS ia, cb AS ib, count(*) AS shared
+           |  FROM cand JOIN shp a ON ca = a.id
+           |            JOIN shp b ON cb = b.id AND a.h = b.h
+           |  GROUP BY 1, 2),
+           |p AS (
+           |  SELECT ia AS id_a, ib AS id_b
+           |  FROM shared JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+           |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM p
+           |  UNION ALL SELECT id_b, id_a FROM p),
+           |reach(id, lab) AS (
+           |  SELECT doc_id, doc_id FROM exact
+           |  UNION
+           |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src),
+           |clu AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+           |SELECT doc_id, lang_pred, quality, CAST(len(ws) AS INT) AS n_tokens,
+           |  CAST($split AS INT) AS split_bucket,
+           |  CASE WHEN $split < 80 THEN 'train'
+           |       WHEN $split < 90 THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM exact JOIN clu ON doc_id = clu.id AND clu.cluster = doc_id
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // Layout-independent 20% hash sample (same stability story).
     Q("q_hash_sample",
