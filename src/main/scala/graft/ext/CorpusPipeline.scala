@@ -42,8 +42,11 @@ object CorpusPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .filter(col("lang_pred").isin(allowedLangs: _*) &&
         col("quality") >= minQuality)
-    // stage 2: exact dedup over survivors (digest shuffle)
-    val exact = Dedup.exactDedupSurvivors(kept, idCol, textCol)
+    // stage 2: exact dedup over survivors (digest shuffle). Cached:
+    // the near-dup stage (shingle collapse), the cluster universe,
+    // the final survivor join and the split all consume this frame —
+    // uncached, each re-runs the scan + gates + digest shuffle
+    val exact = Dedup.exactDedupSurvivors(kept, idCol, textCol).cache()
     // stage 3: near-dup clusters over exact survivors; keep each
     // cluster's min-id representative (singletons keep themselves)
     val reps = Dedup.nearDupClusters(
