@@ -157,6 +157,13 @@ class PlanGuardSpec extends SparkSpec {
     val tp = planOf("q_top_paths")
     count(tp, "Exchange hashpartitioning") shouldBe 2
     count(tp, "TakeOrderedAndProject") shouldBe 1
+
+    // corpus prep: the exact-survivor cache is load-bearing — every
+    // stage after the gates consumes it; losing the InMemoryRelation
+    // re-runs the scan + gates + digest shuffle per consumer
+    val cp = planOf("q_corpus_prepare")
+    count(cp, "InMemoryTableScan") should be >= 2
+    count(cp, "CartesianProduct") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {
