@@ -51,8 +51,7 @@ object CorpusPipeline {
     // cluster's min-id representative (singletons keep themselves)
     val reps = Dedup.nearDupClusters(
         exact.select(col(idCol).as("id")),
-        Dedup.minhashDedupPairs(exact, idCol, textCol)
-          .select("id_a", "id_b"))
+        Dedup.minhashDedupEdges(exact, idCol, textCol))
       .filter(col("id") === col("cluster"))
       .select(col("id").as(idCol))
     val survivors = exact.join(reps, Seq(idCol), "left_semi")

@@ -477,6 +477,37 @@ object Dedup {
     inter.union(intra)
   }
 
+  /** Connectivity EDGES for near-dup clustering — the clustering-
+    * consumer face of [[minhashDedupPairs]]: same collapse + LSH +
+    * verify, but duplicate clusters contribute k−1 member→rep STAR
+    * edges instead of their k²/2 expanded pairs, and cross-cluster
+    * matches stay at rep level (the member stars connect everything
+    * [[interPairs]] would have). Connected components over these
+    * edges are IDENTICAL to components over the full pair set — a
+    * rep reaches every member — but a million-document boilerplate
+    * cluster costs a million edge rows, not half a trillion pair
+    * rows. Use [[minhashDedupPairs]] when the pairs themselves are
+    * the product (dedup reports, similarity thresholds); use this
+    * when they only feed [[nearDupClusters]].
+    */
+  def minhashDedupEdges(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, ShingleN)
+    val candidates = lshCandidatePairs(lshBands(minhashSignature(repSets)))
+    val repPairs = candidates
+      .join(repSets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(repSets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .filter(col("shared").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double")
+        >= minJaccard)
+      .select("id_a", "id_b")
+    val stars = members
+      .filter(col("k") >= 2 && col("rep_nsh") >= 1 && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    repPairs.union(stars)
+  }
+
   /** SimHash fingerprint per document over the 60-bit token hashes
     * (term-frequency weighted): for each bit j, sum +1/-1 votes across
     * tokens; bit j of the fingerprint is 1 iff the vote is positive.

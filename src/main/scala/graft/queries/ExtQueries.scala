@@ -277,7 +277,7 @@ object ExtQueries {
         val d = docs(s, dir)
         Dedup.nearDupClusters(
             d.select(col("doc_id").as("id")),
-            Dedup.minhashDedupPairs(d, "doc_id", "text").select("id_a", "id_b"))
+            Dedup.minhashDedupEdges(d, "doc_id", "text"))
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $shinglesSql,

@@ -157,6 +157,19 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }, minTests = 8)
   }
 
+  test("minhash star edges: clusters over edges ≡ clusters over full pairs") {
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val universe = df.select(col("doc_id").as("id"))
+      def labels(pairs: org.apache.spark.sql.DataFrame) =
+        graft.ext.Dedup.nearDupClusters(universe, pairs)
+          .collect().map(_.toSeq).toSet
+      labels(graft.ext.Dedup.minhashDedupEdges(df, "doc_id", "text")) ==
+        labels(graft.ext.Dedup.minhashDedupPairs(df, "doc_id", "text")
+          .select("id_a", "id_b"))
+    }, minTests = 8)
+  }
+
   test("gapFill: dense per-key coverage, observed values exact, fills carry last observation") {
     val dayGen = Gen.choose(1, 25)
     val evGen = Gen.listOfN(12, for {
