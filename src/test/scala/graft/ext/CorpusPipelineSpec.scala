@@ -48,6 +48,16 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("output is layout-independent: any input partitioning, same rows") {
+    val docs = (1L to 40L).map(i => (i, if (i % 7 == 0) base
+      else base.replace("committee", s"committee$i"))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      CorpusPipeline.prepare(df, "doc_id", "text", Seq("en"), 0.5)
+        .collect().map(_.toSeq).toSet
+    run(docs) shouldBe run(docs.repartition(7))
+    run(docs) shouldBe run(docs.coalesce(1))
+  }
+
   test("split assignment is stable under re-preparation of a grown corpus") {
     val docs = Seq((1L, base)).toDF("doc_id", "text")
     val grown = Seq((1L, base),
