@@ -175,4 +175,39 @@ class StreamingGateSpec extends SparkSpec {
         Seq("c1", ts("2024-02-01 06:00:00"), 7L, 1L))
     } finally q.stop()
   }
+
+  test("outer-join gate ≡ batch LEFT JOIN; the last window's unmatched views flush") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.searchJoinOuterFromFiles(spark, dir)
+    val ev = graft.Tables(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view").select(
+      col("user_id"), col("event_id").as("view_event_id"),
+      col("ts").as("view_ts"), floor(col("value")).cast("long").as("duration"))
+    val s2 = ev.filter(col("event_type") === "click").select(
+      col("user_id").as("__u"), col("event_id").as("search_event_id"),
+      col("ts").as("search_ts"))
+    val want = v.join(s2,
+        col("user_id") === col("__u") &&
+          col("search_ts") <= col("view_ts") &&
+          col("search_ts") >= col("view_ts") - expr("INTERVAL 60 minutes"),
+        "left_outer")
+      .select("user_id", "view_event_id", "view_ts", "duration",
+        "search_event_id", "search_ts")
+    rowSet(got) shouldBe rowSet(want)
+    // the regression this pins: views in the final watermark window
+    // with no match must still emit (needs BOTH-side sentinels — the
+    // global watermark is the min across branch watermark operators)
+    val lastTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val lastView = want.orderBy(col("view_ts").desc).head()
+    got.filter(col("view_event_id") === lastView.getLong(1))
+      .count() should be >= 1L
+    lastTs should not be null
+  }
+
+  test("transformWithState gate ≡ the fMGWS gate on the same slices") {
+    val dir = "/root/testdata/sf0.001"
+    val tws = StreamingGate.closedSessionsTwsFromFiles(spark, dir)
+    val fmgws = StreamingGate.closedSessionsFromFiles(spark, dir)
+    rowSet(tws) shouldBe rowSet(fmgws)
+  }
 }
