@@ -164,19 +164,31 @@ object TextAnalysis {
     * broadcast (the ship-the-quantizer shape, like BM25's stats).
     * Terms travel as strings for oracle parity; at corpus scale the
     * join currency swaps to [[tokenHash60]] like the dedup family.
+    *
+    * Besides the score itself the output carries EXACT integer
+    * surrogates of the LM inputs — `sum_c` (summed corpus frequency
+    * of the doc's tokens) and `min_c` (its rarest token's count).
+    * These are what the cross-engine oracle gates: `log10` is the one
+    * op whose last ulp differs between libm builds, and rounding it
+    * per-term before a sum amplifies any boundary hit across every
+    * document containing that term (observed driver-red in rounds
+    * 3–5). The transcendental columns are pinned by ScalaTest goldens
+    * instead (TextAnalysisSpec), per the SURVEY §5 rule.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum("c").as("n_total"))
-    val lp = vocab.crossJoin(broadcast(total))
-      .select(col("term"),
+    val vlp = vocab.crossJoin(broadcast(total))
+      .select(col("term"), col("c"),
         round(log10(col("c").cast("double") / col("n_total")), 6)
           .cast("decimal(18,6)").as("lp"))
-    toks.join(lp, Seq("term"))
+    toks.join(vlp, Seq("term"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lp").as("sum_lp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("c").as("sum_c"), min("c").as("min_c"),
+        sum("lp").as("sum_lp"))
       .withColumn("logprob_avg",
         round(col("sum_lp").cast("double") / col("n_tokens"), 6))
   }
@@ -249,6 +261,13 @@ object TextAnalysis {
     * conditional counts — no distinct-values job, and the entropy sum
     * is a fixed left-assoc expression, never a float aggregation).
     * One map-side-combinable shuffle for everything.
+    *
+    * The per-language counts `c_<lang>` ride along in the output:
+    * they ARE the entropy's inputs and are exact integers, so they
+    * form the cross-engine oracle surface, while `lang_entropy`
+    * itself (p·ln p at a 6-dp rounding boundary — the libm-ulp
+    * hazard that kept this query driver-red rounds 3–5) is pinned by
+    * a ScalaTest golden instead, per the SURVEY §5 rule.
     */
   def corpusDiversity(df: DataFrame, srcCol: String, langCol: String,
       textCol: String, langs: Seq[String]): DataFrame = {
@@ -265,8 +284,9 @@ object TextAnalysis {
       val p = col(s"c_$l").cast("double") / nD
       when(col(s"c_$l") > 0, p * log(p)).otherwise(lit(0.0))
     }.reduce(_ + _)
-    g.select(col(srcCol), col("n_docs"), col("sum_ttr"),
-      round(-entropy, 6).as("lang_entropy"))
+    g.select(col(srcCol) +: col("n_docs") +: col("sum_ttr") +:
+      langs.map(l => col(s"c_$l")) :+
+      round(-entropy, 6).as("lang_entropy"): _*)
   }
 
   /** BM25 top-k retrieval for a fixed term set (Lucene-style

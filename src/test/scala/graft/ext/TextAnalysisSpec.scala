@@ -211,13 +211,19 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.corpusDiversity(df, "source", "lang", "text",
         Seq("de", "en", "es", "fr", "zh"))
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).doubleValue, r.getDouble(3)))).toMap
-    val (n1, ttr1, h1) = out("s1")
+        ((r.getAs[Long]("n_docs"),
+          r.getAs[java.math.BigDecimal]("sum_ttr").doubleValue,
+          r.getAs[Double]("lang_entropy"),
+          r.getAs[Long]("c_en"), r.getAs[Long]("c_de")))).toMap
+    val (n1, ttr1, h1, en1, de1) = out("s1")
     n1 shouldBe 4L
     ttr1 shouldBe (0.666667 + 1.0 + 1.0 + 1.0 +- 1e-9)
+    // entropy golden (SURVEY §5): the libm-sensitive column is pinned
+    // here, not on the cross-engine oracle hash
     h1 shouldBe (math.log(2.0) +- 1e-6) // uniform 2-of-4 / 2-of-4 split
-    val (n2, ttr2, h2) = out("s2")
-    (n2, ttr2, h2) shouldBe ((1L, 0.5, 0.0)) // single lang → entropy 0
+    (en1, de1) shouldBe ((2L, 2L))      // the exact gated entropy inputs
+    val (n2, ttr2, h2, en2, de2) = out("s2")
+    (n2, ttr2, h2, en2, de2) shouldBe ((1L, 0.5, 0.0, 1L, 0L)) // single lang → entropy 0
   }
 
   test("bm25Rank: multi-term sums per-term scores; topK truncates") {
@@ -233,18 +239,22 @@ class TextAnalysisSpec extends SparkSpec {
     // corpus tokens: a a a b → p(a)=3/4, p(b)=1/4
     val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
-    out(1L)._1 shouldBe 3L
-    out(1L)._2 shouldBe (math.log10(0.75) +- 1e-5)
-    out(2L)._1 shouldBe 1L
-    out(2L)._2 shouldBe (math.log10(0.25) +- 1e-5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_c"),
+          r.getAs[Long]("min_c"), r.getAs[Double]("logprob_avg")))).toMap
+    // logprob goldens (SURVEY §5): the libm-sensitive score is pinned
+    // here; the cross-engine oracle gates only the exact columns
+    out(1L) shouldBe ((3L, 9L, 3L, out(1L)._4))
+    out(1L)._4 shouldBe (math.log10(0.75) +- 1e-5)
+    out(2L) shouldBe ((1L, 1L, 1L, out(2L)._4))
+    out(2L)._4 shouldBe (math.log10(0.25) +- 1e-5)
 
     // a doc of corpus-common tokens scores above one of singletons
     val corpus = (1L to 20L).map(i => (i, "the cat sat on the mat")) :+
       (99L, "zxq qvw jjk pqr")
     val scored = TextAnalysis.unigramLogProb(corpus.toDF("doc_id", "text"),
         "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("logprob_avg")).toMap
     scored(1L) should be > scored(99L)
   }
 
