@@ -150,7 +150,15 @@ object Bench {
     val gateQueries = Set("q_closed_sessions", "q_stream_sessions_tws",
       "q_stream_join", "q_stream_outer_join", "q_running_activeness",
       "q_stream_window", "q_stream_dedup")
-    val samples = timeAll(SparkEntry.queries,
+    // SPARK_GRAFT_ONLY=q_a,q_b — iterate on a subset (dev loop only;
+    // the driver's per-round bench runs the full registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val samples = timeAll(picked,
       repsFor = name => if (gateQueries(name)) 1 else reps)
     // drop registry caches before the skew section: the base_* twins
     // share logical plans (and therefore cache entries) with registry
@@ -159,7 +167,11 @@ object Bench {
     // mostly that asymmetry (both twins still warm across their own
     // reps, symmetrically)
     spark.catalog.clearCache()
-    val skewSamples = timeAll(skewQueries)
+    val pickedSkew = only match {
+      case Some(names) => skewQueries.filter { case (k, _) => names(k) }
+      case None        => skewQueries
+    }
+    val skewSamples = timeAll(pickedSkew)
     val results = samples.map { case (k, xs) => k -> median(xs) }
     val skewResults = skewSamples.map { case (k, xs) => k -> median(xs) }
     val resultsMin = samples.map { case (k, xs) => k -> minRep(xs) }

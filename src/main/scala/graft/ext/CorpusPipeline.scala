@@ -42,19 +42,27 @@ object CorpusPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .filter(col("lang_pred").isin(allowedLangs: _*) &&
         col("quality") >= minQuality)
-    // stage 2: exact dedup over survivors (digest shuffle). Cached:
-    // the near-dup stage (shingle collapse), the cluster universe,
-    // the final survivor join and the split all consume this frame —
-    // uncached, each re-runs the scan + gates + digest shuffle
-    val exact = Dedup.exactDedupSurvivors(kept, idCol, textCol).cache()
+    // stages 2+3 fused over ONE digest+shingle scan: the exact-dedup
+    // winners ARE the collapse representatives (min id per distinct
+    // text), and the near-dup stage consumes exactly those documents'
+    // shingle sets — round 5 paid the md5 scan twice, once in
+    // exactDedupSurvivors and again inside minhashDedupEdges' own
+    // collapse. Mode is Always (not Auto): exact-dup removal is this
+    // pipeline's CONTRACT, not a performance heuristic, so the
+    // collapse must run even when duplicates are rare.
+    val collapse = Dedup.collapsedShingleSets(kept, idCol, textCol,
+      HashDefs.ShingleN, Dedup.CollapseMode.Always)
     // stage 3: near-dup clusters over exact survivors; keep each
-    // cluster's min-id representative (singletons keep themselves)
+    // cluster's min-id representative (singletons keep themselves).
+    // Duplicate-cluster star edges are unnecessary here: the members
+    // they would connect are exactly the losers stage 2 removes.
     val reps = Dedup.nearDupClusters(
-        exact.select(col(idCol).as("id")),
-        Dedup.minhashDedupEdges(exact, idCol, textCol))
+        collapse.repSets.select(col("id")),
+        Dedup.minhashRepPairs(collapse.repSets, minJaccard = 0.5)
+          .select("id_a", "id_b"))
       .filter(col("id") === col("cluster"))
       .select(col("id").as(idCol))
-    val survivors = exact.join(reps, Seq(idCol), "left_semi")
+    val survivors = kept.join(reps, Seq(idCol), "left_semi")
     // stage 4: stable hash split on the id
     TrainingData.withSplit(survivors, col(idCol))
       .select(col(idCol), col("lang_pred"), col("quality"),

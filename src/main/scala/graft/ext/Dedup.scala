@@ -26,6 +26,28 @@ import HashDefs._
   */
 object Dedup {
 
+  /** Dial for the exact-duplicate collapse front of the pairwise
+    * dedup ops. [[CollapseMode.Auto]] (the default) probes the
+    * corpus' digest distribution once — a column-pruned scan and one
+    * combinable aggregation — and collapses only when duplicates can
+    * pay for the collapse join + cache: global duplicate fraction ≥
+    * [[HashDefs.CollapseDupFrac]], or any single identical-text
+    * clique ≥ [[HashDefs.CollapseHotClique]] (one hot clique is
+    * quadratic however rare duplicates are overall). On an
+    * already-deduped corpus the probe answers "no" and the ops run
+    * directly over per-document shingle sets — the round-5 flat tax
+    * (~1–2 s per execution at sf0.1, every corpus, duplicates or
+    * not) becomes pay-for-use. `Always`/`Never` pin the choice for
+    * callers that already know their corpus (a pipeline that just
+    * exact-deduped passes `Never`; a raw web crawl passes `Always`).
+    */
+  sealed trait CollapseMode
+  object CollapseMode {
+    case object Auto extends CollapseMode
+    case object Always extends CollapseMode
+    case object Never extends CollapseMode
+  }
+
   /** Exact dedup by content digest: canonical id (min) per distinct
     * text, group size. One shuffle on md5(text).
     */
@@ -74,20 +96,35 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = ShingleN, minJaccard: Double = 0.5,
-      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
-    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, n)
-    val sh = repSets.select(col("id"), explode(col("hs")).as("h"),
+      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets,
+      mode: CollapseMode = CollapseMode.Auto): DataFrame = {
+    val c = collapsedShingleSets(df, idCol, textCol, n, mode)
+    val sh = c.repSets.select(col("id"), explode(col("hs")).as("h"),
       size(col("hs")).cast("long").as("nsh"))
     val repPairs = jaccardTail(sh, minJaccard, hotDf, hotBuckets)
-    val inter = interPairs(repPairs, members)
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
-    // identical texts have jaccard exactly 1.0 — no shingle math needed
-    val intra = intraPairs(members, hotDf, hotBuckets)
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= minJaccard)
-    inter.union(intra)
+    c.members match {
+      case None => repPairs // id_a < id_b is already canonical off the index
+      case Some(members) =>
+        val inter = interPairs(repPairs, members)
+          .select(least(col("__ia"), col("__ib")).as("id_a"),
+            greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+        // identical texts have jaccard exactly 1.0 — no shingle math needed
+        val intra = intraPairs(members, hotDf, hotBuckets)
+          .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+          .filter(lit(1.0) >= minJaccard)
+        inter.union(intra)
+    }
   }
+
+  /** Result of the exact-duplicate collapse front: shingle sets for
+    * the documents the pairwise stages will actually compare, plus —
+    * when the collapse ran — the member map that expands rep-level
+    * pairs back out to documents. `members == None` is the identity
+    * collapse (every document its own representative): the pairwise
+    * ops consume `repSets` directly and skip both expansion joins.
+    */
+  private[ext] final case class ShingleCollapse(
+      repSets: DataFrame, members: Option[DataFrame])
 
   /** Exact-duplicate collapse feeding the pairwise ops: shingle sets
     * for one REPRESENTATIVE (min-id) document per distinct text, plus
@@ -103,24 +140,61 @@ object Dedup {
     * shuffles (the shingle arrays are computed row-local by the
     * codegen'd expression first, and at ~8 bytes a shingle travel
     * cheaper than the text they summarize).
+    *
+    * Under [[CollapseMode.Auto]] the collapse is PAY-FOR-USE: a probe
+    * aggregates the digest distribution (count, distinct, max clique)
+    * in one column-pruned job — digests only, no shingles, ~32 bytes
+    * a row of shuffle — and the full collapse join runs only when the
+    * probe says duplicates will repay it. The probe is eager (it must
+    * decide the plan), which is the same train-then-ship shape as the
+    * IVF centroid fit: a bounded driver-side decision, not data
+    * movement. The cached collapse join is owned by the returned
+    * frames' lifecycle — callers that materialize a terminal result
+    * per session (the registry queries, Bench) rely on Spark's LRU;
+    * long-lived sessions issuing many ad-hoc collapses should
+    * `unpersist` via the frames' own handles.
     */
-  private def collapsedShingleSets(df: DataFrame, idCol: String,
-      textCol: String, n: Int): (DataFrame, DataFrame) = {
-    val base = df.select(col(idCol).as("id"), md5(col(textCol)).as("__dg"),
-      graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
-    // hash-agg + join, NOT a window: no sort, no row_number, and the
-    // cluster frame is small per distinct text so AQE can broadcast
-    // it. The join output is cached because a broadcast join leaves
-    // the streamed side UN-materialized — without the cache every
-    // downstream branch would re-scan the corpus and re-shingle it.
-    val clusters = base.select("__dg", "id").groupBy("__dg")
-      .agg(min("id").as("rep"), count(lit(1)).as("k"))
-    val joined = base.join(clusters, Seq("__dg")).cache()
-    (joined.filter(col("id") === col("rep")).select("id", "hs"),
-      joined.select(col("rep"), col("id"), col("k"),
-        // members have byte-identical text, so a member's own shingle
-        // count IS its representative's
-        size(col("hs")).as("rep_nsh")))
+  private[ext] def collapsedShingleSets(df: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      mode: CollapseMode = CollapseMode.Auto): ShingleCollapse = {
+    val collapse = mode match {
+      case CollapseMode.Always => true
+      case CollapseMode.Never  => false
+      case CollapseMode.Auto =>
+        val s = df.select(md5(col(textCol)).as("__dg"))
+          .groupBy("__dg").agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("nd"), sum("k").as("n"), max("k").as("maxk"))
+          .head()
+        // empty corpus: sum/max are null — nothing to collapse
+        !s.isNullAt(1) && {
+          val (nd, n, maxk) = (s.getLong(0), s.getLong(1), s.getLong(2))
+          (n - nd).toDouble / n >= CollapseDupFrac || maxk >= CollapseHotClique
+        }
+    }
+    if (!collapse)
+      // cached for the same reason as the collapse join below: the
+      // pair tail consumes the sets several times (df aggregation,
+      // cold/hot routing, LSH signature + both verify joins), and
+      // uncached each consumer would re-scan and re-shingle the corpus
+      ShingleCollapse(docShingleSets(df, idCol, textCol, n).cache(), None)
+    else {
+      val base = df.select(col(idCol).as("id"), md5(col(textCol)).as("__dg"),
+        graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
+      // hash-agg + join, NOT a window: no sort, no row_number, and the
+      // cluster frame is small per distinct text so AQE can broadcast
+      // it. The join output is cached because a broadcast join leaves
+      // the streamed side UN-materialized — without the cache every
+      // downstream branch would re-scan the corpus and re-shingle it.
+      val clusters = base.select("__dg", "id").groupBy("__dg")
+        .agg(min("id").as("rep"), count(lit(1)).as("k"))
+      val joined = base.join(clusters, Seq("__dg")).cache()
+      ShingleCollapse(
+        joined.filter(col("id") === col("rep")).select("id", "hs"),
+        Some(joined.select(col("rep"), col("id"), col("k"),
+          // members have byte-identical text, so a member's own shingle
+          // count IS its representative's
+          size(col("hs")).as("rep_nsh"))))
+    }
   }
 
   /** Rep-level pair rows joined back to both clusters' members: every
@@ -189,23 +263,27 @@ object Dedup {
     * `h` — the pair-generation core shared by the shingle index and
     * the duplicate-cluster expansion.
     *
-    * Hot/cold routing is by BROADCAST of the heavy-hitter key set
-    * (df ≥ hotDf), which is tiny by Zipf — ≤ |index|/hotDf keys, in
-    * practice orders of magnitude fewer — so the cold self-join stays
-    * free of any annotation join and the routing itself is a
-    * row-local filter. If a pathological corpus ever made the hot set
-    * unbroadcastable, the fallback is joining the df aggregate onto
-    * the index instead (same semantics, one more shuffle).
+    * ONE document-frequency annotation join does three jobs at once:
+    * it DROPS df-1 keys (in a mostly-unique corpus the overwhelming
+    * majority of the index — they pair with nothing, and carrying
+    * them through the self-join was the round-5 regression), it
+    * routes the survivors hot/cold by the annotated `__df` (a
+    * row-local filter, no second pass), and it leaves the pruned
+    * index hash-partitioned by `h`, exactly the partitioning the
+    * cold self-join needs — Catalyst reuses the exchange instead of
+    * reshuffling. Hot keys (df ≥ hotDf) take [[trianglePairs]]: a
+    * df-d key generates d²/2 pairs inside whichever single task owns
+    * it, compute AQE cannot split, so their pair generation is
+    * pre-spread across bucket cells.
     */
   private def coOccurringPairs(sh: DataFrame, hotDf: Int,
       hotBuckets: Int, payload: Seq[String] = Nil): DataFrame = {
     val keep = (Seq("id", "h") ++ payload).map(col)
-    val hotKeys = sh.groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= hotDf).select("h")
-    val cold = sh.join(broadcast(hotKeys), Seq("h"), "left_anti")
-      .select(keep: _*)
-    val hot = sh.join(broadcast(hotKeys), Seq("h"), "left_semi")
-      .select(keep: _*)
+    val dfAgg = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+    val ann = sh.join(dfAgg, Seq("h"))
+    val cold = ann.filter(col("__df") < hotDf).select(keep: _*)
+    val hot = ann.filter(col("__df") >= hotDf).select(keep: _*)
     val coldPairs = cold.as("a")
       .join(cold.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -273,9 +351,10 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = ShingleN, minContainment: Double = 0.9,
-      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
-    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, n)
-    val sh = repSets.select(col("id"), explode(col("hs")).as("h"),
+      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets,
+      mode: CollapseMode = CollapseMode.Auto): DataFrame = {
+    val c = collapsedShingleSets(df, idCol, textCol, n, mode)
+    val sh = c.repSets.select(col("id"), explode(col("hs")).as("h"),
       size(col("hs")).cast("long").as("nsh"))
     val repPairs = sharedPairCounts(sh, hotDf, hotBuckets, payload = Seq("nsh"))
       .withColumn("cont_a", col("shared").cast("double") / col("nsh_a"))
@@ -283,19 +362,23 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
       .select(col("id_a"), col("id_b"),
         round(col("cont_a"), 6).as("cont_a"), round(col("cont_b"), 6).as("cont_b"))
-    // containment is directional: cont_a belongs to whichever member
-    // id ends up as id_a, so a least/greatest flip swaps the columns
-    val flip = col("__ia") > col("__ib")
-    val inter = interPairs(repPairs, members)
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"),
-        when(flip, col("cont_b")).otherwise(col("cont_a")).as("cont_a"),
-        when(flip, col("cont_a")).otherwise(col("cont_b")).as("cont_b"))
-    val intra = intraPairs(members, hotDf, hotBuckets)
-      .select(col("id_a"), col("id_b"),
-        lit(1.0).as("cont_a"), lit(1.0).as("cont_b"))
-      .filter(lit(1.0) >= minContainment)
-    inter.union(intra)
+    c.members match {
+      case None => repPairs // canonical order ⇒ directions already correct
+      case Some(members) =>
+        // containment is directional: cont_a belongs to whichever member
+        // id ends up as id_a, so a least/greatest flip swaps the columns
+        val flip = col("__ia") > col("__ib")
+        val inter = interPairs(repPairs, members)
+          .select(least(col("__ia"), col("__ib")).as("id_a"),
+            greatest(col("__ia"), col("__ib")).as("id_b"),
+            when(flip, col("cont_b")).otherwise(col("cont_a")).as("cont_a"),
+            when(flip, col("cont_a")).otherwise(col("cont_b")).as("cont_b"))
+        val intra = intraPairs(members, hotDf, hotBuckets)
+          .select(col("id_a"), col("id_b"),
+            lit(1.0).as("cont_a"), lit(1.0).as("cont_b"))
+          .filter(lit(1.0) >= minContainment)
+        inter.union(intra)
+    }
   }
 
   /** Benchmark-contamination scan: corpus documents sharing at least
@@ -457,10 +540,33 @@ object Dedup {
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, hotDf: Int = HotShingleDf,
-      hotBuckets: Int = HotShingleBuckets): DataFrame = {
-    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, ShingleN)
-    val candidates = lshCandidatePairs(lshBands(minhashSignature(repSets)))
-    val repPairs = candidates
+      hotBuckets: Int = HotShingleBuckets,
+      mode: CollapseMode = CollapseMode.Auto): DataFrame = {
+    val c = collapsedShingleSets(df, idCol, textCol, ShingleN, mode)
+    val repPairs = minhashRepPairs(c.repSets, minJaccard)
+    c.members match {
+      case None => repPairs
+      case Some(members) =>
+        val inter = interPairs(repPairs, members)
+          .select(least(col("__ia"), col("__ib")).as("id_a"),
+            greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
+        val intra = intraPairs(members, hotDf, hotBuckets)
+          .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+          .filter(lit(1.0) >= minJaccard)
+        inter.union(intra)
+    }
+  }
+
+  /** LSH candidate generation + exact array-intersect verify over a
+    * (id, hs) shingle-set frame — the shared tail of
+    * [[minhashDedupPairs]] and [[minhashDedupEdges]], and the direct
+    * entry point for a caller that already holds distinct-text sets
+    * (the corpus-prep pipeline after its exact-dedup stage). Returns
+    * (id_a < id_b, jaccard ≥ minJaccard).
+    */
+  private[ext] def minhashRepPairs(repSets: DataFrame,
+      minJaccard: Double): DataFrame =
+    lshCandidatePairs(lshBands(minhashSignature(repSets)))
       .join(repSets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(repSets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
@@ -468,14 +574,6 @@ object Dedup {
         (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    val inter = interPairs(repPairs, members)
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col("jaccard"))
-    val intra = intraPairs(members, hotDf, hotBuckets)
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-      .filter(lit(1.0) >= minJaccard)
-    inter.union(intra)
-  }
 
   /** Connectivity EDGES for near-dup clustering — the clustering-
     * consumer face of [[minhashDedupPairs]]: same collapse + LSH +
@@ -491,21 +589,18 @@ object Dedup {
     * when they only feed [[nearDupClusters]].
     */
   def minhashDedupEdges(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.5): DataFrame = {
-    val (repSets, members) = collapsedShingleSets(df, idCol, textCol, ShingleN)
-    val candidates = lshCandidatePairs(lshBands(minhashSignature(repSets)))
-    val repPairs = candidates
-      .join(repSets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(repSets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .filter(col("shared").cast("double") /
-        (size(col("hs_a")) + size(col("hs_b")) - col("shared")).cast("double")
-        >= minJaccard)
-      .select("id_a", "id_b")
-    val stars = members
-      .filter(col("k") >= 2 && col("rep_nsh") >= 1 && col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-    repPairs.union(stars)
+      minJaccard: Double = 0.5,
+      mode: CollapseMode = CollapseMode.Auto): DataFrame = {
+    val c = collapsedShingleSets(df, idCol, textCol, ShingleN, mode)
+    val repPairs = minhashRepPairs(c.repSets, minJaccard).select("id_a", "id_b")
+    c.members match {
+      case None => repPairs
+      case Some(members) =>
+        val stars = members
+          .filter(col("k") >= 2 && col("rep_nsh") >= 1 && col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"))
+        repPairs.union(stars)
+    }
   }
 
   /** SimHash fingerprint per document over the 60-bit token hashes

@@ -63,4 +63,24 @@ object HashDefs {
     */
   val HotShingleBuckets: Int =
     sys.env.get("GRAFT_HOT_SHINGLE_BUCKETS").map(_.toInt).getOrElse(16)
+
+  /** Exact-duplicate fraction at which the collapse front's digest
+    * join + cache materialization pays for itself: below it the
+    * pairwise ops run directly over per-document shingle sets (the
+    * collapse would be a flat tax on an already-deduped corpus);
+    * above it every identical cluster of size d would multiply its
+    * posting lists by d and the pair stage by d², so collapsing wins.
+    */
+  val CollapseDupFrac: Double =
+    sys.env.get("GRAFT_COLLAPSE_DUP_FRAC").map(_.toDouble).getOrElse(0.02)
+
+  /** Largest exact-duplicate clique tolerated WITHOUT the collapse
+    * even when the global duplicate fraction is small: a single
+    * d-member byte-identical clique costs d²/2 candidate pairs and
+    * d× posting-list inflation however rare duplicates are overall,
+    * so one hot clique flips the probe to collapse. 32 ⇒ at most
+    * ~500 wasted intra pairs per clique on the no-collapse path.
+    */
+  val CollapseHotClique: Int =
+    sys.env.get("GRAFT_COLLAPSE_HOT_CLIQUE").map(_.toInt).getOrElse(32)
 }

@@ -34,6 +34,15 @@ object DevNgram {
     docs.count(); skewed.count() // scan warm
     // alternate so neither variant benefits from running last
     (1 to 3).foreach { i =>
+      time(s"base  probe    run$i") {
+        docs.select(md5(col("text")).as("__dg"))
+          .groupBy("__dg").agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)), sum("k"), max("k")).count()
+      }
+      time(s"base  never    run$i") {
+        graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          mode = graft.ext.Dedup.CollapseMode.Never).count()
+      }
       time(s"base  plain    run$i") {
         graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
           hotDf = Int.MaxValue).count()

@@ -108,16 +108,35 @@ class PlanGuardSpec extends SparkSpec {
     // volume anomaly: the daily rollup is the only pass over the log
     count(planOf("q_anomaly"), "FileScan") shouldBe 1
 
-    // pairwise dedup: the exact-collapse cache is load-bearing — the
-    // cluster join broadcasts, leaving the streamed side
-    // unmaterialized, so without InMemoryRelation every downstream
-    // branch re-scans and re-shingles the corpus
+    // pairwise dedup: on the (duplicate-free) test corpus the Auto
+    // probe must BYPASS the collapse — no md5 digest join, no
+    // member-expansion joins; the round-5 regression was paying that
+    // flat tax on every corpus, duplicates or not. The shingle-set
+    // cache must STILL be there (the pair tail consumes the sets
+    // several times — uncached, every consumer re-shingles the corpus)
     for (name <- Seq("q_dedup_ngram", "q_containment")) {
       val plan = planOf(name)
-      withClue(s"$name lost the collapse cache: ") {
+      withClue(s"$name paid the collapse tax on a dup-free corpus: ") {
+        count(plan, "md5") shouldBe 0
+      }
+      withClue(s"$name lost the shingle-set cache: ") {
         count(plan, "InMemoryTableScan") should be >= 1
       }
       count(plan, "SortMergeJoin") shouldBe 0
+    }
+
+    // …and on a corpus with a real duplicate clique the same probe
+    // must ENGAGE the collapse (the cached digest join appears)
+    {
+      import spark.implicits._
+      val dup = (1L to 40L).map(i => (i, "x y z w v u t s r q " + (i % 3)))
+        .toDF("doc_id", "text")
+      val plan = graft.ext.Dedup
+        .ngramJaccardPairs(dup, "doc_id", "text", minJaccard = 0.5)
+        .queryExecution.executedPlan.toString
+      withClue("collapse did not engage on a duplicated corpus: ") {
+        count(plan, "InMemoryTableScan") should be >= 1
+      }
     }
 
     // unigram LM score: vocab agg + per-doc agg are the only data

@@ -149,12 +149,28 @@ class PropertySpec extends AnyFunSuite with Matchers {
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
         .collect().map(_.toSeq).toSet
-      // hotDf=2 also routes every intra cluster through triangle cells
+      // hotDf=2 also routes every intra cluster through triangle cells;
+      // Always pins the collapse on regardless of the Auto probe
       val collapsed = graft.ext.Dedup
-        .minhashDedupPairs(df, "doc_id", "text", hotDf = 2, hotBuckets = 3)
+        .minhashDedupPairs(df, "doc_id", "text", hotDf = 2, hotBuckets = 3,
+          mode = graft.ext.Dedup.CollapseMode.Always)
         .collect().map(_.toSeq).toSet
       collapsed == uncollapsed
     }, minTests = 8)
+  }
+
+  test("collapse dial: Auto ≡ Always ≡ Never pair sets on arbitrary duplicated corpora") {
+    // the pay-for-use probe may only change the PLAN, never the pairs
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      def pairs(m: graft.ext.Dedup.CollapseMode): Set[Seq[Any]] =
+        graft.ext.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+            minJaccard = 0.2, mode = m)
+          .collect().map(_.toSeq).toSet
+      val always = pairs(graft.ext.Dedup.CollapseMode.Always)
+      pairs(graft.ext.Dedup.CollapseMode.Never) == always &&
+        pairs(graft.ext.Dedup.CollapseMode.Auto) == always
+    }, minTests = 6)
   }
 
   test("minhash star edges: clusters over edges ≡ clusters over full pairs") {
