@@ -37,11 +37,15 @@ object CorpusPipeline {
   def prepare(df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double): DataFrame = {
     val text: Column = col(textCol)
-    // stage 1: row-local gates (no shuffle)
+    // stage 1: row-local gates (no shuffle) — the survivor
+    // attributes (lang, quality, token count) are ALSO row-local, so
+    // they are computed here and carried through the collapse join
+    // rather than re-derived from a second corpus scan at the end
     val kept = TextAnalysis.langId(df, textCol)
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .filter(col("lang_pred").isin(allowedLangs: _*) &&
         col("quality") >= minQuality)
+      .withColumn("n_tokens", size(TextAnalysis.tokens(text)))
     // stages 2+3 fused over ONE digest+shingle scan: the exact-dedup
     // winners ARE the collapse representatives (min id per distinct
     // text), and the near-dup stage consumes exactly those documents'
@@ -49,9 +53,13 @@ object CorpusPipeline {
     // exactDedupSurvivors and again inside minhashDedupEdges' own
     // collapse. Mode is Always (not Auto): exact-dup removal is this
     // pipeline's CONTRACT, not a performance heuristic, so the
-    // collapse must run even when duplicates are rare.
+    // collapse must run even when duplicates are rare. The carry
+    // makes the collapse's cached join the ONLY pass over the text:
+    // every downstream frame (pairs, clusters, final projection)
+    // reads the cache, never the corpus.
     val collapse = Dedup.collapsedShingleSets(kept, idCol, textCol,
-      HashDefs.ShingleN, Dedup.CollapseMode.Always)
+      HashDefs.ShingleN, Dedup.CollapseMode.Always,
+      carry = Seq("lang_pred", "quality", "n_tokens"))
     // stage 3: near-dup clusters over exact survivors; keep each
     // cluster's min-id representative (singletons keep themselves).
     // Duplicate-cluster star edges are unnecessary here: the members
@@ -61,12 +69,11 @@ object CorpusPipeline {
         Dedup.minhashRepPairs(collapse.repSets, minJaccard = 0.5)
           .select("id_a", "id_b"))
       .filter(col("id") === col("cluster"))
-      .select(col("id").as(idCol))
-    val survivors = kept.join(reps, Seq(idCol), "left_semi")
+      .select("id")
+    val survivors = collapse.repAttrs.get.join(reps, Seq("id"), "left_semi")
     // stage 4: stable hash split on the id
-    TrainingData.withSplit(survivors, col(idCol))
-      .select(col(idCol), col("lang_pred"), col("quality"),
-        size(TextAnalysis.tokens(text)).as("n_tokens"),
-        col("split_bucket"), col("split"))
+    TrainingData.withSplit(survivors, col("id"))
+      .select(col("id").as(idCol), col("lang_pred"), col("quality"),
+        col("n_tokens"), col("split_bucket"), col("split"))
   }
 }

@@ -124,7 +124,8 @@ object Dedup {
     * ops consume `repSets` directly and skip both expansion joins.
     */
   private[ext] final case class ShingleCollapse(
-      repSets: DataFrame, members: Option[DataFrame])
+      repSets: DataFrame, members: Option[DataFrame],
+      repAttrs: Option[DataFrame] = None)
 
   /** Exact-duplicate collapse feeding the pairwise ops: shingle sets
     * for one REPRESENTATIVE (min-id) document per distinct text, plus
@@ -156,7 +157,8 @@ object Dedup {
     */
   private[ext] def collapsedShingleSets(df: DataFrame, idCol: String,
       textCol: String, n: Int,
-      mode: CollapseMode = CollapseMode.Auto): ShingleCollapse = {
+      mode: CollapseMode = CollapseMode.Auto,
+      carry: Seq[String] = Nil): ShingleCollapse = {
     val collapse = mode match {
       case CollapseMode.Always => true
       case CollapseMode.Never  => false
@@ -171,15 +173,22 @@ object Dedup {
           (n - nd).toDouble / n >= CollapseDupFrac || maxk >= CollapseHotClique
         }
     }
-    if (!collapse)
+    if (!collapse) {
       // cached for the same reason as the collapse join below: the
       // pair tail consumes the sets several times (df aggregation,
       // cold/hot routing, LSH signature + both verify joins), and
       // uncached each consumer would re-scan and re-shingle the corpus
-      ShingleCollapse(docShingleSets(df, idCol, textCol, n).cache(), None)
-    else {
-      val base = df.select(col(idCol).as("id"), md5(col(textCol)).as("__dg"),
-        graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs"))
+      val sets = df.select(col(idCol).as("id") +:
+        (graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs") +:
+          carry.map(col)): _*).cache()
+      ShingleCollapse(sets.select("id", "hs"), None,
+        if (carry.isEmpty) None
+        else Some(sets.select("id", carry: _*)))
+    } else {
+      val base = df.select(col(idCol).as("id") +:
+        (md5(col(textCol)).as("__dg") +:
+          graft.functions.TextHashFunctions.shingle_hashes(col(textCol), n).as("hs") +:
+          carry.map(col)): _*)
       // hash-agg + join, NOT a window: no sort, no row_number, and the
       // cluster frame is small per distinct text so AQE can broadcast
       // it. The join output is cached because a broadcast join leaves
@@ -193,7 +202,14 @@ object Dedup {
         Some(joined.select(col("rep"), col("id"), col("k"),
           // members have byte-identical text, so a member's own shingle
           // count IS its representative's
-          size(col("hs")).as("rep_nsh"))))
+          size(col("hs")).as("rep_nsh"))),
+        if (carry.isEmpty) None
+        // carry columns ride the SAME cached join the pair stages
+        // read — a caller that needs per-rep attributes downstream
+        // (the corpus-prep survivor projection) gets them without a
+        // second corpus scan
+        else Some(joined.filter(col("id") === col("rep"))
+          .select("id", carry: _*)))
     }
   }
 
