@@ -113,6 +113,94 @@ object StreamingGate {
     Files.createDirectories(Paths.get("target", "streamtmp").toAbsolutePath),
     "gate_")
 
+  /** Superset schema for the SHARED staged slice set: every gate's
+    * input is a projection of it. `side` tags the join roles (`v` =
+    * view, `s` = search/click, `o` = other event types — the session/
+    * window/dedup gates consume all three).
+    */
+  private val sharedStageSchema = StructType(Seq(
+    StructField("contract", StringType),
+    StructField("category", StringType),
+    StructField("duration", LongType),
+    StructField("keyword", StringType),
+    StructField("props", StringType),
+    StructField("ts", TimestampType),
+    StructField("side", StringType)))
+
+  /** One staged slice set per events dir per JVM, shared by every
+    * FromFiles gate. Staging was the gates' common fixed tax — a
+    * bounds aggregation plus a shuffle-write of the whole events
+    * table, paid once per gate per run (~1 s × 7 gates at sf0.1);
+    * every gate replays a PROJECTION of the same table, so one
+    * superset stage serves them all. The two sentinel slices carry a
+    * `v` AND an `s` row each (the global watermark is the MIN across
+    * branch watermark operators — a one-sided sentinel would pin the
+    * outer join's eviction watermark at the real-data max), which
+    * also serves the single-input gates: they see two far-future
+    * sentinel rows and filter the [[Sentinel]] contract/props from
+    * their output. Gates that need no sentinel (inner join, dedup,
+    * activeness) replay them as two extra tiny batches — strictly
+    * cheaper than re-staging. The staged files are inputs only
+    * (checkpoints stay per-gate in their own temp dirs), so sharing
+    * cannot couple gate state; a shutdown hook removes the files.
+    */
+  private val sharedStages =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def sharedSlices(s: SparkSession, dir: String): Path =
+    sharedStages.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val stage = newStage()
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile): Unit))
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val tagged = Tables(s, dir, "events").select(
+        col("user_id").cast("string").as("contract"),
+        col("event_type").as("category"),
+        floor(col("value")).cast("long").as("duration"),
+        col("event_id").cast("string").as("keyword"),
+        col("props"),
+        col("ts"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "s")
+          .otherwise("o").as("side"))
+      val bounds = tagged.agg(
+        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
+        max(col("ts")).as("maxTs")).head()
+      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
+      val nSlices = stageOrderedSlices(tagged, stage, baseMs, cutoff)
+      val farFuture = new Timestamp(
+        bounds.getTimestamp(2).getTime + 365L * 24 * 3600 * 1000)
+      val later = new Timestamp(farFuture.getTime + 3600000L)
+      Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
+        writeSlice(Seq(
+            (Sentinel, "view", 0L, "0", Sentinel, t, "v"),
+            (Sentinel, "view", 0L, "0", Sentinel, t, "s"))
+          .toDF("contract", "category", "duration", "keyword",
+            "props", "ts", "side"),
+          stage, nSlices + i, baseMs)
+      }
+      stage
+    })
+
+  /** Build the shared slice set for `dir` eagerly (idempotent). A
+    * harness that runs several gates — especially concurrently — can
+    * pay the one-time staging up front so no single gate's wall clock
+    * absorbs it.
+    */
+  def prestage(s: SparkSession, dir: String): Unit = {
+    sharedSlices(s, dir); ()
+  }
+
+  /** The shared slice set as a file-source stream (one slice per
+    * micro-batch, event-time ordered).
+    */
+  private def sharedStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(sharedStageSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sharedSlices(s, dir).resolve("data").toString)
+
   /** Run `body` with `spark.sql.shuffle.partitions` = `n`, restoring
     * the previous value after. Stateful streaming commits one state
     * store PER shuffle partition PER micro-batch — at the gate's key
@@ -146,7 +234,7 @@ object StreamingGate {
         Dataset[Streaming.SessionSummary] = Streaming.closedSessions(_, _, _)): DataFrame = {
     import s.implicits._
     val stage = newStage()
-    try withStatePartitions(s, 8) {
+    try withStatePartitions(s, 4) {
       val baseMs = System.currentTimeMillis() - 3600000L
       val bounds = ev.agg(
         min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
@@ -171,48 +259,62 @@ object StreamingGate {
         .schema(sessionStageSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.resolve("data").toString)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Streaming.SessionSummary]
-      val query = sessionize(stream.as[Streaming.ViewEvent],
-          gapMinutes * 60000L, watermark)
-        .writeStream
-        .option("checkpointLocation", stage.resolve("ckpt").toString)
-        .outputMode("append")
-        .foreachBatch { (batch: Dataset[Streaming.SessionSummary], _: Long) =>
-          val rows = batch.collect()
-          buf.synchronized { buf ++= rows }
-          () // the lambda must be (Dataset, Long) => Unit
-        }
-        .start()
-      query.processAllAvailable()
-      query.stop()
-
-      buf.synchronized { buf.filter(_.contract != Sentinel).toSeq }.toDS().toDF()
-        .select(col("contract"), col("session_start"), col("session_end"),
-          col("totalDuration").as("total_duration"), col("n_events"))
-        .orderBy("contract", "session_start")
+      runSessionQuery(s, stream, stage, gapMinutes, watermark, sessionize)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }
 
+  /** Drive `sessionize` over a prepared event stream, collecting the
+    * closed sessions (sentinel contracts filtered).
+    */
+  private def runSessionQuery(s: SparkSession, stream: DataFrame,
+      ckptDir: Path, gapMinutes: Int, watermark: String,
+      sessionize: (Dataset[Streaming.ViewEvent], Long, String) =>
+        Dataset[Streaming.SessionSummary]): DataFrame = {
+    import s.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Streaming.SessionSummary]
+    val query = sessionize(stream.as[Streaming.ViewEvent],
+        gapMinutes * 60000L, watermark)
+      .writeStream
+      .option("checkpointLocation", ckptDir.resolve("ckpt").toString)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Streaming.SessionSummary], _: Long) =>
+        val rows = batch.collect()
+        buf.synchronized { buf ++= rows }
+        () // the lambda must be (Dataset, Long) => Unit
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    buf.synchronized { buf.filter(_.contract != Sentinel).toSeq }.toDS().toDF()
+      .select(col("contract"), col("session_start"), col("session_end"),
+        col("totalDuration").as("total_duration"), col("n_events"))
+      .orderBy("contract", "session_start")
+  }
+
   /** The registry face: sessionize the events table; duration =
     * floor(value) so the sum is exact integer arithmetic on both
-    * engines.
+    * engines. Replays the SHARED slice set (sessions consume every
+    * event type, so the superset projects straight down).
     */
   def closedSessionsFromFiles(s: SparkSession, dir: String,
       gapMinutes: Int = 30, watermark: String = "1 hour",
       sessionize: (Dataset[Streaming.ViewEvent], Long, String) =>
         Dataset[Streaming.SessionSummary] = Streaming.closedSessions(_, _, _)): DataFrame = {
-    val ev = Tables(s, dir, "events").select(
-      col("user_id").cast("string").as("contract"),
-      col("event_type").as("category"),
-      floor(col("value")).cast("long").as("duration"),
-      col("ts"))
-    closedSessionsFromEvents(s, ev, gapMinutes, watermark, sessionize)
-      .select(col("contract").cast("long").as("user_id"),
-        col("session_start"), col("session_end"),
-        col("total_duration"), col("n_events"))
-      .orderBy("user_id", "session_start")
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val stream = sharedStream(s, dir)
+        .select("contract", "category", "duration", "ts")
+      runSessionQuery(s, stream, ckpt, gapMinutes, watermark, sessionize)
+        .select(col("contract").cast("long").as("user_id"),
+          col("session_start"), col("session_end"),
+          col("total_duration"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
   }
 
   /** [[closedSessionsFromFiles]] on the `transformWithState` session
@@ -231,14 +333,6 @@ object StreamingGate {
       sessionize = Streaming.closedSessionsTws(_, _, _))
     finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
-
-  private val taggedStageSchema = StructType(Seq(
-    StructField("contract", StringType),
-    StructField("category", StringType),
-    StructField("duration", LongType),
-    StructField("keyword", StringType),
-    StructField("ts", TimestampType),
-    StructField("side", StringType)))
 
   /** One emitted view↔search match (the collected join row). Public:
     * the encoder's generated code constructs and reads it
@@ -265,31 +359,9 @@ object StreamingGate {
   def searchJoinFromFiles(s: SparkSession, dir: String,
       intervalMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
     import s.implicits._
-    val stage = newStage()
-    try withStatePartitions(s, 8) {
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val events = Tables(s, dir, "events")
-      val tagged = events.filter(col("event_type") === "view").select(
-          col("user_id").cast("string").as("contract"),
-          col("event_type").as("category"),
-          floor(col("value")).cast("long").as("duration"),
-          lit(null).cast("string").as("keyword"),
-          col("ts"), lit("v").as("side"))
-        .unionByName(events.filter(col("event_type") === "click").select(
-          col("user_id").cast("string").as("contract"),
-          lit(null).cast("string").as("category"),
-          lit(null).cast("long").as("duration"),
-          col("event_id").cast("string").as("keyword"),
-          col("ts"), lit("s").as("side")))
-      val bounds = tagged.agg(
-        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
-      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
-      stageOrderedSlices(tagged, stage, baseMs, cutoff)
-
-      val stream = s.readStream
-        .schema(taggedStageSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage.resolve("data").toString)
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val stream = sharedStream(s, dir)
       val views = stream.filter(col("side") === "v")
         .select("contract", "category", "duration", "ts")
       val searches = stream.filter(col("side") === "s")
@@ -301,7 +373,7 @@ object StreamingGate {
           col("keyword"), col("search_ts"))
         .as[JoinedRow]
         .writeStream
-        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
         .outputMode("append")
         .foreachBatch { (batch: Dataset[JoinedRow], _: Long) =>
           val rows = batch.collect()
@@ -312,14 +384,17 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      buf.synchronized { buf.toSeq }.toDS().toDF()
+      // the shared sentinels are same-timestamp v+s rows, so they
+      // inner-join each other — drop them with the usual filter
+      buf.synchronized { buf.filter(_.contract != Sentinel).toSeq }
+        .toDS().toDF()
         .select(col("contract").cast("long").as("user_id"),
           col("view_ts"), col("duration"),
           col("keyword").cast("long").as("search_event_id"),
           col("search_ts"))
         .orderBy("user_id", "view_ts", "search_event_id")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     }
   }
 
@@ -343,49 +418,16 @@ object StreamingGate {
   def searchJoinOuterFromFiles(s: SparkSession, dir: String,
       intervalMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
     import s.implicits._
-    val stage = newStage()
-    try withStatePartitions(s, 8) {
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val events = Tables(s, dir, "events")
-      // keyword doubles as the generic event-id carrier on BOTH sides:
-      // the view's own id on 'v' rows, the search id on 's' rows
-      val tagged = events.filter(col("event_type") === "view").select(
-          col("user_id").cast("string").as("contract"),
-          col("event_type").as("category"),
-          floor(col("value")).cast("long").as("duration"),
-          col("event_id").cast("string").as("keyword"),
-          col("ts"), lit("v").as("side"))
-        .unionByName(events.filter(col("event_type") === "click").select(
-          col("user_id").cast("string").as("contract"),
-          lit(null).cast("string").as("category"),
-          lit(null).cast("long").as("duration"),
-          col("event_id").cast("string").as("keyword"),
-          col("ts"), lit("s").as("side")))
-      val bounds = tagged.agg(
-        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
-        max(col("ts")).as("maxTs")).head()
-      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
-      val nSlices = stageOrderedSlices(tagged, stage, baseMs, cutoff)
-      val farFuture = new Timestamp(
-        bounds.getTimestamp(2).getTime + 365L * 24 * 3600 * 1000)
-      val later = new Timestamp(farFuture.getTime + 3600000L)
-      // each sentinel slice carries BOTH sides: the global watermark is
-      // the MIN across the two branch watermark operators, so a
-      // views-only sentinel would leave the searches branch (and with
-      // it the join's eviction watermark) pinned at the real-data max
-      Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
-        val rows: Seq[(String, String, java.lang.Long, String, Timestamp, String)] =
-          Seq((Sentinel, "view", 0L, "0", t, "v"),
-            (Sentinel, null, null, "0", t, "s"))
-        writeSlice(rows
-          .toDF("contract", "category", "duration", "keyword", "ts", "side"),
-          stage, nSlices + i, baseMs)
-      }
-
-      val stream = s.readStream
-        .schema(taggedStageSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage.resolve("data").toString)
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      // keyword doubles as the generic event-id carrier on BOTH sides
+      // of the shared stage: the view's own id on 'v' rows, the search
+      // id on 's' rows. The shared sentinel slices carry both sides —
+      // the global watermark is the MIN across the two branch
+      // watermark operators, so a views-only sentinel would leave the
+      // searches branch (and with it the join's eviction watermark)
+      // pinned at the real-data max.
+      val stream = sharedStream(s, dir)
       val views = stream.filter(col("side") === "v")
         .select(col("contract"), col("keyword").as("view_id"),
           col("duration"), col("ts"))
@@ -398,7 +440,7 @@ object StreamingGate {
           col("view_ts"), col("keyword"), col("search_ts"))
         .as[OuterJoinedRow]
         .writeStream
-        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
         .outputMode("append")
         .foreachBatch { (batch: Dataset[OuterJoinedRow], _: Long) =>
           val rows = batch.collect()
@@ -419,7 +461,7 @@ object StreamingGate {
         .orderBy(col("user_id"), col("view_event_id"),
           coalesce(col("search_event_id"), lit(-1L)))
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     }
   }
 
@@ -435,32 +477,10 @@ object StreamingGate {
       windowDuration: String = "1 hour",
       watermark: String = "1 hour"): DataFrame = {
     import s.implicits._
-    val stage = newStage()
-    try withStatePartitions(s, 8) {
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val ev = Tables(s, dir, "events").select(
-        col("user_id").cast("string").as("contract"),
-        col("event_type").as("category"),
-        floor(col("value")).cast("long").as("duration"),
-        col("ts"))
-      val bounds = ev.agg(
-        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"),
-        max(col("ts")).as("maxTs")).head()
-      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
-      val nSlices = stageOrderedSlices(ev, stage, baseMs, cutoff)
-      val farFuture = new Timestamp(
-        bounds.getTimestamp(2).getTime + 365L * 24 * 3600 * 1000)
-      val later = new Timestamp(farFuture.getTime + 3600000L)
-      Seq(farFuture, later).zipWithIndex.foreach { case (t, i) =>
-        writeSlice(Seq((Sentinel, "view", 0L, t))
-          .toDF("contract", "category", "duration", "ts"),
-          stage, nSlices + i, baseMs)
-      }
-
-      val stream = s.readStream
-        .schema(sessionStageSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage.resolve("data").toString)
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val stream = sharedStream(s, dir)
+        .select("contract", "category", "duration", "ts")
       val buf = scala.collection.mutable.ArrayBuffer.empty[
         (Timestamp, String, String, Long, Long)]
       val query = Streaming.windowedCategoryStats(stream,
@@ -469,7 +489,7 @@ object StreamingGate {
           col("category"), col("TotalDuration"), col("n_events"))
         .as[(Timestamp, String, String, Long, Long)]
         .writeStream
-        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
         .outputMode("append") // only watermark-finalized windows emit
         .foreachBatch {
           (batch: Dataset[(Timestamp, String, String, Long, Long)], _: Long) =>
@@ -489,7 +509,7 @@ object StreamingGate {
           col("total_duration"), col("n_events"))
         .orderBy("window_start", "user_id", "event_type")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     }
   }
 
@@ -507,28 +527,15 @@ object StreamingGate {
     */
   def streamDedupFromFiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stage = newStage()
-    try withStatePartitions(s, 8) {
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val ev = Tables(s, dir, "events")
-        .select(col("props"), col("ts"))
-      val bounds = ev.agg(
-        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
-      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
-      stageOrderedSlices(ev, stage, baseMs, cutoff)
-
-      val stream = s.readStream
-        .schema(StructType(Seq(
-          StructField("props", StringType),
-          StructField("ts", TimestampType))))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage.resolve("data").toString)
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val stream = sharedStream(s, dir).select("props", "ts")
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       val query = Streaming.streamingExactDedup(stream, textCol = "props",
           watermark = "3650 days")
         .select("props").as[String]
         .writeStream
-        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
         .outputMode("append")
         .foreachBatch { (batch: Dataset[String], _: Long) =>
           val rows = batch.collect()
@@ -539,9 +546,12 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      buf.synchronized { buf.toSeq }.toDF("props").orderBy("props")
+      // the shared sentinels carry a synthetic props payload — not
+      // part of the events DISTINCT the oracle computes
+      buf.synchronized { buf.filterNot(_ == Sentinel).toSeq }
+        .toDF("props").orderBy("props")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     }
   }
 
@@ -557,27 +567,14 @@ object StreamingGate {
     */
   def runningActivenessFromFiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stage = newStage()
-    try withStatePartitions(s, 8) {
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val ev = Tables(s, dir, "events").select(
-        col("user_id").cast("string").as("contract"),
-        col("event_type").as("category"),
-        floor(col("value")).cast("long").as("duration"),
-        col("ts"))
-      val bounds = ev.agg(
-        min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi")).head()
-      val cutoff = midpointDate(bounds.getDate(0), bounds.getDate(1))
-      stageOrderedSlices(ev, stage, baseMs, cutoff)
-
-      val stream = s.readStream
-        .schema(sessionStageSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage.resolve("data").toString)
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val stream = sharedStream(s, dir)
+        .select("contract", "category", "duration", "ts")
       val last = scala.collection.mutable.HashMap.empty[String, Streaming.ActivenessUpdate]
       val query = Streaming.runningActiveness(stream.as[Streaming.ViewEvent])
         .writeStream
-        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
         .outputMode("update")
         .foreachBatch { (batch: Dataset[Streaming.ActivenessUpdate], _: Long) =>
           // foreachBatch runs epochs sequentially, so last write wins
@@ -590,12 +587,14 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      last.synchronized { last.values.toSeq }.toDS().toDF()
+      // shared sentinel rows create a __sentinel__ contract key in
+      // state — not a real user; drop it before the long cast
+      last.synchronized { (last - Sentinel).values.toSeq }.toDS().toDF()
         .select(col("contract").cast("long").as("user_id"),
           col("daysActive").as("days_active"), col("activeness"))
         .orderBy("user_id")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     }
   }
 }

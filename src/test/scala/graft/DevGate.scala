@@ -1,24 +1,34 @@
-package graft
-import org.apache.spark.sql.SparkSession
+package graft.streaming
+
+import graft.{GraftSession, Tables}
+
+/** Scratch wall-clock profiler for the streaming gates (dev aid).
+  * `Test/runMain graft.streaming.DevGate <sfDir>` — runs the two
+  * stream-stream join gates twice each and prints per-run times, so
+  * staging vs query-execution cost can be split by eye against the
+  * Spark UI / log timestamps.
+  */
 object DevGate {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = GraftSession.local(32, "dev-gate")
+    val spark = GraftSession.local(8, "graft-dev-gate")
     spark.sparkContext.setLogLevel("ERROR")
-    def time[T](name: String)(f: => T): T = {
+    Tables(spark, sfDir, "events").count()
+
+    def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+      val n = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    Tables(spark, sfDir, "lineitem").count()
-    for (parts <- Seq("32", "8", "4"); rep <- 1 to 2) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      time(s"closed_sessions parts=$parts rep$rep") {
-        graft.streaming.StreamingGate.closedSessionsFromFiles(spark, sfDir).count()
+
+    (1 to 2).foreach { i =>
+      time(s"outer run$i") {
+        StreamingGate.searchJoinOuterFromFiles(spark, sfDir).count()
+      }
+      time(s"inner run$i") {
+        StreamingGate.searchJoinFromFiles(spark, sfDir).count()
       }
     }
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.stop()
   }
 }
