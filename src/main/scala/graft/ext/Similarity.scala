@@ -204,8 +204,18 @@ object Similarity {
     * pattern (nCells ≪ corpus; at 100 TB you'd train better centroids
     * offline and pass them in the same shape).
     */
+  /** Hard ceiling on [[ivfCentroids]]' driver-side collect: the
+    * centroid matrix must stay "train offline, broadcast" sized — a
+    * misconfigured nCells must fail loud, not collect a corpus.
+    */
+  val MaxIvfCells = 65536
+
   def ivfCentroids(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(nCells >= 1 && nCells <= MaxIvfCells,
+      s"nCells must be in [1, $MaxIvfCells] (got $nCells): centroids are " +
+        "collected to the driver and broadcast — a cell count at corpus " +
+        "scale is a misconfiguration, not a bigger index")
     val rows = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("hk", TextAnalysis.tokenHash60(col("id").cast("string")))

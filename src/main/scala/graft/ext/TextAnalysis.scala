@@ -239,7 +239,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // cached: the total and the head both derive from the vocab agg,
     // and without the cache each branch re-scans the corpus (vocab ≪
-    // corpus, so this is the cheap side of that trade)
+    // corpus, so this is the cheap side of that trade). The cache is
+    // read lazily by the RETURNED frame, so its lifecycle belongs to
+    // the caller: a long-lived session issuing many ad-hoc zipfHead
+    // calls should unpersist (or clearCache) once each result is
+    // materialized — the registry/Bench harnesses do exactly that.
     val vocab = df.select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .cache()

@@ -30,6 +30,22 @@ object CoreQueries {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Unique staging dir for the write-then-read-back queries
+    * (ORC round-trip, schema merge, partition prune). Per-INVOCATION
+    * so concurrent runs over the same dataset can't race each other's
+    * non-atomic Overwrite; the returned frame reads the path lazily,
+    * so cleanup is a JVM-exit hook, not a finally.
+    */
+  private def stagingDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "stagetmp").toAbsolutePath),
+      prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    d.toString
+  }
+
   // ---- re-targeting of the reference's interaction schema onto `events`
   // (FIXTURES.md §B): Contract→user_id, Mac→props, Date→to_date(ts),
   // AppName→event_type, TotalDuration→value. The junk-contract sentinel
@@ -439,8 +455,7 @@ object CoreQueries {
     // the original parquet rows).
     Q("q_orc_roundtrip",
       (s, dir) => {
-        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_orc_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+        val tmp = stagingDir("graft_orc_")
         OrcSink(tmp).write(Tables(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
         Sources.readOrc(s, Seq(tmp))
@@ -462,8 +477,7 @@ object CoreQueries {
     // rows).
     Q("q_merge_schema",
       (s, dir) => {
-        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_ms_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+        val tmp = stagingDir("graft_ms_")
         val li = Tables(s, dir, "lineitem")
         li.filter(col("l_linenumber") <= 3)
           .select("l_orderkey", "l_returnflag")
@@ -492,8 +506,7 @@ object CoreQueries {
     // surviving rows must equal the batch date filter).
     Q("q_partition_prune",
       (s, dir) => {
-        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_pp_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).getPath
+        val tmp = stagingDir("graft_pp_")
         val ev = Tables(s, dir, "events")
           .withColumn("date", date_format(to_date(col("ts")), "yyyyMMdd").cast("int"))
         graft.io.PartitionedParquetSink(tmp).write(

@@ -326,12 +326,15 @@ object StreamingGate {
     */
   def closedSessionsTwsFromFiles(s: SparkSession, dir: String,
       gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, graft.GraftSession.rocksDbStateStore(key))
-    try closedSessionsFromFiles(s, dir, gapMinutes, watermark,
+    // the provider flip lives on a CLONED session (shared context,
+    // isolated SQLConf): a streaming query started concurrently on
+    // `s` can neither inherit nor lose the RocksDB provider mid-run
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.GraftSession.rocksDbStateStore(
+        "spark.sql.streaming.stateStore.providerClass"))
+    closedSessionsFromFiles(iso, dir, gapMinutes, watermark,
       sessionize = Streaming.closedSessionsTws(_, _, _))
-    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
   /** One emitted view↔search match (the collected join row). Public:

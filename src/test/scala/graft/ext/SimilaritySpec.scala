@@ -151,6 +151,14 @@ class SimilaritySpec extends SparkSpec {
     out.count() should be <= 2L
   }
 
+  test("ivfCentroids: nCells outside [1, MaxIvfCells] fails loud, no collect") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.ivfCentroids(e, nCells = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.ivfCentroids(e, nCells = Similarity.MaxIvfCells + 1)
+  }
+
   test("ivfTopK: nProbe clamped to nCells; probing everything ≡ brute force") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 5)
