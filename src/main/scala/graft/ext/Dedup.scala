@@ -127,6 +127,21 @@ object Dedup {
       repSets: DataFrame, members: Option[DataFrame],
       repAttrs: Option[DataFrame] = None)
 
+  /** Repair pathological scan under-parallelism before the heavy
+    * row-local shingle hashing: a corpus that arrives as a handful of
+    * unsplittable inputs (one small parquet file at bench scale; one
+    * row group per file in general) would otherwise hash every
+    * document on a few cores while the rest idle. Conditional on the
+    * ACTUAL partition count so a real multi-split corpus — the 100 TB
+    * case, where an unconditional repartition would be a full-corpus
+    * shuffle of raw text — passes through untouched.
+    */
+  private def scanParallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 >= target) df
+    else df.repartition(target)
+  }
+
   /** Exact-duplicate collapse feeding the pairwise ops: shingle sets
     * for one REPRESENTATIVE (min-id) document per distinct text, plus
     * the (rep, id, k, rep_nsh) member map (k = cluster size, rep_nsh
@@ -155,10 +170,11 @@ object Dedup {
     * long-lived sessions issuing many ad-hoc collapses should
     * `unpersist` via the frames' own handles.
     */
-  private[ext] def collapsedShingleSets(df: DataFrame, idCol: String,
+  private[ext] def collapsedShingleSets(df0: DataFrame, idCol: String,
       textCol: String, n: Int,
       mode: CollapseMode = CollapseMode.Auto,
       carry: Seq[String] = Nil): ShingleCollapse = {
+    val df = scanParallelized(df0)
     val collapse = mode match {
       case CollapseMode.Always => true
       case CollapseMode.Never  => false
@@ -744,12 +760,33 @@ object Dedup {
     // selects form evaluates `pairs` twice while filling the cache,
     // and the pairs plan upstream (LSH + collapse) is the expensive
     // part of the whole clustering
-    val edges = pairs
+    val edges0 = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
+    // Size the propagation rounds to the EDGE SET, not the session's
+    // shuffle width: the loop below runs several jobs per round over
+    // frames bounded by the member count, and after LSH banding that
+    // is a small fraction of the corpus — at the session's full
+    // shuffle width each round is mostly task-scheduling tax. The
+    // count is free (it is the cache materialization the loop needs
+    // anyway); ~2M edges per partition keeps a billion-edge 100 TB
+    // run at cluster width while a bench-scale run collapses to one.
+    val edgeCount = edges0.count()
+    val rowsPerPart = 2000000L
+    val p = math.max(1L, math.min(
+      edges0.sparkSession.sparkContext.defaultParallelism.toLong,
+      (edgeCount + rowsPerPart - 1) / rowsPerPart)).toInt
+    val edges =
+      if (p >= edges0.rdd.getNumPartitions) edges0
+      else {
+        val e = edges0.repartition(p, col("src")).cache()
+        e.count()
+        edges0.unpersist()
+        e
+      }
     val members = edges.select(col("src").as("id")).distinct()
     // initialize to min(self, neighbors) — one aggregation over the
     // (symmetric) edge set that is exactly round 1's propagation

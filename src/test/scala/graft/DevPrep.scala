@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object DevPrep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = GraftSession.local(8, "graft-dev-prep")
+    val spark = GraftSession.local(args.drop(1).headOption.map(_.toInt).getOrElse(8), "graft-dev-prep")
     spark.sparkContext.setLogLevel("ERROR")
 
     def time(name: String)(f: => Long): Unit = {
