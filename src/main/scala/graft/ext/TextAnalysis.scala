@@ -29,10 +29,14 @@ object TextAnalysis {
 
   /** BPE-ish subword token count: alpha runs, single digits, and
     * punctuation each count as one token (a crude proxy for a BPE
-    * vocabulary's behavior on unseen text).
+    * vocabulary's behavior on unseen text). Computed by a codegen'd
+    * byte-walk, value-identical to
+    * `regexp_count(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')`
+    * (PropertySpec) but without the regex engine.
     */
   def tokenCountBpe(text: Column): Column =
-    regexp_count(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"))
+    // int, like the regexp_count it replaced — q_token_stats' schema
+    graft.functions.TextStatsFunctions.bpe_token_count(text).cast("int")
 
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
@@ -47,9 +51,15 @@ object TextAnalysis {
       greatest(size(ws), lit(1)).cast("double")
   }
 
-  /** Fraction of characters that are punctuation/symbols. */
+  /** Fraction of characters that are punctuation/symbols. The count
+    * is a codegen'd byte-walk, value-identical to
+    * `regexp_count(text, '[^a-zA-Z0-9\s]')` (PropertySpec) — the
+    * regex engine cost ~2 ms of core time per KB-document, which made
+    * this the single most expensive row-local gate in the corpus-prep
+    * pipeline.
+    */
   def punctRatio(text: Column): Column =
-    regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+    graft.functions.TextStatsFunctions.non_alnum_count(text).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
   /** Mean whitespace-token length. */

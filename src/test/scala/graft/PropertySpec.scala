@@ -232,6 +232,30 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }, minTests = 8)
   }
 
+  test("text-stat byte-walks ≡ regexp_count on arbitrary strings incl. multi-byte") {
+    // chars chosen to hit every branch: ASCII alnum, the six \s chars,
+    // ASCII punct, 2-byte (é), 3-byte (中), and a surrogate-pair
+    // 4-byte codepoint (𝄞) — each is ONE regex char and must count once
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r"),
+      Gen.oneOf(".", ",", "!", "-", "_", "~"), Gen.oneOf("é", "ß", "中", "語", "𝄞", "🙂"))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    check(forAll(Gen.listOfN(25, textGen)) { texts =>
+      texts.isEmpty || {
+        val df = texts.toDF("text")
+        val got = df.select(
+          graft.functions.TextStatsFunctions.non_alnum_count(col("text")),
+          graft.functions.TextStatsFunctions.bpe_token_count(col("text")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val want = df.select(
+          regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast("long"),
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]")).cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        got == want
+      }
+    }, minTests = 8)
+  }
+
   test("customerType: every (activeness, duration) lands in exactly one segment") {
     val activeness = Seq("very low", "low", "moderate", "high", "very high", "error")
     val durations = Seq(0.0, 9.99, 10.0, 10.01, 19.99, 20.0, 20.01, 100.0)
