@@ -234,4 +234,27 @@ object TrainingData {
       explode(when(copies > 0, sequence(lit(0), copies - 1))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Deterministic global training order: the "shuffle the corpus
+    * before writing the epoch stream" step. Every row gets a 60-bit
+    * `order_key` = md5(seed : key₁ : … : keyₙ) and the frame comes
+    * back totally ordered by (order_key, keys) — a seeded permutation
+    * that is layout-independent (pure hash of row identity), re-run
+    * stable, and changes wholesale with the seed. Keying on
+    * (doc_id, copy) after [[repeatByWeight]] scatters a document's
+    * epoch copies across the whole stream — the interleave a
+    * multi-epoch mix needs so repeats don't sit adjacent.
+    *
+    * Shape at scale: one distributed range-partition sort (Spark
+    * samples boundaries, then sorts partitions independently) — the
+    * standard total-order write; no global window, no driver
+    * involvement. Write the result with a partition-numbered sink and
+    * the file order IS the training order.
+    */
+  def trainingOrder(df: DataFrame, keys: Seq[Column], seed: String): DataFrame =
+    df.withColumn("order_key",
+        conv(substring(md5(
+          concat_ws(":", lit(seed) +: keys.map(_.cast("string")): _*)),
+          1, 15), 16, 10).cast("long"))
+      .orderBy(col("order_key") +: keys: _*)
 }

@@ -1138,6 +1138,21 @@ object ExtQueries {
              |    WHEN source = 'src2' THEN 0 ELSE 1 END)) AS INT) AS copy
              |FROM documents ORDER BY doc_id, copy""".stripMargin)),
 
+    // Deterministic global training order over the epoch-upsampled
+    // corpus: seeded hash permutation, copies of a doc interleaved.
+    Q("q_train_order",
+      (s, dir) => TrainingData.trainingOrder(
+          TrainingData.repeatByWeight(
+            docs(s, dir).select("doc_id", "lang"), "lang", Map("en" -> 2)),
+          Seq(col("doc_id"), col("copy")), "42")
+        .select("doc_id", "copy", "order_key"),
+      Some(s"""WITH r AS (SELECT doc_id,
+              |    CAST(unnest(range(CASE WHEN lang = 'en' THEN 2 ELSE 1 END)) AS INT) AS copy
+              |  FROM documents)
+              |SELECT doc_id, copy,
+              |  ${h60("'42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)")} AS order_key
+              |FROM r ORDER BY order_key, doc_id, copy""".stripMargin)),
+
     // Multimodal plumbing: binary payload + typed metadata (the decode
     // itself is stubbed; see ext/Multimodal.scala).
     Q("q_binary_meta",

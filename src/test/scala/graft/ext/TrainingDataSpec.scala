@@ -226,4 +226,21 @@ class TrainingDataSpec extends SparkSpec {
     rep.head.getString(0) shouldBe "hot"
     rep.head.getAs[Double]("share") shouldBe 0.9 +- 1e-9
   }
+
+  test("trainingOrder: seeded permutation, layout-independent, seed-sensitive") {
+    val df = (1L to 300L).toDF("id")
+    val a = TrainingData.trainingOrder(df, Seq(col("id")), "s1")
+    // permutation: same rows, none lost or duplicated
+    a.select("id").as[Long].collect().sorted shouldBe (1L to 300L).toArray
+    // layout-independent: the key mapping survives a repartition
+    val b = TrainingData.trainingOrder(df.repartition(7), Seq(col("id")), "s1")
+    rowSet(a) shouldBe rowSet(b)
+    // emitted order follows order_key on any collected prefix
+    val keys = a.select("order_key").as[Long].collect()
+    keys.toSeq shouldBe keys.sorted.toSeq
+    // a different seed is a different permutation
+    val c = TrainingData.trainingOrder(df, Seq(col("id")), "s2")
+    c.select("id").as[Long].collect().toSeq should not be
+      a.select("id").as[Long].collect().toSeq
+  }
 }
