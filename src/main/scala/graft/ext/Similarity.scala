@@ -171,6 +171,50 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-level contamination report: corpus rows whose vector is
+    * within cosine ≥ `minCos` of ANY benchmark row — the semantic
+    * complement of the shingle-overlap
+    * [[graft.ext.Dedup.contaminationReport]] (paraphrased eval
+    * leakage shares no shingles but survives in embedding space).
+    * Returns (id, bench_id, cos); anti-join the `id`s away to
+    * decontaminate.
+    *
+    * Scale shape: the corpus indexes once on (table, bucket); the
+    * benchmark side — eval sets are tiny next to a training corpus —
+    * is broadcast both at the bucket join and at the verify join, so
+    * the corpus never shuffles and nothing is all-pairs. Recall
+    * follows the same table/plane s-curve as [[lshNearDupPairs]].
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      minCos: Double,
+      nPlanes: Int = 6, nTables: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSameId: Boolean = true): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val b = withNorm(bench.select(col(idCol).as("bench_id"), col(vecCol).as("vec")))
+      .select(col("bench_id"), col("vec").as("bvec"), col("norm").as("bnorm"))
+    val cIndex = c.select(col("id"),
+      posexplode(lshTableBuckets(col("vec"), nPlanes, nTables, dim))
+        .as(Seq("table", "bucket")))
+    val bIndex = b.select(col("bench_id"),
+      posexplode(lshTableBuckets(col("bvec"), nPlanes, nTables, dim))
+        .as(Seq("table", "bucket")))
+    val sameId =
+      if (excludeSameId) col("id") =!= col("bench_id") else lit(true)
+    val candidates = cIndex
+      .join(broadcast(bIndex), Seq("table", "bucket"))
+      .filter(sameId)
+      .select(col("id"), col("bench_id"))
+      .distinct()
+    candidates
+      .join(c.select(col("id"), col("vec"), col("norm")), Seq("id"))
+      .join(broadcast(b), Seq("bench_id"))
+      .withColumn("cos",
+        cosineFromNorms(col("vec"), col("bvec"), col("norm"), col("bnorm")))
+      .filter(col("cos") >= minCos)
+      .select(col("id"), col("bench_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Unit-normalize an embedding column (L2): after this, dot product
     * IS cosine, so downstream pairwise math drops the per-pair norm
     * divisions. One codegen'd O(d) pass

@@ -342,6 +342,33 @@ object ExtQueries {
               |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.45
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Semantic decontamination: corpus embeddings within cosine 0.35
+    // of a hash-sampled 20% "benchmark" — the embedding-space twin of
+    // q_decontaminate (catches paraphrased leakage that shares no
+    // shingles). Same deterministic-plane LSH index, benchmark side
+    // broadcast; full plane-by-plane oracle replay.
+    Q("q_semantic_decontaminate",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.semanticContamination(e,
+            TrainingData.hashSample(e, col("vec_id"), 200), minCos = 0.35)
+          .orderBy("id", "bench_id")
+      },
+      Some(s"""WITH $embNormSql,
+              |$lshIndexSql,
+              |b AS (SELECT vec_id AS bench_id, tbl, bucket FROM idx
+              |      WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 200),
+              |cand AS (
+              |  SELECT DISTINCT i.vec_id AS id, b.bench_id
+              |  FROM idx i JOIN b
+              |    ON i.tbl = b.tbl AND i.bucket = b.bucket
+              |      AND i.vec_id <> b.bench_id)
+              |SELECT id, bench_id,
+              |  round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cos
+              |FROM cand JOIN n na ON id = na.vec_id JOIN n nb ON bench_id = nb.vec_id
+              |WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.35
+              |ORDER BY id, bench_id""".stripMargin)),
+
     // FUZZY-DEDUP FINISHER: exact Levenshtein over the SimHash-banded
     // candidates — banding proposes, edit distance disposes; the
     // candidate frame broadcasts so the corpus never shuffles for the

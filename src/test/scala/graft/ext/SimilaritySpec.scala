@@ -94,6 +94,24 @@ class SimilaritySpec extends SparkSpec {
     pairs should not be empty
   }
 
+  test("semanticContamination: no false positives, catches a planted bench copy") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val bench = graft.ext.TrainingData.hashSample(e, col("vec_id"), 200)
+    val report = Similarity.semanticContamination(e, bench, minCos = 0.45)
+    // every reported pair really clears the threshold and is cross-id
+    report.filter(col("cos") < 0.45 || col("id") === col("bench_id"))
+      .count() shouldBe 0L
+    // bench_ids all come from the bench sample
+    val benchIds = rowSet(bench.select(col("vec_id").as("bench_id")))
+    rowSet(report.select("bench_id")).subsetOf(benchIds) shouldBe true
+    // a corpus row that IS a bench vector (under a new id) must be caught
+    val planted = bench.limit(1)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      .unionByName(e.select("vec_id", "embedding"))
+    val hits = Similarity.semanticContamination(planted, bench, minCos = 0.99)
+    hits.filter(col("id") >= 10000).count() should be >= 1L
+  }
+
   test("normalized: unit norm; quantizedInt8: range + reconstruction bound") {
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(50)
