@@ -110,6 +110,11 @@ class SimilaritySpec extends SparkSpec {
       .unionByName(e.select("vec_id", "embedding"))
     val hits = Similarity.semanticContamination(planted, bench, minCos = 0.99)
     hits.filter(col("id") >= 10000).count() should be >= 1L
+    // scale-shape pin: the benchmark side broadcasts at both joins —
+    // the corpus must never reach a shuffle-based join
+    val plan = report.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
   }
 
   test("normalized: unit norm; quantizedInt8: range + reconstruction bound") {
