@@ -748,14 +748,28 @@ object Dedup {
     */
   def nearDupClusters(universe: DataFrame, pairs: DataFrame,
       maxRounds: Int = 64): DataFrame =
-    nearDupClusters(universe, pairs, maxRounds, initMin = true)
+    nearDupClusters(universe, pairs, maxRounds, initMin = true,
+      localEdgeCap = LocalClusterEdgeCap)
+
+  /** Edge-set size (symmetrized rows) under which components are
+    * solved with a driver-local union-find instead of distributed
+    * label propagation. After LSH banding the edge set is a small
+    * fraction of the corpus, and under ~1M pairs the propagation
+    * loop's per-round job overhead (several jobs × several rounds)
+    * dwarfs the actual work — a bounded collect + exact union-find +
+    * broadcast of the labels is the same train-then-ship shape as the
+    * IVF centroid fit. Above the cap (a 100 TB corpus's edge set) the
+    * distributed O(log diameter) loop runs unchanged.
+    */
+  private[graft] val LocalClusterEdgeCap = 2000000L
 
   /** `initMin` A/B knob (dev): min(self, neighbors) init vs identity
     * init — the former starts pair/star components converged at the
-    * cost of one extra aggregation over the edge set.
+    * cost of one extra aggregation over the edge set. `localEdgeCap`
+    * lets tests pin the distributed path (0 disables the local solve).
     */
   private[graft] def nearDupClusters(universe: DataFrame, pairs: DataFrame,
-      maxRounds: Int, initMin: Boolean): DataFrame = {
+      maxRounds: Int, initMin: Boolean, localEdgeCap: Long): DataFrame = {
     // symmetrize in ONE pass over the pairs plan: the union-of-two-
     // selects form evaluates `pairs` twice while filling the cache,
     // and the pairs plan upstream (LSH + collapse) is the expensive
@@ -775,6 +789,15 @@ object Dedup {
     // anyway); ~2M edges per partition keeps a billion-edge 100 TB
     // run at cluster width while a bench-scale run collapses to one.
     val edgeCount = edges0.count()
+    val idType = edges0.schema("src").dataType
+    val localizable = idType match {
+      case _: org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (edgeCount <= localEdgeCap && localizable)
+      return localClusters(universe, edges0, idType)
     val rowsPerPart = 2000000L
     val p = math.max(1L, math.min(
       edges0.sparkSession.sparkContext.defaultParallelism.toLong,
@@ -857,6 +880,63 @@ object Dedup {
     // whole pair-generation pipeline when the caller evaluates.
     val singletons = universe.select("id")
       .join(edges.select(col("src").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.union(singletons)
+  }
+
+  /** Driver-local exact component solve for bounded edge sets
+    * (≤ [[LocalClusterEdgeCap]] symmetrized rows): union-find, then
+    * min-id per component — value-identical to the distributed
+    * propagation (same min-reachable-id label, pinned against it in
+    * DedupSpec) — and the label table broadcasts back for the
+    * singleton anti-join, so the universe never shuffles.
+    */
+  private def localClusters(universe: DataFrame, edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val collected = edges.collect()
+    edges.unpersist()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression: point the walked chain at the root
+      while (parent.getOrDefault(c, c) != r) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    collected.foreach { row =>
+      val ra = find(row.get(0))
+      val rb = find(row.get(1))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val lt: (Any, Any) => Boolean = idType match {
+      case _: org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _: org.apache.spark.sql.types.IntegerType =>
+        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case _ =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+    }
+    // symmetrized edges: every endpoint appears as src, so src covers
+    // the member set
+    val nodes = new java.util.LinkedHashSet[Any]()
+    collected.foreach(row => nodes.add(row.get(0)))
+    val minLabel = new java.util.HashMap[Any, Any]()
+    nodes.forEach { n =>
+      val r = find(n)
+      val cur = minLabel.get(r)
+      if (cur == null || lt(n, cur)) minLabel.put(r, n)
+    }
+    val rows = new java.util.ArrayList[Row](nodes.size())
+    nodes.forEach(n => rows.add(Row(n, minLabel.get(find(n)))))
+    val spark = universe.sparkSession
+    val labels = spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("cluster", idType))))
+    val singletons = universe.select("id")
+      .join(broadcast(labels.select("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
     labels.union(singletons)
   }

@@ -32,7 +32,7 @@ object DevClusters {
         docs.select(col("doc_id").as("id")),
         graft.ext.Dedup.minhashDedupPairs(docs, "doc_id", "text")
           .select("id_a", "id_b"),
-        64, initMin).count()
+        64, initMin, localEdgeCap = 0).count()
       spark.sharedState.cacheManager.clearCache()
       n
     }

@@ -229,7 +229,8 @@ class DedupSpec extends SparkSpec {
     val n = 1000L
     val universe = (0L until n).toDF("id")
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(universe, pairs, maxRounds = 16)
+    val got = Dedup.nearDupClusters(universe, pairs, maxRounds = 16,
+      initMin = true, localEdgeCap = 0)
     got.filter(col("cluster") =!= 0L).count() shouldBe 0L
     got.count() shouldBe n
   }
@@ -238,13 +239,33 @@ class DedupSpec extends SparkSpec {
     val universe = (0L until 10L).toDF("id")
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     an[IllegalStateException] should be thrownBy
-      Dedup.nearDupClusters(universe, pairs, maxRounds = 1).collect()
+      Dedup.nearDupClusters(universe, pairs, maxRounds = 1,
+        initMin = true, localEdgeCap = 0).collect()
+  }
+
+  test("nearDupClusters: local union-find ≡ distributed propagation") {
+    // random-ish component mix: chains, a star, singletons
+    val universe = (0L until 60L).toDF("id")
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 25L), (25L, 21L), (30L, 31L)) ++
+      (40L until 45L).map(i => (40L, i + 1))).toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(universe, pairs) // under the cap
+    val dist = Dedup.nearDupClusters(universe, pairs, maxRounds = 64,
+      initMin = true, localEdgeCap = 0)
+    rowSet(local) shouldBe rowSet(dist)
+    // string ids too (lexicographic min)
+    val su = Seq("a", "b", "c", "z").toDF("id")
+    val sp = Seq(("b", "c"), ("c", "a")).toDF("id_a", "id_b")
+    rowSet(Dedup.nearDupClusters(su, sp)) shouldBe
+      rowSet(Dedup.nearDupClusters(su, sp, maxRounds = 64,
+        initMin = true, localEdgeCap = 0))
   }
 
   test("nearDupClusters: string ids use the changed-rows convergence path") {
     val universe = Seq("a", "b", "c", "d", "e").toDF("id")
     val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
-    val got = Dedup.nearDupClusters(universe, pairs)
+    val got = Dedup.nearDupClusters(universe, pairs, maxRounds = 64,
+        initMin = true, localEdgeCap = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     got("a") shouldBe "a"
     got("b") shouldBe "a"
