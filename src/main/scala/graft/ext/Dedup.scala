@@ -589,6 +589,46 @@ object Dedup {
     }
   }
 
+  /** Cross-set fuzzy dedup: near-dup pairs between a NEW batch and an
+    * indexed corpus — the incremental-ingestion face of
+    * [[minhashDedupPairs]] (each crawl slice against everything
+    * already admitted, so admission is one pass over the slice, never
+    * a re-dedup of the corpus). Both sides band with the same MinHash
+    * planes; candidates come from a (band, band_hash) equi-join with
+    * the NEW side broadcast (a day's slice ≪ the corpus), and each
+    * candidate is verified with the exact shingle Jaccard. The corpus
+    * never self-joins and never shuffles — its band index streams
+    * against the broadcast slice. Ids present in both frames are not
+    * matched to themselves. Anti-join `new_id`s away to admit only
+    * novel documents.
+    */
+  def minhashCrossPairs(corpus: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    def sets(df: DataFrame) = df.select(col(idCol).as("id"),
+      graft.functions.TextHashFunctions.shingle_hashes(col(textCol), ShingleN)
+        .as("hs"))
+    val cSets = sets(corpus)
+    val nSets = sets(fresh)
+    val cand = lshBands(minhashSignature(cSets)).as("c")
+      .join(broadcast(lshBands(minhashSignature(nSets)).as("n")),
+        col("c.band") === col("n.band") &&
+          col("c.band_hash") === col("n.band_hash") &&
+          col("c.id") =!= col("n.id"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(broadcast(nSets.select(col("id").as("new_id"), col("hs").as("hs_n"))),
+        Seq("new_id"))
+      .join(cSets.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
+        Seq("corpus_id"))
+      .withColumn("shared", size(array_intersect(col("hs_n"), col("hs_c"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("hs_n")) + size(col("hs_c")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** LSH candidate generation + exact array-intersect verify over a
     * (id, hs) shingle-set frame — the shared tail of
     * [[minhashDedupPairs]] and [[minhashDedupEdges]], and the direct

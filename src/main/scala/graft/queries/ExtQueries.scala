@@ -226,6 +226,39 @@ object ExtQueries {
               |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Incremental cross-set fuzzy dedup: a hash-sampled 10% "new
+    // crawl slice" banded against the full corpus index, slice side
+    // broadcast — the daily-ingestion admission check.
+    Q("q_dedup_cross",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.minhashCrossPairs(d,
+            TrainingData.hashSample(d, col("doc_id"), 100),
+            "doc_id", "text")
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(s"""WITH $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |nb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 100),
+              |cand AS (
+              |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+              |  FROM bands c JOIN nb n
+              |    ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT new_id, corpus_id, count(*) AS shared
+              |  FROM cand JOIN sh a ON new_id = a.id
+              |            JOIN sh b ON corpus_id = b.id AND a.h = b.h
+              |  GROUP BY 1, 2)
+              |SELECT new_id, corpus_id,
+              |  round(CAST(shared AS DOUBLE) / (sn.n + sc.n - shared), 6) AS jaccard
+              |FROM shared JOIN sz sn ON new_id = sn.id JOIN sz sc ON corpus_id = sc.id
+              |WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5
+              |ORDER BY new_id, corpus_id""".stripMargin)),
+
     // Directed containment pairs — the asymmetric near-dup Jaccard
     // misses (short doc embedded in a long one). τ = 0.6 over the
     // bigger of the two directions.

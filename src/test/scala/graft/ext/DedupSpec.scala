@@ -243,6 +243,23 @@ class DedupSpec extends SparkSpec {
         initMin = true, localEdgeCap = 0).collect()
   }
 
+  test("minhashCrossPairs ≡ full self-join pairs restricted to the slice") {
+    val d = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val slice = graft.ext.TrainingData.hashSample(d, col("doc_id"), 200)
+    val sliceIds = slice.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = rowSet(Dedup.minhashCrossPairs(d, slice, "doc_id", "text")
+      .select("new_id", "corpus_id"))
+    // same planes, same banding: the cross pairs must be exactly the
+    // self-join pairs with an endpoint in the slice, directed slice-out
+    val all = Dedup.minhashDedupPairs(d, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.flatMap { case (a, b) =>
+      (if (sliceIds(a)) Seq(Seq[Any](a, b)) else Nil) ++
+        (if (sliceIds(b)) Seq(Seq[Any](b, a)) else Nil)
+    }.toSet
+    cross shouldBe expected
+  }
+
   test("nearDupClusters: local union-find ≡ distributed propagation") {
     // random-ish component mix: chains, a star, singletons
     val universe = (0L until 60L).toDF("id")
