@@ -401,4 +401,33 @@ object TextAnalysis {
       transform(tokens(text), t => tokenHash60(t) % lit(HashDefs.TokenMod)),
       lit(0L),
       (acc, x) => (acc * lit(31L) + x) % lit(HashDefs.FpMod))
+
+  /** Corpus-frequency vocabulary for [[encodeTokens]]: the `k` most
+    * frequent whitespace tokens, ids 1..k in (freq desc, token asc)
+    * order — a deterministic total order both engines reproduce
+    * exactly (integer counts, string tie-break). Id 0 is reserved for
+    * out-of-vocabulary. The collect is bounded by `k` — the same
+    * train-then-ship shape as the IVF centroid fit: fit the
+    * quantizer once, ship it into a row-local expression.
+    */
+  def buildVocab(df: DataFrame, textCol: String, k: Int): Seq[(String, Int)] = {
+    require(k > 0 && k <= 65536, s"vocab size $k outside (0, 65536]")
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(k).collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + 1) }.toSeq
+  }
+
+  /** Fixed-vocabulary token encoding: text → array<int> of token ids,
+    * 0 for out-of-vocabulary — the step between token counting and
+    * context-window packing. The vocabulary travels as a map LITERAL
+    * inside the expression (ships with the plan to every executor, no
+    * join), so encoding is a row-local zero-shuffle projection the
+    * scan streams through at any corpus size.
+    */
+  def encodeTokens(text: Column, vocab: Seq[(String, Int)]): Column = {
+    val m = typedLit(vocab.toMap)
+    transform(tokens(text), t => coalesce(element_at(m, t), lit(0)))
+  }
 }

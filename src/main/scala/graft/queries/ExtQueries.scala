@@ -654,6 +654,44 @@ object ExtQueries {
              |    / greatest(len(string_split(text, ' ')), 1), 6) AS mean_tok_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Fixed-vocab token encoding: corpus top-200 terms → ids 1..200,
+    // OOV → 0; gated on per-doc summary stats of the id sequence
+    // (count/unk/sum/first/last pin the whole encoding without
+    // hashing a raw array column).
+    Q("q_encode_tokens",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val vocab = TextAnalysis.buildVocab(d, "text", 200)
+        d.select(col("doc_id"),
+            TextAnalysis.encodeTokens(col("text"), vocab).as("__ids"))
+          .select(col("doc_id"),
+            size(col("__ids")).as("n_tok"),
+            size(filter(col("__ids"), x => x === 0)).as("n_unk"),
+            aggregate(col("__ids"), lit(0L), (a, x) => a + x).as("ids_sum"),
+            element_at(col("__ids"), 1).as("id_first"),
+            element_at(col("__ids"), size(col("__ids"))).as("id_last"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH vc AS (
+             |  SELECT tok, count(*) AS c
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS id
+             |  FROM vc ORDER BY c DESC, tok LIMIT 200),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |tt AS (SELECT doc_id, i, ws[i] AS tok
+             |       FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+             |enc AS (SELECT doc_id, i, COALESCE(v.id, 0) AS tid
+             |        FROM tt LEFT JOIN vocab v ON tt.tok = v.tok)
+             |SELECT doc_id,
+             |  CAST(count(*) AS INT) AS n_tok,
+             |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INT) AS n_unk,
+             |  CAST(sum(tid) AS BIGINT) AS ids_sum,
+             |  CAST(first(tid ORDER BY i) AS INT) AS id_first,
+             |  CAST(last(tid ORDER BY i) AS INT) AS id_last
+             |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Language ID by marker-word scoring (deterministic argmax).
     Q("q_lang_id",
       (s, dir) => TextAnalysis.langId(docs(s, dir), "text")

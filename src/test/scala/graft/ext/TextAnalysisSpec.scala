@@ -266,4 +266,17 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     a shouldBe b
   }
+
+  test("buildVocab + encodeTokens: freq-desc ids, deterministic ties, OOV → 0") {
+    val df = Seq("a b a c", "a d").toDF("text")
+    // freq: a=3; b,c,d tie at 1 → token-asc tie-break picks b
+    val vocab = TextAnalysis.buildVocab(df, "text", 2)
+    vocab shouldBe Seq("a" -> 1, "b" -> 2)
+    val ids = df.select(TextAnalysis.encodeTokens(col("text"), vocab).as("ids"))
+      .collect().map(_.getSeq[Int](0))
+    ids(0) shouldBe Seq(1, 2, 1, 0)
+    ids(1) shouldBe Seq(1, 0)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.buildVocab(df, "text", 0) // unbounded collect refused
+  }
 }
