@@ -36,7 +36,7 @@ object CoreQueries {
     * non-atomic Overwrite; the returned frame reads the path lazily,
     * so cleanup is a JVM-exit hook, not a finally.
     */
-  private def stagingDir(prefix: String): String = {
+  private[queries] def stagingDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "stagetmp").toAbsolutePath),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{CorpusPipeline, Dedup, HashDefs, Multimodal, Similarity, TextAnalysis, TrainingData}
-import graft.queries.CoreQueries.Q
+import graft.queries.CoreQueries.{Q, stagingDir}
 
 /** Training-data-pipeline extension operators (BASELINE.json north
   * star): dedup, similarity search, text analysis, multimodal — each
@@ -1262,6 +1262,36 @@ object ExtQueries {
              |  octet_length(encode(text)) AS n_bytes,
              |  md5(text) AS digest
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Raw binary-file ingestion: a 20% doc slice staged as one .bin
+    // file each, read back through Spark's binaryFile source —
+    // identity (filename), size, and digest must survive the
+    // bytes-on-disk round trip (oracle recomputes all three from the
+    // source rows; the trip is lossless by construction).
+    Q("q_binary_files",
+      (s, dir) => {
+        val tmp = stagingDir("graft_bin_")
+        val it = docs(s, dir).filter(col("doc_id") % 5 === 0)
+          .select("doc_id", "text").toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        graft.io.Sources.readBinaryFiles(s, tmp, pathGlob = "*.bin")
+          .select(
+            regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+              .as("media_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("digest"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS digest
+             |FROM documents WHERE doc_id % 5 = 0
+             |ORDER BY media_id""".stripMargin)),
 
     // Media decode through the real mapPartitions plumbing (text bytes
     // aren't images, so the ImageIoCodec default falls back to the
