@@ -292,13 +292,22 @@ object TextAnalysis {
       sum(when(col(langCol) === l, 1L).otherwise(0L)).as(s"c_$l"))
     val g = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"),
-        sum(ttr).as("sum_ttr") +: langCounts: _*)
+        Seq(
+          // sum_nd / sum_nt are the TTR's EXACT integer inputs — the
+          // cross-engine oracle surface (the sum of per-doc rounded
+          // doubles, sum_ttr, is the libm/round 1-ulp hazard that
+          // redded the driver hash rounds 3-6; it stays in the output
+          // for the API but is golden-pinned, never driver-hashed).
+          sum(size(array_distinct(toks)).cast("long")).as("sum_nd"),
+          sum(size(toks).cast("long")).as("sum_nt"),
+          sum(ttr).as("sum_ttr")) ++ langCounts: _*)
     val nD = col("n_docs").cast("double")
     val entropy = langs.map { l =>
       val p = col(s"c_$l").cast("double") / nD
       when(col(s"c_$l") > 0, p * log(p)).otherwise(lit(0.0))
     }.reduce(_ + _)
-    g.select(col(srcCol) +: col("n_docs") +: col("sum_ttr") +:
+    g.select(col(srcCol) +: col("n_docs") +: col("sum_nd") +:
+      col("sum_nt") +: col("sum_ttr") +:
       langs.map(l => col(s"c_$l")) :+
       round(-entropy, 6).as("lang_entropy"): _*)
   }

@@ -1176,7 +1176,12 @@ object ExtQueries {
     Q("q_diversity",
       (s, dir) => TextAnalysis.corpusDiversity(docs(s, dir),
           "source", "lang", "text", Seq("de", "en", "es", "fr", "zh"))
-        .drop("lang_entropy")
+        // lang_entropy (libm p·ln p) and sum_ttr (sum of per-doc
+        // round(double,6)) are the two cross-engine 1-ulp hazards;
+        // the hashed surface carries only their EXACT integer inputs
+        // (sum_nd/sum_nt, c_<lang>) — the floats are golden-pinned in
+        // TextAnalysisSpec per the SURVEY §5 rule.
+        .drop("lang_entropy", "sum_ttr")
         .orderBy("source"),
       Some {
         val langs = Seq("de", "en", "es", "fr", "zh")
@@ -1184,11 +1189,12 @@ object ExtQueries {
           s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
           .mkString(", ")
         s"""WITH t AS (SELECT source, lang,
-           |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           |      / len(string_split(text, ' ')), 6) AS DECIMAL(18,6)) AS ttr
+           |    len(list_distinct(string_split(text, ' '))) AS nd,
+           |    len(string_split(text, ' ')) AS nt
            |  FROM documents)
            |SELECT source, count(*) AS n_docs,
-           |  CAST(sum(ttr) AS DECIMAL(28,6)) AS sum_ttr, $cCols
+           |  CAST(sum(nd) AS BIGINT) AS sum_nd,
+           |  CAST(sum(nt) AS BIGINT) AS sum_nt, $cCols
            |FROM t GROUP BY 1 ORDER BY source""".stripMargin
       }),
 

@@ -212,18 +212,21 @@ class TextAnalysisSpec extends SparkSpec {
         Seq("de", "en", "es", "fr", "zh"))
       .collect().map(r => r.getString(0) ->
         ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_nd"), r.getAs[Long]("sum_nt"),
           r.getAs[java.math.BigDecimal]("sum_ttr").doubleValue,
           r.getAs[Double]("lang_entropy"),
           r.getAs[Long]("c_en"), r.getAs[Long]("c_de")))).toMap
-    val (n1, ttr1, h1, en1, de1) = out("s1")
+    val (n1, nd1, nt1, ttr1, h1, en1, de1) = out("s1")
     n1 shouldBe 4L
+    // exact integer TTR inputs — these ARE the driver-hashed surface
+    (nd1, nt1) shouldBe ((2L + 2L + 1L + 1L, 3L + 2L + 1L + 1L))
+    // sum_ttr / lang_entropy goldens (SURVEY §5): the float columns
+    // are pinned here, not on the cross-engine oracle hash
     ttr1 shouldBe (0.666667 + 1.0 + 1.0 + 1.0 +- 1e-9)
-    // entropy golden (SURVEY §5): the libm-sensitive column is pinned
-    // here, not on the cross-engine oracle hash
     h1 shouldBe (math.log(2.0) +- 1e-6) // uniform 2-of-4 / 2-of-4 split
     (en1, de1) shouldBe ((2L, 2L))      // the exact gated entropy inputs
-    val (n2, ttr2, h2, en2, de2) = out("s2")
-    (n2, ttr2, h2, en2, de2) shouldBe ((1L, 0.5, 0.0, 1L, 0L)) // single lang → entropy 0
+    val (n2, nd2, nt2, ttr2, h2, en2, de2) = out("s2")
+    (n2, nd2, nt2, ttr2, h2, en2, de2) shouldBe ((1L, 1L, 2L, 0.5, 0.0, 1L, 0L)) // single lang → entropy 0
   }
 
   test("bm25Rank: multi-term sums per-term scores; topK truncates") {
