@@ -159,9 +159,18 @@ object Dedup {
     *
     * Under [[CollapseMode.Auto]] the collapse is PAY-FOR-USE: a probe
     * aggregates the digest distribution (count, distinct, max clique)
-    * in one column-pruned job — digests only, no shingles, ~32 bytes
-    * a row of shuffle — and the full collapse join runs only when the
-    * probe says duplicates will repay it. The probe is eager (it must
+    * in one column-pruned job — 8-byte xxhash64 probe digests only
+    * (the probe needs the duplicate DISTRIBUTION, not an exact
+    * digest; a 64-bit collision shifts nd by ~n²/2⁶⁵ — noise against
+    * the CollapseDupFrac threshold — while the collapse join itself
+    * keeps md5), no shingles — and the full collapse join runs only
+    * when the probe says duplicates will repay it. Measured r7
+    * (sf0.1, all-unique corpus, min-of-reps): the probe is ~0.4 s of
+    * q_dedup_minhash's 1.1 s — the whole r5→r6 regression — and is
+    * the SECOND narrow text scan, not hash compute (xxhash64 ≡ md5
+    * locally) nor the conditional repartition (disabling it: no
+    * change). Fusing the probe into the shingle scan was A/B'd and
+    * rejected (SCALE.md dead-end log). The probe is eager (it must
     * decide the plan), which is the same train-then-ship shape as the
     * IVF centroid fit: a bounded driver-side decision, not data
     * movement. The cached collapse join is owned by the returned
@@ -179,7 +188,7 @@ object Dedup {
       case CollapseMode.Always => true
       case CollapseMode.Never  => false
       case CollapseMode.Auto =>
-        val s = df.select(md5(col(textCol)).as("__dg"))
+        val s = df.select(xxhash64(col(textCol)).as("__dg"))
           .groupBy("__dg").agg(count(lit(1)).as("k"))
           .agg(count(lit(1)).as("nd"), sum("k").as("n"), max("k").as("maxk"))
           .head()
@@ -601,24 +610,46 @@ object Dedup {
     * against the broadcast slice. Ids present in both frames are not
     * matched to themselves. Anti-join `new_id`s away to admit only
     * novel documents.
+    *
+    * The broadcasts are forced but GUARDED: one narrow agg over the
+    * SLICE (rows + text bytes — never touches the corpus) prices the
+    * slice's shingle sets first, and a slice estimated over
+    * [[HashDefs.CrossBroadcastMaxBytes]] falls back to plain shuffle
+    * joins (degraded — the corpus band index shuffles once — instead
+    * of a driver OOM). On the broadcast path the slice's sets are
+    * cached: bands and verify both consume them, and the guard just
+    * proved they're small. The corpus side is consumed twice too
+    * (band index + verify join) and is deliberately NOT cached here —
+    * at corpus scale the cache cannot hold it; a caller iterating
+    * many slices against one corpus should checkpoint/cache `corpus`
+    * (or its parquet) on its own lifecycle.
     */
   def minhashCrossPairs(corpus: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBroadcastBytes: Long = CrossBroadcastMaxBytes): DataFrame = {
     def sets(df: DataFrame) = df.select(col(idCol).as("id"),
       graft.functions.TextHashFunctions.shingle_hashes(col(textCol), ShingleN)
         .as("hs"))
     val cSets = sets(corpus)
-    val nSets = sets(fresh)
+    val st = fresh.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("chars"))
+      .head()
+    // ≤1 shingle hash (8 B) per character is a safe over-estimate of
+    // the set payload; 64 B/row covers id + array headers.
+    val estBytes = st.getLong(1) * 8L + st.getLong(0) * 64L
+    val small = estBytes <= maxBroadcastBytes
+    val nSets = if (small) sets(fresh).cache() else sets(fresh)
+    def sized(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val cand = lshBands(minhashSignature(cSets)).as("c")
-      .join(broadcast(lshBands(minhashSignature(nSets)).as("n")),
+      .join(sized(lshBands(minhashSignature(nSets)).as("n")),
         col("c.band") === col("n.band") &&
           col("c.band_hash") === col("n.band_hash") &&
           col("c.id") =!= col("n.id"))
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
     cand
-      .join(broadcast(nSets.select(col("id").as("new_id"), col("hs").as("hs_n"))),
+      .join(sized(nSets.select(col("id").as("new_id"), col("hs").as("hs_n"))),
         Seq("new_id"))
       .join(cSets.select(col("id").as("corpus_id"), col("hs").as("hs_c")),
         Seq("corpus_id"))
@@ -803,6 +834,14 @@ object Dedup {
     */
   private[graft] val LocalClusterEdgeCap = 2000000L
 
+  /** Byte-denominated twin of [[LocalClusterEdgeCap]]: the estimated
+    * driver-heap cost of the collected edge rows must also fit (the
+    * row cap alone would admit 2M × long-URL string edges — hundreds
+    * of MB of boxed heap). 256 MB leaves the usual driver defaults
+    * (1-4 GB) room for the union-find maps on top.
+    */
+  private[graft] val LocalClusterByteCap = 256L * 1024 * 1024
+
   /** `initMin` A/B knob (dev): min(self, neighbors) init vs identity
     * init — the former starts pair/star components converged at the
     * cost of one extra aggregation over the edge set. `localEdgeCap`
@@ -836,7 +875,23 @@ object Dedup {
       case _: org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    if (edgeCount <= localEdgeCap && localizable)
+    // The row cap alone under-prices string ids (2M edges of 200-char
+    // URLs ≈ 1.6 GB of boxed driver heap): price the collect in BYTES
+    // too. Numeric ids are fixed-size; string ids pay one cheap avg
+    // over the already-cached edges (only on the string path).
+    val estCollectBytes: Long =
+      if (edgeCount == 0L) 0L
+      else idType match {
+        case _: org.apache.spark.sql.types.StringType =>
+          val a = edges0.agg(avg(length(col("src")))).head()
+          val avgLen = if (a.isNullAt(0)) 0.0 else a.getDouble(0)
+          // per edge: 2 String objects (~40 B header + 2 B/char UTF-16)
+          // + Row/array overhead
+          edgeCount * (2L * (40L + (2 * avgLen).toLong) + 32L)
+        case _ => edgeCount * 48L // 2 boxed numerics + Row overhead
+      }
+    if (edgeCount <= localEdgeCap && localizable &&
+        estCollectBytes <= LocalClusterByteCap)
       return localClusters(universe, edges0, idType)
     val rowsPerPart = 2000000L
     val p = math.max(1L, math.min(

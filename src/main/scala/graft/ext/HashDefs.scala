@@ -83,4 +83,18 @@ object HashDefs {
     */
   val CollapseHotClique: Int =
     sys.env.get("GRAFT_COLLAPSE_HOT_CLIQUE").map(_.toInt).getOrElse(32)
+
+  /** Estimated shingle-set size of an incoming slice above which
+    * [[Dedup.minhashCrossPairs]] abandons its forced broadcasts and
+    * falls back to shuffle joins. A normal crawl day ≪ the corpus
+    * and SHOULD broadcast (the corpus then never shuffles); but a
+    * forced `broadcast()` has no safety valve — an unexpectedly
+    * large slice would OOM the driver instead of degrading, the same
+    * failure class the IVF centroid collect guards with its
+    * `require`. 512 MB estimated ≈ well under executor broadcast
+    * budgets while covering any real "day's slice".
+    */
+  val CrossBroadcastMaxBytes: Long =
+    sys.env.get("GRAFT_CROSS_BROADCAST_MAX_BYTES").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
 }

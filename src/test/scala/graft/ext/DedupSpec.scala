@@ -258,6 +258,12 @@ class DedupSpec extends SparkSpec {
         (if (sliceIds(b)) Seq(Seq[Any](b, a)) else Nil)
     }.toSet
     cross shouldBe expected
+    // size guard tripped (maxBroadcastBytes = 0 forces the shuffle
+    // fallback): value-identical to the broadcast path
+    val guarded = rowSet(Dedup.minhashCrossPairs(d, slice, "doc_id", "text",
+        maxBroadcastBytes = 0L)
+      .select("new_id", "corpus_id"))
+    guarded shouldBe cross
   }
 
   test("nearDupClusters: local union-find ≡ distributed propagation") {
