@@ -31,19 +31,46 @@ object CoreQueries {
   private def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
   /** Unique staging dir for the write-then-read-back queries
-    * (ORC round-trip, schema merge, partition prune). Per-INVOCATION
-    * so concurrent runs over the same dataset can't race each other's
-    * non-atomic Overwrite; the returned frame reads the path lazily,
-    * so cleanup is a JVM-exit hook, not a finally.
+    * (ORC round-trip, schema merge, partition prune, binary files).
+    * Per-INVOCATION so concurrent runs over the same dataset can't
+    * race each other's non-atomic Overwrite. Callers pair it with
+    * [[releaseStaged]], which deletes the dir EAGERLY once the
+    * result is materialized — without it, long-lived sessions (bench
+    * reps) would accumulate a full staged copy per invocation until
+    * JVM exit. The queue + single JVM-exit hook is only the backstop
+    * for invocations that die between stage and release.
     */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.forEach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit)))
+  }
   private[queries] def stagingDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "stagetmp").toAbsolutePath),
       prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
+    stagedDirs.add(d)
     d.toString
+  }
+
+  /** Materialize the (small — these are aggregate/metadata results)
+    * frame off its staged files via an eager localCheckpoint, then
+    * delete the staging dir immediately. The returned frame no
+    * longer references the staged path, so the non-atomic
+    * staged-write lifecycle ends inside the invocation instead of at
+    * JVM exit. (localCheckpoint blocks are not executor-loss
+    * fault-tolerant — fine for these verification-shape queries; a
+    * production pipeline would keep its staged lake files.)
+    */
+  private[queries] def releaseStaged(tmp: String)(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val p = java.nio.file.Paths.get(tmp)
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    stagedDirs.remove(p)
+    out
   }
 
   // ---- re-targeting of the reference's interaction schema onto `events`
@@ -458,11 +485,11 @@ object CoreQueries {
         val tmp = stagingDir("graft_orc_")
         OrcSink(tmp).write(Tables(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
-        Sources.readOrc(s, Seq(tmp))
+        releaseStaged(tmp)(Sources.readOrc(s, Seq(tmp))
           .filter(col("l_quantity") > 25)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-          .orderBy("l_returnflag")
+          .orderBy("l_returnflag"))
       },
       Some(s"""SELECT l_returnflag, count(*) AS n,
               |  ${dsumSql("l_quantity")} AS sum_qty
@@ -485,13 +512,13 @@ object CoreQueries {
         li.filter(col("l_linenumber") > 3)
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").parquet(s"$tmp/v2")
-        s.read.option("mergeSchema", "true")
+        releaseStaged(tmp)(s.read.option("mergeSchema", "true")
           .parquet(s"$tmp/v1", s"$tmp/v2")
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_rows"),
             count(col("l_quantity")).as("n_with_qty"),
             dsum(col("l_quantity")).as("sum_qty"))
-          .orderBy("l_returnflag")
+          .orderBy("l_returnflag"))
       },
       Some(s"""SELECT l_returnflag, count(*) AS n_rows,
               |  count(CASE WHEN l_linenumber > 3 THEN 1 END) AS n_with_qty,
@@ -511,10 +538,11 @@ object CoreQueries {
           .withColumn("date", date_format(to_date(col("ts")), "yyyyMMdd").cast("int"))
         graft.io.PartitionedParquetSink(tmp).write(
           ev.select("date", "event_id", "user_id", "event_type", "value"))
-        Sources.readDatePartitioned(s, tmp, 20240108, 20240114)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-          .orderBy("event_type")
+        releaseStaged(tmp)(
+          Sources.readDatePartitioned(s, tmp, 20240108, 20240114)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+            .orderBy("event_type"))
       },
       Some(s"""SELECT event_type, count(*) AS n,
               |  ${dsumSql("value")} AS sum_value

@@ -1285,13 +1285,14 @@ object ExtQueries {
             java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-        graft.io.Sources.readBinaryFiles(s, tmp, pathGlob = "*.bin")
-          .select(
-            regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
-              .as("media_id"),
-            col("length").as("n_bytes"),
-            md5(col("content")).as("digest"))
-          .orderBy("media_id")
+        CoreQueries.releaseStaged(tmp)(
+          graft.io.Sources.readBinaryFiles(s, tmp, pathGlob = "*.bin")
+            .select(
+              regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long")
+                .as("media_id"),
+              col("length").as("n_bytes"),
+              md5(col("content")).as("digest"))
+            .orderBy("media_id"))
       },
       Some("""SELECT doc_id AS media_id,
              |  octet_length(encode(text)) AS n_bytes,
