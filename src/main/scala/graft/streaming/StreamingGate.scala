@@ -52,7 +52,15 @@ import graft.Tables
   */
 object StreamingGate {
 
-  private val Sentinel = "__sentinel__"
+  /** Watermark-advancement marker value for contract/props in the
+    * staged sentinel slices. Contains a NUL byte precisely so it can
+    * NEVER equal real data: gate outputs filter rows whose key or
+    * props equals this value, and user-domain strings (cast numeric
+    * ids, free-text props) cannot contain NUL in the parquet-staged
+    * corpus — a user document that happened to be the old
+    * "__sentinel__" literal would have been silently dropped.
+    */
+  private val Sentinel = "\u0000graft.sentinel\u0000"
 
   /** Move the single part file under `srcDir` to `data/f<i>.parquet`
     * with a deterministic, strictly increasing modification time — the
@@ -147,8 +155,33 @@ object StreamingGate {
   private val sharedStages =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
+  /** Cache key = dir + a listing fingerprint (relative path, size,
+    * mtime of every file under events.parquet): if the dataset at
+    * the path is regenerated in-process, the next gate sees a new
+    * key and re-stages instead of silently replaying stale slices.
+    * A superseded entry's files linger until the JVM-exit hook —
+    * bounded by how often a session rewrites its own input.
+    */
+  private def eventsFingerprint(dir: String): String = {
+    val root = Paths.get(dir, "events.parquet")
+    if (!Files.exists(root)) "absent"
+    else {
+      val walk = Files.walk(root)
+      try {
+        val listing = walk.filter(p => Files.isRegularFile(p))
+          .sorted()
+          .map[String](p => s"${root.relativize(p)}:${Files.size(p)}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}")
+          .toArray.mkString("|")
+        java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      } finally walk.close()
+    }
+  }
+
   private def sharedSlices(s: SparkSession, dir: String): Path =
-    sharedStages.computeIfAbsent(dir, { _ =>
+    sharedStages.computeIfAbsent(s"$dir@${eventsFingerprint(dir)}", { _ =>
       import s.implicits._
       val stage = newStage()
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
