@@ -141,12 +141,35 @@ object Similarity {
     * equi-join, never a cross join — and the candidate set, not the
     * corpus, feeds the top-k window.
     */
+  /** Plane count that holds expected bucket occupancy at
+    * `targetBucket` for an `n`-vector corpus: the candidate join
+    * inside a bucket is quadratic in occupancy (per table ≈
+    * n²/2^planes total), so planes must grow with log₂(n) — a FIXED
+    * plane count is the one knob that silently turns the bucketed
+    * self-join quadratic as the corpus scales (measured on the f30
+    * ladder, SCALE.md: 60k vectors at the 6-plane default = 940/
+    * bucket = exponent 2.2; +3 planes recovered ~3×, identical-
+    * vector recall unaffected — exact dups share every bucket by
+    * construction; losses land in the weak tail just above minCos.
+    * Compensate there with more tables/multiprobe if that band
+    * matters). Never returns below `floorPlanes` (the measured-recall
+    * default).
+    */
+  def lshPlanesFor(n: Long, targetBucket: Int = 64,
+      floorPlanes: Int = 6): Int =
+    math.max(floorPlanes,
+      math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+        / math.log(2)).toInt)
+
   /** Approximate near-dup pairs: cosine ≥ `minCos` among pairs that
     * collide in any LSH table — the scale path for
     * [[graft.ext.Dedup.embeddingNearDupPairs]]' all-pairs scan. The
     * corpus self-joins only within (table, bucket); recall follows the
     * table/plane s-curve (near-dup-grade cosine ≥ 0.8 collides with
-    * high probability at the defaults).
+    * high probability at the defaults). Size `nPlanes` with
+    * [[lshPlanesFor]] when the corpus is much larger than ~4k
+    * vectors — the default 6 planes are the RECALL-calibrated
+    * bench-scale setting, not a scale-free constant.
     */
   def lshNearDupPairs(corpus: DataFrame, minCos: Double,
       nPlanes: Int = 6, nTables: Int = 8,

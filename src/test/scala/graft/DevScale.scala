@@ -23,14 +23,61 @@ import org.apache.spark.sql.functions._
 object DevScale {
   private val queries = Seq("q_dedup_ngram", "q_dedup_minhash",
     "q_containment", "q_dedup_clusters", "q_corpus_prepare")
+  private val annQueries = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+    "q_embed_neardup_lsh", "q_semantic_decontaminate", "q_semantic_clusters")
 
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: f :: outDir :: Nil => gen(f.toInt, outDir)
+    case "genEmb" :: f :: outDir :: Nil => genEmb(f.toInt, outDir)
     case "run" :: sfDir :: rest =>
-      run(sfDir, rest.headOption.map(_.toInt).getOrElse(3))
+      run(sfDir, queries, rest.headOption.map(_.toInt).getOrElse(3))
+    case "runAnn" :: sfDir :: rest =>
+      run(sfDir, annQueries, rest.headOption.map(_.toInt).getOrElse(3))
+    case "neardup" :: sfDir :: planes :: tables :: rest =>
+      neardup(sfDir, planes.toInt, tables.toInt,
+        rest.headOption.map(_.toInt).getOrElse(2))
     case _ =>
-      System.err.println("usage: DevScale gen <factor> <outDir> | run <sfDir> [reps]")
+      System.err.println(
+        "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps]")
       sys.exit(2)
+  }
+
+  /** Factor-f embeddings corpus mirroring [[gen]]'s planted profile:
+    * every sf0.1 vector yields f copies; vectors with
+    * `vec_id % 5 == 0` (20%) keep their embedding VERBATIM in every
+    * copy — planted cosine-1.0 near-dup cliques of size f — while
+    * all other copies beyond the first add a deterministic
+    * per-(vector, copy) perturbation to every component, large
+    * enough (±0.5 per dim against unit-ish inputs) to move the copy
+    * out of every near-dup/contamination threshold's reach.
+    */
+  private def genEmb(f: Int, outDir: String): Unit = {
+    val spark = GraftSession.local(32, s"graft-dev-scale-genemb-$f")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+    // HASH-based noise, not sin: any sin(A + i·step) family shares
+    // one frequency, so every noise vector lies on a 2-D circle
+    // manifold and noise·noise ≈ cos(A−B) — uniform in [−1,1], which
+    // made ~10% of "distinct" copies near-dups of each other
+    // (measured: 122M pairs at f30). xxhash64 per (vector, copy, dim)
+    // gives independent components; amplitude 0.9/dim (RMS 0.52) →
+    // |noise| ≈ 4.2 against unit inputs → copy cosine ≈ 0.23,
+    // outside every threshold in the ANN family.
+    val perturbed = transform(col("embedding"),
+      (x, i) => x + (xxhash64(col("vec_id"), col("c"), i) % 1000L)
+        .cast("double") / 1000.0 * 0.9)
+    val out = e
+      .select(col("*"), explode(sequence(lit(0), lit(f - 1))).as("c"))
+      .select(
+        (col("vec_id") * f + col("c")).as("vec_id"),
+        when(col("vec_id") % 5 === 0 || col("c") === 0, col("embedding"))
+          .otherwise(perturbed.cast("array<float>")).as("embedding"),
+        col("label"))
+    out.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+    println(s"[gen] factor=$f rows=$n -> $outDir/embeddings.parquet")
+    spark.stop()
   }
 
   private def gen(f: Int, outDir: String): Unit = {
@@ -54,14 +101,33 @@ object DevScale {
     spark.stop()
   }
 
-  private def run(sfDir: String, reps: Int): Unit = {
+  /** Plane/table sizing A/B for lshNearDupPairs on a generated
+    * embeddings corpus (the f30 ladder point showed the DEFAULT 6
+    * planes going candidate-bound at 60k vectors).
+    */
+  private def neardup(sfDir: String, planes: Int, tables: Int, reps: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-neardup")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, sfDir, "embeddings")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.ext.Similarity.lshNearDupPairs(e, minCos = 0.45,
+        nPlanes = planes, nTables = tables).count()
+      println(f"[scale] $sfDir neardup p=$planes t=$tables run$i: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  private def run(sfDir: String, qs: Seq[String], reps: Int): Unit = {
     val spark = GraftSession.local(32, "graft-dev-scale-run")
     spark.sparkContext.setLogLevel("ERROR")
     // JIT/classload warm-up on the tiny corpus, then measure cold
-    queries.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
+    qs.foreach(q => SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
     spark.catalog.clearCache()
     (1 to reps).foreach { i =>
-      queries.foreach { q =>
+      qs.foreach { q =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, sfDir).count()
         println(f"[scale] $sfDir $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
