@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-partitioned) tables — the "reuse a partitioning
+  * across stages" face of the join surface. A table written with
+  * `bucketBy(n, key)` is hash-split into n files per partition ON
+  * DISK; a join of two tables bucketed on the join key with the same
+  * bucket count needs NO Exchange at all (and with `sortBy` no
+  * per-task Sort either): each task reads bucket i of both sides and
+  * merges. At 100 TB that converts the fact-fact join's dominant
+  * full-corpus shuffle into a pure co-located read — the write-side
+  * cost is one extra sort paid ONCE, amortized over every downstream
+  * join/aggregation on the same key (aggregations on the bucket key
+  * also skip their Exchange).
+  *
+  * This is the static twin of AQE's runtime re-plan: AQE can coalesce
+  * and skew-split a shuffle it still has to RUN; bucketing removes
+  * the shuffle from the plan. The no-Exchange/no-Sort plan shape is
+  * pinned in BucketedSpec; result equivalence with the plain join is
+  * the q_bucketed_join oracle.
+  */
+object Bucketed {
+
+  /** Write `df` into the session catalog as a parquet table bucketed
+    * (and bucket-sorted) on `keys` — the layout contract downstream
+    * co-located joins rely on. Managed table: `DROP TABLE` reclaims
+    * the files.
+    */
+  def writeBucketed(df: DataFrame, name: String, buckets: Int,
+      keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketBy needs at least one key")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val sk = if (sortKeys.nonEmpty) sortKeys else keys
+    w.sortBy(sk.head, sk.tail: _*).saveAsTable(name)
+  }
+
+  /** Equi-join two already-bucketed catalog tables on `leftKey ===
+    * rightKey`, forcing the sort-merge strategy (`hint("merge")`) so
+    * the bucket layout — not a broadcast — carries the join: with
+    * matching bucket counts the planner emits SortMergeJoin with
+    * zero Exchange and zero Sort.
+    */
+  def coLocatedJoin(s: SparkSession, leftTable: String,
+      rightTable: String, leftKey: String, rightKey: String): DataFrame =
+    s.table(leftTable).hint("merge")
+      .join(s.table(rightTable).hint("merge"),
+        org.apache.spark.sql.functions.col(leftKey) ===
+          org.apache.spark.sql.functions.col(rightKey))
+}

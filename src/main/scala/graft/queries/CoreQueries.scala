@@ -670,6 +670,44 @@ object CoreQueries {
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Bucket-co-located join — the static scale answer to the
+    // fact-fact shuffle: both sides written bucketBy(8, custkey) +
+    // sortBy into the catalog, then sort-merge-joined with ZERO
+    // Exchange and ZERO Sort (plan shape pinned in BucketedSpec; the
+    // 64 MB broadcast threshold is bypassed with hint("merge") so
+    // the BUCKETS carry the join, as they would at fact-fact scale).
+    // Result ≡ the plain join — which is exactly what the oracle
+    // replays. Tables are dropped after an eager checkpoint of the
+    // small aggregate, so catalog/warehouse state ends with the
+    // invocation.
+    Q("q_bucketed_join",
+      (s, dir) => {
+        val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
+        val ot = s"orders_bkt_$tag"
+        val ct = s"cust_bkt_$tag"
+        graft.ops.Bucketed.writeBucketed(
+          Tables(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          ot, buckets = 8, keys = Seq("o_custkey"))
+        graft.ops.Bucketed.writeBucketed(
+          Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          ct, buckets = 8, keys = Seq("c_custkey"))
+        try {
+          graft.ops.Bucketed.coLocatedJoin(s, ot, ct, "o_custkey", "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_orders"),
+              dsum(col("o_totalprice")).as("sum_price"))
+            .orderBy("c_mktsegment")
+            .localCheckpoint(true)
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $ot")
+          s.sql(s"DROP TABLE IF EXISTS $ct")
+        }
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+              |  ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Join-family completeness beyond the reference surface: FULL
     // OUTER (both unmatched sides kept — count(col) skips the nulls
     // each side contributes) aggregated per segment so the output is

@@ -74,6 +74,30 @@ object Streaming {
       .agg(sum("duration").as("TotalDuration"),
         count(lit(1)).as("n_events"))
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded dimension (here a category→weight dictionary) with an
+    * explicit `broadcast` — the canonical "enrich the firehose from a
+    * lookup table" topology. The join is STATELESS (each micro-batch
+    * joins the static side; no join state, no watermark interplay —
+    * only the downstream windowed agg holds state), and the static
+    * side re-broadcasts only on restart. Dictionary misses drop (inner
+    * join): unknown categories are quarantined upstream, the
+    * reference's dictionary-join semantic. At 100 TB/day the static
+    * side is a dimension table of at most a few hundred MB — exactly
+    * the broadcast shape; a LARGE static side would instead bucket
+    * (see [[graft.ops.Bucketed]]) so each micro-batch co-locates.
+    */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame,
+      windowDuration: String = "1 hour",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("category"))
+      .groupBy(window(col("ts"), windowDuration),
+        col("contract"), col("category"))
+      .agg(sum(col("duration") * col("weight")).as("weighted_duration"),
+        count(lit(1)).as("n_events"))
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

@@ -549,6 +549,59 @@ object StreamingGate {
     }
   }
 
+  /** STREAM-STATIC ENRICH under the gate: a REAL
+    * [[Streaming.streamStaticEnrich]] run — every micro-batch joins
+    * the broadcast category→weight dictionary before the windowed
+    * agg, so the gate pins BOTH the stateless stream-static join
+    * (dictionary misses drop: the sentinel category "view" is in the
+    * dict, so sentinels are filtered by contract as usual; the
+    * events corpus's "error" category is NOT, and must vanish) and
+    * the watermark-finalized window emission downstream of it. The
+    * weighted sums are integer-exact (long × long), so the full
+    * surface hashes cross-engine.
+    */
+  def streamEnrichFromFiles(s: SparkSession, dir: String,
+      windowDuration: String = "1 hour"): DataFrame = {
+    import s.implicits._
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val dim = Seq(("signup", 3L), ("purchase", 10L), ("view", 1L),
+        ("click", 2L)).toDF("category", "weight")
+      val stream = sharedStream(s, dir)
+        .select("contract", "category", "duration", "ts")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[
+        (Timestamp, String, String, Long, Long)]
+      val query = Streaming.streamStaticEnrich(stream, dim,
+          windowDuration = windowDuration)
+        .select(col("window.start").as("window_start"), col("contract"),
+          col("category"), col("weighted_duration"), col("n_events"))
+        .as[(Timestamp, String, String, Long, Long)]
+        .writeStream
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
+        .outputMode("append") // only watermark-finalized windows emit
+        .foreachBatch {
+          (batch: Dataset[(Timestamp, String, String, Long, Long)], _: Long) =>
+            val rows = batch.collect()
+            buf.synchronized { buf ++= rows }
+            ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      buf.synchronized { buf.filter(_._2 != Sentinel).toSeq }
+        .toDF("window_start", "contract", "category", "weighted_duration",
+          "n_events")
+        .select(col("window_start"),
+          col("contract").cast("long").as("user_id"),
+          col("category").as("event_type"),
+          col("weighted_duration"), col("n_events"))
+        .orderBy("window_start", "user_id", "event_type")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   /** STREAMING EXACT DEDUP under the gate: a REAL
     * [[Streaming.streamingExactDedup]] run over the staged slices.
     * The gate pins the state CONTRACT — every distinct payload is
