@@ -1455,6 +1455,23 @@ object CoreQueries {
       (s, dir) => graft.streaming.StreamingGate.streamDedupFromFiles(s, dir),
       Some("SELECT DISTINCT props FROM events ORDER BY props")),
 
+    // STREAM-STATIC ENRICH under the hard gate: every micro-batch
+    // joins the broadcast category→weight dictionary (stateless —
+    // dictionary misses drop, so the events corpus's 'error' category
+    // must vanish) before the watermark-finalized windowed agg. The
+    // weighted sums are long × long, integer-exact, so the full
+    // surface hashes cross-engine.
+    Q("q_stream_enrich",
+      (s, dir) => graft.streaming.StreamingGate.streamEnrichFromFiles(s, dir),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
+             |  CAST(SUM(CAST(floor(value) AS BIGINT) * w) AS BIGINT) AS weighted_duration,
+             |  count(*) AS n_events
+             |FROM events
+             |JOIN (VALUES ('signup', 3), ('purchase', 10), ('view', 1), ('click', 2))
+             |  AS d(event_type, w) USING (event_type)
+             |GROUP BY 1, 2, 3
+             |ORDER BY window_start, user_id, event_type""".stripMargin)),
+
     // As-of (backward) join — Spark has no native operator; the
     // union + running-last composition attaches each view's latest
     // preceding purchase value per user. Oracle = DuckDB ASOF JOIN.

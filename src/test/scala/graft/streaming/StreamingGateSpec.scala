@@ -204,6 +204,29 @@ class StreamingGateSpec extends SparkSpec {
     lastTs should not be null
   }
 
+  test("stream-static enrich gate ≡ batch weighted windowed agg; dict misses drop") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.streamEnrichFromFiles(spark, dir)
+    val ev = graft.Tables(spark, dir, "events")
+    val dim = Seq(("signup", 3L), ("purchase", 10L), ("view", 1L),
+      ("click", 2L)).toDF("event_type", "weight")
+    val want = ev.join(dim, Seq("event_type"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("user_id"), col("event_type"))
+      .agg(sum(floor(col("value")).cast("long") * col("weight"))
+          .as("weighted_duration"),
+        count(lit(1)).as("n_events"))
+      .select("window_start", "user_id", "event_type", "weighted_duration",
+        "n_events")
+    rowSet(got) shouldBe rowSet(want)
+    // the stateless join's miss semantic: 'error' events exist
+    // upstream but are not in the dictionary, so they must vanish —
+    // and the far-future sentinel rows (category 'view', which IS in
+    // the dictionary) must not survive into the output either
+    ev.filter(col("event_type") === "error").count() should be > 0L
+    got.filter(col("event_type") === "error").count() shouldBe 0L
+  }
+
   test("transformWithState gate ≡ the fMGWS gate on the same slices") {
     val dir = "/root/testdata/sf0.001"
     val tws = StreamingGate.closedSessionsTwsFromFiles(spark, dir)
