@@ -192,6 +192,10 @@ object Bench {
         }
         Await.result(Future.sequence(fs), Duration.Inf)
       }
+      // prestage reads the driver tables — a broken table must price
+      // THESE gates -1 and leave the batch numbers standing, not
+      // escape main and zero the whole artifact (BENCH_r08 was rc=1
+      // because a prestage AnalysisException had no catch here)
       try {
         graft.streaming.StreamingGate.prestage(spark, warmDir)
         runAll(warmDir) // JIT/codegen warm, concurrently too
@@ -203,6 +207,10 @@ object Bench {
         val walls = runAll(sfDir)
         val wall = (System.nanoTime() - t0) / 1e9
         (walls, if (walls.exists(_._2 < 0)) -1.0 else wall)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming-gate section FAILED: ${e.getMessage}")
+          (pickedGates.keys.toSeq.map(_ -> -1.0), -1.0)
       } finally pool.shutdown()
     }
     // drop registry caches before the skew section: the base_* twins

@@ -617,8 +617,10 @@ object Dedup {
     * [[HashDefs.CrossBroadcastMaxBytes]] falls back to plain shuffle
     * joins (degraded — the corpus band index shuffles once — instead
     * of a driver OOM). On the broadcast path the slice's sets are
-    * cached: bands and verify both consume them, and the guard just
-    * proved they're small. The corpus side is consumed twice too
+    * eagerly localCheckpoint'ed: bands and verify both consume them,
+    * the guard just proved they're small, and the blocks are
+    * GC-reclaimed (no pinned cache to leak across a slice loop). The
+    * corpus side is consumed twice too
     * (band index + verify join) and is deliberately NOT cached here —
     * at corpus scale the cache cannot hold it; a caller iterating
     * many slices against one corpus should checkpoint/cache `corpus`
@@ -639,7 +641,11 @@ object Dedup {
     // the set payload; 64 B/row covers id + array headers.
     val estBytes = st.getLong(1) * 8L + st.getLong(0) * 64L
     val small = estBytes <= maxBroadcastBytes
-    val nSets = if (small) sets(fresh).cache() else sets(fresh)
+    // eager localCheckpoint, not cache(): same reuse (bands + verify
+    // both read the materialized blocks, the size guard just proved
+    // they fit), but the blocks are ContextCleaner-reclaimed when the
+    // plan is GC'd — a slice loop never accumulates pinned storage
+    val nSets = if (small) sets(fresh).localCheckpoint(true) else sets(fresh)
     def sized(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val cand = lshBands(minhashSignature(cSets)).as("c")
       .join(sized(lshBands(minhashSignature(nSets)).as("n")),

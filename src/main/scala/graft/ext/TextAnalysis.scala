@@ -249,16 +249,20 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // cached: the total and the head both derive from the vocab agg,
     // and without the cache each branch re-scans the corpus (vocab ≪
-    // corpus, so this is the cheap side of that trade). The cache is
-    // read lazily by the RETURNED frame, so its lifecycle belongs to
-    // the caller: a long-lived session issuing many ad-hoc zipfHead
-    // calls should unpersist (or clearCache) once each result is
-    // materialized — the registry/Bench harnesses do exactly that.
+    // corpus, so this is the cheap side of that trade). The cache's
+    // lifecycle is closed HERE: both consumers are eagerly
+    // materialized via localCheckpoint (k rows + 1 row — trivial),
+    // then the vocab is unpersisted, so repeated ad-hoc calls in a
+    // long-lived session leak nothing.
     val vocab = df.select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .cache()
-    val total = vocab.agg(sum("freq").as("n_total"))
-    val head = vocab.orderBy(col("freq").desc, col("term").asc).limit(topK)
+    val (total, head) =
+      try {
+        (vocab.agg(sum("freq").as("n_total")).localCheckpoint(true),
+          vocab.orderBy(col("freq").desc, col("term").asc).limit(topK)
+            .localCheckpoint(true))
+      } finally vocab.unpersist()
     val w = Window.orderBy(col("freq").desc, col("term").asc)
     head.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w))

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * across stages" face of the join surface. A table written with
   * `bucketBy(n, key)` is hash-split into n files per partition ON
   * DISK; a join of two tables bucketed on the join key with the same
-  * bucket count needs NO Exchange at all (and with `sortBy` no
+  * bucket count needs NO Exchange at all (and with `sortBy` + one
+  * file per bucket — see [[writeBucketed]] — no
   * per-task Sort either): each task reads bucket i of both sides and
   * merges. At 100 TB that converts the fact-fact join's dominant
   * full-corpus shuffle into a pure co-located read — the write-side
@@ -26,11 +27,22 @@ object Bucketed {
     * (and bucket-sorted) on `keys` — the layout contract downstream
     * co-located joins rely on. Managed table: `DROP TABLE` reclaims
     * the files.
+    *
+    * The pre-write `repartition(buckets, keys)` matters: Spark only
+    * reports a bucketed scan's SORT order downstream when each bucket
+    * holds EXACTLY ONE file, and hash-repartitioning on the bucket
+    * keys (the same Murmur3-pmod function bucket ids use) gives each
+    * write task exactly one bucket's rows — one file per bucket. That
+    * one extra write-side shuffle is what converts the downstream
+    * sort-merge join to zero-Exchange AND zero-Sort; without it the
+    * join still skips its Exchanges but re-sorts both sides per task.
     */
   def writeBucketed(df: DataFrame, name: String, buckets: Int,
       keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "bucketBy needs at least one key")
-    val w = df.write.mode("overwrite").format("parquet")
+    val keyCols = keys.map(org.apache.spark.sql.functions.col)
+    val w = df.repartition(buckets, keyCols: _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val sk = if (sortKeys.nonEmpty) sortKeys else keys
     w.sortBy(sk.head, sk.tail: _*).saveAsTable(name)
@@ -41,11 +53,23 @@ object Bucketed {
     * the bucket layout — not a broadcast — carries the join: with
     * matching bucket counts the planner emits SortMergeJoin with
     * zero Exchange and zero Sort.
+    *
+    * Zero SORT needs one session conf: since 3.0 Spark's bucketed
+    * scan does not report its sortBy order to the planner unless
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is on (the
+    * default planner then re-sorts each bucket per task, paying
+    * O(rows log rows) per join that the write-side sort already
+    * paid). Enabling it is safe session-wide: the scan still only
+    * claims an ordering when a bucket has at most one file — the
+    * layout [[writeBucketed]] guarantees — and multi-file buckets
+    * simply fall back to the re-sort.
     */
   def coLocatedJoin(s: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     s.table(leftTable).hint("merge")
       .join(s.table(rightTable).hint("merge"),
         org.apache.spark.sql.functions.col(leftKey) ===
           org.apache.spark.sql.functions.col(rightKey))
+  }
 }

@@ -229,6 +229,15 @@ object CoreQueries {
     .map { case (k, v) => s"('${k.replace("'", "''")}', '$v')" }
     .mkString("(VALUES ", ", ", ")")
 
+  /** The enrich gate's oracle VALUES, generated from the one shared
+    * dictionary ([[graft.streaming.StreamingGate.EnrichDict]]) so the
+    * SQL can't drift from the gate's dim or the spec's comparator.
+    */
+  private val enrichDictValuesSql: String =
+    graft.streaming.StreamingGate.EnrichDict
+      .map { case (c, w) => s"('$c', $w)" }
+      .mkString("(VALUES ", ", ", ")")
+
   private def trendingFull(s: SparkSession, dir: String): DataFrame = {
     val joined = Behavior.monthlySplitJoin(mostSearched(s, dir), 6, 7, limit = None)
     Behavior.previous(Behavior.trendingType(
@@ -672,8 +681,10 @@ object CoreQueries {
 
     // Bucket-co-located join — the static scale answer to the
     // fact-fact shuffle: both sides written bucketBy(8, custkey) +
-    // sortBy into the catalog, then sort-merge-joined with ZERO
-    // Exchange and ZERO Sort (plan shape pinned in BucketedSpec; the
+    // sortBy into the catalog (writeBucketed single-files each bucket,
+    // which is what lets the scan report its sort order), then
+    // sort-merge-joined with ZERO
+    // Exchange and ZERO Sort (executed-plan shape pinned in BucketedSpec; the
     // 64 MB broadcast threshold is bypassed with hint("merge") so
     // the BUCKETS carry the join, as they would at fact-fact scale).
     // Result ≡ the plain join — which is exactly what the oracle
@@ -685,13 +696,15 @@ object CoreQueries {
         val tag = java.util.UUID.randomUUID().toString.replace("-", "_")
         val ot = s"orders_bkt_$tag"
         val ct = s"cust_bkt_$tag"
-        graft.ops.Bucketed.writeBucketed(
-          Tables(s, dir, "orders").select("o_custkey", "o_totalprice"),
-          ot, buckets = 8, keys = Seq("o_custkey"))
-        graft.ops.Bucketed.writeBucketed(
-          Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
-          ct, buckets = 8, keys = Seq("c_custkey"))
+        // both writes INSIDE the try: if the second write (or the
+        // join) fails, the finally still drops whichever tables exist
         try {
+          graft.ops.Bucketed.writeBucketed(
+            Tables(s, dir, "orders").select("o_custkey", "o_totalprice"),
+            ot, buckets = 8, keys = Seq("o_custkey"))
+          graft.ops.Bucketed.writeBucketed(
+            Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+            ct, buckets = 8, keys = Seq("c_custkey"))
           graft.ops.Bucketed.coLocatedJoin(s, ot, ct, "o_custkey", "c_custkey")
             .groupBy("c_mktsegment")
             .agg(count(lit(1)).as("n_orders"),
@@ -1463,11 +1476,11 @@ object CoreQueries {
     // surface hashes cross-engine.
     Q("q_stream_enrich",
       (s, dir) => graft.streaming.StreamingGate.streamEnrichFromFiles(s, dir),
-      Some("""SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, user_id, event_type,
              |  CAST(SUM(CAST(floor(value) AS BIGINT) * w) AS BIGINT) AS weighted_duration,
              |  count(*) AS n_events
              |FROM events
-             |JOIN (VALUES ('signup', 3), ('purchase', 10), ('view', 1), ('click', 2))
+             |JOIN $enrichDictValuesSql
              |  AS d(event_type, w) USING (event_type)
              |GROUP BY 1, 2, 3
              |ORDER BY window_start, user_id, event_type""".stripMargin)),

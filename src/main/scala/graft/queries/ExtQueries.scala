@@ -259,6 +259,70 @@ object ExtQueries {
               |WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5
               |ORDER BY new_id, corpus_id""".stripMargin)),
 
+    // Admission face — the full ingest-gate composition a training
+    // pipeline runs per fresh slice: (1) EXACT stage with the Bloom as
+    // a pre-gate, not the decider — bloom-negative docs are admitted
+    // outright (false negatives impossible, zero shuffle), and only
+    // the bloom-POSITIVE maybes pay the exact digest anti-join, which
+    // recovers the false positives, so the exact stage's result is
+    // precisely "text not present in the corpus" and replays in SQL;
+    // (2) FUZZY stage — minhashCrossPairs (LSH-banded candidates +
+    // exact Jaccard verify, jaccard ≥ 0.5) rejects near-dups of the
+    // corpus. Emits the admitted (novel) doc ids.
+    Q("q_admit_slice",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+        val seen = d.filter(bucket < 500)
+        val slice = d.filter(bucket >= 500 && bucket < 600)
+        val survivors = Dedup.unseenByBloom(slice, seen, "doc_id", "text",
+          expectedSeen = 1000L, fpp = 0.01)
+        val maybes = slice.join(survivors.select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+        val recovered = maybes.withColumn("digest", md5(col("text")))
+          .join(seenDigests, Seq("digest"), "left_anti")
+          .drop("digest")
+        val exactNovel = survivors.unionByName(recovered)
+        val fuzzyHits = Dedup.minhashCrossPairs(seen, slice, "doc_id", "text")
+          .select(col("new_id").as("doc_id")).distinct()
+        exactNovel.join(fuzzyHits, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |exact_novel AS (
+              |  SELECT s.doc_id FROM documents s
+              |  WHERE ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 >= 500
+              |    AND ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 < 600
+              |    AND NOT EXISTS (
+              |      SELECT 1 FROM documents c
+              |      WHERE ${h60("CAST(c.doc_id AS VARCHAR)")} % 1000 < 500
+              |        AND md5(c.text) = md5(s.text))),
+              |cb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 500),
+              |nb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 >= 500
+              |         AND ${h60("CAST(id AS VARCHAR)")} % 1000 < 600),
+              |cand AS (
+              |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+              |  FROM cb c JOIN nb n
+              |    ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT new_id, corpus_id, count(*) AS shared
+              |  FROM cand JOIN sh a ON new_id = a.id
+              |            JOIN sh b ON corpus_id = b.id AND a.h = b.h
+              |  GROUP BY 1, 2),
+              |fuzzy AS (
+              |  SELECT DISTINCT new_id FROM shared
+              |  JOIN sz sn ON new_id = sn.id JOIN sz sc ON corpus_id = sc.id
+              |  WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5)
+              |SELECT doc_id FROM exact_novel
+              |WHERE doc_id NOT IN (SELECT new_id FROM fuzzy)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Directed containment pairs — the asymmetric near-dup Jaccard
     // misses (short doc embedded in a long one). τ = 0.6 over the
     // bigger of the two directions.

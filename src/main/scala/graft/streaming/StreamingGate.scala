@@ -560,13 +560,22 @@ object StreamingGate {
     * weighted sums are integer-exact (long × long), so the full
     * surface hashes cross-engine.
     */
+  /** The enrich gate's category→weight dictionary — the ONE source
+    * the gate's dim frame, the spec's batch comparator, and the
+    * registry oracle's SQL VALUES list are all built from, so the
+    * three can't drift. "view" is deliberately present (sentinel
+    * category — filtered by contract, not by dictionary miss) and
+    * "error" deliberately absent (the miss-drop semantic under test).
+    */
+  val EnrichDict: Seq[(String, Long)] =
+    Seq(("signup", 3L), ("purchase", 10L), ("view", 1L), ("click", 2L))
+
   def streamEnrichFromFiles(s: SparkSession, dir: String,
       windowDuration: String = "1 hour"): DataFrame = {
     import s.implicits._
     val ckpt = newStage()
     try withStatePartitions(s, 4) {
-      val dim = Seq(("signup", 3L), ("purchase", 10L), ("view", 1L),
-        ("click", 2L)).toDF("category", "weight")
+      val dim = EnrichDict.toDF("category", "weight")
       val stream = sharedStream(s, dir)
         .select("contract", "category", "duration", "ts")
       val buf = scala.collection.mutable.ArrayBuffer.empty[

@@ -36,10 +36,84 @@ object DevScale {
     case "neardup" :: sfDir :: planes :: tables :: rest =>
       neardup(sfDir, planes.toInt, tables.toInt,
         rest.headOption.map(_.toInt).getOrElse(2))
+    case "cross" :: sfDir :: rest =>
+      cross(sfDir, rest.headOption.map(_.toInt).getOrElse(3))
+    case "containAB" :: sfDir :: rest =>
+      containAB(sfDir, rest.headOption.map(_.toInt).getOrElse(3))
     case _ =>
       System.err.println(
-        "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps]")
+        "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
+          "| cross <sfDir> [reps] | containAB <sfDir> [reps]")
       sys.exit(2)
+  }
+
+  /** Cross-set dedup ladder point (verdict r7 task #8): times
+    * [[graft.ext.Dedup.minhashCrossPairs]] on `sfDir`'s documents with
+    * a 100‰ hash-sample slice, on BOTH paths — the broadcast path the
+    * byte-guard normally picks, and the shuffle fallback forced by a
+    * 1-byte cap — so the fallback's price is a measured row in
+    * SCALE.md, not a guess.
+    */
+  private def cross(sfDir: String, reps: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-cross")
+    spark.sparkContext.setLogLevel("ERROR")
+    def pairs(cap: Long) = {
+      val d = Tables(spark, sfDir, "documents")
+      graft.ext.Dedup.minhashCrossPairs(d,
+        graft.ext.TrainingData.hashSample(d, col("doc_id"), 100),
+        "doc_id", "text", maxBroadcastBytes = cap)
+    }
+    val modes = Seq("broadcast" -> Long.MaxValue, "shuffle" -> 1L)
+    // JIT/classload warm on the tiny corpus
+    modes.foreach { case (_, cap) =>
+      val w = Tables(spark, "/root/testdata/sf0.001", "documents")
+      graft.ext.Dedup.minhashCrossPairs(w,
+        graft.ext.TrainingData.hashSample(w, col("doc_id"), 100),
+        "doc_id", "text", maxBroadcastBytes = cap).count()
+    }
+    spark.catalog.clearCache()
+    (1 to reps).foreach { i =>
+      modes.foreach { case (name, cap) =>
+        val t0 = System.nanoTime()
+        val n = pairs(cap).count()
+        println(f"[scale] $sfDir cross/$name run$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+
+  /** Same-window A/B for q_containment's unexplained cross-round trend
+    * (verdict r7 task #3): times [[graft.ext.Dedup.containmentPairs]]
+    * under collapse Never / Always / Auto in one JVM, so the split
+    * between probe cost, collapse cost, and the pair join itself is
+    * measured rather than inferred across rounds.
+    */
+  private def containAB(sfDir: String, reps: Int): Unit = {
+    import graft.ext.Dedup.CollapseMode
+    val spark = GraftSession.local(32, "graft-dev-scale-containab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val modes = Seq("never" -> CollapseMode.Never,
+      "always" -> CollapseMode.Always, "auto" -> CollapseMode.Auto)
+    modes.foreach { case (_, m) =>
+      graft.ext.Dedup.containmentPairs(
+        Tables(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id", "text", minContainment = 0.6, mode = m).count()
+    }
+    spark.catalog.clearCache()
+    (1 to reps).foreach { i =>
+      modes.foreach { case (name, m) =>
+        val t0 = System.nanoTime()
+        val n = graft.ext.Dedup.containmentPairs(
+          Tables(spark, sfDir, "documents"),
+          "doc_id", "text", minContainment = 0.6, mode = m).count()
+        println(f"[scale] $sfDir containment/$name run$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
   }
 
   /** Factor-f embeddings corpus mirroring [[gen]]'s planted profile:

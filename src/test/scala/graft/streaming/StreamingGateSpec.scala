@@ -208,8 +208,7 @@ class StreamingGateSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val got = StreamingGate.streamEnrichFromFiles(spark, dir)
     val ev = graft.Tables(spark, dir, "events")
-    val dim = Seq(("signup", 3L), ("purchase", 10L), ("view", 1L),
-      ("click", 2L)).toDF("event_type", "weight")
+    val dim = StreamingGate.EnrichDict.toDF("event_type", "weight")
     val want = ev.join(dim, Seq("event_type"))
       .groupBy(date_trunc("hour", col("ts")).as("window_start"),
         col("user_id"), col("event_type"))
