@@ -154,14 +154,16 @@ class PlanGuardSpec extends SparkSpec {
     count(bpe, "FileScan") shouldBe 1
     count(bpe, "TakeOrderedAndProject") shouldBe 1
 
-    // Zipf head: the rank/share window may only run on the k-row head
-    // (one single-partition exchange of k rows); BOTH the total and
-    // the head must ride the cached vocab (the corpus is scanned once
-    // to fill it — the 2 FileScan strings are the fill plan printed
-    // inside each InMemoryRelation, not 2 executions)
+    // Zipf head: the vocab agg + distributed top-k now run ONCE at
+    // construction (eager localCheckpoint closes the vocab cache's
+    // lifecycle — r7 ADVICE), so the registry-visible plan must be
+    // checkpoint-fed only: ZERO FileScan (a corpus rescan would mean
+    // the one-pass property regressed) and the rank/share window over
+    // the k checkpointed rows
     val zipf = planOf("q_zipf")
-    count(zipf, "TakeOrderedAndProject") shouldBe 1
-    count(zipf, "InMemoryTableScan") shouldBe 2
+    count(zipf, "FileScan") shouldBe 0
+    count(zipf, "Scan ExistingRDD") shouldBe 2
+    count(zipf, "Window") shouldBe 1
 
     // gap-fill: daily rollup + key window; the spine explode rides
     // the window output, never a date-dimension join
