@@ -489,28 +489,91 @@ object Dedup {
     */
   def unseenByBloom(newDocs: DataFrame, seen: DataFrame,
       idCol: String, textCol: String,
-      expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    // coalesce: an empty seen side yields a null filter -> keep all;
+    // null text never probes true -> kept, matching the prior
+    // null-digest behavior. False negatives remain impossible.
+    newDocs.filter(col(textCol).isNull ||
+      !coalesce(bloomProbe(seen, textCol, expectedSeen, fpp), lit(false)))
+
+  /** The complement slice of [[unseenByBloom]]: documents the Bloom
+    * flags as MAYBE seen (false positives included). An admission
+    * pipeline needing exact semantics routes only this (small) slice
+    * through the exact digest anti-join — composing the two filters
+    * keeps the split shuffle-free, where `slice ANTI-JOIN survivors`
+    * would shuffle the slice against itself on the id. Both calls'
+    * Bloom builds canonicalize identically, so within one query
+    * Spark's subquery reuse computes the aggregate once.
+    */
+  def maybeSeenByBloom(newDocs: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      expectedSeen: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    newDocs.filter(col(textCol).isNotNull &&
+      coalesce(bloomProbe(seen, textCol, expectedSeen, fpp), lit(false)))
+
+  /** Broadcast Bloom might-contain predicate over `seen`'s `textCol`
+    * xxhash64s — built by the distributed bloom_filter_agg aggregate
+    * (no driver round-trip, codegen'd probe) and handed to
+    * might_contain as a scalar subquery, the exact shape Spark's own
+    * runtime row-level filtering plans. Null when `seen` is empty.
+    * Public so a caller splitting one slice BOTH ways (admission:
+    * [[unseenByBloom]] + [[maybeSeenByBloom]]) can hand the same
+    * probe to both filters inside one query.
+    */
+  def bloomProbe(seen: DataFrame, textCol: String,
+      expectedSeen: Long, fpp: Double): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    GraftColumnBridge.column(BloomFilterMightContain(
+      GraftColumnBridge.scalarSubquery(
+        bloomAggDf(seen, textCol, expectedSeen, fpp)),
+      XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L)))
+  }
+
+  /** Eager twin of [[bloomProbe]]: builds the Bloom NOW (one
+    * distributed aggregate over `seen`, one driver collect of the
+    * serialized filter — ship-the-quantizer, like the IVF centroids)
+    * and embeds it as a literal in the returned predicate. Use when
+    * the same probe feeds MULTIPLE operators in one query: a scalar
+    * subquery is planned per referencing operator and Spark does not
+    * reliably reuse the duplicates (measured: the admission split
+    * planned 4 independent Bloom builds), so eager construction is
+    * what guarantees the corpus is scanned once. The collect is
+    * `require`-capped: the filter's serialized size is numBits/8
+    * (independent of corpus size — ~1.2 MB per million expected keys
+    * at fpp 0.01), so the cap trips on a mis-sized `expectedSeen`,
+    * not on data growth.
+    */
+  def bloomProbeEager(seen: DataFrame, textCol: String,
+      expectedSeen: Long, fpp: Double,
+      maxFilterBytes: Long = BloomDriverMaxBytes): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val numBits =
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedSeen, fpp)
+    require(numBits / 8 <= maxFilterBytes,
+      s"bloom filter of $expectedSeen keys at fpp=$fpp is ${numBits / 8} B " +
+        s"serialized > cap $maxFilterBytes B; raise fpp or shard the corpus")
+    val row = bloomAggDf(seen, textCol, expectedSeen, fpp).head()
+    val bytes = if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+    GraftColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bytes,
+        org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L)))
+  }
+
+  private def bloomAggDf(seen: DataFrame, textCol: String,
+      expectedSeen: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits =
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedSeen, fpp)
-    // Bloom over xxhash64(text), built by the distributed
-    // bloom_filter_agg aggregate (no driver round-trip, codegen'd
-    // probe) and handed to might_contain as a scalar subquery — the
-    // exact shape Spark's own runtime row-level filtering plans.
-    val bloomDf = seen.select(GraftColumnBridge.column(
+    seen.select(GraftColumnBridge.column(
       new BloomFilterAggregate(
         XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L),
         Literal(expectedSeen), Literal(numBits)
       ).toAggregateExpression()).as("bloom"))
-    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
-      GraftColumnBridge.scalarSubquery(bloomDf),
-      XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L)))
-    // coalesce: an empty seen side yields a null filter -> keep all;
-    // null text never probes true -> kept, matching the prior
-    // null-digest behavior. False negatives remain impossible.
-    newDocs.filter(col(textCol).isNull || !coalesce(mightContain, lit(false)))
   }
 
   /** MinHash signature per document: one array<long> of the K minima,

@@ -97,4 +97,14 @@ object HashDefs {
   val CrossBroadcastMaxBytes: Long =
     sys.env.get("GRAFT_CROSS_BROADCAST_MAX_BYTES").map(_.toLong)
       .getOrElse(512L * 1024 * 1024)
+
+  /** Serialized-size cap for an eagerly-collected Bloom filter
+    * ([[Dedup.bloomProbeEager]]). The filter's size is set by
+    * `expectedSeen`/`fpp` alone (~1.2 MB per million keys at 1%), so
+    * this trips on a mis-sized sizing parameter, never on data
+    * volume; 256 MB ≈ 200M expected keys at 1%.
+    */
+  val BloomDriverMaxBytes: Long =
+    sys.env.get("GRAFT_BLOOM_DRIVER_MAX_BYTES").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
 }

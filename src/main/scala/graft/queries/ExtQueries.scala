@@ -275,10 +275,16 @@ object ExtQueries {
         val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
         val seen = d.filter(bucket < 500)
         val slice = d.filter(bucket >= 500 && bucket < 600)
-        val survivors = Dedup.unseenByBloom(slice, seen, "doc_id", "text",
-          expectedSeen = 1000L, fpp = 0.01)
-        val maybes = slice.join(survivors.select("doc_id"),
-          Seq("doc_id"), "left_anti")
+        // ONE EAGER probe for both directions of the split —
+        // complement FILTERS, not slice-anti-join-survivors (no
+        // shuffle of the slice), and the corpus-scanning Bloom build
+        // runs exactly once (a scalar-subquery probe is planned per
+        // referencing branch: measured 4 independent builds here)
+        val probe = coalesce(
+          Dedup.bloomProbeEager(seen, "text", expectedSeen = 1000L, fpp = 0.01),
+          lit(false))
+        val survivors = slice.filter(col("text").isNull || !probe)
+        val maybes = slice.filter(col("text").isNotNull && probe)
         val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
         val recovered = maybes.withColumn("digest", md5(col("text")))
           .join(seenDigests, Seq("digest"), "left_anti")
