@@ -329,6 +329,23 @@ object ExtQueries {
               |WHERE doc_id NOT IN (SELECT new_id FROM fuzzy)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Streaming twin of the admission face's EXACT stage: the fresh
+    // slice arrives as micro-batches; corpus Bloom (eager literal) +
+    // stream-static LEFT ANTI digest join admit exactly the docs
+    // whose text is not in the corpus — the same SQL predicate the
+    // batch face replays, so the gate is oracle-exact (the fuzzy
+    // stage stays batch: LSH banding is an offline index build).
+    Q("q_stream_admit",
+      (s, dir) => graft.streaming.StreamingGate.streamAdmitFromFiles(s, dir),
+      Some(s"""SELECT s.doc_id FROM documents s
+              |WHERE ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 >= 500
+              |  AND ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 < 600
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM documents c
+              |    WHERE ${h60("CAST(c.doc_id AS VARCHAR)")} % 1000 < 500
+              |      AND md5(c.text) = md5(s.text))
+              |ORDER BY doc_id""".stripMargin)),
+
     // Directed containment pairs — the asymmetric near-dup Jaccard
     // misses (short doc embedded in a long one). τ = 0.6 over the
     // bigger of the two directions.

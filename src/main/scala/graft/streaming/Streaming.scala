@@ -98,6 +98,38 @@ object Streaming {
       .agg(sum(col("duration") * col("weight")).as("weighted_duration"),
         count(lit(1)).as("n_events"))
 
+  /** Streaming admission: the ingest-gate topology a training corpus
+    * runs on every arriving document slice — EXACT "is this text
+    * already in the corpus" semantics, fully STATELESS (no watermark,
+    * no state store; the corpus knowledge rides in as a static side):
+    *
+    *  - `probe` is a pre-built Bloom predicate over the corpus texts
+    *    ([[graft.ext.Dedup.bloomProbeEager]] — a literal, so each
+    *    micro-batch evaluates it row-locally, zero extra jobs).
+    *    Bloom-NEGATIVE documents are admitted outright (false
+    *    negatives are impossible);
+    *  - bloom-POSITIVE documents (true dups + fpp false positives)
+    *    route through a stream-static LEFT ANTI join on the md5
+    *    digest against the corpus digest set — the join mode Spark
+    *    supports statelessly with the stream on the left — which
+    *    recovers the false positives exactly.
+    *
+    * The union of the two branches equals batch "text not present in
+    * corpus" — the oracle. At 100 TB the anti join's static side is
+    * the corpus digest table (16 B a row): bucket it on digest so
+    * each micro-batch co-locates instead of shuffling.
+    */
+  def streamAdmit(fresh: DataFrame, seenDigests: DataFrame,
+      probe: org.apache.spark.sql.Column, textCol: String = "text"): DataFrame = {
+    val pos = coalesce(probe, lit(false))
+    val unseen = fresh.filter(col(textCol).isNull || !pos)
+    val maybes = fresh.filter(col(textCol).isNotNull && pos)
+      .withColumn("digest", md5(col(textCol)))
+      .join(seenDigests, Seq("digest"), "left_anti")
+      .drop("digest")
+    unseen.unionByName(maybes)
+  }
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

@@ -653,6 +653,66 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING ADMISSION under the gate: a REAL
+    * [[Streaming.streamAdmit]] run — the fresh documents slice
+    * arrives as micro-batches (staged by doc_id band, three files)
+    * and each batch splits on a pre-built corpus Bloom: negatives
+    * admit outright, positives route through the stream-static LEFT
+    * ANTI digest join (the one join mode no other gate exercises).
+    * Fully stateless: no watermark, no state store, no sentinels —
+    * output must equal the batch "text not in corpus" formulation,
+    * which is the DuckDB oracle. Uses its own tiny stage (documents
+    * carry no event time, so the shared event slices don't apply).
+    */
+  def streamAdmitFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, TrainingData}
+    val stage = newStage()
+    try withStatePartitions(s, 4) {
+      val d = Tables(s, dir, "documents")
+      val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+      val seen = d.filter(bucket < 500)
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      // three arrival batches, deterministic content (sorted single
+      // files, increasing mtimes) — arrival order cannot affect the
+      // admitted SET (stateless ops), the slicing just proves the
+      // per-micro-batch path end-to-end
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val probe = Dedup.bloomProbeEager(seen, "text",
+        expectedSeen = 1000L, fpp = 0.01)
+      val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = Streaming.streamAdmit(stream, seenDigests, probe)
+        .select("doc_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STATEFUL running activeness under the gate: a REAL
     * [[Streaming.runningActiveness]] (`mapGroupsWithState`, update
     * mode) run over the staged event slices; the LAST update emitted
