@@ -1,0 +1,25 @@
+package graft
+
+/** Scratch: streaming-admission gate ladder — times
+  * q_stream_admit end-to-end (staging + 3 micro-batches + bloom +
+  * stream-static anti join) on the generated planted-profile corpora.
+  */
+object DevAdmitScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-admit-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/scale_f3", "/tmp/scale_f10", "/tmp/scale_f30")
+    // warm
+    graft.streaming.StreamingGate.streamAdmitFromFiles(spark, "/root/testdata/sf0.001").count()
+    dirs.foreach { dir =>
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.streaming.StreamingGate.streamAdmitFromFiles(spark, dir).count()
+        println(f"[scale] $dir stream_admit run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n admitted)")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
