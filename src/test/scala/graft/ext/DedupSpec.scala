@@ -336,4 +336,30 @@ class DedupSpec extends SparkSpec {
     rowSet(Dedup.dropRepeatedSpans(df.repartition(5), "doc_id", "text", 2, 1)) shouldBe
       rowSet(out)
   }
+
+  test("bloom split: unseen/maybeSeen partition the slice; eager probe agrees") {
+    val seen = Seq((10L, "seen alpha"), (11L, "seen beta"), (12L, "seen gamma"))
+      .toDF("doc_id", "text")
+    val slice = Seq((1L, "novel one"), (2L, "seen alpha"), (3L, "novel two"),
+      (4L, "seen gamma"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val unseen = ids(Dedup.unseenByBloom(slice, seen, "doc_id", "text",
+      expectedSeen = 10L, fpp = 0.01))
+    val maybe = ids(Dedup.maybeSeenByBloom(slice, seen, "doc_id", "text",
+      expectedSeen = 10L, fpp = 0.01))
+    // exact complement: every slice row lands on exactly one side
+    (unseen ++ maybe) shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    (unseen & maybe) shouldBe Set.empty
+    // false negatives impossible: the true duplicates are NEVER unseen;
+    // null text never probes true
+    maybe should contain allOf (2L, 4L)
+    unseen should contain (5L)
+    // the eager literal probe makes the same split as the lazy subquery
+    val probe = coalesce(Dedup.bloomProbeEager(seen, "text",
+      expectedSeen = 10L, fpp = 0.01), lit(false))
+    ids(slice.filter(col("text").isNull || !probe)) shouldBe unseen
+    ids(slice.filter(col("text").isNotNull && probe)) shouldBe maybe
+  }
 }
