@@ -185,6 +185,15 @@ class PlanGuardSpec extends SparkSpec {
     val cp = planOf("q_corpus_prepare")
     count(cp, "InMemoryTableScan") should be >= 2
     count(cp, "CartesianProduct") shouldBe 0
+
+    // admission: the corpus Bloom must be PRE-BUILT (bloomProbeEager
+    // literal) — a bloom_filter_agg in the visible plan means the
+    // probe regressed to per-branch scalar subqueries, which planned
+    // FOUR independent corpus scans when measured (SCALE.md r9 note);
+    // the two probe sites stay as literal might_contains
+    val admit = planOf("q_admit_slice")
+    count(admit, "bloom_filter_agg") shouldBe 0
+    count(admit, "might_contain") should be >= 2
   }
 
   test("filter queries push their predicates into the parquet scan") {
