@@ -34,6 +34,14 @@ object GraftSession {
     // zstd output: ~25-30% smaller than snappy at comparable CPU — at
     // 100 TB that is tens of TB of storage and shuffle-read bytes
     "spark.sql.parquet.compression.codec" -> "zstd",
+    // bucketed scans report their on-disk sortBy order to the planner
+    // (single-file buckets only — the Bucketed.writeBucketed layout),
+    // which is what makes coLocatedJoin zero-Exchange AND zero-Sort.
+    // Pinned here, not mutated inside the join builder: planning is
+    // lazy, so a set-and-restore around construction would see the
+    // restored value at plan time (ADVICE r9 — the conf is a session
+    // profile decision, like every other pin in this map)
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
   /** Production streaming profile: RocksDB-backed state store. The

@@ -173,12 +173,64 @@ object Dedup {
     * rejected (SCALE.md dead-end log). The probe is eager (it must
     * decide the plan), which is the same train-then-ship shape as the
     * IVF centroid fit: a bounded driver-side decision, not data
-    * movement. The cached collapse join is owned by the returned
+    * movement — and its verdict is memoized per (session, corpus
+    * plan) ([[autoCollapseVerdict]]), so a session running several
+    * dedup faces over one corpus pays the scan once. The cached collapse join is owned by the returned
     * frames' lifecycle — callers that materialize a terminal result
     * per session (the registry queries, Bench) rely on Spark's LRU;
     * long-lived sessions issuing many ad-hoc collapses should
     * `unpersist` via the frames' own handles.
     */
+  /** Session-scoped memo of the Auto probe's verdict, keyed by the
+    * canonicalized analyzed plan of the probe projection. The probe is
+    * a full (column-pruned) corpus scan per pairwise-dedup CALL, and a
+    * session that runs several dedup faces over the same corpus — the
+    * registry, the bench's rep loop, a clustering pass consuming pair
+    * edges — was paying it each time (~0.8 s flat at sf0.1, SCALE.md
+    * §containment) for an answer that cannot change under the same
+    * plan. The verdict only picks a PLAN (collapse on/off produce
+    * identical results, pinned in DedupSpec), so a stale or colliding
+    * entry can cost performance, never correctness — which is why an
+    * Int plan hash is an acceptable key. Scope: one entry per
+    * (SparkSession, corpus plan); sessions are weak keys, and a
+    * session that rewrites its corpus files in place mid-flight can
+    * see a stale verdict until it opens a new session — the same
+    * granularity as Spark's own file-index caching.
+    */
+  private val probeVerdicts =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]]()
+
+  /** Test hook: number of memoized probe verdicts for a session. */
+  private[graft] def probeVerdictEntries(s: org.apache.spark.sql.SparkSession): Int =
+    probeVerdicts.synchronized {
+      Option(probeVerdicts.get(s)).map(_.size).getOrElse(0)
+    }
+
+  private def autoCollapseVerdict(df: DataFrame, textCol: String): Boolean = {
+    val probeDf = df.select(xxhash64(col(textCol)).as("__dg"))
+    val cache = probeVerdicts.synchronized {
+      probeVerdicts.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+    }
+    val key = probeDf.queryExecution.analyzed.canonicalized.hashCode()
+    val cached = cache.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val s = probeDf
+        .groupBy("__dg").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("nd"), sum("k").as("n"), max("k").as("maxk"))
+        .head()
+      // empty corpus: sum/max are null — nothing to collapse
+      val verdict = !s.isNullAt(1) && {
+        val (nd, n, maxk) = (s.getLong(0), s.getLong(1), s.getLong(2))
+        (n - nd).toDouble / n >= CollapseDupFrac || maxk >= CollapseHotClique
+      }
+      cache.put(key, java.lang.Boolean.valueOf(verdict))
+      verdict
+    }
+  }
+
   private[ext] def collapsedShingleSets(df0: DataFrame, idCol: String,
       textCol: String, n: Int,
       mode: CollapseMode = CollapseMode.Auto,
@@ -187,16 +239,7 @@ object Dedup {
     val collapse = mode match {
       case CollapseMode.Always => true
       case CollapseMode.Never  => false
-      case CollapseMode.Auto =>
-        val s = df.select(xxhash64(col(textCol)).as("__dg"))
-          .groupBy("__dg").agg(count(lit(1)).as("k"))
-          .agg(count(lit(1)).as("nd"), sum("k").as("n"), max("k").as("maxk"))
-          .head()
-        // empty corpus: sum/max are null — nothing to collapse
-        !s.isNullAt(1) && {
-          val (nd, n, maxk) = (s.getLong(0), s.getLong(1), s.getLong(2))
-          (n - nd).toDouble / n >= CollapseDupFrac || maxk >= CollapseHotClique
-        }
+      case CollapseMode.Auto   => autoCollapseVerdict(df, textCol)
     }
     if (!collapse) {
       // cached for the same reason as the collapse join below: the
@@ -501,9 +544,15 @@ object Dedup {
     * pipeline needing exact semantics routes only this (small) slice
     * through the exact digest anti-join — composing the two filters
     * keeps the split shuffle-free, where `slice ANTI-JOIN survivors`
-    * would shuffle the slice against itself on the id. Both calls'
-    * Bloom builds canonicalize identically, so within one query
-    * Spark's subquery reuse computes the aggregate once.
+    * would shuffle the slice against itself on the id. CAUTION on
+    * composing this with [[unseenByBloom]] in one query: each lazy
+    * [[bloomProbe]] is a scalar subquery that Spark plans PER
+    * REFERENCING BRANCH — subquery reuse does NOT reliably dedup them
+    * (measured: the admission split planned 4 independent
+    * bloom_filter_agg builds, DevAdmit + SCALE.md §Bloom), so a
+    * caller splitting one slice both ways pays duplicate full corpus
+    * scans. Build ONE [[bloomProbeEager]] probe and hand it to both
+    * complement filters instead (the q_admit_slice shape).
     */
   def maybeSeenByBloom(newDocs: DataFrame, seen: DataFrame,
       idCol: String, textCol: String,
@@ -1168,6 +1217,109 @@ object Dedup {
           x => x.getField("span")), " ").as("text_clean"),
         size(col("sp")).as("n_spans"),
         size(filter(col("sp"), x => x.getField("__dup"))).as("n_removed"))
+  }
+
+  /** Rolling span-hash index (id, pos, h): one 60-bit hash per
+    * `spanWords`-word window at STRIDE 1 — the currency of the
+    * cross-document exact-substring family. Stride 1 is what makes
+    * the detection EXACT for spans of ≥ `spanWords` tokens: any
+    * verbatim shared run of at least that length contains an ALIGNED
+    * shared window at every offset, so no alignment can be missed
+    * (the fixed-segment [[dropRepeatedSpans]] grid can only see
+    * segment-aligned repeats). Entirely row-local (split + window +
+    * md5 inside one codegen'd projection, then one posexplode); the
+    * index rows are ~16 B (8-byte hash + position), so a W-word
+    * window costs about two bytes per corpus token to shuffle —
+    * the text itself never leaves its scan partition.
+    */
+  def spanHashIndex(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // window i = words[i..i+W-1]; guarded like wordShingles (sequence
+    // with a negative bound would count backwards)
+    val hashes = when(size(ws) >= spanWords,
+      transform(sequence(lit(0), size(ws) - spanWords),
+        i => TextAnalysis.tokenHash60(
+          array_join(slice(ws, i + 1, lit(spanWords)), " "))))
+      .otherwise(array().cast("array<long>"))
+    df.select(col(idCol).as("id"), posexplode(hashes).as(Seq("pos", "h")))
+  }
+
+  /** Cross-document exact-substring pairs: documents sharing at least
+    * `minShared` distinct `spanWords`-word VERBATIM windows — the
+    * suffix-array-style "this exact passage also appears over there"
+    * detector production corpus dedup runs alongside MinHash (which
+    * sees global near-duplication, not a single lifted paragraph
+    * inside an otherwise-unrelated document; n-gram Jaccard dilutes
+    * exactly that signal by the union size).
+    *
+    * Same machinery as the Jaccard family: distinct (id, span-hash)
+    * inverted index → [[sharedPairCounts]] (equi-join on the 8-byte
+    * hash, never doc×doc; df-1 hashes — the overwhelming majority —
+    * are dropped before the self-join; boilerplate spans with df ≥
+    * `hotDf` route through the bucketed triangle join so one hot
+    * passage cannot pin its d²/2 pair generation on one task).
+    * Output (id_a < id_b, shared_spans); shared_spans ≥ k means a
+    * shared verbatim run of ≥ spanWords + k − 1 tokens when the
+    * windows are consecutive — raise `minShared` to demand longer
+    * evidence.
+    */
+  def crossDocSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minShared: Long = 1L,
+      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
+    val idx = spanHashIndex(scanParallelized(df), idCol, textCol, spanWords)
+      .select("id", "h").distinct()
+    sharedPairCounts(idx, hotDf, hotBuckets)
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared").as("shared_spans"))
+  }
+
+  /** Cross-document exact-substring REMOVAL (the drop-mask face): any
+    * `spanWords`-word window whose hash occurs in ≥ `minDocs` DISTINCT
+    * documents is contaminated, and every word covered by a
+    * contaminated window is deleted from its document (within-doc
+    * repetition alone never triggers — that is [[dropRepeatedSpans]]'
+    * job). This is the "remove any ≥N-token span that appears verbatim
+    * in another document" pass of large-corpus pipelines, done with an
+    * inverted hash index instead of a suffix array: same decision
+    * boundary, no global sort.
+    *
+    * Scale shape: one groupBy(h) over the distinct (id, h) index
+    * (map-side combinable) finds cross-doc hashes; a semi-join on h
+    * marks contaminated positions (NO pair generation — a passage
+    * shared by a million docs is a million semi-join hits, never d²/2
+    * pairs, so the drop face needs no hot-key routing at all); the
+    * per-doc position mask (a handful of ints) aggregates on id and
+    * joins back to the corpus — AQE broadcasts it when small, and the
+    * corpus text itself still never shuffles. Reassembly is row-local.
+    *
+    * Output: (id, text_clean, n_words, n_dropped) — text_clean `''`
+    * when everything was covered.
+    */
+  def dropCrossDocSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    val idx = spanHashIndex(scanParallelized(df), idCol, textCol, spanWords)
+    val docSpans = idx.select("id", "h").distinct()
+    val crossDoc = docSpans.groupBy("h")
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("h")
+    val badPos = idx.join(crossDoc, Seq("h"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("__bad"))
+    val ws = split(col(textCol), " ")
+    val bad = coalesce(col("__bad"), array().cast("array<int>"))
+    val coveredAt: Column => Column = j =>
+      exists(bad, p => p <= j && j < p + spanWords)
+    df.select(col(idCol).as("id"), col(textCol))
+      .join(badPos, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        array_join( // array_join drops nulls: covered words vanish
+          transform(sequence(lit(0), size(ws) - 1),
+            j => when(coveredAt(j), lit(null)).otherwise(element_at(ws, j + 1))),
+          " ").as("text_clean"),
+        size(ws).as("n_words"),
+        size(filter(sequence(lit(0), size(ws) - 1), coveredAt)).as("n_dropped"))
   }
 
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,

@@ -54,19 +54,23 @@ object Bucketed {
     * matching bucket counts the planner emits SortMergeJoin with
     * zero Exchange and zero Sort.
     *
-    * Zero SORT needs one session conf: since 3.0 Spark's bucketed
-    * scan does not report its sortBy order to the planner unless
-    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is on (the
-    * default planner then re-sorts each bucket per task, paying
-    * O(rows log rows) per join that the write-side sort already
-    * paid). Enabling it is safe session-wide: the scan still only
-    * claims an ordering when a bucket has at most one file — the
-    * layout [[writeBucketed]] guarantees — and multi-file buckets
-    * simply fall back to the re-sort.
+    * Zero SORT additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (since
+    * 3.0 Spark's bucketed scan does not report its sortBy order to
+    * the planner without it; the planner then re-sorts each bucket
+    * per task, paying O(rows log rows) per join that the write-side
+    * sort already paid). That conf is a SESSION decision, pinned in
+    * [[graft.GraftSession.tuningConfigs]] with the other profile
+    * pins — this builder does NOT mutate the caller's conf (planning
+    * is lazy, so a scoped set-and-restore here would be read back
+    * AFTER restore anyway). On a session without the pin the join is
+    * still correct and still zero-Exchange; it merely re-sorts. The
+    * conf is safe session-wide: the scan only claims an ordering when
+    * a bucket has at most one file — the layout [[writeBucketed]]
+    * guarantees — and multi-file buckets fall back to the re-sort.
     */
   def coLocatedJoin(s: SparkSession, leftTable: String,
       rightTable: String, leftKey: String, rightKey: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     s.table(leftTable).hint("merge")
       .join(s.table(rightTable).hint("merge"),
         org.apache.spark.sql.functions.col(leftKey) ===

@@ -1254,6 +1254,55 @@ object ExtQueries {
              |GROUP BY sp.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Cross-document exact-substring pairs: docs sharing ≥2 distinct
+    // verbatim 8-word windows (stride-1 rolling hashes — catches a
+    // lifted paragraph inside an otherwise-unrelated doc, the case
+    // Jaccard dilutes and MinHash misses). Same inverted-index tail
+    // as the shingle family (df-1 pruning + hot-key triangle join).
+    Q("q_substring_pairs",
+      (s, dir) => Dedup.crossDocSpanPairs(docs(s, dir), "doc_id", "text",
+          spanWords = 8, minShared = 2L)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |sp AS (SELECT DISTINCT doc_id AS id,
+              |    ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")} AS h
+              |  FROM w, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i))
+              |SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_spans
+              |FROM sp a JOIN sp b ON a.h = b.h AND a.id < b.id
+              |GROUP BY 1, 2 HAVING count(*) >= 2
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Cross-document exact-substring REMOVAL: every word covered by an
+    // 8-word window whose hash occurs in ≥2 distinct docs is deleted —
+    // the "remove any ≥N-token span that appears verbatim elsewhere"
+    // pass (suffix-array decision boundary, inverted-index plumbing;
+    // no pair generation at all, so no hot-key risk).
+    Q("q_substring_dedup",
+      (s, dir) => Dedup.dropCrossDocSpans(docs(s, dir), "doc_id", "text",
+          spanWords = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |sp AS (SELECT doc_id,
+              |    unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+              |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+              |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})) AS h
+              |  FROM w),
+              |ch AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sp)
+              |       GROUP BY h HAVING count(*) >= 2),
+              |bad AS (SELECT doc_id, list(pos) AS ps FROM sp
+              |        WHERE h IN (SELECT h FROM ch) GROUP BY doc_id)
+              |SELECT w.doc_id,
+              |  coalesce(array_to_string(list_filter(list_transform(range(1, len(ws) + 1),
+              |    j -> CASE WHEN len(list_filter(coalesce(b.ps, []),
+              |                  p -> p <= j - 1 AND j - 1 < p + 8)) > 0
+              |         THEN NULL ELSE ws[j] END), x -> x IS NOT NULL), ' '), '') AS text_clean,
+              |  CAST(len(ws) AS INT) AS n_words,
+              |  CAST(len(list_filter(range(0, len(ws)),
+              |    j -> len(list_filter(coalesce(b.ps, []),
+              |           p -> p <= j AND j < p + 8)) > 0)) AS INT) AS n_dropped
+              |FROM w LEFT JOIN bad b USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Per-source corpus diversity: doc count, EXACT decimal TTR sum,
     // and the closed-world per-language counts (fixed 5-lang set).
     // The counts ARE the entropy's inputs and are exact on both

@@ -14,6 +14,11 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // part of the GraftSession profile (coLocatedJoin's zero-Sort
+      // plan reads it at PLAN time; the join builder no longer mutates
+      // the caller's conf, so the test session pins it like a
+      // deployment would)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

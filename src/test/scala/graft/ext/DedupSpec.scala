@@ -362,4 +362,69 @@ class DedupSpec extends SparkSpec {
     ids(slice.filter(col("text").isNull || !probe)) shouldBe unseen
     ids(slice.filter(col("text").isNotNull && probe)) shouldBe maybe
   }
+
+  test("spanHashIndex: stride-1 windows with positions, short docs yield none") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val idx = Dedup.spanHashIndex(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    idx.count(_._1 == 2L) shouldBe 0
+    idx.filter(_._1 == 1L).map(_._2).sorted shouldBe Array(0, 1, 2)
+    // window hash = hash of the joined words, so equal windows in
+    // different docs collide
+    val idx2 = Dedup.spanHashIndex(
+        Seq((9L, "zz a b c yy")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    idx2(1) shouldBe idx.filter(t => t._1 == 1L && t._2 == 0).head._3
+  }
+
+  test("crossDocSpanPairs: lifted passage found, unrelated docs absent") {
+    val lifted = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      (1L, s"intro words here $lifted closing remark"),
+      (2L, s"$lifted totally different tail content words"),
+      (3L, "nothing in common with anything else at all whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossDocSpanPairs(df, "doc_id", "text", spanWords = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 2L))
+    // a 10-word verbatim run contains exactly 3 aligned 8-word windows
+    pairs.head._3 shouldBe 3L
+  }
+
+  test("dropCrossDocSpans: cross-doc spans removed; within-doc-only repeats kept") {
+    val lifted = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"alpha beta $lifted gamma delta"),
+      (2L, s"$lifted epsilon zeta eta theta iota"),
+      // the same 8-word window twice in ONE doc: df counts DISTINCT
+      // docs, so within-doc repetition alone must not trigger
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropCrossDocSpans(df, "doc_id", "text", spanWords = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    out(1L) shouldBe (("alpha beta gamma delta", 12, 8))
+    out(2L) shouldBe (("epsilon zeta eta theta iota", 13, 8))
+    out(3L) shouldBe (("x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8", 16, 0))
+  }
+
+  test("auto-collapse probe verdict memoized per (session, corpus plan)") {
+    // fresh session: isolated verdict map (weak-keyed per session)
+    val s2 = spark.newSession()
+    val df = s2.range(0, 50)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("some text body"), col("id").cast("string"),
+          lit("tail words here")).as("text"))
+    Dedup.probeVerdictEntries(s2) shouldBe 0
+    Dedup.ngramJaccardPairs(df, "doc_id", "text").count()
+    Dedup.probeVerdictEntries(s2) shouldBe 1
+    // same corpus plan, different dedup face — probe NOT re-run
+    Dedup.minhashDedupPairs(df, "doc_id", "text").count()
+    Dedup.probeVerdictEntries(s2) shouldBe 1
+    // different corpus plan — new probe
+    val df2 = df.withColumn("text", concat(col("text"), lit(" more")))
+    Dedup.ngramJaccardPairs(df2, "doc_id", "text").count()
+    Dedup.probeVerdictEntries(s2) shouldBe 2
+  }
 }

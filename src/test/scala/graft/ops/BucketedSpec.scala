@@ -53,7 +53,8 @@ class BucketedSpec extends SparkSpec {
       nodes.collect { case e: ShuffleExchangeExec => e } shouldBe empty
       // zero Sort holds because writeBucketed single-files each bucket
       // (scan only reports bucket sort order with ≤1 file per bucket,
-      // surfaced via the legacy outputOrdering conf coLocatedJoin sets)
+      // surfaced via the legacy outputOrdering conf the session
+      // profile pins — GraftSession.tuningConfigs / TestSpark)
       nodes.collect { case s: SortExec => s } shouldBe empty
       // mutation proof — the same join WITHOUT the bucket layout
       // (repartition(5) destroys it) DOES shuffle and sort, so the
