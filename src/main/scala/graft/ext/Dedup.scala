@@ -638,19 +638,27 @@ object Dedup {
       .select(col("id"),
         graft.functions.TextHashFunctions.minhash_signature(col("hs")).as("sig"))
 
-  /** LSH banding: (id, band, band_hash) — md5 over the band's
-    * comma-joined minhash values (same formula the SQL oracle
-    * computes). Docs sharing any (band, band_hash) are candidates.
+  /** Band array off a signature column: Bands structs of (band,
+    * band_hash), band_hash = md5 over the band's comma-joined minhash
+    * values (same formula the SQL oracle computes). Row-local — the
+    * shared core of [[lshBands]] and the streaming fuzzy-admission
+    * probe, which bands each micro-batch row in place.
     */
-  def lshBands(sig: DataFrame): DataFrame = {
+  def bandArray(sig: Column): Column = {
     val bandStructs = (0 until Bands).map { j =>
       val cols = (j * RowsPerBand until (j + 1) * RowsPerBand)
-        .map(i => element_at(col("sig"), i + 1).cast("string"))
+        .map(i => element_at(sig, i + 1).cast("string"))
       struct(lit(j).as("band"), md5(concat_ws(",", cols: _*)).as("band_hash"))
     }
-    sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("id"), col("b.band"), col("b.band_hash"))
+    array(bandStructs: _*)
   }
+
+  /** LSH banding: (id, band, band_hash). Docs sharing any
+    * (band, band_hash) are candidates.
+    */
+  def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("id"), explode(bandArray(col("sig"))).as("b"))
+      .select(col("id"), col("b.band"), col("b.band_hash"))
 
   /** Candidate pairs from LSH bucket collisions (distinct, a < b).
     * The join is an equi-join on (band, band_hash) — the only pairs

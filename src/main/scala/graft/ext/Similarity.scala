@@ -301,6 +301,76 @@ object Similarity {
     }
   }
 
+  /** Lloyd-refined IVF centroids: seed with the deterministic
+    * hash-picked [[ivfCentroids]], then run `iters` spherical-k-means
+    * iterations over a deterministic hash-ordered sample of ≤
+    * `nCells × samplePerCell` corpus vectors. Hash-picked seeds are
+    * layout-independent and SQL-replayable, but they are corpus
+    * VECTORS, not cluster centers — cells end up wildly uneven and
+    * recall at low nProbe suffers; a couple of Lloyd passes moves
+    * each centroid to the (normalized) mean of its assigned sample,
+    * evening the cells out. Still the "train offline, broadcast the
+    * quantizer" shape: assignment is the row-local codegen'd
+    * [[graft.functions.IvfCells]] over the SAMPLE only, the per-cell
+    * mean is one map-side-combinable (cell, dim) aggregation of at
+    * most nCells×dim rows, and both the sample (`TakeOrdered` on the
+    * 60-bit id hash) and the collect are `require`-capped — corpus
+    * size never reaches the driver. Deterministic up to FP summation
+    * order in the means (the SEEDS replay in SQL; the refined
+    * centroids are a training artifact, so trained-IVF queries get
+    * rows-only oracle checks, recall pinned in SimilaritySpec).
+    * Empty cells keep their seed centroid.
+    */
+  def ivfCentroidsTrained(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = 2, samplePerCell: Int = 256): Array[Array[Double]] = {
+    require(iters >= 0 && iters <= 16,
+      s"iters must be in [0, 16] (got $iters): each iteration is a " +
+        "sample pass — more than a few buys nothing at quantizer grain")
+    require(samplePerCell >= 1 &&
+      nCells.toLong * samplePerCell <= 4L * 1024 * 1024,
+      s"sample of $nCells x $samplePerCell rows exceeds the 4M-vector " +
+        "training cap — train offline and pass centroids in instead")
+    val seed = ivfCentroids(corpus, nCells, idCol, vecCol)
+    if (iters == 0 || seed.isEmpty) return seed
+    val dim = seed(0).length
+    import graft.functions.IvfFunctions.ivf_cells
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("__hk", TextAnalysis.tokenHash60(col("id").cast("string")))
+      .orderBy(col("__hk"), col("id"))
+      .limit(nCells * samplePerCell)
+      .select("vec")
+      .cache() // re-assigned every iteration
+    try {
+      var cents = seed
+      (0 until iters).foreach { _ =>
+        val sums = sample
+          .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
+          .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+          .groupBy("cell", "d")
+          .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+          .collect() // ≤ nCells×dim rows — quantizer-sized by the caps
+        val mean = Array.fill(nCells, dim)(0.0)
+        val cnt = Array.fill(nCells)(0L)
+        sums.foreach { r =>
+          val (c, d) = (r.getInt(0), r.getInt(1))
+          mean(c)(d) = r.getDouble(2) / r.getLong(3)
+          cnt(c) = r.getLong(3)
+        }
+        cents = Array.tabulate(nCells) { c =>
+          if (cnt(c) == 0L) cents(c) // empty cell keeps its centroid
+          else {
+            val m = mean(c)
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm == 0.0) m else m.map(_ / nrm)
+          }
+        }
+      }
+      cents
+    } finally { sample.unpersist(); () }
+  }
+
   /** IVF approximate top-k — the second classic ANN scale path next to
     * [[lshTopK]]: assign every corpus vector to its nearest centroid
     * cell (a row-local codegen'd projection,
@@ -316,10 +386,14 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.IvfFunctions.ivf_cells
-    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val cents =
+      if (trainIters > 0)
+        ivfCentroidsTrained(corpus, nCells, idCol, vecCol, trainIters)
+      else ivfCentroids(corpus, nCells, idCol, vecCol)
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val assigned = c.withColumn("cell",
       element_at(ivf_cells(col("vec"), cents, 1), 1))

@@ -346,6 +346,38 @@ object ExtQueries {
               |      AND md5(c.text) = md5(s.text))
               |ORDER BY doc_id""".stripMargin)),
 
+    // Streaming twin of the admission face's FUZZY stage: per-batch
+    // row-local MinHash banding, stream-static (band, band_hash)
+    // candidate join against the batch-built corpus band index,
+    // exact-Jaccard verify — emits the fuzzy-hit doc set, which must
+    // equal q_admit_slice's batch minhashCrossPairs stage (the
+    // oracle). Composing with q_stream_admit's exact gate yields the
+    // full streaming ingest admission.
+    Q("q_stream_admit_fuzzy",
+      (s, dir) => graft.streaming.StreamingGate.streamAdmitFuzzyFromFiles(s, dir),
+      Some(s"""WITH $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |cb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 500),
+              |nb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 >= 500
+              |         AND ${h60("CAST(id AS VARCHAR)")} % 1000 < 600),
+              |cand AS (
+              |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+              |  FROM cb c JOIN nb n
+              |    ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT new_id, corpus_id, count(*) AS shared
+              |  FROM cand JOIN sh a ON new_id = a.id
+              |            JOIN sh b ON corpus_id = b.id AND a.h = b.h
+              |  GROUP BY 1, 2)
+              |SELECT DISTINCT new_id AS doc_id FROM shared
+              |JOIN sz sn ON new_id = sn.id JOIN sz sc ON corpus_id = sc.id
+              |WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5
+              |ORDER BY doc_id""".stripMargin)),
+
     // Directed containment pairs — the asymmetric near-dup Jaccard
     // misses (short doc embedded in a long one). τ = 0.6 over the
     // bigger of the two directions.
@@ -702,6 +734,22 @@ object ExtQueries {
               |  FROM scored)
               |SELECT query_id, rank, id AS neighbor_id, round(cos, 6) AS cos
               |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF with Lloyd-trained centroids (2 sampled spherical-k-means
+    // passes over the hash-picked seeds): same query surface as
+    // q_ann_ivf, better cell balance → higher recall per probed cell.
+    // The refined centroids are a TRAINING artifact (FP summation
+    // order in the means), so no SQL oracle — driver records the
+    // rows-only check; recall uplift and determinism-of-shape are
+    // pinned in SimilaritySpec, numbers in SCALE.md §ANN.
+    Q("q_ann_ivf_trained",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 2, trainIters = 2)
+          .orderBy("query_id", "rank")
+      },
+      None),
 
     // Symmetric int8 embedding quantization (4× storage/shuffle
     // reduction) — scalar projections of the (q, scale) struct so the

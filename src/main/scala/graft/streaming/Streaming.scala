@@ -130,6 +130,63 @@ object Streaming {
     unseen.unionByName(maybes)
   }
 
+  /** Streaming FUZZY admission probe — the near-dup stage of the
+    * ingest gate, run per micro-batch against a statically-indexed
+    * corpus (the batch-built index is the "train offline, ship it"
+    * artifact; [[graft.ext.Dedup.lshBands]] over the corpus is the
+    * build):
+    *
+    *  - each arriving document computes its shingle-hash set, MinHash
+    *    signature, and LSH bands ROW-LOCALLY (codegen'd projections —
+    *    no state, no extra jobs);
+    *  - a stream-static INNER equi-join on (band, band_hash) against
+    *    `bandIndex` proposes candidates — the only corpus rows a
+    *    fresh doc ever meets are same-bucket ones;
+    *  - a second stream-static join pulls the candidate's shingle set
+    *    from `corpusSets` and the exact Jaccard verify
+    *    (`array_intersect`, row-local) keeps pairs ≥ `minJaccard`.
+    *
+    * Fully stateless (no watermark, no state store): a document's
+    * verdict completes within its own micro-batch because the static
+    * side is the whole corpus index. Output is the verified near-dup
+    * hits (new_id, corpus_id, jaccard) — the admission decision is
+    * `exact-novel ANTI fuzzy-hit ids`, composed downstream (the
+    * batch face is [[graft.ext.Dedup.minhashCrossPairs]], whose SQL
+    * twin is this operator's oracle). A pair colliding in several
+    * bands emits once per collision; distinct-ify downstream if pair
+    * multiplicity matters.
+    *
+    * At 100 TB the static sides are the scale surface: `bandIndex` is
+    * ~Bands rows × 44 B per corpus doc and `corpusSets` ~8 B per
+    * corpus token — bucket BOTH on their join keys ((band, band_hash)
+    * and corpus_id) so each micro-batch co-locates against them
+    * instead of reshuffling, and let the small micro-batch side
+    * stream against them (never broadcast the corpus).
+    */
+  def streamFuzzyHits(fresh: DataFrame, bandIndex: DataFrame,
+      corpusSets: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minJaccard: Double = 0.5): DataFrame = {
+    import graft.ext.HashDefs.ShingleN
+    import graft.functions.TextHashFunctions.{minhash_signature, shingle_hashes}
+    val withSets = fresh
+      .withColumn("__hs", shingle_hashes(col(textCol), ShingleN))
+      .filter(size(col("__hs")) > 0)
+      .withColumn("__sig", minhash_signature(col("__hs")))
+    withSets
+      .select(col(idCol).as("new_id"), col("__hs"),
+        explode(graft.ext.Dedup.bandArray(col("__sig"))).as("__b"))
+      .select(col("new_id"), col("__hs"),
+        col("__b.band").as("band"), col("__b.band_hash").as("band_hash"))
+      .join(bandIndex, Seq("band", "band_hash"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .join(corpusSets, Seq("corpus_id"))
+      .withColumn("__shared", size(array_intersect(col("__hs"), col("corpus_hs"))))
+      .withColumn("jaccard", col("__shared").cast("double") /
+        (size(col("__hs")) + size(col("corpus_hs")) - col("__shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

@@ -713,6 +713,70 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING FUZZY ADMISSION under the gate: a REAL
+    * [[Streaming.streamFuzzyHits]] run — the fresh slice arrives as
+    * micro-batches and each batch bands row-locally, candidates via a
+    * stream-static equi-join on (band, band_hash) against the
+    * batch-built corpus band index, exact-Jaccard verify against the
+    * corpus shingle sets. Stateless like the exact gate; the emitted
+    * SET of fuzzy-hit doc ids must equal the batch
+    * [[graft.ext.Dedup.minhashCrossPairs]] fuzzy stage of
+    * q_admit_slice, which is the DuckDB oracle. Static sides are
+    * cached for the replay (at scale: bucketed tables, see the
+    * operator doc).
+    */
+  def streamAdmitFuzzyFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, TrainingData}
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    val seen = d.filter(bucket < 500)
+    val sets = Dedup.docShingleSets(seen, "doc_id", "text").cache()
+    val bandIndex = Dedup.lshBands(Dedup.minhashSignature(sets))
+      .select(col("id").as("corpus_id"), col("band"), col("band_hash"))
+      .cache()
+    val corpusSets = sets
+      .select(col("id").as("corpus_id"), col("hs").as("corpus_hs"))
+    try withStatePartitions(s, 4) {
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = Streaming.streamFuzzyHits(stream, bandIndex, corpusSets)
+        .select("new_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      // a pair colliding in several bands emits per collision; the
+      // gate contract is the fuzzy-hit doc SET
+      buf.synchronized { buf.distinct.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      sets.unpersist()
+      bandIndex.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STATEFUL running activeness under the gate: a REAL
     * [[Streaming.runningActiveness]] (`mapGroupsWithState`, update
     * mode) run over the staged event slices; the LAST update emitted

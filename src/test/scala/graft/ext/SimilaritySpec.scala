@@ -293,6 +293,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfCentroidsTrained: Lloyd refinement does not lose recall; empty cells keep seeds") {
+    val (corpus, queries) = planted
+    val exact = meaningfulTop3(corpus, queries)
+    def recallAtProbe(p: Int, iters: Int): Double =
+      recallAt(exact, rowSet(Similarity.ivfTopK(corpus, queries, k = 3,
+        nCells = 16, nProbe = p, trainIters = iters)
+        .select("query_id", "neighbor_id")))
+    val (seed1, trained1) = (recallAtProbe(1, 0), recallAtProbe(1, 2))
+    val (seed2, trained2) = (recallAtProbe(2, 0), recallAtProbe(2, 2))
+    info(f"ivf recall nProbe=1: seeds=$seed1%.3f trained=$trained1%.3f; " +
+      f"nProbe=2: seeds=$seed2%.3f trained=$trained2%.3f")
+    withClue(s"recall seeds=($seed1,$seed2) trained=($trained1,$trained2): ") {
+      // Lloyd balances cells: recall per probed cell must not regress
+      trained1 should be >= seed1
+      trained2 should be >= seed2
+    }
+    // structural contract: nCells rows, unit (or zero) norm, and a
+    // run with iters=0 is exactly the hash-picked seed matrix
+    val seeds = Similarity.ivfCentroids(corpus, 16)
+    val trained = Similarity.ivfCentroidsTrained(corpus, 16, iters = 2)
+    trained.length shouldBe seeds.length
+    trained.foreach { c =>
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(nrm == 0.0 || math.abs(nrm - 1.0) < 1e-9)
+    }
+    Similarity.ivfCentroidsTrained(corpus, 16, iters = 0) shouldBe seeds
+  }
+
   test("ivfTopK recall dials on planted geometries: monotone in nProbe, ≥0.9 at nProbe=4") {
     val (corpus, queries) = planted
     val exact = meaningfulTop3(corpus, queries)

@@ -269,6 +269,50 @@ class StreamingGateSpec extends SparkSpec {
     buf.synchronized { buf.toSet } shouldBe Set(1L, 3L, 5L)
   }
 
+  test("streaming fuzzy admission gate ≡ batch minhashCrossPairs hit set") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.streamAdmitFuzzyFromFiles(spark, dir)
+    val d = graft.Tables(spark, dir, "documents")
+    val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+    val seen = d.filter(bucket < 500)
+    val fresh = d.filter(bucket >= 500 && bucket < 600)
+    val want = graft.ext.Dedup.minhashCrossPairs(seen, fresh, "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    rowSet(got) shouldBe rowSet(want)
+  }
+
+  test("streamFuzzyHits: planted near-dup flagged per batch, novel text not") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val seen = Seq((100L, base), (101L, "totally unrelated corpus text " +
+      "about completely different things entirely separate from everything"))
+      .toDF("doc_id", "text")
+    val sets = graft.ext.Dedup.docShingleSets(seen, "doc_id", "text")
+    val bandIndex = graft.ext.Dedup.lshBands(
+        graft.ext.Dedup.minhashSignature(sets))
+      .select(col("id").as("corpus_id"), col("band"), col("band_hash"))
+    val corpusSets = sets
+      .select(col("id").as("corpus_id"), col("hs").as("corpus_hs"))
+    val in = MemoryStream[(Long, String)](spark)
+    in.addData((1L, base + " tail"), (2L, "novel words sharing nothing with " +
+      "anything in the corpus at all whatsoever in any way"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = graft.streaming.Streaming.streamFuzzyHits(
+        in.toDF.toDF("doc_id", "text"), bandIndex, corpusSets)
+      .select("new_id", "corpus_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    buf.synchronized { buf.toSet } shouldBe Set((1L, 100L))
+  }
+
   test("transformWithState gate ≡ the fMGWS gate on the same slices") {
     val dir = "/root/testdata/sf0.001"
     val tws = StreamingGate.closedSessionsTwsFromFiles(spark, dir)
