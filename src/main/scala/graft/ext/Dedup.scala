@@ -593,9 +593,19 @@ object Dedup {
     * at fpp 0.01), so the cap trips on a mis-sized `expectedSeen`,
     * not on data growth.
     */
+  /** Above `broadcastMinBytes` serialized size the filter ships as a
+    * Spark BROADCAST variable probed by the codegen'd
+    * [[graft.functions.BloomMightContainBroadcast]] instead of a plan
+    * Literal: a literal is duplicated per referencing branch (the
+    * admission split references the probe twice) and re-shipped with
+    * every streaming micro-batch's plan, which turns pathological
+    * near the 256 MB cap; the broadcast moves the bytes once per
+    * executor. Same probe semantics either way (spec-pinned).
+    */
   def bloomProbeEager(seen: DataFrame, textCol: String,
       expectedSeen: Long, fpp: Double,
-      maxFilterBytes: Long = BloomDriverMaxBytes): org.apache.spark.sql.Column = {
+      maxFilterBytes: Long = BloomDriverMaxBytes,
+      broadcastMinBytes: Long = BloomBroadcastMinBytes): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     val numBits =
@@ -605,10 +615,14 @@ object Dedup {
         s"serialized > cap $maxFilterBytes B; raise fpp or shard the corpus")
     val row = bloomAggDf(seen, textCol, expectedSeen, fpp).head()
     val bytes = if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
-    GraftColumnBridge.column(BloomFilterMightContain(
-      Literal.create(bytes,
-        org.apache.spark.sql.types.BinaryType),
-      XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L)))
+    val hash = XxHash64(Seq(GraftColumnBridge.expression(col(textCol))), 42L)
+    if (bytes != null && bytes.length >= broadcastMinBytes) {
+      val bc = seen.sparkSession.sparkContext.broadcast(bytes)
+      GraftColumnBridge.column(
+        graft.functions.BloomMightContainBroadcast(bc, hash))
+    } else
+      GraftColumnBridge.column(BloomFilterMightContain(
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType), hash))
   }
 
   private def bloomAggDf(seen: DataFrame, textCol: String,

@@ -107,4 +107,17 @@ object HashDefs {
   val BloomDriverMaxBytes: Long =
     sys.env.get("GRAFT_BLOOM_DRIVER_MAX_BYTES").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
+
+  /** Serialized size at which [[Dedup.bloomProbeEager]] ships the
+    * filter as a Spark BROADCAST variable instead of a plan Literal.
+    * A literal is duplicated per referencing plan branch and, under
+    * streaming, re-serialized with every micro-batch's plan; a
+    * broadcast ships once per executor. Below this size the literal
+    * is simpler and the duplication is noise (the gate-scale filters
+    * are ~1 KB); above it the broadcast wins — 4 MB ≈ 3M expected
+    * keys at fpp 0.01.
+    */
+  val BloomBroadcastMinBytes: Long =
+    sys.env.get("GRAFT_BLOOM_BROADCAST_MIN_BYTES").map(_.toLong)
+      .getOrElse(4L * 1024 * 1024)
 }

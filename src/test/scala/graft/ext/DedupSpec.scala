@@ -363,6 +363,31 @@ class DedupSpec extends SparkSpec {
     ids(slice.filter(col("text").isNotNull && probe)) shouldBe maybe
   }
 
+  test("bloomProbeEager: broadcast path ≡ literal path (threshold-forced)") {
+    val seen = (1L to 40L).map(i => (i, s"corpus body number $i"))
+      .toDF("doc_id", "text")
+    val slice = ((30L to 45L).map(i => (i, s"corpus body number $i")) :+
+      ((99L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    def split(probe: org.apache.spark.sql.Column): (Set[Long], Set[Long]) = {
+      val p = coalesce(probe, lit(false))
+      (slice.filter(col("text").isNull || !p)
+        .select("doc_id").collect().map(_.getLong(0)).toSet,
+        slice.filter(col("text").isNotNull && p)
+          .select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+    val lit0 = split(Dedup.bloomProbeEager(seen, "text",
+      expectedSeen = 100L, fpp = 0.01))
+    // broadcastMinBytes = 1 forces every non-null filter onto the
+    // broadcast expression — the split must be bit-identical
+    val bc0 = split(Dedup.bloomProbeEager(seen, "text",
+      expectedSeen = 100L, fpp = 0.01, broadcastMinBytes = 1L))
+    bc0 shouldBe lit0
+    // sanity on the semantics themselves: true dups are never unseen,
+    // null text is always kept on the unseen side
+    bc0._1 should contain allOf (41L, 99L)
+    bc0._2 should contain (30L)
+  }
+
   test("spanHashIndex: stride-1 windows with positions, short docs yield none") {
     val df = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
     val idx = Dedup.spanHashIndex(df, "doc_id", "text", 3)
