@@ -181,54 +181,74 @@ object Dedup {
     * long-lived sessions issuing many ad-hoc collapses should
     * `unpersist` via the frames' own handles.
     */
-  /** Session-scoped memo of the Auto probe's verdict, keyed by the
+  /** Digest-distribution stats the Auto probe aggregates: distinct
+    * texts, total rows, largest identical-text clique. (0, 0, 0) for
+    * an empty corpus.
+    */
+  private[ext] final case class DupStats(nd: Long, n: Long, maxk: Long) {
+    def dupFrac: Double = if (n == 0) 0.0 else (n - nd).toDouble / n
+  }
+
+  /** Session-scoped memo of the Auto probe's STATS, keyed by the
     * canonicalized analyzed plan of the probe projection. The probe is
     * a full (column-pruned) corpus scan per pairwise-dedup CALL, and a
     * session that runs several dedup faces over the same corpus — the
     * registry, the bench's rep loop, a clustering pass consuming pair
     * edges — was paying it each time (~0.8 s flat at sf0.1, SCALE.md
-    * §containment) for an answer that cannot change under the same
-    * plan. The verdict only picks a PLAN (collapse on/off produce
-    * identical results, pinned in DedupSpec), so a stale or colliding
-    * entry can cost performance, never correctness — which is why an
-    * Int plan hash is an acceptable key. Scope: one entry per
-    * (SparkSession, corpus plan); sessions are weak keys, and a
-    * session that rewrites its corpus files in place mid-flight can
-    * see a stale verdict until it opens a new session — the same
-    * granularity as Spark's own file-index caching.
+    * §containment) for numbers that cannot change under the same
+    * plan. The stats are memoized rather than a fixed verdict because
+    * different faces apply DIFFERENT triggers (the shingle family
+    * collapses on diffuse duplication OR a hot clique; the span-pairs
+    * face only on a hot clique — measured, SCALE.md §substring). The
+    * stats only pick a PLAN (collapse on/off produce identical
+    * results, pinned in DedupSpec), so a stale or colliding entry can
+    * cost performance, never correctness — which is why an Int plan
+    * hash is an acceptable key. Scope: one entry per (SparkSession,
+    * corpus plan); sessions are weak keys, and a session that
+    * rewrites its corpus files in place mid-flight can see stale
+    * stats until it opens a new session — the same granularity as
+    * Spark's own file-index caching.
     */
-  private val probeVerdicts =
+  private val probeStats =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]]()
+      java.util.concurrent.ConcurrentHashMap[Int, DupStats]]()
 
-  /** Test hook: number of memoized probe verdicts for a session. */
+  /** Test hook: number of memoized probe entries for a session. */
   private[graft] def probeVerdictEntries(s: org.apache.spark.sql.SparkSession): Int =
-    probeVerdicts.synchronized {
-      Option(probeVerdicts.get(s)).map(_.size).getOrElse(0)
+    probeStats.synchronized {
+      Option(probeStats.get(s)).map(_.size).getOrElse(0)
     }
 
-  private def autoCollapseVerdict(df: DataFrame, textCol: String): Boolean = {
+  private[ext] def dupStatsOf(df: DataFrame, textCol: String): DupStats = {
     val probeDf = df.select(xxhash64(col(textCol)).as("__dg"))
-    val cache = probeVerdicts.synchronized {
-      probeVerdicts.computeIfAbsent(df.sparkSession,
-        _ => new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+    val cache = probeStats.synchronized {
+      probeStats.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[Int, DupStats]())
     }
     val key = probeDf.queryExecution.analyzed.canonicalized.hashCode()
     val cached = cache.get(key)
-    if (cached != null) cached.booleanValue()
+    if (cached != null) cached
     else {
       val s = probeDf
         .groupBy("__dg").agg(count(lit(1)).as("k"))
         .agg(count(lit(1)).as("nd"), sum("k").as("n"), max("k").as("maxk"))
         .head()
       // empty corpus: sum/max are null — nothing to collapse
-      val verdict = !s.isNullAt(1) && {
-        val (nd, n, maxk) = (s.getLong(0), s.getLong(1), s.getLong(2))
-        (n - nd).toDouble / n >= CollapseDupFrac || maxk >= CollapseHotClique
-      }
-      cache.put(key, java.lang.Boolean.valueOf(verdict))
-      verdict
+      val stats =
+        if (s.isNullAt(1)) DupStats(0L, 0L, 0L)
+        else DupStats(s.getLong(0), s.getLong(1), s.getLong(2))
+      cache.put(key, stats)
+      stats
     }
+  }
+
+  /** The shingle family's Auto trigger: diffuse duplication (every
+    * clique multiplies posting lists AND the Jaccard verify) or one
+    * hot clique.
+    */
+  private def autoCollapseVerdict(df: DataFrame, textCol: String): Boolean = {
+    val s = dupStatsOf(df, textCol)
+    s.n > 0 && (s.dupFrac >= CollapseDupFrac || s.maxk >= CollapseHotClique)
   }
 
   private[ext] def collapsedShingleSets(df0: DataFrame, idCol: String,
@@ -1286,14 +1306,111 @@ object Dedup {
     * windows are consecutive — raise `minShared` to demand longer
     * evidence.
     */
-  def crossDocSpanPairs(df: DataFrame, idCol: String, textCol: String,
+  def crossDocSpanPairs(df0: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8, minShared: Long = 1L,
+      hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets,
+      mode: CollapseMode = CollapseMode.Auto): DataFrame = {
+    val df = scanParallelized(df0)
+    val collapse = mode match {
+      case CollapseMode.Always => true
+      case CollapseMode.Never  => false
+      // span-face trigger differs from the shingle family's
+      // frac-or-clique rule: diffuse or mid-size duplication routes
+      // FASTER through the direct index (intra pairs are emitted
+      // either way and the co-occurrence count-agg eats d² rows
+      // cheaply — measured 2-3× at d=10/d=40), while mega-cliques
+      // make the Σd² term the whole job (8× win for collapse at
+      // d=500). The probe's (n−nd)·maxk upper-bounds that term;
+      // against ratio·n it classified every measured ladder point
+      // correctly (SCALE.md §substring).
+      case CollapseMode.Auto =>
+        val s = dupStatsOf(df, textCol)
+        s.n > 0 && (s.n - s.nd) * s.maxk >= SpanCollapseRatio * s.n
+    }
+    if (!collapse) {
+      val idx = spanHashIndex(df, idCol, textCol, spanWords)
+        .select("id", "h").distinct()
+      sharedPairCounts(idx, hotDf, hotBuckets)
+        .filter(col("shared") >= minShared)
+        .select(col("id_a"), col("id_b"), col("shared").as("shared_spans"))
+    } else {
+      // Exact-duplicate collapse front, same motivation as the Jaccard
+      // family's: byte-identical texts share EVERY window, so a
+      // d-member boilerplate clique would multiply each posting list
+      // by d and the pair stage by d² — with the collapse only
+      // DISTINCT texts enter the index, identical-text pairs re-enter
+      // as intra-clique pairs (shared = the rep's whole span set,
+      // triangle-split when hot), and cross-cluster rep pairs expand
+      // back to members. Result-identical to the direct path
+      // (spec-pinned).
+      val base = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+        md5(col(textCol)).as("__dg"))
+      val clusters = base.select("__dg", "id").groupBy("__dg")
+        .agg(min("id").as("rep"), count(lit(1)).as("k"))
+      val joined = base.join(clusters, Seq("__dg")).cache()
+      val repIdx = spanHashIndex(
+          joined.filter(col("id") === col("rep")).select("id", "__text"),
+          "id", "__text", spanWords)
+        .select("id", "h").distinct()
+      val repCounts = repIdx.groupBy("id").agg(count(lit(1)).as("__nspans"))
+      val repPairs = sharedPairCounts(repIdx, hotDf, hotBuckets)
+        .filter(col("shared") >= minShared)
+      val members = joined.select("rep", "id", "k")
+      val inter = interPairs(repPairs, members)
+        .select(least(col("__ia"), col("__ib")).as("id_a"),
+          greatest(col("__ia"), col("__ib")).as("id_b"),
+          col("shared").as("shared_spans"))
+      // intra-clique pairs share the rep's entire distinct span set
+      val intraMembers = members
+        .join(repCounts.select(col("id").as("rep"), col("__nspans")), Seq("rep"))
+        .filter(col("__nspans") >= minShared)
+        .withColumn("rep_nsh", col("__nspans"))
+      val intra = intraPairs(intraMembers, hotDf, hotBuckets)
+        .join(intraMembers.select(col("id").as("id_a"),
+          col("__nspans").as("shared_spans")), Seq("id_a"))
+      inter.union(intra.select("id_a", "id_b", "shared_spans"))
+    }
+  }
+
+  /** Longest shared verbatim run per document pair — the full
+    * suffix-array semantics ("these two documents share a 37-token
+    * passage"), recovered from the stride-1 window index with a
+    * gaps-and-islands pass: a true shared substring is a set of
+    * window matches whose alignment offset (pos_b − pos_a) is
+    * CONSTANT and whose pos_a advance consecutively, so per
+    * (pair, offset) the max consecutive-position island of length r
+    * witnesses a shared run of exactly r + spanWords − 1 tokens.
+    * Reports (id_a, id_b, max_run_words) for pairs at or above
+    * `minRunWords`.
+    *
+    * Scale: pair generation is [[coOccurringPairs]] with the
+    * positions riding as payload (df-1 pruning, hot-window triangle
+    * routing — identical skew story to the Jaccard family); the
+    * islands pass is a window function keyed by (pair, offset), so
+    * its state is per-pair match lists, never the corpus. Window
+    * hashes collide at ~n²/2⁶¹ like the rest of the 60-bit family.
+    * No exact-dup collapse front here — identical docs trivially
+    * share their whole length, so on a boilerplate-heavy corpus run
+    * [[exactDedupSurvivors]] first and report runs over distinct
+    * texts (the reporting-op convention; [[crossDocSpanPairs]] makes
+    * the same move automatically via its clique trigger).
+    */
+  def crossDocSpanRuns(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minRunWords: Int = 10,
       hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val idx = spanHashIndex(scanParallelized(df), idCol, textCol, spanWords)
-      .select("id", "h").distinct()
-    sharedPairCounts(idx, hotDf, hotBuckets)
-      .filter(col("shared") >= minShared)
-      .select(col("id_a"), col("id_b"), col("shared").as("shared_spans"))
+    val co = coOccurringPairs(idx, hotDf, hotBuckets, payload = Seq("pos"))
+      .select("id_a", "id_b", "pos_a", "pos_b").distinct()
+    val diff = col("pos_b") - col("pos_a")
+    val w = Window.partitionBy(col("id_a"), col("id_b"), diff)
+      .orderBy(col("pos_a"))
+    co.withColumn("__island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), diff.as("__diff"), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("__len")) + lit(spanWords - 1)).as("max_run_words"))
+      .filter(col("max_run_words") >= minRunWords)
   }
 
   /** Cross-document exact-substring REMOVAL (the drop-mask face): any

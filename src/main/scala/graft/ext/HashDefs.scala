@@ -108,6 +108,20 @@ object HashDefs {
     sys.env.get("GRAFT_BLOOM_DRIVER_MAX_BYTES").map(_.toLong)
       .getOrElse(256L * 1024 * 1024)
 
+  /** Span-pairs collapse trigger ratio: [[Dedup.crossDocSpanPairs]]
+    * collapses exact-duplicate cliques only when
+    * `(n − nd) · maxk ≥ ratio · n` — duplicated rows times worst
+    * clique size as an upper-bound proxy for the direct path's Σd²
+    * co-occurrence term, against corpus size as the proxy for what
+    * the collapse join + member expansions cost. Measured bracket
+    * (SCALE.md §substring): ratio 1.8 and 7.8 → direct wins 2-3×,
+    * ratio 92 → wash, ratio 455 → collapse wins 8×; 64 sits under
+    * the wash point so mega-clique corpora collapse and diffuse
+    * duplication stays on the (faster) direct index.
+    */
+  val SpanCollapseRatio: Long =
+    sys.env.get("GRAFT_SPAN_COLLAPSE_RATIO").map(_.toLong).getOrElse(64L)
+
   /** Serialized size at which [[Dedup.bloomProbeEager]] ships the
     * filter as a Spark BROADCAST variable instead of a plan Literal.
     * A literal is duplicated per referencing plan branch and, under

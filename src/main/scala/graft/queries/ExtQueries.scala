@@ -1351,6 +1351,34 @@ object ExtQueries {
               |FROM w LEFT JOIN bad b USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Longest shared verbatim run per pair — full suffix-array
+    // semantics off the same stride-1 index: matches with a constant
+    // alignment offset and consecutive positions are one island, and
+    // an island of r windows witnesses a run of r+7 tokens. τ = 10
+    // words.
+    Q("q_substring_runs",
+      (s, dir) => Dedup.crossDocSpanRuns(docs(s, dir), "doc_id", "text",
+          spanWords = 8, minRunWords = 10)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |sp AS (SELECT doc_id,
+              |    unnest(range(0, greatest(len(ws) - 7, 0))) AS pos,
+              |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+              |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})) AS h
+              |  FROM w),
+              |co AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+              |         a.pos AS pa, b.pos AS pb
+              |       FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id),
+              |isl AS (SELECT ia, ib, pb - pa AS diff, pa,
+              |          pa - row_number() OVER (
+              |            PARTITION BY ia, ib, pb - pa ORDER BY pa) AS island
+              |        FROM co),
+              |runs AS (SELECT ia, ib, count(*) AS len
+              |         FROM isl GROUP BY ia, ib, diff, island)
+              |SELECT ia AS id_a, ib AS id_b, max(len) + 7 AS max_run_words
+              |FROM runs GROUP BY 1, 2 HAVING max(len) + 7 >= 10
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Per-source corpus diversity: doc count, EXACT decimal TTR sum,
     // and the closed-world per-language counts (fixed 5-lang set).
     // The counts ARE the entropy's inputs and are exact on both

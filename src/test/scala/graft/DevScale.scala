@@ -33,6 +33,9 @@ object DevScale {
       run(sfDir, queries, rest.headOption.map(_.toInt).getOrElse(3))
     case "runAnn" :: sfDir :: rest =>
       run(sfDir, annQueries, rest.headOption.map(_.toInt).getOrElse(3))
+    case "runQ" :: sfDir :: names :: rest => // arbitrary registry subset
+      run(sfDir, names.split(",").toSeq.map(_.trim),
+        rest.headOption.map(_.toInt).getOrElse(3))
     case "neardup" :: sfDir :: planes :: tables :: rest =>
       neardup(sfDir, planes.toInt, tables.toInt,
         rest.headOption.map(_.toInt).getOrElse(2))
@@ -40,6 +43,9 @@ object DevScale {
       cross(sfDir, rest.headOption.map(_.toInt).getOrElse(3))
     case "containAB" :: sfDir :: rest =>
       containAB(sfDir, rest.headOption.map(_.toInt).getOrElse(3))
+    case "spanAB" :: sfDir :: rest =>
+      spanAB(sfDir, rest.headOption.map(_.toInt).getOrElse(2))
+    case "genClique" :: k :: outDir :: Nil => genClique(k.toInt, outDir)
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -154,6 +160,28 @@ object DevScale {
     spark.stop()
   }
 
+  /** MEGA-clique fixture: 2% of sf0.1 docs replicated k times
+    * byte-identical (the 10⁴-member boilerplate-header shape), the
+    * other 98% kept once — isolates the d² clique term the collapse
+    * front exists for, without inflating the distinct-text corpus.
+    */
+  private def genClique(k: Int, outDir: String): Unit = {
+    val spark = GraftSession.local(32, s"graft-dev-scale-genclique-$k")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables(spark, "/root/testdata/sf0.1", "documents")
+    val copies = when(col("doc_id") % 50 === 0, lit(k)).otherwise(lit(1))
+    val out = docs
+      .select(col("*"), explode(sequence(lit(0), copies - 1)).as("c"))
+      .select((col("doc_id") * k + col("c")).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    out.repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
+    println(s"[gen] clique=$k rows=$n -> $outDir/documents.parquet")
+    spark.stop()
+  }
+
   private def gen(f: Int, outDir: String): Unit = {
     val spark = GraftSession.local(32, s"graft-dev-scale-gen-$f")
     spark.sparkContext.setLogLevel("ERROR")
@@ -190,6 +218,29 @@ object DevScale {
       println(f"[scale] $sfDir neardup p=$planes t=$tables run$i: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  /** Collapse-mode A/B for crossDocSpanPairs (the substring twin of
+    * containAB): Never vs Always vs Auto on the same corpus.
+    */
+  private def spanAB(sfDir: String, reps: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-spanab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables(spark, sfDir, "documents")
+    import graft.ext.Dedup
+    val modes = Seq("never" -> Dedup.CollapseMode.Never,
+      "always" -> Dedup.CollapseMode.Always,
+      "auto" -> Dedup.CollapseMode.Auto)
+    (1 to reps).foreach { i =>
+      modes.foreach { case (name, m) =>
+        val t0 = System.nanoTime()
+        val n = Dedup.crossDocSpanPairs(d, "doc_id", "text", mode = m).count()
+        println(f"[scale] $sfDir spanAB $name run$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -434,6 +434,50 @@ class DedupSpec extends SparkSpec {
     out(3L) shouldBe (("x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8", 16, 0))
   }
 
+  test("crossDocSpanPairs: collapse path ≡ direct path on planted cliques") {
+    val lifted = "one two three four five six seven eight nine"
+    val clique = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val df = Seq(
+      (1L, s"intro $lifted outro words"),
+      (2L, s"$lifted completely different tail here"),
+      // 3-member byte-identical clique (shares its 3 windows among
+      // itself; also shares nothing with 1/2)
+      (10L, clique), (11L, clique), (12L, clique),
+      (20L, "unrelated filler text with no overlaps anywhere at all"))
+      .toDF("doc_id", "text")
+    def pairs(mode: Dedup.CollapseMode) =
+      rowSet(Dedup.crossDocSpanPairs(df, "doc_id", "text", spanWords = 8,
+        mode = mode))
+    val direct = pairs(Dedup.CollapseMode.Never)
+    val collapsed = pairs(Dedup.CollapseMode.Always)
+    collapsed shouldBe direct
+    // clique pairs present with shared = the doc's full window count
+    direct should contain (Seq(10L, 11L, 3L))
+    direct should contain (Seq(1L, 2L, 2L))
+  }
+
+  test("crossDocSpanRuns: longest shared run exact; split passages don't merge") {
+    val run12 = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12" // 12 words
+    val run8a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val run8b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val df = Seq(
+      // pair (1,2): one 12-word lifted passage at different offsets
+      (1L, s"x y $run12 z"),
+      (2L, s"p q r s $run12 t u"),
+      // pair (3,4): TWO disjoint 8-word shared spans — two islands at
+      // different alignment offsets, so max run stays 8, never 16
+      (3L, s"$run8a m1 m2 m3 $run8b"),
+      (4L, s"$run8b n1 n2 n3 n4 n5 $run8a"),
+      (5L, "nothing shared with anybody here at all in any words"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanRuns(df, "doc_id", "text",
+        spanWords = 8, minRunWords = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    got.keySet shouldBe Set((1L, 2L), (3L, 4L))
+    got((1L, 2L)) shouldBe 12L
+    got((3L, 4L)) shouldBe 8L
+  }
+
   test("auto-collapse probe verdict memoized per (session, corpus plan)") {
     // fresh session: isolated verdict map (weak-keyed per session)
     val s2 = spark.newSession()
