@@ -378,6 +378,26 @@ object ExtQueries {
               |WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5
               |ORDER BY doc_id""".stripMargin)),
 
+    // Middle rung of the streaming admission ladder: per-batch
+    // row-local stride-1 window hashing + stream-static LEFT SEMI
+    // against the corpus span-hash set — flags slice docs sharing ≥1
+    // verbatim 8-word window with the corpus (exact digest misses a
+    // lifted paragraph; fuzzy banding needs global similarity).
+    Q("q_stream_admit_substring",
+      (s, dir) => graft.streaming.StreamingGate.streamAdmitSubstringFromFiles(s, dir),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |sp AS (SELECT doc_id,
+              |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+              |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})) AS h
+              |  FROM w),
+              |cs AS (SELECT DISTINCT h FROM sp
+              |       WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500)
+              |SELECT DISTINCT doc_id FROM sp
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 >= 500
+              |  AND ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 600
+              |  AND h IN (SELECT h FROM cs)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Directed containment pairs — the asymmetric near-dup Jaccard
     // misses (short doc embedded in a long one). τ = 0.6 over the
     // bigger of the two directions.

@@ -187,6 +187,35 @@ object Streaming {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** Streaming SUBSTRING admission probe — the middle rung of the
+    * admission ladder (exact digest < shared verbatim span < fuzzy
+    * near-dup): flag every arriving document that shares at least one
+    * `spanWords`-word VERBATIM window with the corpus. Window hashes
+    * are computed row-locally ([[graft.ext.Dedup.spanHashIndex]]'s
+    * stride-1 formula as a projection + explode); the only join is a
+    * stream-static LEFT SEMI against the corpus span-hash set
+    * (`corpusSpans`: one `h` column, 8 B a row — at 100 TB bucket it
+    * on h so micro-batches co-locate). Stateless end to end — the
+    * semi-join emits each exploded (id, window) row at most once, so
+    * a doc with several matching windows emits once per MATCHING
+    * window; collapse to the doc SET downstream (a streaming
+    * dropDuplicates here would drag in a state store for what is a
+    * batch-local distinct — the gate does it at assembly).
+    */
+  def streamSubstringHits(fresh: DataFrame, corpusSpans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanWords: Int = 8): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val hashes = when(size(ws) >= spanWords,
+      transform(sequence(lit(0), size(ws) - spanWords),
+        i => graft.ext.TextAnalysis.tokenHash60(
+          array_join(slice(ws, i + 1, lit(spanWords)), " "))))
+      .otherwise(array().cast("array<long>"))
+    fresh.select(col(idCol), explode(array_distinct(hashes)).as("h"))
+      .join(corpusSpans.select("h"), Seq("h"), "left_semi")
+      .select(idCol)
+  }
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

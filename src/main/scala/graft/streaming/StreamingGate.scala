@@ -777,6 +777,59 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING SUBSTRING ADMISSION under the gate: a REAL
+    * [[Streaming.streamSubstringHits]] run — the middle rung of the
+    * admission ladder. Fresh slice as micro-batches, row-local
+    * stride-1 window hashing, stream-static LEFT SEMI against the
+    * batch-built corpus span-hash set. The flagged doc SET must equal
+    * the batch formulation ("slice docs sharing ≥1 verbatim 8-word
+    * window with the corpus"), which is the DuckDB oracle.
+    */
+  def streamAdmitSubstringFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, TrainingData}
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    val seen = d.filter(bucket < 500)
+    val corpusSpans = Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+      .select("h").distinct().cache()
+    try withStatePartitions(s, 4) {
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = Streaming.streamSubstringHits(stream, corpusSpans)
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      // one emit per matching window; the gate contract is the SET
+      buf.synchronized { buf.distinct.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      corpusSpans.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STATEFUL running activeness under the gate: a REAL
     * [[Streaming.runningActiveness]] (`mapGroupsWithState`, update
     * mode) run over the staged event slices; the LAST update emitted

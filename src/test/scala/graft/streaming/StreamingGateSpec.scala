@@ -313,6 +313,46 @@ class StreamingGateSpec extends SparkSpec {
     buf.synchronized { buf.toSet } shouldBe Set((1L, 100L))
   }
 
+  test("streaming substring admission gate ≡ batch shared-window formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.streamAdmitSubstringFromFiles(spark, dir)
+    val d = graft.Tables(spark, dir, "documents")
+    val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+    val seen = d.filter(bucket < 500)
+    val fresh = d.filter(bucket >= 500 && bucket < 600)
+    val corpusSpans = graft.ext.Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+      .select("h").distinct()
+    val want = graft.ext.Dedup.spanHashIndex(fresh, "doc_id", "text", 8)
+      .join(corpusSpans, Seq("h"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+    rowSet(got) shouldBe rowSet(want)
+  }
+
+  test("streamSubstringHits: lifted window flagged, novel text passes") {
+    import spark.implicits._
+    val lifted = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val seen = Seq((100L, s"header text $lifted footer words here"))
+      .toDF("doc_id", "text")
+    val corpusSpans = graft.ext.Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+      .select("h").distinct()
+    val in = MemoryStream[(Long, String)](spark)
+    in.addData((1L, s"$lifted and then some novel content too"),
+      (2L, "entirely new words with no overlap against the corpus at all"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val query = graft.streaming.Streaming.streamSubstringHits(
+        in.toDF.toDF("doc_id", "text"), corpusSpans)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getLong(0))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    buf.synchronized { buf.distinct.toSet } shouldBe Set(1L)
+  }
+
   test("transformWithState gate ≡ the fMGWS gate on the same slices") {
     val dir = "/root/testdata/sf0.001"
     val tws = StreamingGate.closedSessionsTwsFromFiles(spark, dir)
