@@ -329,6 +329,85 @@ object ExtQueries {
               |WHERE doc_id NOT IN (SELECT new_id FROM fuzzy)
               |ORDER BY doc_id""".stripMargin)),
 
+    // The FULL admission ladder as one query — README's ingest
+    // blueprint end to end: eager-Bloom exact stage (complement
+    // filters + digest anti-join), verbatim-substring stage (span
+    // semi-probe), fuzzy stage (LSH band + Jaccard verify). Admitted
+    // = exact-novel minus substring hits minus fuzzy hits.
+    Q("q_admit_ladder",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+        val seen = d.filter(bucket < 500)
+        val slice = d.filter(bucket >= 500 && bucket < 600)
+        val probe = coalesce(
+          Dedup.bloomProbeEager(seen, "text", expectedSeen = 1000L, fpp = 0.01),
+          lit(false))
+        val survivors = slice.filter(col("text").isNull || !probe)
+        val maybes = slice.filter(col("text").isNotNull && probe)
+        val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+        val recovered = maybes.withColumn("digest", md5(col("text")))
+          .join(seenDigests, Seq("digest"), "left_anti")
+          .drop("digest")
+        val exactNovel = survivors.unionByName(recovered)
+        val corpusSpans = Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+          .select("h").distinct()
+        val substrHits = Dedup.spanHashIndex(slice, "doc_id", "text", 8)
+          .join(corpusSpans, Seq("h"), "left_semi")
+          .select(col("id").as("doc_id")).distinct()
+        val fuzzyHits = Dedup.minhashCrossPairs(seen, slice, "doc_id", "text")
+          .select(col("new_id").as("doc_id")).distinct()
+        exactNovel.join(substrHits, Seq("doc_id"), "left_anti")
+          .join(fuzzyHits, Seq("doc_id"), "left_anti")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |exact_novel AS (
+              |  SELECT s.doc_id FROM documents s
+              |  WHERE ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 >= 500
+              |    AND ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 < 600
+              |    AND NOT EXISTS (
+              |      SELECT 1 FROM documents c
+              |      WHERE ${h60("CAST(c.doc_id AS VARCHAR)")} % 1000 < 500
+              |        AND md5(c.text) = md5(s.text))),
+              |wv AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |spv AS (SELECT doc_id,
+              |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+              |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})) AS h
+              |  FROM wv),
+              |csx AS (SELECT DISTINCT h FROM spv
+              |        WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500),
+              |substr_hit AS (
+              |  SELECT DISTINCT doc_id FROM spv
+              |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 >= 500
+              |    AND ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 600
+              |    AND h IN (SELECT h FROM csx)),
+              |cb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 500),
+              |nb AS (SELECT id, band, bh FROM bands
+              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 >= 500
+              |         AND ${h60("CAST(id AS VARCHAR)")} % 1000 < 600),
+              |cand AS (
+              |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+              |  FROM cb c JOIN nb n
+              |    ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT new_id, corpus_id, count(*) AS shared
+              |  FROM cand JOIN sh a ON new_id = a.id
+              |            JOIN sh b ON corpus_id = b.id AND a.h = b.h
+              |  GROUP BY 1, 2),
+              |fuzzy AS (
+              |  SELECT DISTINCT new_id FROM shared
+              |  JOIN sz sn ON new_id = sn.id JOIN sz sc ON corpus_id = sc.id
+              |  WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5)
+              |SELECT doc_id FROM exact_novel
+              |WHERE doc_id NOT IN (SELECT doc_id FROM substr_hit)
+              |  AND doc_id NOT IN (SELECT new_id FROM fuzzy)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Streaming twin of the admission face's EXACT stage: the fresh
     // slice arrives as micro-batches; corpus Bloom (eager literal) +
     // stream-static LEFT ANTI digest join admit exactly the docs

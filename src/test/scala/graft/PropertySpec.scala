@@ -173,6 +173,48 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }, minTests = 6)
   }
 
+  /** Brute-force longest common token SUBSTRING (contiguous) — the
+    * ground truth crossDocSpanRuns recovers via window islands.
+    */
+  private def lcsTokens(a: Array[String], b: Array[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        if (dp(i)(j) > best) best = dp(i)(j)
+      }
+    best
+  }
+
+  test("crossDocSpanRuns ≡ brute-force longest common token substring") {
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val got = graft.ext.Dedup.crossDocSpanRuns(df, "doc_id", "text",
+          spanWords = 3, minRunWords = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val want = (for {
+        (ia, ta) <- rows
+        (ib, tb) <- rows if ia < ib
+        l = lcsTokens(ta.split(" "), tb.split(" ")) if l >= 3
+      } yield ((ia, ib), l.toLong)).toMap
+      got == want
+    }, minTests = 8)
+  }
+
+  test("span collapse dial: Auto ≡ Always ≡ Never pair sets (hot routing incl.)") {
+    check(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      def pairs(m: graft.ext.Dedup.CollapseMode): Set[Seq[Any]] =
+        graft.ext.Dedup.crossDocSpanPairs(df, "doc_id", "text",
+            spanWords = 3, hotDf = 2, hotBuckets = 3, mode = m)
+          .collect().map(_.toSeq).toSet
+      val always = pairs(graft.ext.Dedup.CollapseMode.Always)
+      pairs(graft.ext.Dedup.CollapseMode.Never) == always &&
+        pairs(graft.ext.Dedup.CollapseMode.Auto) == always
+    }, minTests = 6)
+  }
+
   test("minhash star edges: clusters over edges ≡ clusters over full pairs") {
     check(forAll(corpusGen) { rows =>
       val df = rows.toDF("doc_id", "text")
