@@ -12,12 +12,21 @@ object DevAdmitScale {
       else Seq("/root/testdata/sf0.1", "/tmp/scale_f3", "/tmp/scale_f10", "/tmp/scale_f30")
     // warm
     graft.streaming.StreamingGate.streamAdmitFromFiles(spark, "/root/testdata/sf0.001").count()
+    val gates = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "stream_admit" -> graft.streaming.StreamingGate.streamAdmitFromFiles,
+      "stream_admit_substring" ->
+        graft.streaming.StreamingGate.streamAdmitSubstringFromFiles,
+      "stream_admit_fuzzy" ->
+        graft.streaming.StreamingGate.streamAdmitFuzzyFromFiles)
     dirs.foreach { dir =>
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = graft.streaming.StreamingGate.streamAdmitFromFiles(spark, dir).count()
-        println(f"[scale] $dir stream_admit run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n admitted)")
-        spark.catalog.clearCache()
+      gates.foreach { case (name, fn) =>
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, dir).count()
+          println(f"[scale] $dir $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+          spark.catalog.clearCache()
+        }
       }
     }
     spark.stop()
