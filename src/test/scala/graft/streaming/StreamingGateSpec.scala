@@ -269,6 +269,41 @@ class StreamingGateSpec extends SparkSpec {
     buf.synchronized { buf.toSet } shouldBe Set(1L, 3L, 5L)
   }
 
+  test("streamAdmit with a broadcast Bloom probe ≡ literal probe across micro-batches") {
+    import spark.implicits._
+    val seen = Seq((100L, "alpha body"), (101L, "beta body"))
+      .toDF("doc_id", "text")
+    val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+    def admitted(probe: org.apache.spark.sql.Column): Set[Long] = {
+      val in = MemoryStream[(Long, String)](spark)
+      in.addData((1L, "fresh one"), (2L, "alpha body"))
+      in.addData((3L, "beta body"), (4L, "fresh two"))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = graft.streaming.Streaming.streamAdmit(
+          in.toDF.toDF("doc_id", "text"), seenDigests, probe)
+        .select("doc_id")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      buf.synchronized { buf.toSet }
+    }
+    // broadcastMinBytes=1 forces the torrent-broadcast expression —
+    // the exact shape the per-micro-batch plan re-ship concern is
+    // about; the admitted set must match the literal probe's
+    val viaBroadcast = admitted(graft.ext.Dedup.bloomProbeEager(
+      seen, "text", expectedSeen = 10L, fpp = 0.01, broadcastMinBytes = 1L))
+    val viaLiteral = admitted(graft.ext.Dedup.bloomProbeEager(
+      seen, "text", expectedSeen = 10L, fpp = 0.01))
+    viaBroadcast shouldBe viaLiteral
+    viaBroadcast shouldBe Set(1L, 4L)
+  }
+
   test("streaming fuzzy admission gate ≡ batch minhashCrossPairs hit set") {
     val dir = "/root/testdata/sf0.001"
     val got = StreamingGate.streamAdmitFuzzyFromFiles(spark, dir)
