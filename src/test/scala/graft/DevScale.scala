@@ -46,6 +46,8 @@ object DevScale {
     case "spanAB" :: sfDir :: rest =>
       spanAB(sfDir, rest.headOption.map(_.toInt).getOrElse(2))
     case "genClique" :: k :: outDir :: Nil => genClique(k.toInt, outDir)
+    case "ivfAB" :: sfDir :: rest =>
+      ivfAB(sfDir, rest.headOption.map(_.toInt).getOrElse(64))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -218,6 +220,37 @@ object DevScale {
       println(f"[scale] $sfDir neardup p=$planes t=$tables run$i: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  /** Seed-vs-trained IVF recall A/B on a generated embeddings corpus:
+    * ground truth = brute-force top-3 (cos ≥ 0.6, the meaningful-
+    * neighbor rule from SimilaritySpec) for a 50-query hash sample;
+    * recall and wall measured for hash-picked seeds vs 2 Lloyd
+    * passes at nProbe 1 and 2.
+    */
+  private def ivfAB(sfDir: String, nCells: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-ivfab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, sfDir, "embeddings").cache()
+    val queries = e.filter(pmod(col("vec_id"), lit(97)) === 0).cache()
+    val nq = queries.count()
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(graft.ext.Similarity.bruteForceTopK(e, queries, k = 3)
+      .filter(col("cos") >= 0.6))
+    Seq(1, 2).foreach { p =>
+      Seq(0, 2).foreach { iters =>
+        val t0 = System.nanoTime()
+        val got = key(graft.ext.Similarity.ivfTopK(e, queries, k = 3,
+          nCells = nCells, nProbe = p, trainIters = iters))
+        val recall = (exact intersect got).size.toDouble / exact.size.max(1)
+        println(f"[scale] $sfDir ivfAB cells=$nCells probe=$p iters=$iters: " +
+          f"recall=$recall%.3f wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"(nq=$nq truth=${exact.size})")
+      }
     }
     spark.stop()
   }
