@@ -415,6 +415,129 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard ceiling on PQ codes per sub-quantizer: a code must fit one
+    * byte — that byte-per-subvector layout IS product quantization's
+    * scale story (a 64-dim float32 corpus compresses 64× at m=4).
+    */
+  val MaxPqCodes = 256
+
+  /** Product-quantization codebooks: `m` sub-quantizers × `ks`
+    * codewords, each codeword a `dim/m`-slice of one of the `ks`
+    * hash-ordered (and L2-normalized) corpus vectors — the same
+    * deterministic, SQL-replayable "train offline, broadcast the
+    * quantizer" selection as [[ivfCentroids]] (which it reuses; at
+    * 100 TB you'd k-means each sub-space offline and pass the
+    * codebooks in the same shape). Returned as codebooks(s)(j) =
+    * codeword j of sub-space s.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must divide into m=$m equal subvectors")
+    require(ks >= 1 && ks <= MaxPqCodes,
+      s"ks must be in [1, $MaxPqCodes] (got $ks): a PQ code is one byte")
+    val subDim = dim / m
+    val picks = ivfCentroids(corpus, ks, idCol, vecCol)
+    Array.tabulate(m)(s => picks.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** L2-normalized copy of a float/double vector with the zero-norm
+    * guard the SQL oracle can replay exactly (`x / nrm` per element,
+    * zero vectors pass through): [[normalized]]'s codegen'd pass emits
+    * NaN on a zero vector, which has no SQL twin.
+    */
+  private def normalizedGuarded(vec: Column): Column = {
+    val nrm = norm(vec)
+    when(nrm === 0.0, transform(vec, x => x.cast("double")))
+      .otherwise(transform(vec, x => x.cast("double") / nrm))
+  }
+
+  /** Row-local PQ encoding of an L2-normalized vector: array of `m`
+    * codes, code s = argmin_j ‖x_s − c_{s,j}‖² computed as
+    * cn_{s,j} − 2·x_s·c_{s,j} (the ‖x_s‖² term is constant per row and
+    * drops out of the argmin); first-minimum tie-break (smallest j).
+    * Pure built-ins over literal codebooks — whole-stage codegen, zero
+    * shuffle: encoding a 100 TB corpus is one scan emitting m bytes +
+    * one norm per vector.
+    */
+  def pqEncode(nvec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      val subDim = cb(0).length
+      val subv = slice(nvec, s * subDim + 1, subDim)
+      val dists = array(cb.map { c =>
+        val cn = c.map(x => x * x).sum
+        lit(cn) - lit(2.0) * dot(subv, typedLit(c))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Product-quantization approximate top-k — the third classic ANN
+    * scale path after LSH and IVF, and the one that changes the
+    * STORAGE story: the corpus is scanned as m one-byte codes per
+    * vector (not dim floats), and each (query, vector) score is m
+    * table lookups into a per-query LUT (`lut[s][j] = q_s · c_{s,j}`,
+    * computed once per query, broadcast with the query), summed in
+    * fixed sub-space order — the standard asymmetric-distance (ADC)
+    * inner-product approximation, which on normalized vectors IS
+    * approximate cosine. No shuffle anywhere: codes are row-local,
+    * queries broadcast, the corpus is scanned exactly once.
+    *
+    * With `rerank > 0`, the PQ scan keeps the top-`rerank` candidates
+    * per query and re-scores EXACT cosine only on those (the
+    * two-stage retrieve-then-rerank layout every production PQ system
+    * uses — the full-precision vectors are touched for `rerank·|Q|`
+    * rows instead of the corpus). Output then carries exact `cos`;
+    * without rerank it carries `approx_cos`.
+    *
+    * Fully deterministic (hash-picked codebooks, first-min code
+    * tie-break, (score desc, id asc) ranking), so the DuckDB oracle
+    * replays codebook derivation, encoding, LUT, and ADC bit-exactly.
+    * Recall vs [[bruteForceTopK]] is pinned in SimilaritySpec.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ks: Int = 16, dim: Int = 64, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebooks(corpus, m, ks, dim, idCol, vecCol)
+    val subDim = dim / m
+    val codes = corpus
+      .select(col(idCol).as("id"), normalizedGuarded(col(vecCol)).as("nv"))
+      .select(col("id"), pqEncode(col("nv"), cb).as("codes"))
+    val luts = queries
+      .select(col(idCol).as("query_id"), normalizedGuarded(col(vecCol)).as("qnv"))
+      .select(col("query_id"), array((0 until m).map { s =>
+        array(cb(s).map(c =>
+          dot(slice(col("qnv"), s * subDim + 1, subDim), typedLit(c))): _*)
+      }: _*).as("lut"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(luts), col("id") =!= col("query_id"))
+      .withColumn("approx", adc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("id").asc)
+    val pqRanked = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      pqRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+          round(col("approx"), 6).as("approx_cos"))
+    else {
+      require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+      val cands = pqRanked.filter(col("rank") <= rerank)
+        .select("query_id", "id")
+      val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      val exact = cands
+        .join(c, Seq("id"))
+        .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
+        .withColumn("cos",
+          cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+      rankTopK(exact, k)
+    }
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 6, nTables: Int = 8, multiProbe: Boolean = true,
       dim: Int = 64,

@@ -107,6 +107,65 @@ object ExtQueries {
     }.mkString("idx AS (\n  ", "\n  UNION ALL\n  ", ")")
   }
 
+  /** PQ shared CTEs — the SQL twin of [[Similarity.pqCodebooks]] +
+    * [[Similarity.pqEncode]] at the registry sizing (m=4 sub-spaces ×
+    * 16 dims, ks=16 codes): `nn` L2-normalizes with the zero-norm
+    * guard, `cb` hash-orders the first 16 corpus vectors (same
+    * selection as q_ann_ivf's centroids), `sub` slices codewords, and
+    * `codes` replays the argmin encode with the identical
+    * (distance asc, j asc) first-minimum tie-break. Expects
+    * [[embNormSql]]'s `n` in scope.
+    */
+  private val PqM = 4
+  private val PqKs = 16
+  private val PqSubDim = EmbDim / PqM
+  private lazy val pqCodesSql: String = {
+    val sliceQ = s"q.v[(sub.s*$PqSubDim+1):((sub.s+1)*$PqSubDim)]"
+    s"""nn AS (SELECT vec_id,
+       |    CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS v
+       |  FROM n),
+       |cb AS (
+       |  SELECT CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS v,
+       |    cid AS j
+       |  FROM (
+       |    SELECT v, nrm,
+       |      CAST(row_number() OVER (
+       |        ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS INT) - 1 AS cid
+       |    FROM n) WHERE cid < $PqKs),
+       |sub AS (SELECT j, CAST(s AS INT) AS s,
+       |    v[(s*$PqSubDim+1):((s+1)*$PqSubDim)] AS c
+       |  FROM cb CROSS JOIN (SELECT unnest(range(0, $PqM)) AS s)),
+       |codes AS (
+       |  SELECT vec_id, s, j AS code FROM (
+       |    SELECT q.vec_id, sub.s, sub.j,
+       |      row_number() OVER (PARTITION BY q.vec_id, sub.s
+       |        ORDER BY list_dot_product(sub.c, sub.c)
+       |          - 2 * list_dot_product($sliceQ, sub.c) ASC,
+       |          sub.j ASC) AS rn
+       |    FROM nn q CROSS JOIN sub)
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, sub.s, sub.j,
+       |    list_dot_product($sliceQ, sub.c) AS dp
+       |  FROM nn q CROSS JOIN sub WHERE q.vec_id < 10),
+       |contrib AS (
+       |  SELECT l.query_id, c.vec_id AS id, l.s, l.dp
+       |  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+       |  WHERE c.vec_id <> l.query_id),
+       |piv AS (
+       |  SELECT query_id, id,
+       |    max(CASE WHEN s = 0 THEN dp END) AS d0,
+       |    max(CASE WHEN s = 1 THEN dp END) AS d1,
+       |    max(CASE WHEN s = 2 THEN dp END) AS d2,
+       |    max(CASE WHEN s = 3 THEN dp END) AS d3
+       |  FROM contrib GROUP BY query_id, id),
+       |scored AS (SELECT query_id, id, ((d0 + d1) + d2) + d3 AS approx FROM piv),
+       |pqr AS (SELECT query_id, id, approx,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, id ASC) AS INT) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
   private val langScoreSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
     val lst = ms.map(m => s"'$m'").mkString(", ")
     s"CAST(len(list_filter(ws, t -> t IN ($lst))) AS INT) AS score_$lang"
@@ -850,6 +909,53 @@ object ExtQueries {
       },
       None),
 
+    // Product-quantization ANN — the third classic scale path and the
+    // one that changes STORAGE: the corpus scans as m=4 one-byte codes
+    // per vector (16× smaller than float32), each pair scores as 4
+    // LUT lookups (asymmetric-distance / ADC). Hash-picked codebooks +
+    // first-min encode tie-break keep it deterministic, so the oracle
+    // replays codebook slicing, encoding, the per-query LUT, and the
+    // fixed-order ADC sum bit-exactly in SQL.
+    Q("q_ann_pq",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          m = 4, ks = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $embNormSql,
+              |$pqCodesSql
+              |SELECT query_id, rank, id AS neighbor_id,
+              |  round(approx, 6) AS approx_cos
+              |FROM pqr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // PQ retrieve-then-rerank — the production two-stage layout: the
+    // byte-code scan nominates top-20 candidates, exact cosine touches
+    // only those 20 full-precision vectors per query (vs the whole
+    // corpus for brute force). Output is exact-cosine-ranked, so this
+    // also serves as the PQ recall harness the oracle can check.
+    Q("q_ann_pq_rerank",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          m = 4, ks = 16, rerank = 20)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $embNormSql,
+              |$pqCodesSql,
+              |cand AS (SELECT query_id, id FROM pqr WHERE rank <= 20),
+              |ex AS (
+              |  SELECT c.query_id, c.id,
+              |    list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS cos
+              |  FROM cand c JOIN n cn ON c.id = cn.vec_id
+              |              JOIN n qn ON c.query_id = qn.vec_id),
+              |rr AS (SELECT query_id, id, cos,
+              |    CAST(row_number() OVER (PARTITION BY query_id
+              |      ORDER BY cos DESC, id ASC) AS INT) AS rank
+              |  FROM ex)
+              |SELECT query_id, rank, id AS neighbor_id, round(cos, 6) AS cos
+              |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Symmetric int8 embedding quantization (4× storage/shuffle
     // reduction) — scalar projections of the (q, scale) struct so the
     // oracle compares without array columns; reconstruction-error
@@ -1231,6 +1337,118 @@ object ExtQueries {
              |    + 0.25 * least(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
              |        / greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0), 6) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_quality
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Corpus snapshot diff — incremental-ingest bookkeeping: classify
+    // every key added/removed/changed/unchanged between two snapshots
+    // by comparing 16-byte content digests (the join never ships the
+    // text; added∪changed is exactly the slice the admission ladder
+    // has to process on a re-crawl). Snapshots synthesized from the
+    // documents table: prev drops doc_id%10=0, cur drops doc_id%10=3
+    // and rewrites every doc_id%7=0 text.
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val prev = d.filter(col("doc_id") % 10 =!= 0)
+        val cur = d.filter(col("doc_id") % 10 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        graft.ext.Snapshot.diff(prev, cur, "doc_id",
+          Seq("text", "lang", "source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH prev AS (
+             |  SELECT doc_id, md5(concat_ws(chr(1),
+             |    coalesce(text, chr(0)), coalesce(lang, chr(0)),
+             |    coalesce(source, chr(0)))) AS dig
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |cur AS (
+             |  SELECT doc_id, md5(concat_ws(chr(1),
+             |    coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, chr(0)),
+             |    coalesce(lang, chr(0)), coalesce(source, chr(0)))) AS dig
+             |  FROM documents WHERE doc_id % 10 <> 3)
+             |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN p.dig IS NULL THEN 'added'
+             |       WHEN c.dig IS NULL THEN 'removed'
+             |       WHEN p.dig = c.dig THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Distribution drift (PSI) over document length between two corpus
+    // slices — the between-snapshots monitor: per-bucket Population
+    // Stability Index terms, fixed-width buckets so the bucketing
+    // never retrains. Two scans reduced map-side to ≤16 rows each;
+    // totals ride 1-row broadcasts (ship-the-stats).
+    Q("q_drift",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.ext.Drift.psiNumeric(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "n_chars", width = 64, nBuckets = 16)
+          .orderBy("bucket")
+      },
+      Some("""WITH ref AS (
+             |  SELECT least(15, CAST(n_chars // 64 AS INT)) AS bucket,
+             |    count(*) AS cnt_ref
+             |  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |cur AS (
+             |  SELECT least(15, CAST(n_chars // 64 AS INT)) AS bucket,
+             |    count(*) AS cnt_cur
+             |  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |tr AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS t_ref FROM ref),
+             |tc AS (SELECT CAST(sum(cnt_cur) AS BIGINT) AS t_cur FROM cur),
+             |j AS (
+             |  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+             |    coalesce(r.cnt_ref, 0) AS cnt_ref,
+             |    coalesce(c.cnt_cur, 0) AS cnt_cur
+             |  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket)
+             |SELECT CAST(bucket AS INT) AS bucket, cnt_ref, cnt_cur,
+             |  round(CAST(cnt_ref AS DOUBLE) / t_ref, 6) AS p_ref,
+             |  round(CAST(cnt_cur AS DOUBLE) / t_cur, 6) AS p_cur,
+             |  round((CAST(cnt_ref AS DOUBLE) / t_ref - CAST(cnt_cur AS DOUBLE) / t_cur)
+             |    * ln(greatest(CAST(cnt_ref AS DOUBLE) / t_ref, 1e-6)
+             |        / greatest(CAST(cnt_cur AS DOUBLE) / t_cur, 1e-6)), 6) AS psi_term
+             |FROM j CROSS JOIN tr CROSS JOIN tc
+             |ORDER BY bucket""".stripMargin)),
+
+    // Categorical drift twin: PSI terms over the language mix — the
+    // report a multilingual corpus runs before a new source shifts the
+    // training distribution.
+    Q("q_drift_lang",
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.ext.Drift.psiCategorical(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "lang")
+          .orderBy("category")
+      },
+      Some("""WITH ref AS (
+             |  SELECT lang AS category, count(*) AS cnt_ref
+             |  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+             |  GROUP BY 1),
+             |cur AS (
+             |  SELECT lang AS category, count(*) AS cnt_cur
+             |  FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+             |  GROUP BY 1),
+             |tr AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS t_ref FROM ref),
+             |tc AS (SELECT CAST(sum(cnt_cur) AS BIGINT) AS t_cur FROM cur),
+             |j AS (
+             |  SELECT coalesce(r.category, c.category) AS category,
+             |    coalesce(r.cnt_ref, 0) AS cnt_ref,
+             |    coalesce(c.cnt_cur, 0) AS cnt_cur
+             |  FROM ref r FULL OUTER JOIN cur c ON r.category = c.category)
+             |SELECT category, cnt_ref, cnt_cur,
+             |  round(CAST(cnt_ref AS DOUBLE) / t_ref, 6) AS p_ref,
+             |  round(CAST(cnt_cur AS DOUBLE) / t_cur, 6) AS p_cur,
+             |  round((CAST(cnt_ref AS DOUBLE) / t_ref - CAST(cnt_cur AS DOUBLE) / t_cur)
+             |    * ln(greatest(CAST(cnt_ref AS DOUBLE) / t_ref, 1e-6)
+             |        / greatest(CAST(cnt_cur AS DOUBLE) / t_cur, 1e-6)), 6) AS psi_term
+             |FROM j CROSS JOIN tr CROSS JOIN tc
+             |ORDER BY category""".stripMargin)),
 
     // END-TO-END corpus preparation: lang gate → quality gate → exact
     // dedup → MinHash near-dup dedup → stable split, as ONE call

@@ -20,10 +20,16 @@ class PlanGuardSpec extends SparkSpec {
     *   aggregate — the lazy scalar-subquery shape
     *   (ship-the-quantizer); the nested loop runs once per row against
     *   a single build row, which is a projection, not a join blow-up.
+    * - q_ann_pq / q_ann_pq_rerank: the PQ ADC scan — the corpus's
+    *   byte-codes scanned once against the broadcast per-query LUTs
+    *   (same intended shape as q_ann_topk's brute baseline, but each
+    *   pair costs m lookups instead of a dim-wide dot product; the
+    *   candidate restriction at scale comes from composing with the
+    *   IVF cell equi-join, IVF-PQ style).
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_temperature_mix", "q_bm25",
-      "q_unigram_lp", "q_zipf")
+      "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
