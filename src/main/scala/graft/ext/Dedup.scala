@@ -380,6 +380,10 @@ object Dedup {
     * it, compute AQE cannot split, so their pair generation is
     * pre-spread across bucket cells.
     */
+  /** Dev-harness window into [[coOccurringPairs]] (default knobs). */
+  private[graft] def coOccurringPairsForDev(sh: DataFrame): DataFrame =
+    coOccurringPairs(sh, HotShingleDf, HotShingleBuckets, payload = Seq("pos"))
+
   private def coOccurringPairs(sh: DataFrame, hotDf: Int,
       hotBuckets: Int, payload: Seq[String] = Nil): DataFrame = {
     val keep = (Seq("id", "h") ++ payload).map(col)
@@ -1385,10 +1389,18 @@ object Dedup {
     *
     * Scale: pair generation is [[coOccurringPairs]] with the
     * positions riding as payload (df-1 pruning, hot-window triangle
-    * routing — identical skew story to the Jaccard family); the
-    * islands pass is a window function keyed by (pair, offset), so
-    * its state is per-pair match lists, never the corpus. Window
-    * hashes collide at ~n²/2⁶¹ like the rest of the 60-bit family.
+    * routing — identical skew story to the Jaccard family). The
+    * islands pass is ONE groupBy on (id_a, id_b) collecting the
+    * (offset, pos) match list, followed by a row-local sorted walk —
+    * a pair's match list is bounded by the shorter document's window
+    * count, kilobytes of state, so shipping it as one aggregation
+    * beats the window-function formulation (distinct → window sort →
+    * two groupBys = four shuffles of the pair stream; this is one).
+    * Duplicate match rows cannot arise (a document has exactly one
+    * window hash per position, and the triangle join emits each pair
+    * in exactly one cell), but `array_distinct` enforces it row-local
+    * at negligible cost. Window hashes collide at ~n²/2⁶¹ like the
+    * rest of the 60-bit family.
     * No exact-dup collapse front here — identical docs trivially
     * share their whole length, so on a boilerplate-heavy corpus run
     * [[exactDedupSurvivors]] first and report runs over distinct
@@ -1398,18 +1410,27 @@ object Dedup {
   def crossDocSpanRuns(df: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8, minRunWords: Int = 10,
       hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val idx = spanHashIndex(scanParallelized(df), idCol, textCol, spanWords)
     val co = coOccurringPairs(idx, hotDf, hotBuckets, payload = Seq("pos"))
-      .select("id_a", "id_b", "pos_a", "pos_b").distinct()
-    val diff = col("pos_b") - col("pos_a")
-    val w = Window.partitionBy(col("id_a"), col("id_b"), diff)
-      .orderBy(col("pos_a"))
-    co.withColumn("__island", col("pos_a") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"), diff.as("__diff"), col("__island"))
-      .agg(count(lit(1)).as("__len"))
-      .groupBy("id_a", "id_b")
-      .agg((max(col("__len")) + lit(spanWords - 1)).as("max_run_words"))
+      .select(col("id_a"), col("id_b"),
+        struct((col("pos_b") - col("pos_a")).as("d"), col("pos_a").as("p")).as("m"))
+    // sort_array orders struct matches lexicographically — (d asc,
+    // p asc), i.e. grouped by alignment offset with positions
+    // ascending — exactly the walk order the island scan needs.
+    val walk = aggregate(
+      sort_array(array_distinct(collect_list(col("m")))),
+      struct(lit(Int.MinValue).as("d"), lit(Int.MinValue).as("p"),
+        lit(0L).as("cur"), lit(0L).as("best")),
+      (acc, x) => {
+        val cur = when(x.getField("d") === acc.getField("d") &&
+            x.getField("p") === acc.getField("p") + 1,
+          acc.getField("cur") + 1L).otherwise(lit(1L))
+        struct(x.getField("d").as("d"), x.getField("p").as("p"),
+          cur.as("cur"), greatest(acc.getField("best"), cur).as("best"))
+      },
+      acc => acc.getField("best"))
+    co.groupBy("id_a", "id_b")
+      .agg((walk + lit(spanWords - 1)).as("max_run_words"))
       .filter(col("max_run_words") >= minRunWords)
   }
 
