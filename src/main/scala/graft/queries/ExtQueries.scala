@@ -179,6 +179,27 @@ object ExtQueries {
 
   // ---- the registry --------------------------------------------------
 
+  /** Blocking + candidate CTE shared by the entity-resolution oracle
+    * pair — the SQL twin of [[graft.ops.EntityResolution.fuzzyJoin]]
+    * with [[graft.ops.EntityResolution.DefaultBlockers]].
+    */
+  private val erCandSql: String =
+    """clean AS (SELECT doc_id AS id_r, substr(text, 1, 40) AS kc FROM documents),
+      |dirty AS (SELECT doc_id AS id_l,
+      |    regexp_replace(substr(text, 1, 40), '(.{9}).', '\1', 'g') AS kd
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cand AS (
+      |  SELECT id_l, id_r, kd, kc FROM dirty JOIN clean
+      |    ON substr(kd, 1, 2) = substr(kc, 1, 2)
+      |  UNION
+      |  SELECT id_l, id_r, kd, kc FROM dirty JOIN clean
+      |    ON substr(kd, -2, 2) = substr(kc, -2, 2))""".stripMargin
+
+  private val erMatchSql: String =
+    s"""WITH $erCandSql
+       |SELECT id_l, id_r, round(jaro_winkler_similarity(kd, kc), 6) AS sim
+       |FROM cand WHERE jaro_winkler_similarity(kd, kc) >= 0.9""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: canonical id per distinct content digest.
@@ -1902,7 +1923,53 @@ object ExtQueries {
              |           / CAST(255 AS REAL) AS REAL) - CAST(0.5 AS REAL) END AS DOUBLE), 6) AS f0
              |  FROM fr)
              |SELECT * FROM wavf UNION ALL SELECT * FROM stubf
-             |ORDER BY media_id, frame_idx""".stripMargin))
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // Entity resolution: multi-pass blocked fuzzy join (prefix-2 +
+    // suffix-2 blocking, codegen'd Jaro-Winkler verify at τ=0.9).
+    // Fixture: the corpus matched against a deterministically
+    // corrupted twin of itself (every 10th byte of the 40-char key
+    // deleted — the typo model), so ground truth is id_l = id_r and
+    // the oracle replays the identical blocking + DuckDB's own
+    // jaro_winkler_similarity (bit-equal to graft.functions.StringSim;
+    // no rounding tricks needed, the threshold runs on raw doubles on
+    // both engines).
+    Q("q_fuzzy_match",
+      (s, dir) => {
+        val clean = docs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+        val dirty = docs(s, dir).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            regexp_replace(substring(col("text"), 1, 40), "(.{9}).", "$1").as("k"))
+        graft.ops.EntityResolution.fuzzyJoin(
+            dirty, clean, "doc_id", "k", "doc_id", "k", minSim = 0.9)
+          .orderBy("id_l", "id_r")
+      },
+      Some(erMatchSql + "\nORDER BY id_l, id_r")),
+
+    // Entity resolution, resolved: one winner per dirty record —
+    // highest sim, ties to the smallest clean id (rank-1 window over
+    // the match set; ranking uses the 6-dp sim both engines emit).
+    Q("q_fuzzy_best",
+      (s, dir) => {
+        val clean = docs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+        val dirty = docs(s, dir).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            regexp_replace(substring(col("text"), 1, 40), "(.{9}).", "$1").as("k"))
+        graft.ops.EntityResolution.bestMatches(
+            graft.ops.EntityResolution.fuzzyJoin(
+              dirty, clean, "doc_id", "k", "doc_id", "k", minSim = 0.9))
+          .orderBy("id_l")
+      },
+      Some(s"""WITH $erCandSql,
+              |m AS (SELECT id_l, id_r,
+              |    round(jaro_winkler_similarity(kd, kc), 6) AS sim
+              |  FROM cand WHERE jaro_winkler_similarity(kd, kc) >= 0.9)
+              |SELECT id_l, id_r, sim FROM m
+              |QUALIFY row_number() OVER (
+              |  PARTITION BY id_l ORDER BY sim DESC, id_r) = 1
+              |ORDER BY id_l""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
