@@ -200,6 +200,33 @@ object ExtQueries {
        |SELECT id_l, id_r, round(jaro_winkler_similarity(kd, kc), 6) AS sim
        |FROM cand WHERE jaro_winkler_similarity(kd, kc) >= 0.9""".stripMargin
 
+  // ---- Z-order layout twins ([[graft.ops.Layout]]) -----------------
+  private val ZBits = 10
+  private val ZCellBits = 6
+
+  /** Morton interleave of the low [[ZBits]] bits — SQL twin of
+    * [[graft.ops.Layout.zValue]].
+    */
+  private val zInterleaveSql: String = (0 until ZBits).map { i =>
+    s"((((zx >> $i) & 1) << ${2 * i + 1}) + (((zy >> $i) & 1) << ${2 * i}))"
+  }.mkString(" + ")
+
+  /** CTE `zc`: lineitem with its Z-cell (normalize both keys off the
+    * corpus min/max, interleave, keep the top [[ZCellBits]] bits) —
+    * SQL twin of [[graft.ops.Layout.zorderCellStats]]'s assignment.
+    */
+  private val zCellsSql: String =
+    s"""zs AS (SELECT CAST(min(l_partkey) AS BIGINT) AS minx,
+       |    CAST(max(l_partkey) AS BIGINT) AS maxx,
+       |    CAST(min(l_suppkey) AS BIGINT) AS miny,
+       |    CAST(max(l_suppkey) AS BIGINT) AS maxy FROM lineitem),
+       |zn AS (SELECT l_partkey, l_suppkey,
+       |    CAST(floor((l_partkey - minx) * ${1L << ZBits} / (maxx - minx + 1)) AS BIGINT) AS zx,
+       |    CAST(floor((l_suppkey - miny) * ${1L << ZBits} / (maxy - miny + 1)) AS BIGINT) AS zy
+       |  FROM lineitem, zs),
+       |zc AS (SELECT l_partkey, l_suppkey,
+       |    ($zInterleaveSql) >> ${2 * ZBits - ZCellBits} AS cell FROM zn)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: canonical id per distinct content digest.
@@ -1969,7 +1996,75 @@ object ExtQueries {
               |SELECT id_l, id_r, sim FROM m
               |QUALIFY row_number() OVER (
               |  PARTITION BY id_l ORDER BY sim DESC, id_r) = 1
-              |ORDER BY id_l""".stripMargin))
+              |ORDER BY id_l""".stripMargin)),
+
+    // Z-order layout: per-cell stats of the Morton-curve layout on
+    // (l_partkey, l_suppkey) — the parquet-footer min/max a reader
+    // would prune on. Cell assignment is row-local integer math off a
+    // 1-row min/max broadcast (normalize → interleave → top-6-bit
+    // prefix); the oracle replays the identical bit arithmetic.
+    Q("q_zorder_cells",
+      (s, dir) => graft.ops.Layout.zorderCellStats(
+          Tables(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          bits = ZBits, cellBits = ZCellBits)
+        .orderBy("cell"),
+      Some(s"""WITH $zCellsSql
+              |SELECT cell, count(*) AS n,
+              |  CAST(min(l_partkey) AS BIGINT) AS min_x,
+              |  CAST(max(l_partkey) AS BIGINT) AS max_x,
+              |  CAST(min(l_suppkey) AS BIGINT) AS min_y,
+              |  CAST(max(l_suppkey) AS BIGINT) AS max_y
+              |FROM zc GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // Z-order vs single-key range layout under a box predicate: how
+    // many cells a min/max-pruning reader must scan. The Z layout
+    // prunes on BOTH dimensions; the l_orderkey range layout (the
+    // "sorted by insertion key" baseline) correlates with neither, so
+    // its every cell spans the full (partkey, suppkey) box and
+    // nothing prunes — the measured argument for Z-ordering 100 TB.
+    Q("q_zorder_prune",
+      (s, dir) => graft.ops.Layout.pruneComparison(
+          Tables(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+          "l_orderkey", xLo = 100L, xHi = 499L, yLo = 10L, yHi = 49L,
+          bits = ZBits, cellBits = ZCellBits),
+      Some(s"""WITH $zCellsSql,
+              |zst AS (SELECT cell, count(*) AS n,
+              |    min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+              |    min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+              |  FROM zc GROUP BY cell),
+              |zagg AS (SELECT count(*) AS cells_total,
+              |    CAST(coalesce(sum(CASE WHEN min_x <= 499 AND max_x >= 100
+              |      AND min_y <= 49 AND max_y >= 10 THEN 1 END), 0) AS BIGINT)
+              |      AS z_cells_scanned,
+              |    CAST(coalesce(sum(CASE WHEN min_x <= 499 AND max_x >= 100
+              |      AND min_y <= 49 AND max_y >= 10 THEN n END), 0) AS BIGINT)
+              |      AS z_rows_scanned
+              |  FROM zst),
+              |ns AS (SELECT CAST(min(l_orderkey) AS BIGINT) AS minn,
+              |    CAST(max(l_orderkey) AS BIGINT) AS maxn FROM lineitem),
+              |nc AS (SELECT l_partkey, l_suppkey,
+              |    CAST(floor((l_orderkey - minn) * ${1L << ZCellBits}
+              |      / (maxn - minn + 1)) AS BIGINT) AS cell
+              |  FROM lineitem, ns),
+              |nst AS (SELECT cell, count(*) AS n,
+              |    min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+              |    min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+              |  FROM nc GROUP BY cell),
+              |nagg AS (SELECT
+              |    CAST(coalesce(sum(CASE WHEN min_x <= 499 AND max_x >= 100
+              |      AND min_y <= 49 AND max_y >= 10 THEN 1 END), 0) AS BIGINT)
+              |      AS nat_cells_scanned,
+              |    CAST(coalesce(sum(CASE WHEN min_x <= 499 AND max_x >= 100
+              |      AND min_y <= 49 AND max_y >= 10 THEN n END), 0) AS BIGINT)
+              |      AS nat_rows_scanned
+              |  FROM nst),
+              |mt AS (SELECT count(*) AS rows_matching FROM lineitem
+              |  WHERE l_partkey BETWEEN 100 AND 499
+              |    AND l_suppkey BETWEEN 10 AND 49)
+              |SELECT cells_total, z_cells_scanned, z_rows_scanned,
+              |  nat_cells_scanned, nat_rows_scanned, rows_matching,
+              |  CAST(${1L << ZCellBits} AS BIGINT) AS cells_nominal
+              |FROM zagg, nagg, mt""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
