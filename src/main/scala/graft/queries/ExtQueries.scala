@@ -584,6 +584,33 @@ object ExtQueries {
               |  AND h IN (SELECT h FROM cs)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Vector rung of the streaming admission ladder: per-batch
+    // row-local norm + LSH bucketing (deterministic plane family),
+    // stream-static (table, bucket) candidate join against the
+    // batch-built corpus bucket index, exact-cosine verify — flags
+    // slice vectors within cosine 0.35 of any corpus vector they
+    // collide with (paraphrased near-dups share no shingles; this is
+    // the rung the text gates can't see). Oracle replays the planes
+    // literal-for-literal like q_embed_neardup_lsh.
+    Q("q_stream_admit_embed",
+      (s, dir) => graft.streaming.StreamingGate.streamAdmitEmbedFromFiles(s, dir),
+      Some(s"""WITH $embNormSql,
+              |$lshIndexSql,
+              |ci AS (SELECT vec_id, tbl, bucket FROM idx
+              |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 500),
+              |ni AS (SELECT vec_id, tbl, bucket FROM idx
+              |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 >= 500
+              |         AND ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 600),
+              |cand AS (
+              |  SELECT DISTINCT ni.vec_id AS new_id, ci.vec_id AS corpus_id
+              |  FROM ci JOIN ni
+              |    ON ci.tbl = ni.tbl AND ci.bucket = ni.bucket
+              |      AND ci.vec_id <> ni.vec_id)
+              |SELECT DISTINCT new_id AS vec_id FROM cand
+              |JOIN n na ON new_id = na.vec_id JOIN n nc ON corpus_id = nc.vec_id
+              |WHERE list_dot_product(na.v, nc.v) / (na.nrm * nc.nrm) >= 0.35
+              |ORDER BY vec_id""".stripMargin)),
+
     // Directed containment pairs — the asymmetric near-dup Jaccard
     // misses (short doc embedded in a long one). τ = 0.6 over the
     // bigger of the two directions.

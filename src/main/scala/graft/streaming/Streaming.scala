@@ -216,6 +216,51 @@ object Streaming {
       .select(idCol)
   }
 
+  /** Streaming EMBEDDING admission probe — the vector rung of the
+    * ingest ladder (exact digest < verbatim span < MinHash text <
+    * embedding cosine: paraphrased near-dups share no shingles at all
+    * but survive in embedding space). Per micro-batch:
+    *
+    *  - each arriving vector computes its norm and its buckets in all
+    *    `nTables` LSH tables ROW-LOCALLY (one codegen'd
+    *    [[graft.functions.LshBuckets]] loop over deterministic
+    *    hash-seeded hyperplanes — the same planes the batch index was
+    *    built with, which is what makes "train offline, probe online"
+    *    coherent);
+    *  - a stream-static INNER equi-join on (table, bucket) against
+    *    `bucketIndex` proposes candidates;
+    *  - a stream-static join pulls the candidate vector + norm from
+    *    `corpusVecs` and ONE exact cosine per proposal keeps pairs
+    *    ≥ `minCos`.
+    *
+    * Stateless like the other rungs (static side = whole corpus
+    * index; verdicts complete within the micro-batch). A pair
+    * colliding in several tables emits once per collision — collapse
+    * at assembly. At 100 TB bucket `bucketIndex` on (table, bucket)
+    * and `corpusVecs` on corpus_id so micro-batches co-locate; the
+    * index is nTables rows × 20 B per corpus vector, the one
+    * replicated artifact the OR-construction's recall buys.
+    */
+  def streamEmbedHits(fresh: DataFrame, bucketIndex: DataFrame,
+      corpusVecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCos: Double = 0.45,
+      nPlanes: Int = 6, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.ext.Similarity
+    import graft.functions.LshFunctions.lsh_buckets
+    Similarity.withNorm(
+        fresh.select(col(idCol).as("new_id"), col(vecCol).as("vec")))
+      .select(col("new_id"), col("vec"), col("norm"),
+        posexplode(lsh_buckets(col("vec"), nPlanes, nTables, dim))
+          .as(Seq("table", "bucket")))
+      .join(bucketIndex, Seq("table", "bucket"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .join(corpusVecs, Seq("corpus_id"))
+      .withColumn("cos", Similarity.cosineFromNorms(
+        col("vec"), col("cvec"), col("norm"), col("cnorm")))
+      .filter(col("cos") >= minCos)
+      .select("new_id", "corpus_id", "cos")
+  }
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

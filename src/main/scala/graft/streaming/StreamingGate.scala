@@ -830,6 +830,73 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING EMBEDDING ADMISSION under the gate: a REAL
+    * [[Streaming.streamEmbedHits]] run — the vector rung of the
+    * admission ladder. Fresh embedding slice as micro-batches,
+    * row-local norm + LSH bucketing over the deterministic plane
+    * family, stream-static (table, bucket) candidate join against the
+    * batch-built corpus bucket index, exact-cosine verify against the
+    * corpus vectors. The emitted hit SET must equal the batch LSH
+    * near-dup slice (cosine ≥ 0.35 among any-table collisions — the
+    * flat testdata embeddings cluster weakly, so the gate threshold
+    * sits below the near-dup 0.45 to keep the fixture non-vacuous), which
+    * is the DuckDB oracle (plane-by-plane literal replay, the same
+    * twin q_embed_neardup_lsh uses).
+    */
+  def streamAdmitEmbedFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Similarity, TrainingData}
+    import graft.functions.LshFunctions.lsh_buckets
+    val stage = newStage()
+    val e = Tables(s, dir, "embeddings")
+    val bucket = TrainingData.splitBucket(col("vec_id"), 1000)
+    val corpus = Similarity.withNorm(
+      e.filter(bucket < 500).select(col("vec_id"), col("embedding").as("vec")))
+    val bucketIndex = corpus.select(col("vec_id").as("corpus_id"),
+        posexplode(lsh_buckets(col("vec"), 6, 8, 64))
+          .as(Seq("table", "bucket")))
+      .cache()
+    val corpusVecs = corpus.select(col("vec_id").as("corpus_id"),
+      col("vec").as("cvec"), col("norm").as("cnorm"))
+    try withStatePartitions(s, 4) {
+      val fresh = e.filter(bucket >= 500 && bucket < 600)
+        .select("vec_id", "embedding")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = Streaming.streamEmbedHits(stream, bucketIndex, corpusVecs,
+          minCos = 0.35)
+        .select("new_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      // one emit per table collision; the gate contract is the SET
+      buf.synchronized { buf.distinct.toSeq }.toDF("vec_id").orderBy("vec_id")
+    } finally {
+      bucketIndex.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STATEFUL running activeness under the gate: a REAL
     * [[Streaming.runningActiveness]] (`mapGroupsWithState`, update
     * mode) run over the staged event slices; the LAST update emitted

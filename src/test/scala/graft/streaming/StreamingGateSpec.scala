@@ -388,6 +388,69 @@ class StreamingGateSpec extends SparkSpec {
     buf.synchronized { buf.distinct.toSet } shouldBe Set(1L)
   }
 
+  test("streaming embedding admission gate ≡ batch LSH cross slice") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.streamAdmitEmbedFromFiles(spark, dir)
+    val e = graft.Tables(spark, dir, "embeddings")
+    val bucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+    // batch formulation: fresh vectors within cos ≥ 0.35 of any
+    // corpus vector sharing a bucket in any table — the gate's SQL
+    // oracle, restated with the library's own batch pieces
+    val corpus = graft.ext.Similarity.withNorm(
+      e.filter(bucket < 500).select(col("vec_id"), col("embedding").as("vec")))
+    val fresh = graft.ext.Similarity.withNorm(
+      e.filter(bucket >= 500 && bucket < 600)
+        .select(col("vec_id"), col("embedding").as("vec")))
+    def idx(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      posexplode(graft.functions.LshFunctions.lsh_buckets(col("vec"), 6, 8, 64))
+        .as(Seq("table", "bucket")))
+    val want = idx(fresh).as("n")
+      .join(idx(corpus).as("c"),
+        col("n.table") === col("c.table") && col("n.bucket") === col("c.bucket")
+          && col("n.vec_id") =!= col("c.vec_id"))
+      .select(col("n.vec_id").as("vec_id"), col("c.vec_id").as("cid")).distinct()
+      .join(fresh.select(col("vec_id"), col("vec").as("nv"), col("norm").as("nn")), "vec_id")
+      .join(corpus.select(col("vec_id").as("cid"), col("vec").as("cv"),
+        col("norm").as("cn")), "cid")
+      .filter(graft.ext.Similarity.cosineFromNorms(
+        col("nv"), col("cv"), col("nn"), col("cn")) >= 0.35)
+      .select("vec_id").distinct()
+    rowSet(got) shouldBe rowSet(want)
+  }
+
+  test("streamEmbedHits: planted twin flagged per batch, orthogonal not") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else 0.5f)
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) -1.0f else 0.6f)
+    val seen = Seq((100L, base)).toDF("vec_id", "embedding")
+    val corpus = graft.ext.Similarity.withNorm(
+      seen.select(col("vec_id"), col("embedding").as("vec")))
+    val bucketIndex = corpus.select(col("vec_id").as("corpus_id"),
+      posexplode(graft.functions.LshFunctions.lsh_buckets(col("vec"), 6, 8, 64))
+        .as(Seq("table", "bucket")))
+    val corpusVecs = corpus.select(col("vec_id").as("corpus_id"),
+      col("vec").as("cvec"), col("norm").as("cnorm"))
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    in.addData((1L, base.map(_ * 0.9f)), (2L, ortho))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = graft.streaming.Streaming.streamEmbedHits(
+        in.toDF.toDF("vec_id", "embedding"), bucketIndex, corpusVecs,
+        minCos = 0.9)
+      .select("new_id", "corpus_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    // scaled twin has cosine exactly 1.0 (collides in every table);
+    // the sign-flipped vector can't clear 0.9
+    buf.synchronized { buf.distinct.toSet } shouldBe Set((1L, 100L))
+  }
+
   test("transformWithState gate ≡ the fMGWS gate on the same slices") {
     val dir = "/root/testdata/sf0.001"
     val tws = StreamingGate.closedSessionsTwsFromFiles(spark, dir)
