@@ -227,6 +227,89 @@ object ExtQueries {
        |zc AS (SELECT l_partkey, l_suppkey,
        |    ($zInterleaveSql) >> ${2 * ZBits - ZCellBits} AS cell FROM zn)""".stripMargin
 
+  /** Three-rung batch admission (exact-novel ∖ substring-hit ∖
+    * fuzzy-hit), unordered — shared by q_admit_ladder and the
+    * four-rung q_admit_full (which anti-joins the embedding rung on
+    * top; vec_id is doc-aligned in the fixtures).
+    */
+  private def admitLadder3(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    val seen = d.filter(bucket < 500)
+    val slice = d.filter(bucket >= 500 && bucket < 600)
+    val probe = coalesce(
+      Dedup.bloomProbeEager(seen, "text", expectedSeen = 1000L, fpp = 0.01),
+      lit(false))
+    val survivors = slice.filter(col("text").isNull || !probe)
+    val maybes = slice.filter(col("text").isNotNull && probe)
+    val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+    val recovered = maybes.withColumn("digest", md5(col("text")))
+      .join(seenDigests, Seq("digest"), "left_anti")
+      .drop("digest")
+    val exactNovel = survivors.unionByName(recovered)
+    val corpusSpans = Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+      .select("h").distinct()
+    val substrHits = Dedup.spanHashIndex(slice, "doc_id", "text", 8)
+      .join(corpusSpans, Seq("h"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+    val fuzzyHits = Dedup.minhashCrossPairs(seen, slice, "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    exactNovel.join(substrHits, Seq("doc_id"), "left_anti")
+      .join(fuzzyHits, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** SQL twin of [[admitLadder3]]: the CTE stack (assumes
+    * [[shinglesSql]]/[[minhashSql]]/[[bandsSql]] precede it in the
+    * same WITH) and the admit predicate, split so q_admit_full can
+    * append the embedding rung before the final SELECT.
+    */
+  private lazy val admitLadderCtes: String =
+    s"""exact_novel AS (
+       |  SELECT s.doc_id FROM documents s
+       |  WHERE ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 >= 500
+       |    AND ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 < 600
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM documents c
+       |      WHERE ${h60("CAST(c.doc_id AS VARCHAR)")} % 1000 < 500
+       |        AND md5(c.text) = md5(s.text))),
+       |wv AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |spv AS (SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
+       |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})) AS h
+       |  FROM wv),
+       |csx AS (SELECT DISTINCT h FROM spv
+       |        WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500),
+       |substr_hit AS (
+       |  SELECT DISTINCT doc_id FROM spv
+       |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 >= 500
+       |    AND ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 600
+       |    AND h IN (SELECT h FROM csx)),
+       |cb AS (SELECT id, band, bh FROM bands
+       |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 500),
+       |nb AS (SELECT id, band, bh FROM bands
+       |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 >= 500
+       |         AND ${h60("CAST(id AS VARCHAR)")} % 1000 < 600),
+       |cand AS (
+       |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+       |  FROM cb c JOIN nb n
+       |    ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id),
+       |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |shared AS (
+       |  SELECT new_id, corpus_id, count(*) AS shared
+       |  FROM cand JOIN sh a ON new_id = a.id
+       |            JOIN sh b ON corpus_id = b.id AND a.h = b.h
+       |  GROUP BY 1, 2),
+       |fuzzy AS (
+       |  SELECT DISTINCT new_id FROM shared
+       |  JOIN sz sn ON new_id = sn.id JOIN sz sc ON corpus_id = sc.id
+       |  WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5)""".stripMargin
+
+  private val admitLadderPredicate: String =
+    """SELECT doc_id FROM exact_novel
+      |WHERE doc_id NOT IN (SELECT doc_id FROM substr_hit)
+      |  AND doc_id NOT IN (SELECT new_id FROM fuzzy)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: canonical id per distinct content digest.
@@ -442,77 +525,73 @@ object ExtQueries {
     // semi-probe), fuzzy stage (LSH band + Jaccard verify). Admitted
     // = exact-novel minus substring hits minus fuzzy hits.
     Q("q_admit_ladder",
+      (s, dir) => admitLadder3(s, dir).orderBy("doc_id"),
+      Some(s"""WITH $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |$admitLadderCtes
+              |$admitLadderPredicate
+              |ORDER BY doc_id""".stripMargin)),
+
+    // FOUR-rung batch admission — the text ladder plus the embedding
+    // rung (vec_id is doc-aligned in the fixtures): admitted =
+    // exact-novel MINUS substring-hit MINUS fuzzy-hit MINUS embed-hit;
+    // embed-hit is the LSH bucket-join + exact-cosine slice the
+    // streaming gate replays. The complete ingest decision: verbatim,
+    // lifted-passage, near-dup, AND paraphrased leakage all gated in
+    // one composition, still zero corpus self-shuffles.
+    Q("q_admit_full",
       (s, dir) => {
-        val d = docs(s, dir)
-        val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
-        val seen = d.filter(bucket < 500)
-        val slice = d.filter(bucket >= 500 && bucket < 600)
-        val probe = coalesce(
-          Dedup.bloomProbeEager(seen, "text", expectedSeen = 1000L, fpp = 0.01),
-          lit(false))
-        val survivors = slice.filter(col("text").isNull || !probe)
-        val maybes = slice.filter(col("text").isNotNull && probe)
-        val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
-        val recovered = maybes.withColumn("digest", md5(col("text")))
-          .join(seenDigests, Seq("digest"), "left_anti")
-          .drop("digest")
-        val exactNovel = survivors.unionByName(recovered)
-        val corpusSpans = Dedup.spanHashIndex(seen, "doc_id", "text", 8)
-          .select("h").distinct()
-        val substrHits = Dedup.spanHashIndex(slice, "doc_id", "text", 8)
-          .join(corpusSpans, Seq("h"), "left_semi")
-          .select(col("id").as("doc_id")).distinct()
-        val fuzzyHits = Dedup.minhashCrossPairs(seen, slice, "doc_id", "text")
-          .select(col("new_id").as("doc_id")).distinct()
-        exactNovel.join(substrHits, Seq("doc_id"), "left_anti")
-          .join(fuzzyHits, Seq("doc_id"), "left_anti")
-          .select("doc_id").orderBy("doc_id")
+        import graft.functions.LshFunctions.lsh_buckets
+        val e = emb(s, dir)
+        val ebucket = TrainingData.splitBucket(col("vec_id"), 1000)
+        val cN = Similarity.withNorm(e.filter(ebucket < 500)
+          .select(col("vec_id"), col("embedding").as("vec")))
+        val nN = Similarity.withNorm(e.filter(ebucket >= 500 && ebucket < 600)
+          .select(col("vec_id"), col("embedding").as("vec")))
+        def idx(df: DataFrame) = df.select(col("vec_id"),
+          posexplode(lsh_buckets(col("vec"), 6, 8, 64))
+            .as(Seq("table", "bucket")))
+        val embedHits = idx(nN).as("n")
+          .join(idx(cN).as("c"),
+            col("n.table") === col("c.table") &&
+              col("n.bucket") === col("c.bucket") &&
+              col("n.vec_id") =!= col("c.vec_id"))
+          .select(col("n.vec_id").as("vec_id"), col("c.vec_id").as("cid"))
+          .distinct()
+          .join(nN.select(col("vec_id"), col("vec").as("nv"),
+            col("norm").as("nn")), Seq("vec_id"))
+          .join(cN.select(col("vec_id").as("cid"), col("vec").as("cv"),
+            col("norm").as("cn")), Seq("cid"))
+          .filter(Similarity.cosineFromNorms(
+            col("nv"), col("cv"), col("nn"), col("cn")) >= 0.35)
+          .select(col("vec_id").as("doc_id")).distinct()
+        admitLadder3(s, dir)
+          .join(embedHits, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
       },
       Some(s"""WITH $shinglesSql,
               |$minhashSql,
               |$bandsSql,
-              |exact_novel AS (
-              |  SELECT s.doc_id FROM documents s
-              |  WHERE ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 >= 500
-              |    AND ${h60("CAST(s.doc_id AS VARCHAR)")} % 1000 < 600
-              |    AND NOT EXISTS (
-              |      SELECT 1 FROM documents c
-              |      WHERE ${h60("CAST(c.doc_id AS VARCHAR)")} % 1000 < 500
-              |        AND md5(c.text) = md5(s.text))),
-              |wv AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-              |spv AS (SELECT doc_id,
-              |    unnest(list_transform(range(0, greatest(len(ws) - 7, 0)),
-              |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})) AS h
-              |  FROM wv),
-              |csx AS (SELECT DISTINCT h FROM spv
-              |        WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500),
-              |substr_hit AS (
-              |  SELECT DISTINCT doc_id FROM spv
-              |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 >= 500
-              |    AND ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 600
-              |    AND h IN (SELECT h FROM csx)),
-              |cb AS (SELECT id, band, bh FROM bands
-              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 < 500),
-              |nb AS (SELECT id, band, bh FROM bands
-              |       WHERE ${h60("CAST(id AS VARCHAR)")} % 1000 >= 500
-              |         AND ${h60("CAST(id AS VARCHAR)")} % 1000 < 600),
-              |cand AS (
-              |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
-              |  FROM cb c JOIN nb n
-              |    ON c.band = n.band AND c.bh = n.bh AND c.id <> n.id),
-              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-              |shared AS (
-              |  SELECT new_id, corpus_id, count(*) AS shared
-              |  FROM cand JOIN sh a ON new_id = a.id
-              |            JOIN sh b ON corpus_id = b.id AND a.h = b.h
-              |  GROUP BY 1, 2),
-              |fuzzy AS (
-              |  SELECT DISTINCT new_id FROM shared
-              |  JOIN sz sn ON new_id = sn.id JOIN sz sc ON corpus_id = sc.id
-              |  WHERE CAST(shared AS DOUBLE) / (sn.n + sc.n - shared) >= 0.5)
-              |SELECT doc_id FROM exact_novel
-              |WHERE doc_id NOT IN (SELECT doc_id FROM substr_hit)
-              |  AND doc_id NOT IN (SELECT new_id FROM fuzzy)
+              |$admitLadderCtes,
+              |$embNormSql,
+              |$lshIndexSql,
+              |ce AS (SELECT vec_id, tbl, bucket FROM idx
+              |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 500),
+              |ne AS (SELECT vec_id, tbl, bucket FROM idx
+              |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 >= 500
+              |         AND ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 600),
+              |ecand AS (
+              |  SELECT DISTINCT ne.vec_id AS new_id, ce.vec_id AS corpus_id
+              |  FROM ce JOIN ne
+              |    ON ce.tbl = ne.tbl AND ce.bucket = ne.bucket
+              |      AND ce.vec_id <> ne.vec_id),
+              |embed_hit AS (
+              |  SELECT DISTINCT new_id AS doc_id FROM ecand
+              |  JOIN n na ON new_id = na.vec_id JOIN n nc ON corpus_id = nc.vec_id
+              |  WHERE list_dot_product(na.v, nc.v) / (na.nrm * nc.nrm) >= 0.35)
+              |$admitLadderPredicate
+              |  AND doc_id NOT IN (SELECT doc_id FROM embed_hit)
               |ORDER BY doc_id""".stripMargin)),
 
     // Streaming twin of the admission face's EXACT stage: the fresh

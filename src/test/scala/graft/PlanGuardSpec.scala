@@ -26,10 +26,14 @@ class PlanGuardSpec extends SparkSpec {
     *   pair costs m lookups instead of a dim-wide dot product; the
     *   candidate restriction at scale comes from composing with the
     *   IVF cell equi-join, IVF-PQ style).
+    * - q_zorder_cells / q_zorder_prune: crossJoin(broadcast(stats))
+    *   against ONE-ROW min/max aggregates (the ship-the-stats shape
+    *   again) — the cell assignment itself is row-local.
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_temperature_mix", "q_bm25",
-      "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank")
+      "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
+      "q_zorder_cells", "q_zorder_prune")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
