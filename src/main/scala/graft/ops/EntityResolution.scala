@@ -36,10 +36,46 @@ import graft.functions.StringSimFunctions.jaro_winkler
   */
 object EntityResolution {
 
+  /** Prefix + suffix blockers of length `len`. */
+  def prefixSuffixBlockers(len: Int): Seq[Column => Column] = Seq(
+    k => substring(k, 1, len),
+    k => substring(k, -len, len))
+
   /** Default blockers: 2-byte prefix and 2-byte suffix of the key. */
-  val DefaultBlockers: Seq[Column => Column] = Seq(
-    k => substring(k, 1, 2),
-    k => substring(k, -2, 2))
+  val DefaultBlockers: Seq[Column => Column] = prefixSuffixBlockers(2)
+
+  /** Blocker length that holds per-block occupancy as the corpus
+    * grows. FIXED-length blockers leave the candidate count ∝ n·m/B
+    * with B constant — measured flat at 4.2–4.6% of the cross join
+    * across a 5k → 50k doc ladder (SCALE.md §entity-resolution), i.e.
+    * still quadratic, just 24× cheaper. Growing the block length with
+    * log(n) is the same move [[graft.ext.Similarity.lshPlanesFor]]
+    * makes for ANN buckets: each extra byte multiplies the block
+    * count by the effective alphabet, so
+    * `len = 2 + log_a(n / baseline)` keeps expected occupancy — and
+    * with it candidates-per-record — roughly constant. `alphabet` is
+    * the EFFECTIVE per-position branching of the key distribution
+    * (≈20 for lowercase prose), `baseline` the corpus size the
+    * 2-byte default was calibrated on. Longer blocks trade recall for
+    * volume exactly like more LSH planes do — a typo inside the
+    * blocked span hides the pair from that pass, which is why the
+    * default is a prefix AND a suffix pass rather than one longer
+    * key; add passes (e.g. middle-k) rather than length when recall
+    * at scale matters.
+    *
+    * CAVEAT (measured, SCALE.md §entity-resolution): length only
+    * helps where the keys actually BRANCH at the added positions. On
+    * a corpus whose keys cluster on shared prefixes (boilerplate,
+    * replicated templates) the effective alphabet at position 3 can
+    * be ~1, and +1 byte bought only a 12% candidate cut on the 50k
+    * ladder point — there the fix is an ORTHOGONAL pass (middle-k,
+    * sorted-token signature), not a longer clustered one.
+    */
+  def blockerLenFor(n: Long, alphabet: Double = 20.0,
+      baseline: Long = 5000L): Int =
+    2 + math.max(0, math.ceil(
+      math.log(math.max(1L, n).toDouble / baseline) / math.log(alphabet))
+      .toInt)
 
   /** Blocked fuzzy inner join of `left` and `right` on
     * Jaro-Winkler(leftKey, rightKey) ≥ `minSim`, candidate pairs from
