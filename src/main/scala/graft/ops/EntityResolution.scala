@@ -44,6 +44,18 @@ object EntityResolution {
   /** Default blockers: 2-byte prefix and 2-byte suffix of the key. */
   val DefaultBlockers: Seq[Column => Column] = prefixSuffixBlockers(2)
 
+  /** Order-insensitive token-initial signature: the first `k` sorted
+    * DISTINCT initials of the key's tokens. The orthogonal pass for
+    * keys that defeat positional blockers — it survives in-token
+    * typos (only initials are read), token reordering (sorted), and
+    * prefix clustering (it samples the WHOLE key, so boilerplate
+    * prefixes don't collapse every record into one block). Costs the
+    * usual multi-pass trade: one more corpus-sized equi-join.
+    */
+  def tokenSignatureBlocker(k: Int = 4): Column => Column =
+    key => concat_ws("", slice(array_sort(array_distinct(
+      transform(split(key, " "), w => w.substr(lit(1), lit(1))))), 1, k))
+
   /** Blocker length that holds per-block occupancy as the corpus
     * grows. FIXED-length blockers leave the candidate count ∝ n·m/B
     * with B constant — measured flat at 4.2–4.6% of the cross join

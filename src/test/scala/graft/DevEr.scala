@@ -20,7 +20,10 @@ object DevEr {
     val n = d.count()
     val blockLen = args.lift(2).map(_.toInt)
       .getOrElse(graft.ops.EntityResolution.blockerLenFor(n))
-    val blockers = graft.ops.EntityResolution.prefixSuffixBlockers(blockLen)
+    // blockLen -1 = token-signature mode (the orthogonal pass)
+    val blockers =
+      if (blockLen == -1) Seq(graft.ops.EntityResolution.tokenSignatureBlocker())
+      else graft.ops.EntityResolution.prefixSuffixBlockers(blockLen)
     val clean = d.select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
     val dirty = d.filter(col("doc_id") % 3 === 0).select(col("doc_id"),
       regexp_replace(substring(col("text"), 1, 40), "(.{9}).", "$1").as("k"))

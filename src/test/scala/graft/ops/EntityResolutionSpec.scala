@@ -85,6 +85,15 @@ class EntityResolutionSpec extends SparkSpec {
       Seq(1L, 11L, 0.99), Seq(2L, 20L, 0.9)) // tie at 0.9 -> smaller id_r
   }
 
+  test("tokenSignatureBlocker: sorted initials, order/typo invariant") {
+    val df = Seq("delta alpha charlie bravo", "alpha bravo charlie delta",
+      "aXXXX bYYYY cZZZZ dWWWW", "echo foxtrot").toDF("k")
+      .select(EntityResolution.tokenSignatureBlocker(4)(col("k")).as("s"))
+    // reordering and in-token typos map to the same signature;
+    // different token sets do not
+    df.as[String].collect() shouldBe Array("abcd", "abcd", "abcd", "ef")
+  }
+
   test("fuzzyJoin end-to-end: corrupted twin resolves to itself") {
     val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val clean = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
