@@ -2058,6 +2058,33 @@ object ExtQueries {
              |SELECT * FROM wavf UNION ALL SELECT * FROM stubf
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // Unicode NFC canonicalization — the pass every multilingual
+    // corpus runs before hashing (precomposed vs decomposed "é" are
+    // different bytes to every digest downstream). The fixture
+    // decomposes every 'a' into a + U+0301 in the text prefix, then
+    // normalizes: NFC recomposes to 'á', shrinking the codepoint
+    // count by exactly the injected accents. Oracle = DuckDB's
+    // utf8proc nfc_normalize over the identical construction.
+    Q("q_nfc_normalize",
+      (s, dir) => {
+        import graft.functions.UnicodeFunctions.nfc_normalize
+        // decomposed a + COMBINING ACUTE, via escape so the source
+        // stays ASCII and no editor pre-composes it
+        val dec = regexp_replace(substring(col("text"), 1, 30), "a",
+          "a\u0301")
+        docs(s, dir).select(
+            col("doc_id"),
+            nfc_normalize(dec).as("nfc"),
+            length(dec).as("len_before"),
+            length(nfc_normalize(dec)).as("len_after"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize(replace(substr(text, 1, 30), 'a', 'a' || chr(769))) AS nfc,
+             |  CAST(length(replace(substr(text, 1, 30), 'a', 'a' || chr(769))) AS INT) AS len_before,
+             |  CAST(length(nfc_normalize(replace(substr(text, 1, 30), 'a', 'a' || chr(769)))) AS INT) AS len_after
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Entity resolution: multi-pass blocked fuzzy join (prefix-2 +
     // suffix-2 blocking, codegen'd Jaro-Winkler verify at τ=0.9).
     // Fixture: the corpus matched against a deterministically
