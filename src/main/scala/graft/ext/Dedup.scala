@@ -1279,17 +1279,14 @@ object Dedup {
     * the text itself never leaves its scan partition.
     */
   def spanHashIndex(df: DataFrame, idCol: String, textCol: String,
-      spanWords: Int): DataFrame = {
-    val ws = split(col(textCol), " ")
-    // window i = words[i..i+W-1]; guarded like wordShingles (sequence
-    // with a negative bound would count backwards)
-    val hashes = when(size(ws) >= spanWords,
-      transform(sequence(lit(0), size(ws) - spanWords),
-        i => TextAnalysis.tokenHash60(
-          array_join(slice(ws, i + 1, lit(spanWords)), " "))))
-      .otherwise(array().cast("array<long>"))
-    df.select(col(idCol).as("id"), posexplode(hashes).as(Seq("pos", "h")))
-  }
+      spanWords: Int): DataFrame =
+    // one codegen'd byte-walk per document (window join + md5 + hex
+    // parse fused; value-identical to the composed transform/slice/
+    // tokenHash60 pipeline it replaced — DedupSpec pins the
+    // equivalence, and the oracles were already green on both forms)
+    df.select(col(idCol).as("id"),
+      posexplode(graft.functions.TextHashFunctions.span_hashes(
+        col(textCol), spanWords)).as(Seq("pos", "h")))
 
   /** Cross-document exact-substring pairs: documents sharing at least
     * `minShared` distinct `spanWords`-word VERBATIM windows — the

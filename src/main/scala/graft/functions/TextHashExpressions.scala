@@ -32,6 +32,37 @@ object TextHashing {
     v >>> 4
   }
 
+  /** ALL stride-1 `w`-word window hashes of `text` in document order
+    * (array index = window position; duplicates kept — unlike
+    * [[shingleHashes]], the substring family needs positions). Same
+    * `split(text, " ")` tokenization and space-joined-window
+    * [[hash60]] formula, so it is value-identical to the composed
+    * `transform(sequence(...), i => tokenHash60(array_join(slice(...))))`
+    * pipeline it replaces — without the per-window Column-expression
+    * stack (slice allocation, 32-char md5 hex string, substring, hex
+    * parse), which at 4 cores was the dominant cost of the substring
+    * dedup family's index stage.
+    */
+  def spanHashes(text: UTF8String, w: Int): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    if (tokens.length < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](tokens.length - w + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= tokens.length - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      out(i) = hash60(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit tf-weighted SimHash of `text`, matching the explode +
     * 60-conditional-sum aggregation form bit for bit: every whitespace
     * token (duplicates included — term-frequency weighting; `split`
@@ -186,6 +217,33 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All stride-1 w-word window hashes of a text column, in document
+  * order, as one codegen'd projection — the substring family's index
+  * currency ([[graft.ext.Dedup.spanHashIndex]]).
+  */
+case class SpanHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"span_hashes needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.spanHashes(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashing.spanHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
+    copy(child = newChild)
+}
+
 /** tf-weighted SimHash fingerprint of a text column as one codegen'd
   * projection — the zero-shuffle twin of the explode + groupBy
   * aggregation form (equivalence pinned in DedupSpec).
@@ -217,6 +275,11 @@ object TextHashFunctions {
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(
       GraftColumnBridge.expression(text), n))
+
+  /** All stride-1 w-word window hashes of `text`, in order. */
+  def span_hashes(text: Column, w: Int): Column =
+    GraftColumnBridge.column(SpanHashes(
+      GraftColumnBridge.expression(text), w))
 
   /** tf-weighted SimHash fingerprint of `text` (`bits` low bits). */
   def simhash(text: Column, bits: Int): Column =

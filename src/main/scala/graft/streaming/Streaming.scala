@@ -204,17 +204,12 @@ object Streaming {
     */
   def streamSubstringHits(fresh: DataFrame, corpusSpans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      spanWords: Int = 8): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val hashes = when(size(ws) >= spanWords,
-      transform(sequence(lit(0), size(ws) - spanWords),
-        i => graft.ext.TextAnalysis.tokenHash60(
-          array_join(slice(ws, i + 1, lit(spanWords)), " "))))
-      .otherwise(array().cast("array<long>"))
-    fresh.select(col(idCol), explode(array_distinct(hashes)).as("h"))
+      spanWords: Int = 8): DataFrame =
+    fresh.select(col(idCol), explode(array_distinct(
+        graft.functions.TextHashFunctions.span_hashes(
+          col(textCol), spanWords))).as("h"))
       .join(corpusSpans.select("h"), Seq("h"), "left_semi")
       .select(idCol)
-  }
 
   /** Streaming EMBEDDING admission probe — the vector rung of the
     * ingest ladder (exact digest < verbatim span < MinHash text <

@@ -402,6 +402,29 @@ class DedupSpec extends SparkSpec {
     idx2(1) shouldBe idx.filter(t => t._1 == 1L && t._2 == 0).head._3
   }
 
+  test("span_hashes expression ≡ composed transform/slice/tokenHash60 pipeline") {
+    // the fused byte-walk must be value-identical (position for
+    // position) to the Column-expression form it replaced, including
+    // the split(text, " ") trailing-empties semantics and the
+    // md5-prefix hash
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .union(Seq((9001L, "a b", "x", "y", 3L), (9002L, "", "x", "y", 0L),
+        (9003L, "one two three four five six seven eight nine ", "x", "y", 45L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val ws = split(col("text"), " ")
+    val sz = org.apache.spark.sql.functions.size(ws) // Matchers shadows `size`
+    val composed = docs.select(col("doc_id"),
+      posexplode(when(sz >= 8,
+        transform(sequence(lit(0), sz - 8),
+          i => graft.ext.TextAnalysis.tokenHash60(
+            array_join(slice(ws, i + 1, lit(8)), " "))))
+        .otherwise(array().cast("array<long>"))).as(Seq("pos", "h")))
+    val fused = Dedup.spanHashIndex(docs, "doc_id", "text", 8)
+      .select(col("id").as("doc_id"), col("pos"), col("h"))
+    rowSet(fused) shouldBe rowSet(composed)
+  }
+
   test("crossDocSpanPairs: lifted passage found, unrelated docs absent") {
     val lifted = "one two three four five six seven eight nine ten"
     val df = Seq(
