@@ -64,6 +64,24 @@ object GraftFunctions {
           "lsh_buckets(vec, nPlanes, nTables, dim) takes four args")
         LshBuckets(children(0), intLit(children(1), "nPlanes"),
           intLit(children(2), "nTables"), intLit(children(3), "dim"))
+      }),
+    (new FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "span_hashes(text, w) takes two args")
+        SpanHashes(children(0), intLit(children(1), "span width w"))
+      }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaro_winkler(a, b) takes two strings")
+        JaroWinklerExpr(children(0), children(1))
+      }),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize(text) takes one string")
+        NfcNormalizeExpr(children.head)
       }))
 
   /** Register the functions on a live session (idempotent). */

@@ -30,6 +30,17 @@ class GraftExtensionsSpec extends SparkSpec {
     rowSet(viaSql) shouldBe rowSet(viaCol)
   }
 
+  test("round-10 expressions callable from SQL: span_hashes, jaro_winkler, nfc_normalize") {
+    GraftFunctions.register(spark)
+    Seq("a b c d").toDF("text").createOrReplaceTempView("docs_sql_r10")
+    singleValue(spark.sql(
+      "SELECT size(span_hashes(text, 3)) FROM docs_sql_r10")) shouldBe 2
+    singleValue(spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta')")) shouldBe 0.9611111111111111
+    singleValue(spark.sql(
+      "SELECT nfc_normalize('a' || 'b')")) shouldBe "ab"
+  }
+
   test("shingle_hashes rejects a non-literal width") {
     GraftFunctions.register(spark)
     Seq("a b c").toDF("text").createOrReplaceTempView("docs_sql2")
@@ -45,6 +56,6 @@ class GraftExtensionsSpec extends SparkSpec {
     // registration list is what the injector consumed — both functions
     GraftFunctions.registrations.map(_._1.funcName).toSet shouldBe
       Set("vec_dot", "minhash_signature", "shingle_hashes", "simhash",
-        "lsh_buckets")
+        "lsh_buckets", "span_hashes", "jaro_winkler", "nfc_normalize")
   }
 }
