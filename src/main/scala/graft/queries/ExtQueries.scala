@@ -2131,6 +2131,39 @@ object ExtQueries {
               |  PARTITION BY id_l ORDER BY sim DESC, id_r) = 1
               |ORDER BY id_l""".stripMargin)),
 
+    // The orthogonal blocking pass, oracle-pinned: same corrupted-twin
+    // fixture through the token-signature blocker alone (sorted
+    // distinct token initials). On this separator-eating corruption
+    // its recall is deliberately partial (SCALE.md §entity-resolution
+    // — passes are chosen against the noise model and OR'd); the
+    // oracle replays the signature construction exactly.
+    Q("q_fuzzy_sig",
+      (s, dir) => {
+        val clean = docs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+        val dirty = docs(s, dir).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"),
+            regexp_replace(substring(col("text"), 1, 40), "(.{9}).", "$1").as("k"))
+        graft.ops.EntityResolution.fuzzyJoin(
+            dirty, clean, "doc_id", "k", "doc_id", "k", minSim = 0.9,
+            Seq(graft.ops.EntityResolution.tokenSignatureBlocker()))
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH clean AS (SELECT doc_id AS id_r, substr(text, 1, 40) AS kc
+             |             FROM documents),
+             |dirty AS (SELECT doc_id AS id_l,
+             |    regexp_replace(substr(text, 1, 40), '(.{9}).', '\1', 'g') AS kd
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cand AS (
+             |  SELECT id_l, id_r, kd, kc FROM dirty JOIN clean
+             |    ON array_to_string(list_sort(list_distinct(list_transform(
+             |         string_split(kd, ' '), w -> substr(w, 1, 1))))[1:4], '')
+             |     = array_to_string(list_sort(list_distinct(list_transform(
+             |         string_split(kc, ' '), w -> substr(w, 1, 1))))[1:4], ''))
+             |SELECT id_l, id_r, round(jaro_winkler_similarity(kd, kc), 6) AS sim
+             |FROM cand WHERE jaro_winkler_similarity(kd, kc) >= 0.9
+             |ORDER BY id_l, id_r""".stripMargin)),
+
     // Z-order layout: per-cell stats of the Morton-curve layout on
     // (l_partkey, l_suppkey) — the parquet-footer min/max a reader
     // would prune on. Cell assignment is row-local integer math off a
