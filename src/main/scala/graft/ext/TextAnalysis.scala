@@ -218,6 +218,77 @@ object TextAnalysis {
     * strings would swap to [[tokenHash60]] pairs with a small
     * hash→string lookup for the final k rows.
     */
+  /** BPE tokenizer TRAINING: learn `merges` merge rules from the
+    * corpus (the full loop [[bpePairs]] is one round of). Returns the
+    * learned merge table (round, left, right, freq) in training
+    * order — the "train offline, ship it" artifact a production
+    * tokenizer pipeline produces.
+    *
+    * Scale shape — the reason this trains on 100 TB at all: the
+    * corpus is scanned EXACTLY ONCE, into the word-frequency
+    * vocabulary (one map-side-combinable groupBy; web-scale corpora
+    * have ~10⁷–10⁸ distinct words — executor-sized, orders of
+    * magnitude under the corpus). Every training round then runs
+    * over that compressed vocabulary: one pair-frequency aggregation
+    * (zip_with over shifted symbol slices, weighted by word freq) +
+    * one argmax collect (a single row per round — the only
+    * driver-side data), and one row-local
+    * [[graft.functions.BpeFunctions.bpe_merge]] rewrite. Ties break
+    * (freq desc, left asc, right asc), so training is deterministic
+    * on any layout.
+    *
+    * Classic character-BPE with no end-of-word marker (symbols start
+    * as the word's characters; merges never cross word boundaries).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    import graft.functions.BpeFunctions.bpe_merge
+    val spark = df.sparkSession
+    // localCheckpoint, not cache: each round rebuilds `sym` from the
+    // previous round's, and downstream consumers reference the column
+    // several times (two slices + two sizes), so the LOGICAL plan
+    // grows ~4× per round — by round 20 a cached-lineage formulation
+    // OOM'd the driver just STRINGIFYING the tree (measured; cache
+    // shortcuts execution but never truncates lineage). Checkpointing
+    // pins the round's vocab as executor blocks and restarts the plan
+    // from a scan — iterative training's equivalent of the GraphX
+    // lineage-truncation discipline.
+    var vocab = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(filter(split(col("w"), ""), s => length(s) > 0).as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val pairs = vocab
+        .filter(size(col("sym")) >= 2)
+        .select(explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (pairs.head.getString(0), pairs.head.getString(1),
+          pairs.head.getLong(2))
+        rules += ((round, l, r, cnt))
+        vocab = vocab
+          .select(bpe_merge(col("sym"), l, r).as("sym"), col("freq"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("round", "left", "right", "freq")
+  }
+
   def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val ws = tokens(lower(col(textCol)))
     val pairs = when(size(ws) >= 2,

@@ -1885,6 +1885,18 @@ object ExtQueries {
     // the per-round counting pass of a tokenizer trainer. Pairs are
     // row-local (zip_with over shifted slices); one map-side-combined
     // shuffle + distributed TakeOrdered.
+    // BPE tokenizer TRAINING (the full loop q_bpe_pairs is one round
+    // of): corpus scanned once into the word-freq vocab, then 20
+    // merge rounds over the compressed vocab — deterministic tie-break
+    // (freq desc, pair asc), so the merge table is layout-stable.
+    // No SQL oracle (iterative, data-dependent rules per round —
+    // not expressible as one static query); rows-only check here,
+    // the textbook training trace is pinned in TextAnalysisSpec.
+    Q("q_bpe_train",
+      (s, dir) => TextAnalysis.bpeTrain(docs(s, dir), "text", merges = 20)
+        .orderBy("round"),
+      None),
+
     Q("q_bpe_pairs",
       (s, dir) => TextAnalysis.bpePairs(docs(s, dir), "text", topK = 50),
       Some("""WITH ws AS (SELECT string_split(lower(text), ' ') AS w

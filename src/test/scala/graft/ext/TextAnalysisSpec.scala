@@ -176,6 +176,41 @@ class TextAnalysisSpec extends SparkSpec {
     out(2)._3 shouldBe 0.0
   }
 
+  test("bpeTrain: textbook corpus learns es, est, lo, low in order") {
+    import spark.implicits._
+    // the classic BPE example: low x5, lower x2, newest x6, widest x3.
+    // Hand trace: round 1 pair counts peak at 9 for both (e,s) and
+    // (s,t) -> tie to (e,s); then (es,t)=9; then (l,o)=(o,w)=7 ties
+    // to (l,o); then (lo,w)=7.
+    val corpus = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim,
+      ("newest " * 6).trim, ("widest " * 3).trim).toDF("text")
+    val got = graft.ext.TextAnalysis.bpeTrain(corpus, "text", merges = 4)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    got shouldBe Array(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L))
+  }
+
+  test("bpeTrain: merge application is greedy left-to-right, stops when exhausted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "aaa": greedy (a,a) merge yields [aa, a], not [a, aa] or [aa, aa]
+    val one = Seq("aaa").toDF("text")
+    val rules = graft.ext.TextAnalysis.bpeTrain(one, "text", merges = 10)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+    // round 1: (a,a) x1 (one non-overlapping occurrence... counts 2
+    // adjacencies but application is greedy); round 2: (aa,a); then
+    // a single symbol remains -> training exhausts before 10 rounds
+    rules shouldBe Array(("a", "a"), ("aa", "a"))
+    // expression-level greediness
+    val sym = Seq(Seq("a", "a", "a", "a", "a")).toDF("sym")
+      .select(graft.functions.BpeFunctions.bpe_merge(col("sym"), "a", "a").as("m"))
+      .as[Seq[String]].head()
+    sym shouldBe Seq("aa", "aa", "a")
+  }
+
   test("bpePairs: adjacent pairs counted, case-folded, ties broken by pair; short docs skipped") {
     val df = Seq(
       "The cat sat",     // "the cat", "cat sat"
