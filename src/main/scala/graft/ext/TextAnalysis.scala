@@ -289,6 +289,17 @@ object TextAnalysis {
     rules.toSeq.toDF("round", "left", "right", "freq")
   }
 
+  /** Encode the corpus with a trained merge table ([[bpeTrain]]'s
+    * output, in round order): adds `subwords` — the standard
+    * lowest-rank-first encode loop, row-local under one codegen'd
+    * expression with the compiled rank map shipped once per plan.
+    * Case-folds like training did.
+    */
+  def bpeEncode(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)]): DataFrame =
+    df.withColumn("subwords",
+      graft.functions.BpeFunctions.bpe_encode(lower(col(textCol)), rules))
+
   def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val ws = tokens(lower(col(textCol)))
     val pairs = when(size(ws) >= 2,

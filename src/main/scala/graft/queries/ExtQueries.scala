@@ -1897,6 +1897,25 @@ object ExtQueries {
         .orderBy("round"),
       None),
 
+    // Train-then-encode round trip: the 20 learned merges applied back
+    // to the corpus (lowest-rank-first encode loop, compiled rank map
+    // shipped once per plan). Rows-only like training — the rules are
+    // data-dependent — with the encode semantics pinned against the
+    // textbook trace in TextAnalysisSpec.
+    Q("q_bpe_encode",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val rules = TextAnalysis.bpeTrain(d, "text", merges = 20)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeEncode(d, "text", rules)
+          .select(col("doc_id"), size(col("subwords")).as("n_sub"),
+            element_at(col("subwords"), 1).as("first_sub"),
+            element_at(col("subwords"), -1).as("last_sub"))
+          .orderBy("doc_id")
+      },
+      None),
+
     Q("q_bpe_pairs",
       (s, dir) => TextAnalysis.bpePairs(docs(s, dir), "text", topK = 50),
       Some("""WITH ws AS (SELECT string_split(lower(text), ' ') AS w

@@ -211,6 +211,38 @@ class TextAnalysisSpec extends SparkSpec {
     sym shouldBe Seq("aa", "aa", "a")
   }
 
+  test("bpeEncode: textbook rules encode lowest -> [low, est]; OOV chars survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rules = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val got = graft.ext.TextAnalysis.bpeEncode(
+        Seq("lowest low xyz").toDF("text"), "text", rules)
+      .select(col("subwords")).as[Seq[String]].head()
+    // "lowest": es -> est -> lo -> low gives [low, est]; "low" -> [low];
+    // "xyz" has no rules -> char symbols survive
+    got shouldBe Seq("low", "est", "low", "x", "y", "z")
+  }
+
+  test("bpeEncode replays training exactly on the training corpus") {
+    import org.apache.spark.sql.functions._
+    // encode(training corpus) under the learned rules must equal the
+    // final training vocab state: same greedy application semantics
+    val corpus = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val rules = graft.ext.TextAnalysis.bpeTrain(corpus, "text", merges = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // spot-check: every emitted subword is either a learned merge
+    // product or a single character
+    val merged = rules.map { case (l, r) => l + r }.toSet
+    val subs = graft.ext.TextAnalysis.bpeEncode(corpus, "text", rules)
+      .select(explode(col("subwords")).as("s")).distinct()
+      .collect().map(_.getString(0))
+    subs.foreach { s =>
+      assert(s.length == 1 || merged.contains(s),
+        s"subword '$s' is neither a char nor a learned merge")
+    }
+  }
+
   test("bpePairs: adjacent pairs counted, case-folded, ties broken by pair; short docs skipped") {
     val df = Seq(
       "The cat sat",     // "the cat", "cat sat"
