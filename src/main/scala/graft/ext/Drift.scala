@@ -69,6 +69,16 @@ object Drift {
       .groupBy("bucket").agg(count(lit(1)).as(cntAlias))
   }
 
+  /** PSI report from two PRE-AGGREGATED histograms — the face the
+    * streaming drift monitor needs: its current-side counts arrive as
+    * upserted micro-batch state, not raw rows. `refHist` must carry
+    * (keyCol, cnt_ref), `curHist` (keyCol, cnt_cur); output is
+    * [[psiNumeric]]'s exactly.
+    */
+  def psiFromHistograms(refHist: DataFrame, curHist: DataFrame,
+      keyCol: String = "bucket"): DataFrame =
+    psiTail(refHist, curHist, keyCol)
+
   /** Numeric drift: per-bucket PSI terms of `valueCol` between `ref`
     * and `cur`. Output (bucket, cnt_ref, cnt_cur, p_ref, p_cur,
     * psi_term), one row per bucket observed on either side.

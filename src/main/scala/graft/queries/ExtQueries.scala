@@ -663,6 +663,44 @@ object ExtQueries {
               |  AND h IN (SELECT h FROM cs)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Drift monitoring ON the ingest stream: running fixed-width
+    // histogram of the arriving slice (update-mode streaming agg,
+    // state = the 16-bucket histogram), final counts vs the
+    // batch-built corpus reference through the SAME PSI tail as
+    // q_drift. The oracle replays the split + bucketing + PSI in SQL.
+    Q("q_stream_drift",
+      (s, dir) => graft.streaming.StreamingGate.streamDriftFromFiles(s, dir),
+      Some(s"""WITH ref AS (
+              |  SELECT least(15, CAST(n_chars // 64 AS INT)) AS bucket,
+              |    count(*) AS cnt_ref
+              |  FROM documents
+              |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 500
+              |    AND n_chars IS NOT NULL
+              |  GROUP BY 1),
+              |cur AS (
+              |  SELECT least(15, CAST(n_chars // 64 AS INT)) AS bucket,
+              |    count(*) AS cnt_cur
+              |  FROM documents
+              |  WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000 >= 500
+              |    AND ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 600
+              |    AND n_chars IS NOT NULL
+              |  GROUP BY 1),
+              |tr AS (SELECT CAST(sum(cnt_ref) AS BIGINT) AS t_ref FROM ref),
+              |tc AS (SELECT CAST(sum(cnt_cur) AS BIGINT) AS t_cur FROM cur),
+              |j AS (
+              |  SELECT coalesce(r.bucket, c.bucket) AS bucket,
+              |    coalesce(r.cnt_ref, 0) AS cnt_ref,
+              |    coalesce(c.cnt_cur, 0) AS cnt_cur
+              |  FROM ref r FULL OUTER JOIN cur c ON r.bucket = c.bucket)
+              |SELECT CAST(bucket AS INT) AS bucket, cnt_ref, cnt_cur,
+              |  round(CAST(cnt_ref AS DOUBLE) / t_ref, 6) AS p_ref,
+              |  round(CAST(cnt_cur AS DOUBLE) / t_cur, 6) AS p_cur,
+              |  round((CAST(cnt_ref AS DOUBLE) / t_ref - CAST(cnt_cur AS DOUBLE) / t_cur)
+              |    * ln(greatest(CAST(cnt_ref AS DOUBLE) / t_ref, 1e-6)
+              |        / greatest(CAST(cnt_cur AS DOUBLE) / t_cur, 1e-6)), 6) AS psi_term
+              |FROM j CROSS JOIN tr CROSS JOIN tc
+              |ORDER BY bucket""".stripMargin)),
+
     // Vector rung of the streaming admission ladder: per-batch
     // row-local norm + LSH bucketing (deterministic plane family),
     // stream-static (table, bucket) candidate join against the

@@ -256,6 +256,27 @@ object Streaming {
       .select("new_id", "corpus_id", "cos")
   }
 
+  /** Streaming drift histogram — the monitor face of
+    * [[graft.ext.Drift]]: running fixed-width bucket counts of
+    * `valueCol` over everything that has arrived (update mode; state
+    * is ≤ nBuckets+1 rows — the histogram, nothing per-event). Bucket
+    * formula is EXACTLY [[graft.ext.Drift.histogram]]'s, so the
+    * upserted final counts feed
+    * [[graft.ext.Drift.psiFromHistograms]] against a batch-built
+    * reference and the PSI equals the batch computation on the same
+    * slice — drift monitoring ON the ingest stream, priced at a
+    * histogram of state. Fixed widths are what make this possible at
+    * all: quantile edges would need retraining mid-stream.
+    */
+  def runningHistogram(events: DataFrame, valueCol: String,
+      width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(least(lit(nBuckets - 1),
+        floor(col(valueCol) / width)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt_cur"))
+  }
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

@@ -897,6 +897,62 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING DRIFT MONITOR under the gate: a REAL
+    * [[Streaming.runningHistogram]] run (update-mode streaming
+    * aggregation, state = the histogram) over the fresh slice's
+    * micro-batches; per batch the upserted bucket counts replace the
+    * previous ones (serving-table semantics, like runningActiveness),
+    * and the FINAL histogram feeds
+    * [[graft.ext.Drift.psiFromHistograms]] against the batch-built
+    * corpus reference. The report must equal the batch
+    * [[graft.ext.Drift.psiNumeric]] on the same split — the DuckDB
+    * oracle.
+    */
+  def streamDriftFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Drift, TrainingData}
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    val refHist = Drift.histogram(
+      d.filter(bucket < 500), "n_chars", width = 64, nBuckets = 16, "cnt_ref")
+    try withStatePartitions(s, 4) {
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "n_chars")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("n_chars", LongType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val last = scala.collection.mutable.HashMap.empty[Int, Long]
+      val query = Streaming.runningHistogram(stream, "n_chars",
+          width = 64, nBuckets = 16)
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(r => (r.getInt(0), r.getLong(1)))
+          last.synchronized { rows.foreach { case (b, c) => last(b) = c } }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      val curHist = last.synchronized { last.toSeq }
+        .toDF("bucket", "cnt_cur")
+      Drift.psiFromHistograms(refHist, curHist).orderBy("bucket")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STATEFUL running activeness under the gate: a REAL
     * [[Streaming.runningActiveness]] (`mapGroupsWithState`, update
     * mode) run over the staged event slices; the LAST update emitted

@@ -451,6 +451,17 @@ class StreamingGateSpec extends SparkSpec {
     buf.synchronized { buf.distinct.toSet } shouldBe Set((1L, 100L))
   }
 
+  test("streaming drift gate ≡ batch psiNumeric on the same split") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.streamDriftFromFiles(spark, dir)
+    val d = graft.Tables(spark, dir, "documents")
+    val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+    val want = graft.ext.Drift.psiNumeric(
+      d.filter(bucket < 500), d.filter(bucket >= 500 && bucket < 600),
+      "n_chars", width = 64, nBuckets = 16)
+    rowSet(got) shouldBe rowSet(want)
+  }
+
   test("transformWithState gate ≡ the fMGWS gate on the same slices") {
     val dir = "/root/testdata/sf0.001"
     val tws = StreamingGate.closedSessionsTwsFromFiles(spark, dir)
