@@ -538,6 +538,75 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ approximate top-k — the composition production ANN
+    * systems actually deploy (FAISS's IndexIVFPQ layout): the IVF
+    * cell equi-join restricts WHICH codes are scanned (nProbe/nCells
+    * of the corpus per query) and PQ restricts WHAT a scan reads (m
+    * bytes + a LUT lookup per sub-space instead of dim floats) — the
+    * two dials compose multiplicatively, which is what makes
+    * billion-vector serving affordable. Per corpus vector: one cell
+    * id + m code bytes, both row-local projections; per query: nProbe
+    * probed cells + one broadcast LUT. The only join is the cell
+    * equi-join against broadcast probes. With `rerank > 0` the ADC
+    * candidates re-score exact cosine (the full three-stage layout).
+    * Deterministic end to end (hash-picked centroids AND codebooks,
+    * first-min tie-breaks), so the DuckDB oracle replays cells,
+    * codes, LUT, and the restricted ADC bit-exactly.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 2, m: Int = 4, ks: Int = 16,
+      dim: Int = 64, rerank: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.IvfFunctions.ivf_cells
+    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val cb = pqCodebooks(corpus, m, ks, dim, idCol, vecCol)
+    val subDim = dim / m
+    val codes = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("rv"),
+        normalizedGuarded(col(vecCol)).as("nv"))
+      .select(col("id"),
+        element_at(ivf_cells(col("rv"), cents, 1), 1).as("cell"),
+        pqEncode(col("nv"), cb).as("codes"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(ivf_cells(col("qv"), cents, nProbe)))
+      .select("query_id", "cell")
+    val luts = queries
+      .select(col(idCol).as("query_id"), normalizedGuarded(col(vecCol)).as("qnv"))
+      .select(col("query_id"), array((0 until m).map { s =>
+        array(cb(s).map(c =>
+          dot(slice(col("qnv"), s * subDim + 1, subDim), typedLit(c))): _*)
+      }: _*).as("lut"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = codes
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("approx", adc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      ranked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+          round(col("approx"), 6).as("approx_cos"))
+    else {
+      require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+      val cands = ranked.filter(col("rank") <= rerank).select("query_id", "id")
+      val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      val exact = cands
+        .join(c, Seq("id"))
+        .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
+        .withColumn("cos",
+          cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+      rankTopK(exact, k)
+    }
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 6, nTables: Int = 8, multiProbe: Boolean = true,
       dim: Int = 64,

@@ -119,7 +119,11 @@ object ExtQueries {
   private val PqM = 4
   private val PqKs = 16
   private val PqSubDim = EmbDim / PqM
-  private lazy val pqCodesSql: String = {
+  /** PQ base CTEs (normalized corpus `nn`, codebooks `cb`/`sub`,
+    * per-vector `codes`, per-query `lut`) — shared by the PQ oracles
+    * and the IVF-PQ composition, which restricts the ADC differently.
+    */
+  private lazy val pqBaseSql: String = {
     val sliceQ = s"q.v[(sub.s*$PqSubDim+1):((sub.s+1)*$PqSubDim)]"
     s"""nn AS (SELECT vec_id,
        |    CASE WHEN nrm = 0 THEN v ELSE list_transform(v, x -> x / nrm) END AS v
@@ -147,24 +151,34 @@ object ExtQueries {
        |lut AS (
        |  SELECT q.vec_id AS query_id, sub.s, sub.j,
        |    list_dot_product($sliceQ, sub.c) AS dp
-       |  FROM nn q CROSS JOIN sub WHERE q.vec_id < 10),
-       |contrib AS (
+       |  FROM nn q CROSS JOIN sub WHERE q.vec_id < 10)""".stripMargin
+  }
+
+  /** ADC pivot + ranking from a `contrib` CTE — shared tail. */
+  private val pqRankSql: String =
+    """piv AS (
+      |  SELECT query_id, id,
+      |    max(CASE WHEN s = 0 THEN dp END) AS d0,
+      |    max(CASE WHEN s = 1 THEN dp END) AS d1,
+      |    max(CASE WHEN s = 2 THEN dp END) AS d2,
+      |    max(CASE WHEN s = 3 THEN dp END) AS d3
+      |  FROM contrib GROUP BY query_id, id),
+      |scored AS (SELECT query_id, id, ((d0 + d1) + d2) + d3 AS approx FROM piv),
+      |pqr AS (SELECT query_id, id, approx,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY approx DESC, id ASC) AS INT) AS rank
+      |  FROM scored)""".stripMargin
+
+  /** Unrestricted ADC (every corpus code scanned) + ranking. */
+  private lazy val pqAdcTailSql: String =
+    s"""contrib AS (
        |  SELECT l.query_id, c.vec_id AS id, l.s, l.dp
        |  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
        |  WHERE c.vec_id <> l.query_id),
-       |piv AS (
-       |  SELECT query_id, id,
-       |    max(CASE WHEN s = 0 THEN dp END) AS d0,
-       |    max(CASE WHEN s = 1 THEN dp END) AS d1,
-       |    max(CASE WHEN s = 2 THEN dp END) AS d2,
-       |    max(CASE WHEN s = 3 THEN dp END) AS d3
-       |  FROM contrib GROUP BY query_id, id),
-       |scored AS (SELECT query_id, id, ((d0 + d1) + d2) + d3 AS approx FROM piv),
-       |pqr AS (SELECT query_id, id, approx,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY approx DESC, id ASC) AS INT) AS rank
-       |  FROM scored)""".stripMargin
-  }
+       |$pqRankSql""".stripMargin
+
+  private lazy val pqCodesSql: String =
+    s"$pqBaseSql,\n$pqAdcTailSql"
 
   private val langScoreSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
     val lst = ms.map(m => s"'$m'").mkString(", ")
@@ -176,6 +190,32 @@ object ExtQueries {
       s"WHEN score_$lang = greatest($g) THEN '$lang'"
     }.mkString("CASE ", " ", " END")
   }
+
+  /** IVF cell CTEs (hash-picked 16 centroids, cosine assignment,
+    * nProbe=2 probes for the <10 query set) — shared by q_ann_ivf and
+    * the IVF-PQ composition.
+    */
+  private lazy val ivfCellsSql: String =
+    s"""cent AS (
+       |  SELECT v, nrm, cid FROM (
+       |    SELECT v, nrm,
+       |      CAST(row_number() OVER (
+       |        ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS INT) - 1 AS cid
+       |    FROM n) WHERE cid < 16),
+       |asgn AS (
+       |  SELECT id, cell FROM (
+       |    SELECT n.vec_id AS id, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, cent.v) / (n.nrm * cent.nrm) DESC,
+       |                 cent.cid ASC) AS rn
+       |    FROM n CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT n.vec_id AS query_id, cent.cid AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.v, cent.v) / (n.nrm * cent.nrm) DESC,
+       |                 cent.cid ASC) AS rn
+       |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 2)""".stripMargin
 
   // ---- the registry --------------------------------------------------
 
@@ -1049,26 +1089,7 @@ object ExtQueries {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH $embNormSql,
-              |cent AS (
-              |  SELECT v, nrm, cid FROM (
-              |    SELECT v, nrm,
-              |      CAST(row_number() OVER (
-              |        ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id) AS INT) - 1 AS cid
-              |    FROM n) WHERE cid < 16),
-              |asgn AS (
-              |  SELECT id, cell FROM (
-              |    SELECT n.vec_id AS id, cent.cid AS cell,
-              |      row_number() OVER (PARTITION BY n.vec_id
-              |        ORDER BY list_dot_product(n.v, cent.v) / (n.nrm * cent.nrm) DESC,
-              |                 cent.cid ASC) AS rn
-              |    FROM n CROSS JOIN cent) WHERE rn = 1),
-              |probes AS (
-              |  SELECT query_id, cell FROM (
-              |    SELECT n.vec_id AS query_id, cent.cid AS cell,
-              |      row_number() OVER (PARTITION BY n.vec_id
-              |        ORDER BY list_dot_product(n.v, cent.v) / (n.nrm * cent.nrm) DESC,
-              |                 cent.cid ASC) AS rn
-              |    FROM n CROSS JOIN cent WHERE n.vec_id < 10) WHERE rn <= 2),
+              |$ivfCellsSql,
               |cand AS (
               |  SELECT p.query_id, a.id
               |  FROM asgn a JOIN probes p ON a.cell = p.cell
@@ -1117,6 +1138,35 @@ object ExtQueries {
       },
       Some(s"""WITH $embNormSql,
               |$pqCodesSql
+              |SELECT query_id, rank, id AS neighbor_id,
+              |  round(approx, 6) AS approx_cos
+              |FROM pqr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF-PQ — the composition production ANN deploys (FAISS
+    // IndexIVFPQ): IVF cells restrict WHICH codes are scanned
+    // (nProbe/nCells of the corpus per query), PQ restricts WHAT a
+    // scan reads (m bytes + LUT lookups, not dim floats) — the two
+    // dials compose multiplicatively. One oracle replays cells,
+    // codebooks, codes, LUT, and the cell-restricted ADC bit-exactly.
+    Q("q_ann_ivfpq",
+      (s, dir) => {
+        val e = emb(s, dir)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 2, m = 4, ks = 16)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $embNormSql,
+              |$ivfCellsSql,
+              |$pqBaseSql,
+              |candc AS (
+              |  SELECT p.query_id, a.id
+              |  FROM asgn a JOIN probes p ON a.cell = p.cell
+              |  WHERE a.id <> p.query_id),
+              |contrib AS (
+              |  SELECT l.query_id, c.vec_id AS id, l.s, l.dp
+              |  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+              |  JOIN candc x ON x.query_id = l.query_id AND x.id = c.vec_id),
+              |$pqRankSql
               |SELECT query_id, rank, id AS neighbor_id,
               |  round(approx, 6) AS approx_cos
               |FROM pqr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
