@@ -24,6 +24,7 @@ object DevScale {
   private val queries = Seq("q_dedup_ngram", "q_dedup_minhash",
     "q_containment", "q_dedup_clusters", "q_corpus_prepare")
   private val annQueries = Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf",
+    "q_ann_pq", "q_ann_ivfpq",
     "q_embed_neardup_lsh", "q_semantic_decontaminate", "q_semantic_clusters")
 
   def main(args: Array[String]): Unit = args.toList match {
