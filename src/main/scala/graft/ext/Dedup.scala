@@ -527,6 +527,34 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Quality-aware survivor selection over near-dup CLUSTERS: given a
+    * `(id, cluster)` assignment (from [[nearDupClusters]]), keep per
+    * cluster the member maximizing `rankCol` (ties → min id) — the
+    * production "cluster near-duplicates, keep the best copy" step,
+    * where [[exactDedupSurvivors]]' min-id rule is wrong: exact
+    * duplicates share every derived quality signal, but NEAR-dups
+    * differ (one copy is the full article, another the truncated
+    * scrape), so the survivor choice changes what the training set
+    * keeps.
+    *
+    * Shape: the winner argmax runs over `(id, rank, cluster)` ONLY —
+    * three narrow columns, one map-side-combinable `max_by` groupBy —
+    * and the corpus joins the winner-id set left-semi, so document
+    * text never shuffles (same discipline as [[exactDedupSurvivors]]'
+    * digest shuffle). `max_by` orders by `struct(rank, -id)`, a total
+    * order (ids unique), so the pick is deterministic on any layout.
+    */
+  def clusterSurvivors(df: DataFrame, idCol: String, clusters: DataFrame,
+      rankCol: String): DataFrame = {
+    val winners = df.select(col(idCol).as("id"), col(rankCol).as("__rank"))
+      .join(clusters, Seq("id"))
+      .groupBy("cluster")
+      .agg(max_by(col("id"),
+        struct(col("__rank"), (-col("id")).as("__nid"))).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** The rows [[exactDedupSurvivors]] removes (left-anti complement). */
   def exactDupLosers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val winners = exactDedup(df, idCol, textCol)
@@ -1287,6 +1315,66 @@ object Dedup {
     df.select(col(idCol).as("id"),
       posexplode(graft.functions.TextHashFunctions.span_hashes(
         col(textCol), spanWords)).as(Seq("pos", "h")))
+
+  /** Per-document n-gram NOVELTY: what fraction of a doc's distinct
+    * word shingles appear in NO other document (corpus df = 1) — the
+    * inverse of boilerplate share. A curation signal the dedup family
+    * doesn't give: a doc can be far from every near-duplicate yet be
+    * 90% template; novelty reads that directly, and sorting a corpus
+    * by it surfaces both the most-original documents (keep, upweight)
+    * and the most-templated ones (candidates for span removal).
+    *
+    * Shape: the same inverted-index currency as the Jaccard family —
+    * distinct (id, 8-byte shingle hash) rows, one df count
+    * (map-side-combinable), one hash-keyed join back, one per-doc
+    * aggregation. No pairs, no text shuffle, skew-free (the join key
+    * is the hash, whose df rides along as a payload).
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = ShingleN): DataFrame = {
+    val sh = wordShingleHashes(df, idCol, textCol, n)
+    val dfc = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+    sh.join(dfc, Seq("h"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** WINNOWED span-hash index — the at-scale compression of
+    * [[spanHashIndex]] (Schleimer/Wilkerson/Aiken's winnowing, the
+    * MOSS fingerprint selector): slide a `window`-wide window over
+    * the stride-1 span hashes and keep only each window's MINIMUM
+    * (docs shorter than a window keep their single global min), then
+    * dedup per doc. Expected index density is ~2/(window+1) of
+    * stride-1, and the selection is CONTENT-DEFINED, so both copies
+    * of a shared passage select the same fingerprints — any verbatim
+    * shared run of at least `spanWords + window − 1` tokens is
+    * GUARANTEED to share at least one selected fingerprint (it
+    * contains `window` consecutive shared span hashes, and the
+    * minimum of that stretch is selected on both sides).
+    *
+    * Entirely row-local (the span hashing is one codegen'd byte-walk,
+    * the min-selection a transform over it), so the only cost change
+    * vs [[spanHashIndex]] is the index VOLUME every downstream
+    * join/shuffle carries — the term that dominates at 100 TB, where
+    * the stride-1 index is ~2 bytes per corpus token and winnowing
+    * at window=4 cuts it ~2.5×.
+    */
+  def winnowedSpanHashIndex(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int, window: Int = 4): DataFrame = {
+    require(window >= 1, s"winnow window must be >= 1, got $window")
+    val spans = graft.functions.TextHashFunctions.span_hashes(
+      col(textCol), spanWords)
+    val sel = when(size(spans) >= window,
+        array_distinct(transform(
+          sequence(lit(0), size(spans) - window),
+          i => array_min(slice(spans, i + 1, lit(window))))))
+      .otherwise(when(size(spans) >= 1, array(array_min(spans)))
+        .otherwise(array().cast("array<bigint>")))
+    df.select(col(idCol).as("id"), explode(sel).as("h"))
+  }
 
   /** Cross-document exact-substring pairs: documents sharing at least
     * `minShared` distinct `spanWords`-word VERBATIM windows — the

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: a multinomial Naive Bayes text
+  * classifier trained ON the corpus itself against a cheap heuristic
+  * teacher label, then used to score every document — the
+  * fastText-classifier pattern production corpus pipelines
+  * (CCNet/RefinedWeb-style) run after the heuristic gates, here in a
+  * closed form that trains in ONE aggregation pass and is therefore
+  * fully deterministic and (on its integer surfaces) exactly
+  * replayable by the DuckDB oracle.
+  *
+  * Why Naive Bayes and not SGD: the counts ARE the model. Training is
+  * a single map-side-combinable `groupBy(term)` over the token stream
+  * — no iterations, no learning-rate nondeterminism, no
+  * float-accumulation order sensitivity — and scoring is a per-token
+  * log-likelihood-ratio lookup. At 100 TB that is: one corpus scan to
+  * build a vocabulary-sized weight table, one broadcast-friendly join
+  * to score (the weight table is vocab-sized, shippable like BM25's
+  * stats; for web-scale vocabularies it stays a shuffle join on the
+  * 8-byte [[TextAnalysis.tokenHash60]]).
+  *
+  * Determinism discipline (same as [[TextAnalysis.unigramLogProb]]):
+  * each term's llr rounds to 6 decimals into DECIMAL(18,6) so the
+  * per-document sum is EXACT regardless of shuffle partition order;
+  * the cross-engine oracle gates the integer surfaces (label, token
+  * count, class-count sums) and ScalaTest goldens pin the
+  * transcendental score columns.
+  */
+object QualityModel {
+  import TextAnalysis.{tokens, stopwords, inList}
+
+  /** Heuristic teacher label (1 = good): long enough and
+    * stopword-bearing — integer-exact, so both engines replay it
+    * bit-for-bit. Deliberately crude: the classifier's value is
+    * GENERALIZING the teacher (a doc with 4 stopwords but "good"
+    * vocabulary scores well; a long doc of gibberish scores badly).
+    */
+  def teacherLabel(text: Column): Column =
+    (length(text) >= 200 &&
+      size(filter(tokens(text), t => inList(t, stopwords))) >= 5).cast("int")
+
+  /** Per-term NB weights learned from `df` under [[teacherLabel]]:
+    * `(term, c1, c0, llr)` where `llr = log10((c1+1)/(t1+v)) -
+    * log10((c0+1)/(t0+v))` (add-one smoothing, v = vocabulary size,
+    * t_k = total tokens in class k). One corpus scan, vocab-sized
+    * output.
+    */
+  def nbTermWeights(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.select(teacherLabel(col(textCol)).as("y"),
+      explode(tokens(col(textCol))).as("term"))
+    val tstats = toks.groupBy("term").agg(
+      sum(col("y")).as("c1"), sum(lit(1) - col("y")).as("c0"))
+    val stats = tstats.agg(
+      sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("v"))
+    tstats.crossJoin(broadcast(stats))
+      .select(col("term"), col("c1"), col("c0"),
+        round(
+          log10((col("c1") + 1).cast("double") /
+            (col("t1") + col("v")).cast("double")) -
+          log10((col("c0") + 1).cast("double") /
+            (col("t0") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("llr"))
+  }
+
+  /** Trained NB weights in integer MICRO-UNITS, collected to the
+    * driver as the ship-to-executors model artifact: `term →
+    * round(llr · 10⁶)` as a Long. Micro-units make downstream sums
+    * EXACT integers (order-independent, cross-engine reproducible) —
+    * the same determinism trick as the DECIMAL(18,6) sums, but cheap
+    * enough to fold row-locally inside a streaming filter.
+    *
+    * The collect is vocab-sized and fail-loud-capped (`maxVocab`,
+    * same discipline as the IVF centroid collect): a web-scale
+    * vocabulary that exceeds the cap should hash-prune its tail
+    * (df-1 terms carry ~zero evidence) or ship as a broadcast join
+    * instead of a literal map.
+    */
+  def nbWeightsMicro(df: DataFrame, textCol: String,
+      maxVocab: Int = 1 << 20): Map[String, Long] = {
+    val toks = df.select(teacherLabel(col(textCol)).as("y"),
+      explode(tokens(col(textCol))).as("term"))
+    val tstats = toks.groupBy("term").agg(
+      sum(col("y")).as("c1"), sum(lit(1) - col("y")).as("c0"))
+    val stats = tstats.agg(
+      sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("v"))
+    val rows = tstats.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round((
+          log10((col("c1") + 1).cast("double") /
+            (col("t1") + col("v")).cast("double")) -
+          log10((col("c0") + 1).cast("double") /
+            (col("t0") + col("v")).cast("double"))) * lit(1000000.0), 0)
+          .cast("long").as("llr_micro"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"nbWeightsMicro: vocabulary exceeds maxVocab=$maxVocab — " +
+        "prune the df-1 tail or use a broadcast-join scorer")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Row-local NB score in micro-units: fold the document's tokens
+    * through the shipped weight map (OOV terms contribute 0 — seen in
+    * neither class, no evidence either way). A pure codegen-friendly
+    * projection: no explode, no join, no shuffle — the shape that
+    * scores a 100 TB corpus (or a stream micro-batch) at scan speed.
+    * Exact integer arithmetic, so batch and streaming replays agree
+    * bit-for-bit on any layout.
+    */
+  def nbScoreMicro(text: Column, weights: Map[String, Long]): Column = {
+    require(weights.nonEmpty, "nbScoreMicro: empty weight map")
+    val entries = weights.toSeq.sortBy(_._1)
+    val m = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+  }
+
+  /** Model admission gate: keep documents the trained model reads as
+    * "good" (summed micro-llr > 0). Works identically on a batch
+    * DataFrame and a streaming micro-batch (stateless filter — no
+    * watermark, no state store): train offline with
+    * [[nbWeightsMicro]], ship the map, filter at scan speed.
+    */
+  def admitByModel(fresh: DataFrame, weights: Map[String, Long],
+      textCol: String = "text"): DataFrame =
+    fresh.filter(nbScoreMicro(col(textCol), weights) > 0)
+
+  /** Train on `df` and score every document: `(id, y, n_tokens,
+    * sum_c1, sum_c0, sum_llr, nb_score)` where `nb_score` is the mean
+    * per-token llr (positive ⇒ the model reads the doc as "good").
+    * `y` is the teacher label, carried through so the caller can
+    * measure teacher/model agreement; `sum_c1`/`sum_c0` are the
+    * integer class-evidence surfaces the oracle gates.
+    */
+  def nbQualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val weights = nbTermWeights(df, textCol)
+    val toks = df.select(col(idCol).as("id"),
+      teacherLabel(col(textCol)).as("y"),
+      explode(tokens(col(textCol))).as("term"))
+    // the weight table is vocab-sized — broadcast it so the corpus
+    // token stream is never shuffled on the (few-key, skew-prone)
+    // term column (measured 4.4 s → sub-second at sf0.1 bench)
+    toks.join(broadcast(weights), Seq("term"))
+      .groupBy("id", "y")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("c1").as("sum_c1"), sum("c0").as("sum_c0"),
+        sum("llr").as("sum_llr"))
+      .withColumn("nb_score",
+        round(col("sum_llr").cast("double") / col("n_tokens"), 6))
+  }
+}

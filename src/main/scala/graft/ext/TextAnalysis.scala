@@ -38,10 +38,10 @@ object TextAnalysis {
     // int, like the regexp_count it replaced — q_token_stats' schema
     graft.functions.TextStatsFunctions.bpe_token_count(text).cast("int")
 
-  private val stopwords =
+  private[ext] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
-  private def inList(t: Column, words: Seq[String]): Column =
+  private[ext] def inList(t: Column, words: Seq[String]): Column =
     words.map(w => t === w).reduce(_ || _)
 
   /** Fraction of whitespace tokens that are stopwords. */
@@ -299,6 +299,106 @@ object TextAnalysis {
       rules: Seq[(String, String)]): DataFrame =
     df.withColumn("subwords",
       graft.functions.BpeFunctions.bpe_encode(lower(col(textCol)), rules))
+
+  /** PMI collocation mining: the top-k adjacent-token pairs by
+    * pointwise mutual information, `pmi = ln(P(l,r) / (P(l)·P(r)))`
+    * with `P(l,r) = c_pair/n_pairs` and `P(t) = c_t/n_tok` — the
+    * statistic that surfaces multi-word expressions ("new york",
+    * "machine learning") a tokenizer or phrase-merger should treat as
+    * units. `minCount` suppresses the classic PMI pathology (a pair
+    * seen once between two hapax tokens scores maximal PMI).
+    *
+    * Shape: bigrams are built ROW-LOCALLY ([[bpePairs]]' zip_with over
+    * shifted slices — no positional self-join), so the corpus is
+    * scanned twice (unigram + bigram counts, both map-side-combinable
+    * aggregations) and everything after runs over the VOCABULARY:
+    * pair→unigram joins are vocab-sized, the totals ride one-row
+    * broadcasts (ship-the-stats, like BM25), and the top-k is a
+    * distributed TakeOrdered with rank assigned over the k survivors
+    * only. The `ln` argument is the identical IEEE op sequence in the
+    * DuckDB oracle, so ordering and the rounded score replay exactly.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val ws = tokens(lower(col(textCol)))
+    val uni = df.select(explode(ws).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c_t"))
+    val pairsArr = when(size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    val pc = df.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("c_pair"))
+    // totals from the (small) count tables, not a third corpus scan
+    val stats = uni.agg(sum("c_t").cast("double").as("n_tok"))
+      .crossJoin(pc.agg(sum("c_pair").cast("double").as("n_pairs")))
+    val scored = pc.filter(col("c_pair") >= minCount)
+      .join(uni.select(col("term").as("l"), col("c_t").as("c_l")), Seq("l"))
+      .join(uni.select(col("term").as("r"), col("c_t").as("c_r")), Seq("r"))
+      .crossJoin(broadcast(stats))
+      .select(col("l"), col("r"), col("c_pair"), col("c_l"), col("c_r"),
+        log((col("c_pair").cast("double") / col("n_pairs")) /
+          ((col("c_l").cast("double") / col("n_tok")) *
+            (col("c_r").cast("double") / col("n_tok")))).as("pmi_raw"))
+    val top = scored
+      .orderBy(col("pmi_raw").desc, col("l").asc, col("r").asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_raw").desc, col("l").asc, col("r").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("l"), col("r"),
+        col("c_pair"), col("c_l"), col("c_r"),
+        round(col("pmi_raw"), 6).as("pmi"))
+  }
+
+  /** Bigram-LM document scoring — the CCNet-style "perplexity filter"
+    * rung above [[unigramLogProb]]: each document is scored by the
+    * average conditional log-probability of its adjacent-token pairs
+    * under the corpus' own bigram model, `lp(l,r) = log10(c(l,r) /
+    * c(l))`. Boilerplate and templated spam score near 0 (their
+    * bigrams are corpus-frequent and near-deterministic); incoherent
+    * token soup scores very negative — the filter keeps the middle.
+    *
+    * Same determinism discipline as [[unigramLogProb]]: per-bigram
+    * log10 rounds to 6 decimals into DECIMAL(18,6) so the per-doc sum
+    * is EXACT (order-independent across shuffle partitions), and the
+    * cross-engine oracle gates the integer surfaces (`n_bigrams`,
+    * `sum_c2`, `min_c2`) while the transcendental columns are pinned
+    * by ScalaTest goldens.
+    *
+    * Shape: row-local bigram build (zip_with over shifted slices),
+    * one vocab-sized bigram count, one unigram count, and a
+    * bigram→doc re-join — the same two-explode volume TF-IDF carries;
+    * at 100 TB the join currency swaps to [[tokenHash60]] pairs.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    val pairsArr = when(size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    val bi = df.select(col(idCol).as("id"), explode(pairsArr).as("p"))
+      .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
+    val bg = bi.groupBy("l", "r").agg(count(lit(1)).as("c2"))
+    val uni = df.select(explode(ws).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val cond = bg.join(uni.select(col("term").as("l"), col("c1")), Seq("l"))
+      .select(col("l"), col("r"), col("c2"), col("c1"),
+        round(log10(col("c2").cast("double") / col("c1")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    bi.join(cond, Seq("l", "r"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("c2").as("sum_c2"), min("c2").as("min_c2"),
+        sum("lp").as("sum_lp"))
+      .withColumn("logprob_avg",
+        round(col("sum_lp").cast("double") / col("n_bigrams"), 6))
+  }
 
   def bpePairs(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
     val ws = tokens(lower(col(textCol)))

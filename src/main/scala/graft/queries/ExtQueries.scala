@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{CorpusPipeline, Dedup, HashDefs, Multimodal, Similarity, TextAnalysis, TrainingData}
+import graft.ext.{CorpusPipeline, Dedup, HashDefs, Multimodal, QualityModel, Similarity, TextAnalysis, TrainingData}
 import graft.queries.CoreQueries.{Q, stagingDir}
 
 /** Training-data-pipeline extension operators (BASELINE.json north
@@ -42,6 +42,39 @@ object ExtQueries {
        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src)))""".stripMargin
   private val shinglesSql = shinglesSqlFrom("documents")
+
+  /** SQL twin of the NB model admission gate (q_quality_gate /
+    * q_stream_admit_quality): the whole trained model replayed —
+    * integer teacher labels on the seen half, per-term class counts,
+    * one micro-unit llr per term (the only rounded double, identical
+    * IEEE op sequence to [[QualityModel.nbWeightsMicro]]), then exact
+    * BIGINT per-doc sums over the fresh slice.
+    */
+  private val qualityGateSql: String = {
+    val b = s"${h60("CAST(doc_id AS VARCHAR)")} % 1000"
+    s"""WITH lab AS (
+       |  SELECT CASE WHEN len(text) >= 200 AND
+       |      len(list_filter(string_split(text, ' '),
+       |        t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) >= 5
+       |    THEN 1 ELSE 0 END AS y, text
+       |  FROM documents WHERE $b < 500),
+       |toks AS (SELECT y, unnest(string_split(text, ' ')) AS term FROM lab),
+       |ts AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
+       |       FROM toks GROUP BY term),
+       |st AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM ts),
+       |w AS (SELECT term,
+       |    CAST(round((log10(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+       |              - log10(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)))
+       |         * 1000000.0, 0) AS BIGINT) AS lm
+       |  FROM ts CROSS JOIN st),
+       |fresh AS (SELECT doc_id, text FROM documents
+       |          WHERE $b >= 500 AND $b < 600),
+       |ft AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |       FROM fresh),
+       |sc AS (SELECT doc_id, CAST(sum(coalesce(lm, 0)) AS BIGINT) AS s
+       |       FROM ft LEFT JOIN w USING (term) GROUP BY doc_id)
+       |SELECT doc_id FROM sc WHERE s > 0 ORDER BY doc_id""".stripMargin
+  }
 
   private val jaccardTailSql =
     """sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -651,6 +684,33 @@ object ExtQueries {
               |      AND md5(c.text) = md5(s.text))
               |ORDER BY doc_id""".stripMargin)),
 
+    // Model rung of the admission ladder, batch face: NB weights
+    // trained on the corpus half (QualityModel.nbWeightsMicro — the
+    // train-offline/ship artifact), fresh slice filtered by the
+    // row-local integer micro-llr fold (admitByModel). Exact BIGINT
+    // arithmetic end-to-end, so the oracle replays the entire model
+    // in SQL: teacher labels → per-term class counts → one rounded
+    // micro-llr per term → per-doc exact sum > 0.
+    Q("q_quality_gate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+        val weights = QualityModel.nbWeightsMicro(d.filter(bucket < 500), "text")
+        QualityModel.admitByModel(
+            d.filter(bucket >= 500 && bucket < 600).select("doc_id", "text"),
+            weights)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(qualityGateSql)),
+
+    // Streaming twin of the model rung: the same shipped weight map
+    // filters each arriving micro-batch (stateless pure projection —
+    // no state, no join), so the admitted set must equal the batch
+    // face bit-for-bit; same oracle.
+    Q("q_stream_admit_quality",
+      (s, dir) => graft.streaming.StreamingGate.streamAdmitQualityFromFiles(s, dir),
+      Some(qualityGateSql)),
+
     // Streaming twin of the admission face's FUZZY stage: per-batch
     // row-local MinHash banding, stream-static (band, band_hash)
     // candidate join against the batch-built corpus band index,
@@ -850,6 +910,56 @@ object ExtQueries {
               |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src)
               |SELECT id, min(lab) AS cluster FROM reach GROUP BY id
               |ORDER BY id""".stripMargin)),
+
+    // Quality-aware survivor selection over the near-dup clusters:
+    // keep per cluster the member with max n_chars (ties → min id) —
+    // the "cluster near-duplicates, keep the best copy" production
+    // step (Dedup.clusterSurvivors). The oracle replays the full
+    // clustering CTE (same fragments as q_dedup_clusters) plus a
+    // window argmax.
+    Q("q_cluster_survivors",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Dedup.clusterSurvivors(d, "doc_id",
+            Dedup.nearDupClusters(
+              d.select(col("doc_id").as("id")),
+              Dedup.minhashDedupEdges(d, "doc_id", "text")),
+            "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $shinglesSql,
+              |$minhashSql,
+              |$bandsSql,
+              |cand AS (
+              |  SELECT DISTINCT a.id AS ca, b.id AS cb
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+              |shp AS (SELECT sh.* FROM sh
+              |        WHERE id IN (SELECT ca FROM cand) OR id IN (SELECT cb FROM cand)),
+              |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+              |shared AS (
+              |  SELECT ca AS ia, cb AS ib, count(*) AS shared
+              |  FROM cand JOIN shp a ON ca = a.id
+              |            JOIN shp b ON cb = b.id AND a.h = b.h
+              |  GROUP BY 1, 2),
+              |p AS (
+              |  SELECT ia AS id_a, ib AS id_b
+              |  FROM shared JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+              |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM p
+              |  UNION ALL SELECT id_b, id_a FROM p),
+              |reach(id, lab) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src),
+              |cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+              |SELECT doc_id, text, lang, source, n_chars FROM (
+              |  SELECT d.*, row_number() OVER (
+              |      PARTITION BY c.cluster
+              |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+              |  FROM documents d JOIN cl c ON d.doc_id = c.id)
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // SimHash fingerprints (tf-weighted, 60-bit).
     Q("q_simhash",
@@ -1327,6 +1437,89 @@ object ExtQueries {
              |  min(c) AS min_c
              |FROM toks JOIN vocab USING (term)
              |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Bigram-LM scoring (CCNet-style perplexity filter, one rung above
+    // q_unigram_lp): per-doc average conditional log-prob of adjacent
+    // token pairs under the corpus' own bigram counts. Oracle gates the
+    // integer surfaces (bigram count, summed corpus bigram frequency,
+    // rarest bigram); the log10 columns are golden-pinned in
+    // TextAnalysisSpec, per the same rule as q_unigram_lp.
+    Q("q_bigram_lm",
+      (s, dir) => TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .select("id", "n_bigrams", "sum_c2", "min_c2")
+        .orderBy("id"),
+      Some("""WITH bi AS (
+             |  SELECT id, ws[i] AS l, ws[i+1] AS r FROM (
+             |    SELECT doc_id AS id, unnest(range(1, len(ws))) AS i, ws
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |          FROM documents))),
+             |bg AS (SELECT l, r, count(*) AS c2 FROM bi GROUP BY l, r)
+             |SELECT id, count(*) AS n_bigrams,
+             |  CAST(sum(c2) AS BIGINT) AS sum_c2, min(c2) AS min_c2
+             |FROM bi JOIN bg USING (l, r)
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // PMI collocation mining: top-50 adjacent-token pairs by pointwise
+    // mutual information (min pair count 5). The ln argument is the
+    // identical IEEE op sequence on both engines — same exposure as
+    // q_tfidf's ln — so the rank order and round(…,6) replay exactly.
+    Q("q_pmi",
+      (s, dir) => TextAnalysis.pmiCollocations(docs(s, dir), "text")
+        .orderBy("rank"),
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS term
+             |  FROM documents),
+             |uni AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+             |bi AS (
+             |  SELECT ws[i] AS l, ws[i+1] AS r FROM (
+             |    SELECT unnest(range(1, len(ws))) AS i, ws
+             |    FROM (SELECT string_split(lower(text), ' ') AS ws
+             |          FROM documents))),
+             |pc AS (SELECT l, r, count(*) AS c_pair FROM bi GROUP BY l, r),
+             |st AS (SELECT
+             |    CAST((SELECT sum(c_t) FROM uni) AS DOUBLE) AS n_tok,
+             |    CAST((SELECT sum(c_pair) FROM pc) AS DOUBLE) AS n_pairs),
+             |sc AS (
+             |  SELECT l, r, c_pair, ul.c_t AS c_l, ur.c_t AS c_r,
+             |    ln((CAST(c_pair AS DOUBLE) / n_pairs) /
+             |       ((CAST(ul.c_t AS DOUBLE) / n_tok) *
+             |        (CAST(ur.c_t AS DOUBLE) / n_tok))) AS pmi_raw
+             |  FROM pc JOIN uni ul ON pc.l = ul.term
+             |          JOIN uni ur ON pc.r = ur.term
+             |  CROSS JOIN st
+             |  WHERE c_pair >= 5),
+             |top AS (SELECT * FROM sc ORDER BY pmi_raw DESC, l, r LIMIT 50)
+             |SELECT CAST(row_number() OVER (ORDER BY pmi_raw DESC, l, r) AS INT)
+             |    AS rank,
+             |  l, r, c_pair, c_l, c_r, round(pmi_raw, 6) AS pmi
+             |FROM top ORDER BY rank""".stripMargin)),
+
+    // Model-based quality filter: multinomial Naive Bayes trained on
+    // the corpus against the heuristic teacher label, scoring every
+    // document (graft.ext.QualityModel). Oracle gates the integer
+    // surfaces (teacher label, token count, class-evidence sums); the
+    // llr score columns are golden-pinned in QualityModelSpec.
+    Q("q_quality_nb",
+      (s, dir) => graft.ext.QualityModel
+        .nbQualityScores(docs(s, dir), "doc_id", "text")
+        .select("id", "y", "n_tokens", "sum_c1", "sum_c0")
+        .orderBy("id"),
+      Some("""WITH lab AS (
+             |  SELECT doc_id AS id,
+             |    CASE WHEN len(text) >= 200 AND
+             |      len(list_filter(string_split(text, ' '),
+             |        t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) >= 5
+             |    THEN 1 ELSE 0 END AS y, text
+             |  FROM documents),
+             |toks AS (
+             |  SELECT id, y, unnest(string_split(text, ' ')) AS term FROM lab),
+             |ts AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
+             |       FROM toks GROUP BY term)
+             |SELECT id, y, count(*) AS n_tokens,
+             |  CAST(sum(c1) AS BIGINT) AS sum_c1,
+             |  CAST(sum(c0) AS BIGINT) AS sum_c0
+             |FROM toks JOIN ts USING (term)
+             |GROUP BY id, y ORDER BY id""".stripMargin)),
 
     // TF-IDF top-3 terms per document (smoothed idf, total tie-break).
     // ln() replays across engines; scores round to 6 decimals on both
@@ -1839,6 +2032,60 @@ object ExtQueries {
              |  FROM documents)
              |WHERE tok_before < 800
              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-document n-gram novelty: fraction of a doc's distinct
+    // 3-shingles appearing in no other document (df=1) — the inverse
+    // of boilerplate share (Dedup.noveltyScores).
+    Q("q_novelty",
+      (s, dir) => Dedup.noveltyScores(docs(s, dir), "doc_id", "text")
+        .orderBy("id"),
+      Some(s"""WITH $shinglesSql,
+              |dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+              |SELECT id, count(*) AS n_shingles,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_unique,
+              |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / count(*), 6) AS novelty
+              |FROM sh JOIN dfc USING (h)
+              |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Winnowed span-hash index (MOSS fingerprinting): per-window
+    // minimum over the stride-1 8-word span hashes at window=4 —
+    // the content-defined ~2.5× compression of the substring index
+    // (Dedup.winnowedSpanHashIndex). Surface: per-doc span count,
+    // selected-fingerprint count, min fingerprint — all exact ints.
+    Q("q_winnow",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nsp = d.select(col("doc_id").as("id"),
+          size(graft.functions.TextHashFunctions.span_hashes(
+            col("text"), 8)).as("n_spans"))
+        Dedup.winnowedSpanHashIndex(d, "doc_id", "text", spanWords = 8,
+            window = 4)
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_selected"), min(col("h")).as("min_h"))
+          .join(nsp, Seq("id"))
+          .select("id", "n_spans", "n_selected", "min_h")
+          .orderBy("id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+              |          FROM documents),
+              |sp AS (SELECT doc_id,
+              |    list_transform(range(0, greatest(len(ws) - 7, 0)),
+              |      i -> ${h60("array_to_string(ws[(i+1):(i+8)], ' ')")})
+              |      AS spans
+              |  FROM w),
+              |sel AS (SELECT doc_id, len(spans) AS n_spans,
+              |    CASE WHEN len(spans) >= 4 THEN
+              |      list_distinct(list_transform(range(1, len(spans) - 2),
+              |        i -> list_min(spans[i:(i+3)])))
+              |    WHEN len(spans) >= 1 THEN [list_min(spans)]
+              |    ELSE [] END AS fps
+              |  FROM sp)
+              |SELECT doc_id AS id, CAST(n_spans AS INT) AS n_spans,
+              |  CAST(len(fps) AS BIGINT) AS n_selected,
+              |  list_min(fps) AS min_h
+              |FROM sel WHERE len(fps) > 0 ORDER BY id""".stripMargin)),
 
     // Corpus-level repeated-span removal (C4/Gopher "remove duplicated
     // text" for line-less corpora): 5-word segments, any span occurring

@@ -713,6 +713,62 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING MODEL-QUALITY ADMISSION under the gate: the model rung
+    * of the ingest ladder — NB weights are trained OFFLINE on the
+    * corpus half ([[graft.ext.QualityModel.nbWeightsMicro]], the
+    * train-then-ship artifact), and each arriving micro-batch is
+    * filtered by the row-local integer micro-llr fold
+    * ([[graft.ext.QualityModel.admitByModel]]). Fully stateless — no
+    * watermark, no state store, no join even: scoring is a pure
+    * projection, so the admitted SET is arrival-order-independent and
+    * must equal the batch formulation, which is the DuckDB oracle
+    * (the model replayed in SQL end-to-end: integer teacher labels,
+    * integer count surfaces, one rounded-to-micro llr per term, exact
+    * BIGINT sums).
+    */
+  def streamAdmitQualityFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{QualityModel, TrainingData}
+    val stage = newStage()
+    try withStatePartitions(s, 4) {
+      val d = Tables(s, dir, "documents")
+      val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+      val seen = d.filter(bucket < 500)
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val weights = QualityModel.nbWeightsMicro(seen, "text")
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = QualityModel.admitByModel(stream, weights)
+        .select("doc_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING FUZZY ADMISSION under the gate: a REAL
     * [[Streaming.streamFuzzyHits]] run — the fresh slice arrives as
     * micro-batches and each batch bands row-locally, candidates via a

@@ -519,4 +519,77 @@ class DedupSpec extends SparkSpec {
     Dedup.ngramJaccardPairs(df2, "doc_id", "text").count()
     Dedup.probeVerdictEntries(s2) shouldBe 2
   }
+
+  test("noveltyScores: df=1 shingles counted, short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // shingles abc,bcd,cde
+      (2L, "a b c x y"),   // shingles abc,bcx,cxy — abc shared
+      (3L, "a b")          // no 3-shingles → no row
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    out.length shouldBe 2
+    out(0).getAs[Long]("n_shingles") shouldBe 3L
+    out(0).getAs[Long]("n_unique") shouldBe 2L
+    out(0).getAs[Double]("novelty") shouldBe (2.0 / 3.0 * 1e6).round / 1e6
+    out(1).getAs[Long]("n_unique") shouldBe 2L
+  }
+
+  test("winnowing: shared ≥(span+window−1)-token run shares a fingerprint; short docs keep one") {
+    import spark.implicits._
+    // 11 shared tokens = 4 consecutive shared 8-word span hashes; a
+    // width-4 winnow window lands exactly on them in both docs, so
+    // both select the same minimum
+    val run = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run eps zeta"),
+      (2L, s"uno dos tres $run quattro cinco seis siete octo")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.winnowedSpanHashIndex(docs, "doc_id", "text",
+      spanWords = 8, window = 4)
+    idx.groupBy("h").agg(countDistinct("id").as("n"))
+      .filter(col("n") === 2).count() should be >= 1L
+
+    // 9 tokens → 2 span hashes < window → exactly the global min kept
+    val short = Seq((7L, (1 to 9).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sidx = Dedup.winnowedSpanHashIndex(short, "doc_id", "text", 8, 4)
+    sidx.count() shouldBe 1L
+    val full = Dedup.spanHashIndex(short, "doc_id", "text", 8)
+    sidx.head().getLong(1) shouldBe
+      full.agg(min("h")).head().getLong(0)
+  }
+
+  test("winnowing compresses the stride-1 index, and selection ⊆ stride-1 hashes") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 80).map(i => s"t${i % 37}w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val full = Dedup.spanHashIndex(docs, "doc_id", "text", 8)
+    val win = Dedup.winnowedSpanHashIndex(docs, "doc_id", "text", 8, 4)
+    val nFull = full.count()
+    val nWin = win.count()
+    nWin should be < nFull
+    nWin should be >= nFull / 4 - 1 // ~2/(w+1) density, never degenerate
+    win.join(full.select(col("h")), Seq("h"), "left_anti").count() shouldBe 0L
+  }
+
+  test("clusterSurvivors: max-rank member wins, ties break to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short copy", 10L), (2L, "the full article text", 20L),
+      (3L, "tie a", 7L), (4L, "tie b", 7L),
+      (5L, "singleton", 3L)).toDF("doc_id", "text", "n_chars")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L)).toDF("id", "cluster")
+    val kept = Dedup.clusterSurvivors(docs, "doc_id", clusters, "n_chars")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // cluster 1: doc 2 has more chars; cluster 3: tie → min id 3; singleton kept
+    kept shouldBe Seq(2L, 3L, 5L)
+    // survivor set is layout-independent
+    val kept2 = Dedup.clusterSurvivors(docs.repartition(5), "doc_id",
+        clusters.repartition(3), "n_chars")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    kept2 shouldBe kept
+  }
 }

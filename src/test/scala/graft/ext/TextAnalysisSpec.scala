@@ -349,4 +349,54 @@ class TextAnalysisSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.buildVocab(df, "text", 0) // unbounded collect refused
   }
+
+  test("pmiCollocations: hand-checked PMI, minCount suppresses hapax pairs") {
+    val docs = Seq(
+      "New York new york is big",
+      "new york has a big apple").toDF("text")
+    // case-folded tokens: n_tok=12, bigrams n_pairs=10;
+    // (new,york) c_pair=3, c(new)=3, c(york)=3
+    // pmi = ln((3/10) / ((3/12)*(3/12))) = ln(4.8)
+    val top = TextAnalysis.pmiCollocations(docs, "text", minCount = 2, topK = 10)
+      .collect()
+    top.length shouldBe 1 // every other pair is hapax → suppressed
+    val r = top.head
+    r.getAs[Int]("rank") shouldBe 1
+    r.getAs[String]("l") shouldBe "new"
+    r.getAs[String]("r") shouldBe "york"
+    r.getAs[Long]("c_pair") shouldBe 3L
+    r.getAs[Long]("c_l") shouldBe 3L
+    r.getAs[Long]("c_r") shouldBe 3L
+    r.getAs[Double]("pmi") shouldBe (math.log(4.8) * 1e6).round / 1e6
+  }
+
+  test("bigramLogProb: hand-checked conditional log-probs; short docs dropped") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // bg counts: (a,b)=3, (b,a)=1, (b,c)=1; c(a)=3, c(b)=3
+    // lp(a,b)=log10(3/3)=0; lp(b,a)=lp(b,c)=round(log10(1/3),6)=-0.477121
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    out.length shouldBe 2 // doc 3 has no bigrams
+    val d1 = out(0)
+    d1.getAs[Long]("n_bigrams") shouldBe 3L
+    d1.getAs[Long]("sum_c2") shouldBe 7L // 3+1+3
+    d1.getAs[Long]("min_c2") shouldBe 1L
+    d1.getAs[Double]("logprob_avg") shouldBe -0.15904 // -0.477121/3 rounded
+    val d2 = out(1)
+    d2.getAs[Long]("n_bigrams") shouldBe 2L
+    d2.getAs[Long]("sum_c2") shouldBe 4L // 3+1
+    d2.getAs[java.math.BigDecimal]("sum_lp").doubleValue() shouldBe -0.477121
+  }
+
+  test("bigramLogProb: layout-independent (exact decimal sums)") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 5} end"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = TextAnalysis.bigramLogProb(docs.repartition(13), "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    a shouldBe b
+  }
 }
