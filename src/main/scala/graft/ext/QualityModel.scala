@@ -42,17 +42,37 @@ object QualityModel {
     (length(text) >= 200 &&
       size(filter(tokens(text), t => inList(t, stopwords))) >= 5).cast("int")
 
+  /** Per-term class token counts `(term, c1, c0)`. The teacher label
+    * is evaluated ONCE PER DOCUMENT and attached by a (broadcast-able)
+    * id join: carrying `teacherLabel` through the token explode
+    * directly re-evaluates the interpreted stopword-filter lambda per
+    * TOKEN row (higher-order functions are CodegenFallback, and any
+    * non-attribute projection lands above the Generate) — measured
+    * 3.6 s vs 0.5 s for this aggregate at sf0.1 (DevNb5). The
+    * (id, term) pre-aggregation also map-side-combines each doc's
+    * repeated terms before anything shuffles.
+    */
+  private def termClassCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docLab = df.select(col(idCol).as("id"),
+      teacherLabel(col(textCol)).as("y"))
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    perDoc.join(docLab, Seq("id"))
+      .groupBy("term").agg(
+        sum(when(col("y") === 1, col("tf")).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, col("tf")).otherwise(0L)).as("c0"))
+  }
+
   /** Per-term NB weights learned from `df` under [[teacherLabel]]:
     * `(term, c1, c0, llr)` where `llr = log10((c1+1)/(t1+v)) -
     * log10((c0+1)/(t0+v))` (add-one smoothing, v = vocabulary size,
     * t_k = total tokens in class k). One corpus scan, vocab-sized
     * output.
     */
-  def nbTermWeights(df: DataFrame, textCol: String): DataFrame = {
-    val toks = df.select(teacherLabel(col(textCol)).as("y"),
-      explode(tokens(col(textCol))).as("term"))
-    val tstats = toks.groupBy("term").agg(
-      sum(col("y")).as("c1"), sum(lit(1) - col("y")).as("c0"))
+  def nbTermWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tstats = termClassCounts(df, idCol, textCol)
     val stats = tstats.agg(
       sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("v"))
     tstats.crossJoin(broadcast(stats))
@@ -78,12 +98,9 @@ object QualityModel {
     * (df-1 terms carry ~zero evidence) or ship as a broadcast join
     * instead of a literal map.
     */
-  def nbWeightsMicro(df: DataFrame, textCol: String,
+  def nbWeightsMicro(df: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = 1 << 20): Map[String, Long] = {
-    val toks = df.select(teacherLabel(col(textCol)).as("y"),
-      explode(tokens(col(textCol))).as("term"))
-    val tstats = toks.groupBy("term").agg(
-      sum(col("y")).as("c1"), sum(lit(1) - col("y")).as("c0"))
+    val tstats = termClassCounts(df, idCol, textCol)
     val stats = tstats.agg(
       sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("v"))
     val rows = tstats.crossJoin(broadcast(stats))
@@ -94,11 +111,16 @@ object QualityModel {
           log10((col("c0") + 1).cast("double") /
             (col("t0") + col("v")).cast("double"))) * lit(1000000.0), 0)
           .cast("long").as("llr_micro"))
-      .limit(maxVocab + 1).collect()
-    require(rows.length <= maxVocab,
-      s"nbWeightsMicro: vocabulary exceeds maxVocab=$maxVocab — " +
+    // count-then-collect, NOT limit(maxVocab+1).collect(): a LIMIT on
+    // top of this aggregate replans per take attempt under AQE and
+    // cost a flat ~3.5 s at bench scale (measured, DevNb2) — the
+    // count is one extra vocab-sized job (~0.2 s) and keeps the
+    // collect bounded-by-contract
+    val n = rows.count()
+    require(n <= maxVocab,
+      s"nbWeightsMicro: vocabulary has $n terms > maxVocab=$maxVocab — " +
         "prune the df-1 tail or use a broadcast-join scorer")
-    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Row-local NB score in micro-units: fold the document's tokens
@@ -135,19 +157,26 @@ object QualityModel {
     * integer class-evidence surfaces the oracle gates.
     */
   def nbQualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val weights = nbTermWeights(df, textCol)
+    val weights = nbTermWeights(df, idCol, textCol)
+    // y rides a separate doc-level frame, NOT the token stream — see
+    // [[termClassCounts]] for the measured per-token re-evaluation
+    // hazard this avoids
+    val docLab = df.select(col(idCol).as("id"),
+      teacherLabel(col(textCol)).as("y"))
     val toks = df.select(col(idCol).as("id"),
-      teacherLabel(col(textCol)).as("y"),
       explode(tokens(col(textCol))).as("term"))
     // the weight table is vocab-sized — broadcast it so the corpus
     // token stream is never shuffled on the (few-key, skew-prone)
-    // term column (measured 4.4 s → sub-second at sf0.1 bench)
+    // term column
     toks.join(broadcast(weights), Seq("term"))
-      .groupBy("id", "y")
+      .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("c1").as("sum_c1"), sum("c0").as("sum_c0"),
         sum("llr").as("sum_llr"))
+      .join(docLab, Seq("id"))
       .withColumn("nb_score",
         round(col("sum_llr").cast("double") / col("n_tokens"), 6))
+      .select("id", "y", "n_tokens", "sum_c1", "sum_c0", "sum_llr",
+        "nb_score")
   }
 }

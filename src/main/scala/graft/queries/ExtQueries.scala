@@ -695,7 +695,7 @@ object ExtQueries {
       (s, dir) => {
         val d = docs(s, dir)
         val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
-        val weights = QualityModel.nbWeightsMicro(d.filter(bucket < 500), "text")
+        val weights = QualityModel.nbWeightsMicro(d.filter(bucket < 500), "doc_id", "text")
         QualityModel.admitByModel(
             d.filter(bucket >= 500 && bucket < 600).select("doc_id", "text"),
             weights)

@@ -741,7 +741,7 @@ object StreamingGate {
           fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
           stage, k, baseMs)
       }
-      val weights = QualityModel.nbWeightsMicro(seen, "text")
+      val weights = QualityModel.nbWeightsMicro(seen, "doc_id", "text")
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))

@@ -35,7 +35,7 @@ class QualityModelSpec extends SparkSpec {
   }
 
   test("nbTermWeights: class-pure terms get signed llr, counts exact") {
-    val w = QualityModel.nbTermWeights(corpus, "text")
+    val w = QualityModel.nbTermWeights(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[String]("term") ->
         (r.getAs[Long]("c1"), r.getAs[Long]("c0"),
           r.getAs[java.math.BigDecimal]("llr").doubleValue())).toMap
@@ -76,7 +76,7 @@ class QualityModelSpec extends SparkSpec {
   }
 
   test("nbWeightsMicro + admitByModel: micro weights match decimal llr signs; cap fails loud") {
-    val w = QualityModel.nbWeightsMicro(corpus, "text")
+    val w = QualityModel.nbWeightsMicro(corpus, "doc_id", "text")
     // micro weights carry the same signs the decimal weights do
     w("the") should be > 0L
     w("qq8") should be < 0L
@@ -86,7 +86,7 @@ class QualityModelSpec extends SparkSpec {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     kept shouldBe Seq(1L, 2L)
     an[IllegalArgumentException] should be thrownBy
-      QualityModel.nbWeightsMicro(corpus, "text", maxVocab = 3)
+      QualityModel.nbWeightsMicro(corpus, "doc_id", "text", maxVocab = 3)
   }
 
   test("nbQualityScores: layout-independent (exact decimal sums)") {
