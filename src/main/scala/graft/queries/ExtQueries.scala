@@ -50,31 +50,37 @@ object ExtQueries {
     * IEEE op sequence to [[QualityModel.nbWeightsMicro]]), then exact
     * BIGINT per-doc sums over the fresh slice.
     */
-  private val qualityGateSql: String = {
+  private val qualityModelCtes: String = {
     val b = s"${h60("CAST(doc_id AS VARCHAR)")} % 1000"
-    s"""WITH lab AS (
+    s"""qlab AS (
        |  SELECT CASE WHEN len(text) >= 200 AND
        |      len(list_filter(string_split(text, ' '),
        |        t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) >= 5
        |    THEN 1 ELSE 0 END AS y, text
        |  FROM documents WHERE $b < 500),
-       |toks AS (SELECT y, unnest(string_split(text, ' ')) AS term FROM lab),
-       |ts AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
-       |       FROM toks GROUP BY term),
-       |st AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM ts),
-       |w AS (SELECT term,
+       |qtoks AS (SELECT y, unnest(string_split(text, ' ')) AS term FROM qlab),
+       |qts AS (SELECT term, sum(y) AS c1, sum(1 - y) AS c0
+       |        FROM qtoks GROUP BY term),
+       |qst AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM qts),
+       |qw AS (SELECT term,
        |    CAST(round((log10(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))
        |              - log10(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)))
        |         * 1000000.0, 0) AS BIGINT) AS lm
-       |  FROM ts CROSS JOIN st),
-       |fresh AS (SELECT doc_id, text FROM documents
-       |          WHERE $b >= 500 AND $b < 600),
-       |ft AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |       FROM fresh),
-       |sc AS (SELECT doc_id, CAST(sum(coalesce(lm, 0)) AS BIGINT) AS s
-       |       FROM ft LEFT JOIN w USING (term) GROUP BY doc_id)
-       |SELECT doc_id FROM sc WHERE s > 0 ORDER BY doc_id""".stripMargin
+       |  FROM qts CROSS JOIN qst),
+       |qfresh AS (SELECT doc_id, text FROM documents
+       |           WHERE $b >= 500 AND $b < 600),
+       |qft AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM qfresh),
+       |model_pass AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(sum(coalesce(lm, 0)) AS BIGINT) AS ms
+       |    FROM qft LEFT JOIN qw USING (term) GROUP BY doc_id)
+       |  WHERE ms > 0)""".stripMargin
   }
+
+  private val qualityGateSql: String =
+    s"""WITH $qualityModelCtes
+       |SELECT doc_id FROM model_pass ORDER BY doc_id""".stripMargin
 
   private val jaccardTailSql =
     """sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -382,6 +388,56 @@ object ExtQueries {
     """SELECT doc_id FROM exact_novel
       |WHERE doc_id NOT IN (SELECT doc_id FROM substr_hit)
       |  AND doc_id NOT IN (SELECT new_id FROM fuzzy)""".stripMargin
+
+  /** Embedding-rung hit ids (cosine ≥ 0.35 among any-table LSH bucket
+    * collisions, vec_id doc-aligned) — shared by q_admit_full and the
+    * five-rung pipeline faces.
+    */
+  private def embedHitIds(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.LshFunctions.lsh_buckets
+    val e = emb(s, dir)
+    val ebucket = TrainingData.splitBucket(col("vec_id"), 1000)
+    val cN = Similarity.withNorm(e.filter(ebucket < 500)
+      .select(col("vec_id"), col("embedding").as("vec")))
+    val nN = Similarity.withNorm(e.filter(ebucket >= 500 && ebucket < 600)
+      .select(col("vec_id"), col("embedding").as("vec")))
+    def idx(df: DataFrame) = df.select(col("vec_id"),
+      posexplode(lsh_buckets(col("vec"), 6, 8, 64))
+        .as(Seq("table", "bucket")))
+    idx(nN).as("n")
+      .join(idx(cN).as("c"),
+        col("n.table") === col("c.table") &&
+          col("n.bucket") === col("c.bucket") &&
+          col("n.vec_id") =!= col("c.vec_id"))
+      .select(col("n.vec_id").as("vec_id"), col("c.vec_id").as("cid"))
+      .distinct()
+      .join(nN.select(col("vec_id"), col("vec").as("nv"),
+        col("norm").as("nn")), Seq("vec_id"))
+      .join(cN.select(col("vec_id").as("cid"), col("vec").as("cv"),
+        col("norm").as("cn")), Seq("cid"))
+      .filter(Similarity.cosineFromNorms(
+        col("nv"), col("cv"), col("nn"), col("cn")) >= 0.35)
+      .select(col("vec_id").as("doc_id")).distinct()
+  }
+
+  /** SQL twin of [[embedHitIds]] (assumes [[embNormSql]] +
+    * [[lshIndexSql]] precede it in the same WITH).
+    */
+  private lazy val embedHitCtes: String =
+    s"""ce AS (SELECT vec_id, tbl, bucket FROM idx
+       |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 500),
+       |ne AS (SELECT vec_id, tbl, bucket FROM idx
+       |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 >= 500
+       |         AND ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 600),
+       |ecand AS (
+       |  SELECT DISTINCT ne.vec_id AS new_id, ce.vec_id AS corpus_id
+       |  FROM ce JOIN ne
+       |    ON ce.tbl = ne.tbl AND ce.bucket = ne.bucket
+       |      AND ce.vec_id <> ne.vec_id),
+       |embed_hit AS (
+       |  SELECT DISTINCT new_id AS doc_id FROM ecand
+       |  JOIN n na ON new_id = na.vec_id JOIN n nc ON corpus_id = nc.vec_id
+       |  WHERE list_dot_product(na.v, nc.v) / (na.nrm * nc.nrm) >= 0.35)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
