@@ -48,7 +48,7 @@ object QualityModel {
     * directly re-evaluates the interpreted stopword-filter lambda per
     * TOKEN row (higher-order functions are CodegenFallback, and any
     * non-attribute projection lands above the Generate) — measured
-    * 3.6 s vs 0.5 s for this aggregate at sf0.1 (DevNb5). The
+    * 3.6 s vs 0.5 s for this aggregate at sf0.1 (DevNb profiler). The
     * (id, term) pre-aggregation also map-side-combines each doc's
     * repeated terms before anything shuffles.
     */
@@ -113,7 +113,7 @@ object QualityModel {
           .cast("long").as("llr_micro"))
     // count-then-collect, NOT limit(maxVocab+1).collect(): a LIMIT on
     // top of this aggregate replans per take attempt under AQE and
-    // cost a flat ~3.5 s at bench scale (measured, DevNb2) — the
+    // cost a flat ~3.5 s at bench scale (measured, DevNb profiler) — the
     // count is one extra vocab-sized job (~0.2 s) and keeps the
     // collect bounded-by-contract
     val n = rows.count()
@@ -133,8 +133,11 @@ object QualityModel {
     */
   def nbScoreMicro(text: Column, weights: Map[String, Long]): Column = {
     require(weights.nonEmpty, "nbScoreMicro: empty weight map")
-    val entries = weights.toSeq.sortBy(_._1)
-    val m = map(entries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // typedlit ships the whole map as ONE MapType Literal — map(lit(k),
+    // lit(v), ...) built a CreateMap with 2×vocab child nodes, which
+    // blows up analysis/codegen at real vocab sizes long before the
+    // maxVocab cap bites (r10 ADVICE)
+    val m = typedlit(scala.collection.immutable.TreeMap(weights.toSeq: _*))
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
   }

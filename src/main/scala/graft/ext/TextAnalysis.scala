@@ -334,7 +334,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c_pair"))
     // totals from the (small) count tables, not a third corpus scan
     val stats = uni.agg(sum("c_t").cast("double").as("n_tok"))
-      .crossJoin(pc.agg(sum("c_pair").cast("double").as("n_pairs")))
+      .crossJoin(broadcast(pc.agg(sum("c_pair").cast("double").as("n_pairs"))))
     val scored = pc.filter(col("c_pair") >= minCount)
       .join(uni.select(col("term").as("l"), col("c_t").as("c_l")), Seq("l"))
       .join(uni.select(col("term").as("r"), col("c_t").as("c_r")), Seq("r"))

@@ -670,55 +670,17 @@ object ExtQueries {
     // lifted-passage, near-dup, AND paraphrased leakage all gated in
     // one composition, still zero corpus self-shuffles.
     Q("q_admit_full",
-      (s, dir) => {
-        import graft.functions.LshFunctions.lsh_buckets
-        val e = emb(s, dir)
-        val ebucket = TrainingData.splitBucket(col("vec_id"), 1000)
-        val cN = Similarity.withNorm(e.filter(ebucket < 500)
-          .select(col("vec_id"), col("embedding").as("vec")))
-        val nN = Similarity.withNorm(e.filter(ebucket >= 500 && ebucket < 600)
-          .select(col("vec_id"), col("embedding").as("vec")))
-        def idx(df: DataFrame) = df.select(col("vec_id"),
-          posexplode(lsh_buckets(col("vec"), 6, 8, 64))
-            .as(Seq("table", "bucket")))
-        val embedHits = idx(nN).as("n")
-          .join(idx(cN).as("c"),
-            col("n.table") === col("c.table") &&
-              col("n.bucket") === col("c.bucket") &&
-              col("n.vec_id") =!= col("c.vec_id"))
-          .select(col("n.vec_id").as("vec_id"), col("c.vec_id").as("cid"))
-          .distinct()
-          .join(nN.select(col("vec_id"), col("vec").as("nv"),
-            col("norm").as("nn")), Seq("vec_id"))
-          .join(cN.select(col("vec_id").as("cid"), col("vec").as("cv"),
-            col("norm").as("cn")), Seq("cid"))
-          .filter(Similarity.cosineFromNorms(
-            col("nv"), col("cv"), col("nn"), col("cn")) >= 0.35)
-          .select(col("vec_id").as("doc_id")).distinct()
+      (s, dir) =>
         admitLadder3(s, dir)
-          .join(embedHits, Seq("doc_id"), "left_anti")
-          .orderBy("doc_id")
-      },
+          .join(embedHitIds(s, dir), Seq("doc_id"), "left_anti")
+          .orderBy("doc_id"),
       Some(s"""WITH $shinglesSql,
               |$minhashSql,
               |$bandsSql,
               |$admitLadderCtes,
               |$embNormSql,
               |$lshIndexSql,
-              |ce AS (SELECT vec_id, tbl, bucket FROM idx
-              |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 500),
-              |ne AS (SELECT vec_id, tbl, bucket FROM idx
-              |       WHERE ${h60("CAST(vec_id AS VARCHAR)")} % 1000 >= 500
-              |         AND ${h60("CAST(vec_id AS VARCHAR)")} % 1000 < 600),
-              |ecand AS (
-              |  SELECT DISTINCT ne.vec_id AS new_id, ce.vec_id AS corpus_id
-              |  FROM ce JOIN ne
-              |    ON ce.tbl = ne.tbl AND ce.bucket = ne.bucket
-              |      AND ce.vec_id <> ne.vec_id),
-              |embed_hit AS (
-              |  SELECT DISTINCT new_id AS doc_id FROM ecand
-              |  JOIN n na ON new_id = na.vec_id JOIN n nc ON corpus_id = nc.vec_id
-              |  WHERE list_dot_product(na.v, nc.v) / (na.nrm * nc.nrm) >= 0.35)
+              |$embedHitCtes
               |$admitLadderPredicate
               |  AND doc_id NOT IN (SELECT doc_id FROM embed_hit)
               |ORDER BY doc_id""".stripMargin)),
@@ -2113,9 +2075,11 @@ object ExtQueries {
     Q("q_winnow",
       (s, dir) => {
         val d = docs(s, dir)
+        // n_spans = max(words - 7, 0) row-locally — re-running the
+        // md5 span walk just to count it doubled the dominant hashing
+        // cost the winnow expression exists to avoid (r10 ADVICE)
         val nsp = d.select(col("doc_id").as("id"),
-          size(graft.functions.TextHashFunctions.span_hashes(
-            col("text"), 8)).as("n_spans"))
+          greatest(size(split(col("text"), " ")) - 7, lit(0)).as("n_spans"))
         Dedup.winnowedSpanHashIndex(d, "doc_id", "text", spanWords = 8,
             window = 4)
           .groupBy("id")

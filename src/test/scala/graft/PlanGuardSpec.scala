@@ -29,11 +29,14 @@ class PlanGuardSpec extends SparkSpec {
     * - q_zorder_cells / q_zorder_prune: crossJoin(broadcast(stats))
     *   against ONE-ROW min/max aggregates (the ship-the-stats shape
     *   again) — the cell assignment itself is row-local.
+    * - q_pmi / q_quality_nb: the same ship-the-stats shape — PMI's
+    *   n_tok/n_pairs totals and NB's t1/t0/v smoothing constants ride
+    *   a crossJoin(broadcast(one-row agg)) onto vocab-sized frames.
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
-      "q_zorder_cells", "q_zorder_prune")
+      "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
