@@ -221,11 +221,28 @@ object Bench {
     // Sequential gate pass, one run each: the concurrent section's
     // per-gate walls are contention spans (seven interleaved
     // micro-batch executions), so a regression in a SINGLE gate is
-    // invisible there except through the group wall. One uncontended
-    // run per gate is cheap (the prestage + JIT warm are already paid)
-    // and makes cross-round per-gate compares attributable.
+    // invisible there except through the group wall. But uncontended
+    // replays of every gate cost ~45 s — half the bench — so the pass
+    // is ON-DEMAND attribution, not a per-round tax: it runs only when
+    // the concurrent wall REGRESSED >20% vs the previous committed
+    // bench_full.json (the moment attribution is needed), or under
+    // SPARK_GRAFT_GATES_SEQ=1 (=0 forces it off).
+    val prevGateSec: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"streaming_gate_sec":(-?[\d.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)
+      } catch { case NonFatal(_) => None }
+    val runSeq = sys.env.get("SPARK_GRAFT_GATES_SEQ") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      =>
+        gateSec < 0 || prevGateSec.exists(prev => gateSec > prev * 1.2)
+    }
     val gatesSeq: Seq[(String, Double)] =
-      if (pickedGates.isEmpty) Nil
+      if (pickedGates.isEmpty || !runSeq) Nil
       else pickedGates.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
