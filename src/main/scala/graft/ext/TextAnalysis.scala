@@ -289,6 +289,174 @@ object TextAnalysis {
     rules.toSeq.toDF("round", "left", "right", "freq")
   }
 
+  /** Driver-local BPE training fast path — bit-identical to
+    * [[bpeTrain]] (same tokenization, same pair counting including
+    * overlaps, same (freq desc, pair asc-by-UTF-8-bytes) tie-break,
+    * same left-to-right non-overlapping merge rewrite), but the merge
+    * LOOP runs on the driver over the collected word-frequency
+    * vocabulary instead of as 2 Spark jobs per round.
+    *
+    * Why this exists: [[bpeTrain]]'s per-round cost is driver
+    * SCHEDULING, not data — a production 32k–64k-merge tokenizer is
+    * ~10⁵ driver-scheduled jobs regardless of corpus size. But the
+    * corpus only matters for the ONE-scan word-freq aggregation
+    * (web-scale corpora have ~10⁷–10⁸ distinct words — executor- and
+    * driver-sized); every round after that is vocabulary-local. So:
+    * one Spark scan builds the vocab, a `require`-capped collect
+    * ships it (the [[graft.ext.Dedup]] `localClusters` edge-cap
+    * precedent), and the driver runs the classic incremental trainer —
+    * pair counts maintained by delta (only words containing the merged
+    * pair are touched, via an inverted pair→words index) with a
+    * lazy-deletion max-heap for the argmax (stale entries are popped
+    * and dropped when their count no longer matches; any entry whose
+    * count matches the CURRENT count is a valid maximum). 8k merges
+    * at sf0.1 run in seconds (SCALE.md §BPE) vs days of scheduler
+    * overhead extrapolated for the job-per-round loop.
+    *
+    * The UTF-8-byte pair comparison matches Spark's `StringType`
+    * ordering (UTF8String binary compare), so tie-breaks agree with
+    * [[bpeTrain]] beyond ASCII; equality of the two paths is pinned in
+    * TextAnalysisSpec and both registry faces share one golden oracle.
+    */
+  def bpeTrainLocal(df: DataFrame, textCol: String, merges: Int,
+      maxVocab: Int = 1 << 22): DataFrame = {
+    import scala.collection.mutable
+    val spark = df.sparkSession
+    val vocabDf = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // count-then-collect (the nbWeightsMicro discipline): fail loud
+    // before shipping an over-cap vocabulary to the driver
+    val nVocab = vocabDf.count()
+    require(nVocab <= maxVocab,
+      s"bpeTrainLocal: vocabulary has $nVocab words > maxVocab=$maxVocab — " +
+        "train on a sampled corpus or raise the cap deliberately")
+    val rows = vocabDf.collect()
+
+    // UTF-8 byte order == Spark StringType (UTF8String) order — NOT
+    // java.lang.String's UTF-16 code-unit order, which disagrees for
+    // supplementary characters
+    def cmpUtf8(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var k = 0
+      while (k < n) {
+        val c = (x(k) & 0xff) - (y(k) & 0xff)
+        if (c != 0) return c
+        k += 1
+      }
+      x.length - y.length
+    }
+
+    val words = new Array[Array[String]](rows.length)
+    val freqs = new Array[Long](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      // split("") = the distributed path's per-character symbol init
+      words(i) = rows(i).getString(0).split("").filter(_.nonEmpty)
+      freqs(i) = rows(i).getLong(1)
+      i += 1
+    }
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // inverted index: pair -> word ids that (at some point) contained
+    // it; entries go stale after rewrites and are re-validated by
+    // scanning the word before use
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    i = 0
+    while (i < words.length) {
+      val s = words(i); val f = freqs(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+
+    // max-heap: highest count first, then smallest (l, r) — the exact
+    // (cnt desc, l asc, r asc) argmax bpeTrain's orderBy computes
+    val heapOrd: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = cmpUtf8(b._2, a._2)
+          if (cl != 0) cl else cmpUtf8(b._3, a._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    pairCount.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val rules = mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    while (round <= merges && {
+      // pop stale entries until a live maximum (count matches current)
+      var live: Option[(Long, String, String)] = None
+      while (live.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCount.get((e._2, e._3)).contains(e._1)) live = Some(e)
+      }
+      live match {
+        case None => false // no adjacent pairs left anywhere — exhausted
+        case Some((cnt, l, r)) =>
+          rules += ((round, l, r, cnt))
+          val touched = mutable.HashSet.empty[(String, String)]
+          val members = pairWords.remove((l, r)).getOrElse(mutable.HashSet.empty)
+          members.foreach { idx =>
+            val s = words(idx)
+            var has = false; var j = 0
+            while (!has && j < s.length - 1) {
+              if (s(j) == l && s(j + 1) == r) has = true
+              j += 1
+            }
+            if (has) {
+              val f = freqs(idx)
+              var k = 0
+              while (k < s.length - 1) {
+                val p = (s(k), s(k + 1))
+                val c2 = pairCount(p) - f
+                if (c2 == 0L) pairCount.remove(p) else pairCount.update(p, c2)
+                touched += p
+                k += 1
+              }
+              // BpeSupport.mergeStep's left-to-right non-overlapping pass
+              val out = new mutable.ArrayBuffer[String](s.length)
+              var m = 0
+              while (m < s.length) {
+                if (m + 1 < s.length && s(m) == l && s(m + 1) == r) {
+                  out += (s(m) + s(m + 1)); m += 2
+                } else { out += s(m); m += 1 }
+              }
+              val ns = out.toArray
+              words(idx) = ns
+              k = 0
+              while (k < ns.length - 1) {
+                val p = (ns(k), ns(k + 1))
+                pairCount.update(p, pairCount.getOrElse(p, 0L) + f)
+                pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+                touched += p
+                k += 1
+              }
+            }
+          }
+          // one fresh heap entry per touched pair at its final count —
+          // pushing per word-update instead would bloat the heap
+          touched.foreach { p =>
+            pairCount.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2)))
+          }
+          round += 1
+          true
+      }
+    }) {}
+    import spark.implicits._
+    rules.toSeq.toDF("round", "left", "right", "freq")
+  }
+
   /** Encode the corpus with a trained merge table ([[bpeTrain]]'s
     * output, in round order): adds `subwords` — the standard
     * lowest-rank-first encode loop, row-local under one codegen'd

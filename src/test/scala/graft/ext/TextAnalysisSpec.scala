@@ -211,6 +211,40 @@ class TextAnalysisSpec extends SparkSpec {
     sym shouldBe Seq("aa", "aa", "a")
   }
 
+  test("bpeTrainLocal: bit-identical to bpeTrain (textbook + real corpus, 20 merges)") {
+    import spark.implicits._
+    // textbook trace (same as bpeTrain's)
+    val corpus = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim,
+      ("newest " * 6).trim, ("widest " * 3).trim).toDF("text")
+    val localTb = graft.ext.TextAnalysis.bpeTrainLocal(corpus, "text", merges = 4)
+      .orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    localTb shouldBe Array(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L))
+    // full equality with the distributed path on a real corpus — every
+    // round's (pair, freq), tie-breaks included
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    def trace(df: org.apache.spark.sql.DataFrame) = df.orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    trace(graft.ext.TextAnalysis.bpeTrainLocal(docs, "text", merges = 20)) shouldBe
+      trace(graft.ext.TextAnalysis.bpeTrain(docs, "text", merges = 20))
+    // exhaustion parity: a corpus that runs dry stops at the same round
+    val tiny = Seq("aaa").toDF("text")
+    trace(graft.ext.TextAnalysis.bpeTrainLocal(tiny, "text", merges = 10)) shouldBe
+      trace(graft.ext.TextAnalysis.bpeTrain(tiny, "text", merges = 10))
+  }
+
+  test("bpeTrainLocal: vocab cap fails loud") {
+    import spark.implicits._
+    val docs = Seq("alpha beta gamma delta").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.bpeTrainLocal(docs, "text", merges = 2, maxVocab = 2)
+    }
+    e.getMessage should include("maxVocab")
+  }
+
   test("bpeEncode: textbook rules encode lowest -> [low, est]; OOV chars survive") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
