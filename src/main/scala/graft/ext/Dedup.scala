@@ -816,10 +816,30 @@ object Dedup {
       idCol: String, textCol: String,
       minJaccard: Double = 0.5,
       maxBroadcastBytes: Long = CrossBroadcastMaxBytes): DataFrame = {
+    val cSets = corpus.select(col(idCol).as("id"),
+      graft.functions.TextHashFunctions.shingle_hashes(col(textCol), ShingleN)
+        .as("hs"))
+    minhashCrossPairsFromIndex(lshBands(minhashSignature(cSets)), cSets,
+      fresh, idCol, textCol, minJaccard, maxBroadcastBytes)
+  }
+
+  /** [[minhashCrossPairs]] fed by a PREBUILT corpus index — the
+    * build-once/serve-many face: `corpusBands` (id, band, band_hash)
+    * and `corpusSets` (id, hs) come from
+    * [[graft.io.IndexStore.writeAdmissionIndexes]]'s parquet tables
+    * (or any equivalent), so admitting a slice costs zero corpus
+    * hashing/banding — the slice bands row-locally and equi-joins the
+    * stored index. Plan shape is identical to [[minhashCrossPairs]]
+    * (which delegates here with freshly-built corpus frames).
+    */
+  def minhashCrossPairsFromIndex(corpusBands: DataFrame, corpusSets: DataFrame,
+      fresh: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5,
+      maxBroadcastBytes: Long = CrossBroadcastMaxBytes): DataFrame = {
     def sets(df: DataFrame) = df.select(col(idCol).as("id"),
       graft.functions.TextHashFunctions.shingle_hashes(col(textCol), ShingleN)
         .as("hs"))
-    val cSets = sets(corpus)
+    val cSets = corpusSets
     val st = fresh.agg(count(lit(1)).as("n"),
       coalesce(sum(length(col(textCol)).cast("long")), lit(0L)).as("chars"))
       .head()
@@ -833,7 +853,7 @@ object Dedup {
     // plan is GC'd — a slice loop never accumulates pinned storage
     val nSets = if (small) sets(fresh).localCheckpoint(true) else sets(fresh)
     def sized(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val cand = lshBands(minhashSignature(cSets)).as("c")
+    val cand = corpusBands.as("c")
       .join(sized(lshBands(minhashSignature(nSets)).as("n")),
         col("c.band") === col("n.band") &&
           col("c.band_hash") === col("n.band_hash") &&

@@ -98,12 +98,17 @@ object QualityModel {
     * (df-1 terms carry ~zero evidence) or ship as a broadcast join
     * instead of a literal map.
     */
-  def nbWeightsMicro(df: DataFrame, idCol: String, textCol: String,
-      maxVocab: Int = 1 << 20): Map[String, Long] = {
+  /** The micro-unit weight TABLE `(term, llr_micro)` — the frame
+    * [[nbWeightsMicro]] collects, exposed so it can be persisted as a
+    * build-once artifact ([[graft.io.IndexStore]]) and re-loaded
+    * without retraining.
+    */
+  def nbTermWeightsMicro(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val tstats = termClassCounts(df, idCol, textCol)
     val stats = tstats.agg(
       sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("v"))
-    val rows = tstats.crossJoin(broadcast(stats))
+    tstats.crossJoin(broadcast(stats))
       .select(col("term"),
         round((
           log10((col("c1") + 1).cast("double") /
@@ -111,6 +116,11 @@ object QualityModel {
           log10((col("c0") + 1).cast("double") /
             (col("t0") + col("v")).cast("double"))) * lit(1000000.0), 0)
           .cast("long").as("llr_micro"))
+  }
+
+  def nbWeightsMicro(df: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = 1 << 20): Map[String, Long] = {
+    val rows = nbTermWeightsMicro(df, idCol, textCol)
     // count-then-collect, NOT limit(maxVocab+1).collect(): a LIMIT on
     // top of this aggregate replans per take attempt under AQE and
     // cost a flat ~3.5 s at bench scale (measured, DevNb profiler) — the

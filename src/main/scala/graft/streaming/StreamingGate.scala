@@ -713,6 +713,66 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING ADMISSION FROM PERSISTED INDEXES: the exact + model
+    * rungs served from [[graft.io.IndexStore]]'s parquet artifacts —
+    * the production wiring where the gate process never sees the
+    * corpus, only the nightly-built index directory. The digest
+    * anti-join's static side is the persisted digest table; the model
+    * filter's weight map loads from the persisted weight table. Both
+    * rungs are stateless (no watermark, no state store), so the
+    * admitted set is arrival-order-independent and equals the batch
+    * formulation — the DuckDB oracle replays both rungs from the raw
+    * tables, pinning the write→read round trip.
+    */
+  def streamAdmitPersistedFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{QualityModel, TrainingData}
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    val idxDir = graft.io.IndexStore.ensureAdmissionIndexes(
+      d.filter(bucket < 500), dir)
+    try withStatePartitions(s, 4) {
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val digests = graft.io.IndexStore.readDigests(s, idxDir)
+      val weights = graft.io.IndexStore.readNbWeightsMicro(s, idxDir)
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = QualityModel.admitByModel(
+          stream.withColumn("digest", md5(col("text")))
+            .join(digests, Seq("digest"), "left_anti")
+            .drop("digest"),
+          weights)
+        .select("doc_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING MODEL-QUALITY ADMISSION under the gate: the model rung
     * of the ingest ladder — NB weights are trained OFFLINE on the
     * corpus half ([[graft.ext.QualityModel.nbWeightsMicro]], the

@@ -1,0 +1,95 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IndexStoreSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = graft.Tables(spark, sfDir, "documents")
+  private def bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+  private def seen = docs.filter(bucket < 500)
+  private def slice = docs.filter(bucket >= 500 && bucket < 600)
+    .select("doc_id", "text")
+
+  test("write→read round trip: every table matches its in-plan build") {
+    val dir = java.nio.file.Files.createTempDirectory("idxstore").toString
+    IndexStore.writeAdmissionIndexes(seen, dir)
+
+    // digests
+    val wantDigests = seen.select(md5(col("text")).as("digest")).distinct()
+    IndexStore.readDigests(spark, dir).collect().map(_.getString(0)).sorted shouldBe
+      wantDigests.collect().map(_.getString(0)).sorted
+
+    // span hashes
+    val wantSpans = graft.ext.Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+      .select("h").distinct()
+    IndexStore.readSpanHashes(spark, dir).collect().map(_.getLong(0)).sorted shouldBe
+      wantSpans.collect().map(_.getLong(0)).sorted
+
+    // band index: same rows as banding the corpus in-plan
+    val sets = seen.select(col("doc_id").as("id"),
+      graft.functions.TextHashFunctions.shingle_hashes(
+        col("text"), graft.ext.HashDefs.ShingleN).as("hs"))
+    val wantBands = graft.ext.Dedup.lshBands(graft.ext.Dedup.minhashSignature(sets))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    IndexStore.readBandIndex(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sorted shouldBe wantBands
+
+    // NB weights: the persisted map equals the trained map
+    IndexStore.readNbWeightsMicro(spark, dir) shouldBe
+      graft.ext.QualityModel.nbWeightsMicro(seen, "doc_id", "text")
+
+    // manifest exists and records the build parameters
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "admission"""")
+    manifest should include(""""shingle_n": 3""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("admitFromIndexes equals the in-plan ladder + quality gate") {
+    val dir = java.nio.file.Files.createTempDirectory("idxadmit").toString
+    IndexStore.writeAdmissionIndexes(seen, dir)
+    val got = IndexStore.admitFromIndexes(slice, spark, dir)
+      .collect().map(_.getLong(0)).sorted
+
+    // in-plan replay of the same four rungs
+    val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
+    val exactNovel = slice.withColumn("digest", md5(col("text")))
+      .join(seenDigests, Seq("digest"), "left_anti").drop("digest")
+    val corpusSpans = graft.ext.Dedup.spanHashIndex(seen, "doc_id", "text", 8)
+      .select("h").distinct()
+    val substrHits = graft.ext.Dedup.spanHashIndex(slice, "doc_id", "text", 8)
+      .join(corpusSpans, Seq("h"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+    val fuzzyHits = graft.ext.Dedup.minhashCrossPairs(seen, slice, "doc_id", "text")
+      .select(col("new_id").as("doc_id")).distinct()
+    val weights = graft.ext.QualityModel.nbWeightsMicro(seen, "doc_id", "text")
+    val want = graft.ext.QualityModel.admitByModel(
+        exactNovel
+          .join(substrHits, Seq("doc_id"), "left_anti")
+          .join(fuzzyHits, Seq("doc_id"), "left_anti"),
+        weights)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+
+    got shouldBe want
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
+    IndexStore.resetBuilt()
+    val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(d1, "manifest.json")) shouldBe true
+    // second call: same dir, no rebuild (manifest mtime unchanged)
+    val t1 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(d1, "manifest.json"))
+    val d2 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
+    d2 shouldBe d1
+    java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(d1, "manifest.json")) shouldBe t1
+  }
+}
