@@ -397,6 +397,20 @@ object Similarity {
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val assigned = c.withColumn("cell",
       element_at(ivf_cells(col("vec"), cents, 1), 1))
+    ivfTopKFromIndex(assigned, cents, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] served from a PREBUILT inverted file: `assigned` is
+    * the persisted (id, cell, vec, norm) table
+    * ([[graft.io.IndexStore.writeAnnIndexes]]) and `cents` the stored
+    * quantizer — queries probe and score without ever re-assigning the
+    * corpus. Plan shape identical to [[ivfTopK]] (which delegates
+    * here after building the index in-plan).
+    */
+  def ivfTopKFromIndex(assigned: DataFrame, cents: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfFunctions.ivf_cells
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(ivf_cells(col("qvec"), cents, nProbe)))
@@ -446,7 +460,7 @@ object Similarity {
     * zero vectors pass through): [[normalized]]'s codegen'd pass emits
     * NaN on a zero vector, which has no SQL twin.
     */
-  private def normalizedGuarded(vec: Column): Column = {
+  private[graft] def normalizedGuarded(vec: Column): Column = {
     val nrm = norm(vec)
     when(nrm === 0.0, transform(vec, x => x.cast("double")))
       .otherwise(transform(vec, x => x.cast("double") / nrm))
@@ -557,17 +571,60 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 2, m: Int = 4, ks: Int = 16,
       dim: Int = 64, rerank: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.IvfFunctions.ivf_cells
     val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
     val cb = pqCodebooks(corpus, m, ks, dim, idCol, vecCol)
-    val subDim = dim / m
     val codes = corpus
       .select(col(idCol).as("id"), col(vecCol).as("rv"),
         normalizedGuarded(col(vecCol)).as("nv"))
       .select(col("id"),
         element_at(ivf_cells(col("rv"), cents, 1), 1).as("cell"),
         pqEncode(col("nv"), cb).as("codes"))
+    if (rerank <= 0)
+      ivfPqTopKFromIndex(codes, cents, cb, queries, k, nProbe, idCol, vecCol)
+    else {
+      require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+      val cands = ivfPqRanked(codes, cents, cb, queries, nProbe, idCol, vecCol)
+        .filter(col("rank") <= rerank).select("query_id", "id")
+      val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      val exact = cands
+        .join(c, Seq("id"))
+        .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
+        .withColumn("cos",
+          cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+      rankTopK(exact, k)
+    }
+  }
+
+  /** [[ivfPqTopK]]'s ADC path served from a PREBUILT index: `codes`
+    * is the persisted (id, cell, codes) table and `cents`/`cb` the
+    * stored quantizer + codebooks
+    * ([[graft.io.IndexStore.writeAnnIndexes]]) — serving touches only
+    * m bytes per probed-cell vector and never re-encodes the corpus.
+    * Plan shape identical to [[ivfPqTopK]] at rerank=0 (which
+    * delegates here after building the index in-plan).
+    */
+  def ivfPqTopKFromIndex(codes: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], queries: DataFrame, k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqRanked(codes, cents, cb, queries, nProbe, idCol, vecCol)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("approx"), 6).as("approx_cos"))
+
+  /** Shared ADC ranking over a (id, cell, codes) index: probe cells,
+    * broadcast per-query LUTs, fixed-order ADC sum, (approx desc, id
+    * asc) row_number — the tail both the in-plan and the persisted
+    * IVF-PQ faces rank with.
+    */
+  private def ivfPqRanked(codes: DataFrame, cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], queries: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.IvfFunctions.ivf_cells
+    val m = cb.length
+    val subDim = cb(0)(0).length
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(ivf_cells(col("qv"), cents, nProbe)))
@@ -589,22 +646,7 @@ object Similarity {
       .withColumn("approx", adc)
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("id").asc)
-    val ranked = scored.withColumn("rank", row_number().over(w))
-    if (rerank <= 0)
-      ranked.filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-          round(col("approx"), 6).as("approx_cos"))
-    else {
-      require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
-      val cands = ranked.filter(col("rank") <= rerank).select("query_id", "id")
-      val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      val exact = cands
-        .join(c, Seq("id"))
-        .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
-        .withColumn("cos",
-          cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-      rankTopK(exact, k)
-    }
+    scored.withColumn("rank", row_number().over(w))
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -165,6 +165,111 @@ object IndexStore {
   /** Test hook: forget the build memo (forces a rebuild). */
   private[graft] def resetBuilt(): Unit = built.clear()
 
+  // ---- ANN index family (IVF inverted file + PQ codebooks/codes) ----
+
+  val AnnCentroidsTable = "ann_centroids"
+  val AnnCodebooksTable = "ann_codebooks"
+  val AnnCodesTable = "ann_codes"
+  val IvfAssignedTable = "ivf_assigned"
+
+  /** Build and persist the ANN index family from `corpus`:
+    * {{{
+    *   ann_centroids/ (cell, vec)        the IVF coarse quantizer
+    *   ann_codebooks/ (s, j, vec)        PQ sub-space codebooks
+    *   ann_codes/     (id, cell, codes)  m bytes + a cell per vector
+    *   ivf_assigned/  (id, cell, vec, norm)  the full-precision
+    *                                     inverted file (exact-cosine
+    *                                     IVF serving and PQ rerank)
+    * }}}
+    * The quantizer tables are tiny (nCells + m·ks rows); `ann_codes`
+    * is the 16×-compressed scan body; `ivf_assigned` is corpus-sized
+    * — the standard IndexIVFPQ storage split. At 100 TB one would
+    * additionally partition `ivf_assigned` BY cell so a probe prunes
+    * files, the same layout discipline as
+    * [[graft.ops.Layout]]'s Z-order cells.
+    */
+  def writeAnnIndexes(corpus: DataFrame, dir: String, nCells: Int = 16,
+      m: Int = 4, ks: Int = 16, dim: Int = 64, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import graft.ext.Similarity
+    import graft.functions.IvfFunctions.ivf_cells
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents =
+      if (trainIters > 0)
+        Similarity.ivfCentroidsTrained(corpus, nCells, idCol, vecCol, trainIters)
+      else Similarity.ivfCentroids(corpus, nCells, idCol, vecCol)
+    val cb = Similarity.pqCodebooks(corpus, m, ks, dim, idCol, vecCol)
+
+    cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnnCentroidsTable")
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+        sub.zipWithIndex.map { case (v, j) => (s, j, v.toSeq) }
+      }.toSeq.toDF("s", "j", "vec")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnnCodebooksTable")
+
+    corpus
+      .select(col(idCol).as("id"), col(vecCol).as("rv"),
+        Similarity.normalizedGuarded(col(vecCol)).as("nv"))
+      .select(col("id"),
+        element_at(ivf_cells(col("rv"), cents, 1), 1).as("cell"),
+        Similarity.pqEncode(col("nv"), cb).as("codes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnnCodesTable")
+
+    Similarity.withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$IvfAssignedTable")
+
+    writeManifest(spark, dir, Seq(
+      "kind" -> "\"ann\"",
+      "id_col" -> s""""$idCol"""",
+      "vec_col" -> s""""$vecCol"""",
+      "n_cells" -> nCells.toString,
+      "m" -> m.toString,
+      "ks" -> ks.toString,
+      "dim" -> dim.toString,
+      "train_iters" -> trainIters.toString,
+      "tables" -> Seq(AnnCentroidsTable, AnnCodebooksTable, AnnCodesTable,
+        IvfAssignedTable).map("\"" + _ + "\"").mkString("[", ",", "]")))
+  }
+
+  /** The coarse quantizer, cell-ordered. */
+  def readAnnCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/$AnnCentroidsTable")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** PQ codebooks as codebooks(s)(j). */
+  def readAnnCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/$AnnCodebooksTable")
+      .orderBy("s", "j").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+  }
+
+  def readAnnCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$AnnCodesTable")
+  def readIvfAssigned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$IvfAssignedTable")
+
+  /** Session-scoped build-once memo for the ANN indexes (same
+    * discipline as [[ensureAdmissionIndexes]]).
+    */
+  def ensureAnnIndexes(corpus: DataFrame, corpusDir: String): String = {
+    val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-ann"
+    val dir = java.nio.file.Paths.get("target", "indexes", key)
+      .toAbsolutePath.toString
+    if (!built.contains(dir)) built.synchronized {
+      if (!built.contains(dir)) {
+        writeAnnIndexes(corpus, dir)
+        built.add(dir)
+        ()
+      }
+    }
+    dir
+  }
+
   /** Tiny dependency-free JSON manifest via the Hadoop FS API (works
     * on any scheme `dir` itself works on). Values arrive pre-encoded.
     */

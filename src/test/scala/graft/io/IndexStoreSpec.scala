@@ -79,6 +79,32 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("ANN write→read round trip: served results equal in-plan builds") {
+    val dir = java.nio.file.Files.createTempDirectory("idxann").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    IndexStore.writeAnnIndexes(e, dir)
+
+    // quantizer + codebooks survive the parquet round trip bit-for-bit
+    IndexStore.readAnnCentroids(spark, dir).map(_.toSeq).toSeq shouldBe
+      graft.ext.Similarity.ivfCentroids(e, 16).map(_.toSeq).toSeq
+    IndexStore.readAnnCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      graft.ext.Similarity.pqCodebooks(e, 4, 16, 64).map(_.map(_.toSeq).toSeq).toSeq
+
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    rows(graft.ext.Similarity.ivfTopKFromIndex(
+      IndexStore.readIvfAssigned(spark, dir),
+      IndexStore.readAnnCentroids(spark, dir), q, k = 5)) shouldBe
+      rows(graft.ext.Similarity.ivfTopK(e, q, k = 5))
+    rows(graft.ext.Similarity.ivfPqTopKFromIndex(
+      IndexStore.readAnnCodes(spark, dir),
+      IndexStore.readAnnCentroids(spark, dir),
+      IndexStore.readAnnCodebooks(spark, dir), q, k = 5)) shouldBe
+      rows(graft.ext.Similarity.ivfPqTopK(e, q, k = 5))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
