@@ -1413,11 +1413,26 @@ object Dedup {
     * windows are consecutive — raise `minShared` to demand longer
     * evidence.
     */
+  /** `window > 1` switches the index to [[winnowedSpanHashIndex]] —
+    * the scale default for big corpora: the stride-1 index is ~2 bytes
+    * per corpus TOKEN and dominates the family's shuffle, winnowing at
+    * window=4 cuts it ~2.6× (measured density 0.39 ≈ 2/(w+1),
+    * SCALE.md §winnow). Detection bound (the MOSS guarantee): any
+    * shared verbatim run of ≥ spanWords + window − 1 words selects at
+    * least one common fingerprint in both documents, so pairs at that
+    * evidence level are never missed; shorter overlaps MAY be.
+    * `shared_spans` then counts shared winnowed FINGERPRINTS (sparser
+    * than stride-1 windows — calibrate `minShared` accordingly, 1 is
+    * the sensible default).
+    */
   def crossDocSpanPairs(df0: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8, minShared: Long = 1L,
       hotDf: Int = HotShingleDf, hotBuckets: Int = HotShingleBuckets,
-      mode: CollapseMode = CollapseMode.Auto): DataFrame = {
+      mode: CollapseMode = CollapseMode.Auto, window: Int = 1): DataFrame = {
     val df = scanParallelized(df0)
+    def indexOf(d: DataFrame, id: String, text: String): DataFrame =
+      if (window > 1) winnowedSpanHashIndex(d, id, text, spanWords, window)
+      else spanHashIndex(d, id, text, spanWords).select("id", "h")
     val collapse = mode match {
       case CollapseMode.Always => true
       case CollapseMode.Never  => false
@@ -1435,8 +1450,7 @@ object Dedup {
         s.n > 0 && (s.n - s.nd) * s.maxk >= SpanCollapseRatio * s.n
     }
     if (!collapse) {
-      val idx = spanHashIndex(df, idCol, textCol, spanWords)
-        .select("id", "h").distinct()
+      val idx = indexOf(df, idCol, textCol).distinct()
       sharedPairCounts(idx, hotDf, hotBuckets)
         .filter(col("shared") >= minShared)
         .select(col("id_a"), col("id_b"), col("shared").as("shared_spans"))
@@ -1455,10 +1469,10 @@ object Dedup {
       val clusters = base.select("__dg", "id").groupBy("__dg")
         .agg(min("id").as("rep"), count(lit(1)).as("k"))
       val joined = base.join(clusters, Seq("__dg")).cache()
-      val repIdx = spanHashIndex(
+      val repIdx = indexOf(
           joined.filter(col("id") === col("rep")).select("id", "__text"),
-          "id", "__text", spanWords)
-        .select("id", "h").distinct()
+          "id", "__text")
+        .distinct()
       val repCounts = repIdx.groupBy("id").agg(count(lit(1)).as("__nspans"))
       val repPairs = sharedPairCounts(repIdx, hotDf, hotBuckets)
         .filter(col("shared") >= minShared)
@@ -1559,8 +1573,38 @@ object Dedup {
     * Output: (id, text_clean, n_words, n_dropped) — text_clean `''`
     * when everything was covered.
     */
+  /** `window > 1` runs the WINNOWED two-phase variant — the 100 TB
+    * shape: phase 1 flags contaminated documents off the ~2.6×-smaller
+    * winnowed fingerprint index (one groupBy + one semi-join, no
+    * positions shipped); phase 2 runs the exact stride-1 drop on the
+    * FLAGGED SUBSET only, so the position-bearing index is built for
+    * the (usually small) contaminated fraction instead of the whole
+    * corpus; unflagged documents pass through untouched. Detection
+    * bound (MOSS guarantee): any cross-doc run of ≥ spanWords +
+    * window − 1 words flags every document carrying it, so those
+    * spans are always dropped exactly as in the stride-1 face;
+    * cross-doc overlaps shorter than the bound MAY survive. Within
+    * the flagged subset the drop decision is identical to stride-1
+    * (a ≥-bound shared span flags ALL its carriers, so subset span
+    * counts equal full-corpus counts at the bound).
+    */
   def dropCrossDocSpans(df: DataFrame, idCol: String, textCol: String,
-      spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+      spanWords: Int = 8, minDocs: Int = 2, window: Int = 1): DataFrame = {
+    if (window > 1) {
+      val win = winnowedSpanHashIndex(df, idCol, textCol, spanWords, window)
+      val crossW = win.groupBy("h").agg(count(lit(1)).as("__docs"))
+        .filter(col("__docs") >= minDocs).select("h")
+      val flagged = win.join(crossW, Seq("h"), "left_semi")
+        .select(col("id").as(idCol)).distinct()
+      val dropped = dropCrossDocSpans(
+        df.join(flagged, Seq(idCol), "left_semi"), idCol, textCol,
+        spanWords, minDocs)
+      val untouched = df.join(flagged, Seq(idCol), "left_anti")
+        .select(col(idCol), col(textCol).as("text_clean"),
+          size(split(col(textCol), " ")).as("n_words"),
+          lit(0).as("n_dropped"))
+      return dropped.unionByName(untouched)
+    }
     val idx = spanHashIndex(scanParallelized(df), idCol, textCol, spanWords)
     val docSpans = idx.select("id", "h").distinct()
     val crossDoc = docSpans.groupBy("h")
