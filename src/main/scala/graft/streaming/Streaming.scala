@@ -277,6 +277,33 @@ object Streaming {
       .agg(count(lit(1)).as("cnt_cur"))
   }
 
+  /** Per-source rate/volume anomaly verdicts — the admission-ladder
+    * rung PSI drift doesn't cover: drift sees a DISTRIBUTION move,
+    * this sees a VOLUME spike (a misbehaving crawler, a looping
+    * upstream job, one source suddenly flooding the mix). Tumbling
+    * event-time windows per source key; windows whose event count
+    * exceeds `maxEventsPerWindow` emit a (window, key, n_events,
+    * total_duration) verdict row — the block list an ingest
+    * controller throttles or quarantines on.
+    *
+    * Scale shape: one watermark-finalized windowed aggregation
+    * (map-side combinable; state = live windows × sources, bounded by
+    * the watermark — never row-volume) and a row-local threshold.
+    * Append mode, so each verdict emits exactly once when its window
+    * finalizes; the verdict set is arrival-order-independent and
+    * equals the batch GROUP BY / HAVING replay, which is the oracle.
+    */
+  def rateAnomalies(events: DataFrame, keyCol: String,
+      windowDuration: String = "1 hour", watermark: String = "1 hour",
+      maxEventsPerWindow: Long = 6L): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("duration").as("total_duration"))
+      .filter(col("n_events") > maxEventsPerWindow)
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("n_events"), col("total_duration"))
+
   /** Viewing sessions per contract: built-in `session_window` — events
     * within `gap` of each other merge into one session row (start,
     * end, total watch time, event count). The built-in merges session

@@ -549,6 +549,48 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING RATE-ANOMALY ADMISSION under the gate: a REAL
+    * [[Streaming.rateAnomalies]] run over the staged event slices —
+    * per-source tumbling-window volume counts, windows over the
+    * threshold emitted as the gate's block-list verdict when the
+    * watermark finalizes them. Sentinel rows ride far-future windows
+    * (never finalized) and count 1 ≤ threshold besides, so they
+    * cannot reach the verdict; the batch GROUP BY / HAVING replay is
+    * the oracle.
+    */
+  def streamAdmitRateFromFiles(s: SparkSession, dir: String,
+      windowDuration: String = "1 hour",
+      maxEventsPerWindow: Long = 6L): DataFrame = {
+    import s.implicits._
+    val ckpt = newStage()
+    try withStatePartitions(s, 4) {
+      val stream = sharedStream(s, dir)
+        .select("contract", "category", "duration", "ts")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[
+        (Timestamp, String, Long, Long)]
+      val query = Streaming.rateAnomalies(stream, "category",
+          windowDuration, watermark = "1 hour", maxEventsPerWindow)
+        .as[(Timestamp, String, Long, Long)]
+        .writeStream
+        .option("checkpointLocation", ckpt.resolve("ckpt").toString)
+        .outputMode("append") // verdicts emit once, watermark-finalized
+        .foreachBatch { (batch: Dataset[(Timestamp, String, Long, Long)], _: Long) =>
+          val rows = batch.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      buf.synchronized { buf.toSeq }
+        .toDF("window_start", "event_type", "n_events", "total_duration")
+        .orderBy("window_start", "event_type")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    }
+  }
+
   /** STREAM-STATIC ENRICH under the gate: a REAL
     * [[Streaming.streamStaticEnrich]] run — every micro-batch joins
     * the broadcast category→weight dictionary before the windowed
