@@ -292,10 +292,14 @@ object Streaming {
     * Append mode, so each verdict emits exactly once when its window
     * finalizes; the verdict set is arrival-order-independent and
     * equals the batch GROUP BY / HAVING replay, which is the oracle.
+    * The threshold is a SHIPPED SCALAR — calibrate it offline on
+    * history (the gate harness uses rateFactor × the historical mean
+    * per-(window, source) volume), the same train-offline/ship shape
+    * as the NB weights and the Bloom bytes.
     */
   def rateAnomalies(events: DataFrame, keyCol: String,
       windowDuration: String = "1 hour", watermark: String = "1 hour",
-      maxEventsPerWindow: Long = 6L): DataFrame =
+      maxEventsPerWindow: Double): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration).as("w"), col(keyCol))

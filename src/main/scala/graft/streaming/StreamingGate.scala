@@ -560,16 +560,24 @@ object StreamingGate {
     */
   def streamAdmitRateFromFiles(s: SparkSession, dir: String,
       windowDuration: String = "1 hour",
-      maxEventsPerWindow: Long = 6L): DataFrame = {
+      rateFactor: Double = 2.0): DataFrame = {
     import s.implicits._
     val ckpt = newStage()
+    // offline calibration: the shipped-scalar threshold is rateFactor ×
+    // the historical mean per-(window, source) volume — exact integer
+    // sum/count then one division, so both engines compute the
+    // identical binary64 and the verdict boundary cannot drift
+    val threshold = rateFactor * Tables(s, dir, "events")
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .agg(avg("c")).head().getDouble(0)
     try withStatePartitions(s, 4) {
       val stream = sharedStream(s, dir)
         .select("contract", "category", "duration", "ts")
       val buf = scala.collection.mutable.ArrayBuffer.empty[
         (Timestamp, String, Long, Long)]
       val query = Streaming.rateAnomalies(stream, "category",
-          windowDuration, watermark = "1 hour", maxEventsPerWindow)
+          windowDuration, watermark = "1 hour", threshold)
         .as[(Timestamp, String, Long, Long)]
         .writeStream
         .option("checkpointLocation", ckpt.resolve("ckpt").toString)
