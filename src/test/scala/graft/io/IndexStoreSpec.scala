@@ -105,6 +105,59 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("appendAdmissionIndexes: append-then-serve equals rebuild over the union") {
+    val dirA = java.nio.file.Files.createTempDirectory("idxappend").toString
+    val dirB = java.nio.file.Files.createTempDirectory("idxrebuild").toString
+    val slice1 = docs.filter(bucket >= 500 && bucket < 550).select("doc_id", "text")
+    val slice2 = docs.filter(bucket >= 550 && bucket < 600).select("doc_id", "text")
+
+    IndexStore.writeAdmissionIndexes(seen, dirA)
+    IndexStore.appendAdmissionIndexes(slice1, dirA)
+    IndexStore.writeAdmissionIndexes(seen.select("doc_id", "text")
+      .unionByName(slice1), dirB)
+
+    // set equality per table (digests/spans may duplicate ROWS across
+    // append batches — set semantics for their semi/anti consumers)
+    IndexStore.readDigests(spark, dirA).distinct().collect()
+      .map(_.getString(0)).sorted shouldBe
+      IndexStore.readDigests(spark, dirB).distinct().collect()
+        .map(_.getString(0)).sorted
+    IndexStore.readSpanHashes(spark, dirA).distinct().collect()
+      .map(_.getLong(0)).sorted shouldBe
+      IndexStore.readSpanHashes(spark, dirB).distinct().collect()
+        .map(_.getLong(0)).sorted
+    IndexStore.readBandIndex(spark, dirA).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted shouldBe
+      IndexStore.readBandIndex(spark, dirB).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+
+    // the three dedup rungs gate slice2 identically under both stores
+    // (the model rung is deliberately NOT appendable — llr depends on
+    // global totals; retrain on corpus refresh)
+    def dedupAdmit(dir: String): Array[Long] = {
+      val exactNovel = slice2.withColumn("digest", md5(col("text")))
+        .join(IndexStore.readDigests(spark, dir), Seq("digest"), "left_anti")
+        .drop("digest")
+      val substrHits = graft.ext.Dedup.spanHashIndex(slice2, "doc_id", "text", 8)
+        .join(IndexStore.readSpanHashes(spark, dir), Seq("h"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+      val fuzzyHits = graft.ext.Dedup.minhashCrossPairsFromIndex(
+          IndexStore.readBandIndex(spark, dir),
+          IndexStore.readShingleSets(spark, dir),
+          slice2, "doc_id", "text")
+        .select(col("new_id").as("doc_id")).distinct()
+      exactNovel.join(substrHits, Seq("doc_id"), "left_anti")
+        .join(fuzzyHits, Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    }
+    val admitted = dedupAdmit(dirA)
+    admitted shouldBe dedupAdmit(dirB)
+    admitted.length should be > 0
+
+    for (d <- Seq(dirA, dirB))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
