@@ -207,6 +207,19 @@ class PlanGuardSpec extends SparkSpec {
     val admit = planOf("q_admit_slice")
     count(admit, "bloom_filter_agg") shouldBe 0
     count(admit, "might_contain") should be >= 2
+
+    // persisted IVF-PQ serve: exactly 3 scans (the stored byte-code
+    // table + the two query-side embedding reads) and zero sort-merge
+    // joins — a 4th scan means the corpus got re-encoded in-plan,
+    // defeating the build-once index
+    val ivfpq = planOf("q_ann_ivfpq_persisted")
+    count(ivfpq, "FileScan") shouldBe 3
+    count(ivfpq, "SortMergeJoin") shouldBe 0
+
+    // local BPE training runs at CONSTRUCTION (vocab collect + driver
+    // loop); the registry-visible plan must be the returned merge
+    // table only — a FileScan here means training leaked into the plan
+    count(planOf("q_bpe_train_local"), "FileScan") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {
