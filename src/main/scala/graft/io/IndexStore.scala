@@ -250,9 +250,15 @@ object IndexStore {
         Similarity.pqEncode(col("nv"), cb).as("codes"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnnCodesTable")
 
+    // the inverted file is PARTITIONED BY cell — the layout that makes
+    // "inverted" physical: a probe's cell equi-join prunes whole files
+    // (statically for literal cells, via dynamic partition pruning for
+    // the broadcast probe side), so an nProbe/nCells query reads
+    // nProbe/nCells of the bytes, not just of the rows
     Similarity.withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$IvfAssignedTable")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/$IvfAssignedTable")
 
     writeManifest(spark, dir, Seq(
       "kind" -> "\"ann\"",

@@ -216,6 +216,13 @@ class PlanGuardSpec extends SparkSpec {
     count(ivfpq, "FileScan") shouldBe 3
     count(ivfpq, "SortMergeJoin") shouldBe 0
 
+    // persisted IVF serve: the cell-partitioned inverted file must be
+    // probed through DYNAMIC PARTITION PRUNING — the broadcast probe
+    // side prunes whole cell directories, so an nProbe/nCells query
+    // reads that fraction of the BYTES; losing this reads the full
+    // inverted file per query
+    count(planOf("q_ann_ivf_persisted"), "dynamicpruning") should be >= 1
+
     // local BPE training runs at CONSTRUCTION (vocab collect + driver
     // loop); the registry-visible plan must be the returned merge
     // table only — a FileScan here means training leaked into the plan
