@@ -242,13 +242,16 @@ object IndexStore {
       }.toSeq.toDF("s", "j", "vec")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnnCodebooksTable")
 
+    // codes are cell-partitioned like the inverted file: the IVF-PQ
+    // serve's cell equi-join prunes code files the same way (DPP)
     corpus
       .select(col(idCol).as("id"), col(vecCol).as("rv"),
         Similarity.normalizedGuarded(col(vecCol)).as("nv"))
       .select(col("id"),
         element_at(ivf_cells(col("rv"), cents, 1), 1).as("cell"),
         Similarity.pqEncode(col("nv"), cb).as("codes"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AnnCodesTable")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/$AnnCodesTable")
 
     // the inverted file is PARTITIONED BY cell — the layout that makes
     // "inverted" physical: a probe's cell equi-join prunes whole files

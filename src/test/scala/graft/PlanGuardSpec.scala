@@ -215,6 +215,7 @@ class PlanGuardSpec extends SparkSpec {
     val ivfpq = planOf("q_ann_ivfpq_persisted")
     count(ivfpq, "FileScan") shouldBe 3
     count(ivfpq, "SortMergeJoin") shouldBe 0
+    count(ivfpq, "dynamicpruning") should be >= 1 // cell dirs pruned
 
     // persisted IVF serve: the cell-partitioned inverted file must be
     // probed through DYNAMIC PARTITION PRUNING — the broadcast probe
