@@ -208,12 +208,13 @@ class PlanGuardSpec extends SparkSpec {
     count(admit, "bloom_filter_agg") shouldBe 0
     count(admit, "might_contain") should be >= 2
 
-    // persisted IVF-PQ serve: exactly 3 scans (the stored byte-code
-    // table + the two query-side embedding reads) and zero sort-merge
-    // joins — a 4th scan means the corpus got re-encoded in-plan,
-    // defeating the build-once index
+    // persisted IVF-PQ serve: the stored byte-code table + the two
+    // query-side embedding reads + the DPP pruning subquery's probe
+    // scan = exactly 4 FileScan occurrences in the plan text, zero
+    // sort-merge joins — a 5th scan means the corpus got re-encoded
+    // in-plan, defeating the build-once index
     val ivfpq = planOf("q_ann_ivfpq_persisted")
-    count(ivfpq, "FileScan") shouldBe 3
+    count(ivfpq, "FileScan") shouldBe 4
     count(ivfpq, "SortMergeJoin") shouldBe 0
     count(ivfpq, "dynamicpruning") should be >= 1 // cell dirs pruned
 
