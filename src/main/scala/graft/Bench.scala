@@ -240,7 +240,9 @@ object Bench {
       case Some("0") => false
       case Some(_)   => true
       case None      =>
-        gateSec < 0 || prevGateSec.exists(prev => gateSec > prev * 1.2)
+        // no committed baseline → attribution is cheap insurance: run
+        // the pass rather than silently skipping it (forall on None)
+        gateSec < 0 || prevGateSec.forall(prev => gateSec > prev * 1.2)
     }
     val gatesSeq: Seq[(String, Double)] =
       if (pickedGates.isEmpty || !runSeq) Nil

@@ -974,26 +974,43 @@ object Dedup {
     * equi-join on (chunk_idx, chunk_value) finds all of them without a
     * cross join; verify the distance afterwards.
     */
-  def simhashBandedPairs(fps: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashBandedPairs(fps: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingBandedPairs(fps, "simhash", SimhashBits, maxDist)
+
+  /** The pigeonhole Hamming join over ANY long fingerprint column —
+    * the shared machinery of [[simhashBandedPairs]] (60-bit text
+    * simhash) and the 64-bit image dHash face: explode each
+    * fingerprint into `maxDist + 1` disjoint bit chunks, equi-join on
+    * (chunk_idx, chunk_value) (distance ≤ maxDist ⇒ some whole chunk
+    * equal), dedup candidates, verify exact `bit_count(xor)`. Chunk
+    * extraction is arithmetic-shift + mask, so a fingerprint using
+    * bit 63 (sign) chunks correctly. Input: (id, `fpCol`); output:
+    * (id_a, id_b, dist), id_a < id_b.
+    */
+  def hammingBandedPairs(fps: DataFrame, fpCol: String, bits: Int,
+      maxDist: Int): DataFrame = {
     val nChunks = maxDist + 1
-    val width = SimhashBits / nChunks
+    require(bits % nChunks == 0,
+      s"hammingBandedPairs: $bits fingerprint bits must split evenly " +
+        s"into ${nChunks} chunks (maxDist + 1)")
+    val width = bits / nChunks
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * width)
+        shiftright(col(fpCol), c * width)
           .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
     }
-    val exploded = fps.select(col("id"), col("simhash"),
+    val exploded = fps.select(col("id"), col(fpCol),
       explode(array(chunks: _*)).as("c"))
-      .select(col("id"), col("simhash"), col("c.chunk"), col("c.chunk_val"))
+      .select(col("id"), col(fpCol), col("c.chunk"), col("c.chunk_val"))
     exploded.as("a")
       .join(exploded.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col(s"a.$fpCol").as("fp_a"), col(s"b.$fpCol").as("fp_b"))
       .distinct()
-      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("dist", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
@@ -1599,8 +1616,12 @@ object Dedup {
       val dropped = dropCrossDocSpans(
         df.join(flagged, Seq(idCol), "left_semi"), idCol, textCol,
         spanWords, minDocs)
+      // re-join the split tokens (NOT the raw column) so unflagged
+      // docs normalize whitespace exactly like the stride-1 output —
+      // double/leading/trailing spaces must not diverge the two faces
       val untouched = df.join(flagged, Seq(idCol), "left_anti")
-        .select(col(idCol), col(textCol).as("text_clean"),
+        .select(col(idCol),
+          array_join(split(col(textCol), " "), " ").as("text_clean"),
           size(split(col(textCol), " ")).as("n_words"),
           lit(0).as("n_dropped"))
       return dropped.unionByName(untouched)

@@ -255,6 +255,107 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic PNG: a real `w`×`h` RGB image (written
+    * through `javax.imageio` — a genuine PNG byte stream, parsed back
+    * through the same independent codec stack) whose pixel channels
+    * are integer arithmetic a SQL oracle replays exactly:
+    * {{{
+    *   r(x,y) = (seed·2654435761 + 97x + 1013y) mod 256   (g, b alike)
+    * }}}
+    * `variant ≠ 0` overrides the single pixel (w−1, variant) with a
+    * flat gray — the near-dup planting knob: one changed pixel in the
+    * last column perturbs at most ONE dHash bit (only the
+    * (w−2 → w−1) gradient comparison on that row sees it), so
+    * variants of the same seed sit within Hamming distance 2 of each
+    * other. PNG is lossless, so decode returns these exact channels.
+    */
+  def synthPngBytes(seed: Long, w: Int = 9, h: Int = 8,
+      variant: Int = 0): Array[Byte] = {
+    require(seed >= 0 && variant >= 0 && variant < h,
+      s"synthPngBytes: seed/variant out of range ($seed, $variant)")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) =
+          if (variant != 0 && x == w - 1 && y == variant) {
+            val v = (variant * 83) % 256
+            (v, v, v)
+          } else (
+            ((seed * 2654435761L + x * 97L + y * 1013L) % 256L).toInt,
+            ((seed * 40503L + x * 53L + y * 771L) % 256L).toInt,
+            ((seed * 69069L + x * 31L + y * 577L) % 256L).toInt)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Integer luminance (×1000): 299r + 587g + 114b — the BT.601 mix
+    * kept in exact integer arithmetic so the gradient COMPARISONS
+    * below (and their SQL replay) have no FP boundary cases.
+    */
+  private def lum1000(rgb: Int): Long =
+    299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+      114L * (rgb & 0xff)
+
+  /** Perceptual image fingerprint — dHash (difference hash): decode
+    * the payload (real `javax.imageio` decode), sample a
+    * `nCols`×`nRows` luminance grid (floor-index point sampling —
+    * integer-exact, and the identity map when the image IS
+    * 9×8), and set bit (row·(nCols−1) + col) iff luminance increases
+    * left→right across the gradient pair — 64 bits at the classic
+    * 9×8. Row-local per image: fingerprinting a 100 TB image corpus
+    * is one scan emitting a long per row; near-dup search is then
+    * [[graft.ext.Dedup.hammingBandedPairs]]' pigeonhole equi-join
+    * over those longs — never pixels, never pairs of payloads. This
+    * is the from-pixels near-dup path that needs NO external
+    * embedding model (crops/re-encodes/watermarks survive;
+    * embedding-grade semantic similarity does not — that stays
+    * [[graft.ext.Dedup.embeddingNearDupPairs]]' job).
+    * Payloads ImageIO cannot parse yield a null fingerprint (kept,
+    * so a mixed corpus can route them elsewhere).
+    */
+  def dHash64(media: DataFrame, nCols: Int = 9, nRows: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require((nCols - 1) * nRows <= 64,
+      s"dHash64: ${nCols - 1}x$nRows gradient bits exceed one long")
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) (id, None: Option[Long])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var fp = 0L
+            var y = 0
+            while (y < nRows) {
+              val py = y * h / nRows
+              var x = 0
+              while (x < nCols - 1) {
+                val l0 = lum1000(img.getRGB(x * w / nCols, py))
+                val l1 = lum1000(img.getRGB((x + 1) * w / nCols, py))
+                if (l1 > l0) fp |= 1L << (y * (nCols - 1) + x)
+                x += 1
+              }
+              y += 1
+            }
+            (id, Some(fp))
+          }
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
   /** Frame-sample: keep every `stride`-th frame per media id. Pure
     * filter on (media_id, frame_idx) — no shuffle.
     */

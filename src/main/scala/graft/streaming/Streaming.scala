@@ -297,14 +297,23 @@ object Streaming {
     * per-(window, source) volume), the same train-offline/ship shape
     * as the NB weights and the Bloom bytes.
     */
+  /** `maxVolumePerWindow` adds the VOLUME criterion the count alone
+    * misses: a source can flood the mix with few-but-huge events
+    * (one crawler shipping concatenated dumps) without tripping the
+    * count threshold — a window is anomalous when EITHER signal
+    * exceeds its (offline-calibrated) ceiling. Default ∞ keeps the
+    * rung count-only.
+    */
   def rateAnomalies(events: DataFrame, keyCol: String,
       windowDuration: String = "1 hour", watermark: String = "1 hour",
-      maxEventsPerWindow: Double): DataFrame =
+      maxEventsPerWindow: Double,
+      maxVolumePerWindow: Double = Double.PositiveInfinity): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration).as("w"), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum("duration").as("total_duration"))
-      .filter(col("n_events") > maxEventsPerWindow)
+      .filter(col("n_events") > maxEventsPerWindow ||
+        col("total_duration") > maxVolumePerWindow)
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n_events"), col("total_duration"))
 

@@ -560,24 +560,29 @@ object StreamingGate {
     */
   def streamAdmitRateFromFiles(s: SparkSession, dir: String,
       windowDuration: String = "1 hour",
-      rateFactor: Double = 2.0): DataFrame = {
+      rateFactor: Double = 2.0, volFactor: Double = 2.0): DataFrame = {
     import s.implicits._
     val ckpt = newStage()
-    // offline calibration: the shipped-scalar threshold is rateFactor ×
-    // the historical mean per-(window, source) volume — exact integer
-    // sum/count then one division, so both engines compute the
-    // identical binary64 and the verdict boundary cannot drift
-    val threshold = rateFactor * Tables(s, dir, "events")
+    // offline calibration: the shipped-scalar thresholds are factor ×
+    // the historical mean per-(window, source) event count AND data
+    // volume — exact integer sums/counts then one division each, so
+    // both engines compute the identical binary64 and neither verdict
+    // boundary can drift. The volume criterion catches the flood the
+    // count misses: few-but-huge events from one source.
+    val stats = Tables(s, dir, "events")
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-      .agg(avg("c")).head().getDouble(0)
+      .agg(count(lit(1)).as("c"),
+        sum(floor(col("value")).cast("long")).as("d"))
+      .agg(avg("c"), avg("d")).head()
+    val threshold = rateFactor * stats.getDouble(0)
+    val volThreshold = volFactor * stats.getDouble(1)
     try withStatePartitions(s, 4) {
       val stream = sharedStream(s, dir)
         .select("contract", "category", "duration", "ts")
       val buf = scala.collection.mutable.ArrayBuffer.empty[
         (Timestamp, String, Long, Long)]
       val query = Streaming.rateAnomalies(stream, "category",
-          windowDuration, watermark = "1 hour", threshold)
+          windowDuration, watermark = "1 hour", threshold, volThreshold)
         .as[(Timestamp, String, Long, Long)]
         .writeStream
         .option("checkpointLocation", ckpt.resolve("ckpt").toString)

@@ -132,4 +132,55 @@ class MultimodalSpec extends SparkSpec {
     val resized = Multimodal.resizeFeatures(feats, newDim = 3).collect()
     resized.foreach(_.feature.length shouldBe 3)
   }
+
+  test("synthPngBytes: the PNG round trip returns the exact formula pixels") {
+    val bytes = Multimodal.synthPngBytes(seed = 7L, variant = 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    img.getWidth shouldBe 9
+    img.getHeight shouldBe 8
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val rgb = img.getRGB(x, y)
+      val want =
+        if (x == 8 && y == 3) { val v = (3 * 83) % 256; (v, v, v) }
+        else (
+          ((7L * 2654435761L + x * 97L + y * 1013L) % 256L).toInt,
+          ((7L * 40503L + x * 53L + y * 771L) % 256L).toInt,
+          ((7L * 69069L + x * 31L + y * 577L) % 256L).toInt)
+      ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) shouldBe want
+    }
+  }
+
+  test("dHash64: planted variants sit within 2 bits; banding finds every " +
+      "in-group pair; non-images fingerprint null") {
+    // 10 groups of 4: seed = id/4, one perturbed last-column pixel per
+    // variant (≤1 dHash bit each, so in-group pairs are ≤2 bits apart)
+    val rows = (0L until 40L).map(id =>
+      (id, Multimodal.synthPngBytes(id / 4, variant = (id % 4).toInt))) :+
+      (99L, "not an image".getBytes("UTF-8"))
+    val fps = Multimodal.dHash64(rows.toDF("media_id", "content"))
+    val byId = fps.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    byId(99L) shouldBe None
+
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0 until 10; i <- 0 until 4; j <- i + 1 until 4)
+      dist(byId(g * 4L + i).get, byId(g * 4L + j).get) should be <= 2
+
+    // the banded join returns EXACTLY the all-pairs ground truth at
+    // the same threshold (pigeonhole: dist ≤ 3 ⇒ some 16-bit chunk
+    // equal, so banding loses nothing; dedup+verify adds nothing)
+    val imgFps = fps.filter(col("dhash").isNotNull)
+      .select(col("media_id").as("id"), col("dhash"))
+    val banded = graft.ext.Dedup.hammingBandedPairs(imgFps, "dhash", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val ids = (0L until 40L).toSeq
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      d = dist(byId(a).get, byId(b).get) if d <= 3
+    } yield (a, b, d)).sorted
+    banded.toSeq shouldBe want
+    // and every planted in-group pair is present
+    for (g <- 0 until 10; i <- 0 until 4; j <- i + 1 until 4)
+      want.exists(p => p._1 == g * 4L + i && p._2 == g * 4L + j) shouldBe true
+  }
 }

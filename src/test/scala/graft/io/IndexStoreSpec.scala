@@ -158,6 +158,140 @@ class IndexStoreSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("appendAnnIndexes: append-then-serve equals rebuild-over-union " +
+      "under the frozen quantizer") {
+    val dirA = java.nio.file.Files.createTempDirectory("annappend").toString
+    val dirB = java.nio.file.Files.createTempDirectory("annrebuild").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val vbucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+    val base = e.filter(vbucket < 800)
+    val incr = e.filter(vbucket >= 800)
+    incr.count() should be > 0L // the append must actually carry rows
+
+    // the production split: quantizer trained on the full corpus (the
+    // offline sample), index built from base, increment appended
+    val cents = graft.ext.Similarity.ivfCentroids(e, 16)
+    val cb = graft.ext.Similarity.pqCodebooks(e, 4, 16, 64)
+    IndexStore.writeAnnIndexes(base, dirA,
+      centroids = Some(cents), codebooks = Some(cb))
+    IndexStore.appendAnnIndexes(incr, dirA)
+    IndexStore.writeAnnIndexes(e, dirB,
+      centroids = Some(cents), codebooks = Some(cb))
+
+    // appended rows landed INSIDE the cell partition layout (no flat
+    // files next to it) — the DPP-prunable layout survives the append
+    val cellDirs = new java.io.File(s"$dirA/${IndexStore.IvfAssignedTable}")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    all(cellDirs) should startWith("cell=")
+
+    IndexStore.readIvfAssigned(spark, dirA).count() shouldBe e.count()
+
+    val q = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    rows(graft.ext.Similarity.ivfTopKFromIndex(
+      IndexStore.readIvfAssigned(spark, dirA), cents, q, k = 5)) shouldBe
+      rows(graft.ext.Similarity.ivfTopKFromIndex(
+        IndexStore.readIvfAssigned(spark, dirB), cents, q, k = 5))
+    rows(graft.ext.Similarity.ivfPqTopKFromIndex(
+      IndexStore.readAnnCodes(spark, dirA), cents, cb, q, k = 5)) shouldBe
+      rows(graft.ext.Similarity.ivfPqTopKFromIndex(
+        IndexStore.readAnnCodes(spark, dirB), cents, cb, q, k = 5))
+
+    // and because the frozen quantizer IS the full-corpus one here,
+    // the appended store serves exactly like the in-plan full build
+    rows(graft.ext.Similarity.ivfTopKFromIndex(
+      IndexStore.readIvfAssigned(spark, dirA), cents, q, k = 5)) shouldBe
+      rows(graft.ext.Similarity.ivfTopK(e, q, k = 5))
+
+    for (d <- Seq(dirA, dirB))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("compactAdmissionIndexes: serve-equal, strictly fewer rows " +
+      "after duplicate appends") {
+    val dir = java.nio.file.Files.createTempDirectory("idxcompact").toString
+    val slice1 = docs.filter(bucket >= 500 && bucket < 550).select("doc_id", "text")
+    val slice2 = docs.filter(bucket >= 550 && bucket < 600).select("doc_id", "text")
+    IndexStore.writeAdmissionIndexes(seen, dir)
+    // the SAME batch appended twice — the worst-case duplicate-row
+    // accumulation the compaction face exists to reclaim
+    IndexStore.appendAdmissionIndexes(slice1, dir)
+    IndexStore.appendAdmissionIndexes(slice1, dir)
+
+    def counts() = Seq(IndexStore.DigestsTable, IndexStore.SpanHashesTable,
+      IndexStore.ShingleSetsTable, IndexStore.BandIndexTable)
+      .map(t => spark.read.parquet(s"$dir/$t").count())
+    def admit() = {
+      val exactNovel = slice2.withColumn("digest", md5(col("text")))
+        .join(IndexStore.readDigests(spark, dir), Seq("digest"), "left_anti")
+        .drop("digest")
+      val substrHits = graft.ext.Dedup.spanHashIndex(slice2, "doc_id", "text", 8)
+        .join(IndexStore.readSpanHashes(spark, dir), Seq("h"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+      val fuzzyHits = graft.ext.Dedup.minhashCrossPairsFromIndex(
+          IndexStore.readBandIndex(spark, dir),
+          IndexStore.readShingleSets(spark, dir),
+          slice2, "doc_id", "text")
+        .select(col("new_id").as("doc_id")).distinct()
+      exactNovel.join(substrHits, Seq("doc_id"), "left_anti")
+        .join(fuzzyHits, Seq("doc_id"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+    }
+
+    val before = counts()
+    val admittedBefore = admit()
+    IndexStore.compactAdmissionIndexes(spark, dir)
+    val after = counts()
+    // every table strictly shrank (the double append guarantees
+    // duplicates in all four) and the gate decision is unchanged
+    before.zip(after).foreach { case (b, a) => a should be < b }
+    admit() shouldBe admittedBefore
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("bpe merges: write→read round trip preserves rules and order") {
+    val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
+    val rules = graft.ext.TextAnalysis.bpeTrainLocal(seen, "text", merges = 12)
+    IndexStore.writeBpeMerges(rules, dir)
+    IndexStore.readBpeMerges(spark, dir) shouldBe
+      rules.orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "bpe"""")
+    manifest should include(""""merges": 12""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("ensure* memo rebuilds when corpus content changes under the same path") {
+    IndexStore.resetBuilt()
+    // stage a mutable copy of the corpus dir
+    val stage = java.nio.file.Files.createTempDirectory("fpcorpus")
+    val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    java.nio.file.Files.copy(src, stage.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(stage.resolve("documents.parquet").toString)
+
+    val d1 = IndexStore.ensureAdmissionIndexes(corpus, stage.toString)
+    val t1 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(d1, "manifest.json"))
+    // same content → memoized, no rebuild
+    IndexStore.ensureAdmissionIndexes(corpus, stage.toString) shouldBe d1
+    java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(d1, "manifest.json")) shouldBe t1
+
+    // mutate the corpus dir content (new file ⇒ new fingerprint) —
+    // the memo must REBUILD instead of serving the stale index
+    java.nio.file.Files.write(stage.resolve("late_arrival.txt"),
+      "new data".getBytes("UTF-8"))
+    val d2 = IndexStore.ensureAdmissionIndexes(corpus, stage.toString)
+    d2 shouldBe d1 // same destination dir...
+    java.nio.file.Files.getLastModifiedTime( // ...freshly rebuilt
+      java.nio.file.Paths.get(d1, "manifest.json")) should not be t1
+
+    org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)

@@ -36,10 +36,34 @@ SPECS = [
     ("q_bpe_encode", ["q_bpe_encode"],
      [("doc_id", "BIGINT"), ("n_sub", "INTEGER"),
       ("first_sub", "VARCHAR"), ("last_sub", "VARCHAR")]),
+    # q_ann_ivf_trained is SEMI-INDEPENDENT: only the neighbor PICKS
+    # (query_id, rank, neighbor_id — the part that depends on the
+    # frozen Lloyd-trained centroids) are inlined; the cosine is
+    # RECOMPUTED by DuckDB from the fixture vectors, so the distance
+    # math is independently verified and only the iterative centroid
+    # choice stays pinned-by-freeze.
     ("q_ann_ivf_trained", ["q_ann_ivf_trained"],
      [("query_id", "BIGINT"), ("rank", "INTEGER"),
-      ("neighbor_id", "BIGINT"), ("cos", "DOUBLE")]),
+      ("neighbor_id", "BIGINT")]),
 ]
+
+# Wraps the inlined picks for q_ann_ivf_trained: {values} is the
+# VALUES body over (query_id, rank, neighbor_id).
+ANN_RECOMPUTE_SQL = """\
+WITH picks AS (
+  SELECT CAST("query_id" AS BIGINT) AS query_id,
+         CAST("rank" AS INTEGER) AS rank,
+         CAST("neighbor_id" AS BIGINT) AS neighbor_id
+  FROM (VALUES
+{values}
+  ) AS t("query_id", "rank", "neighbor_id")),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT p.query_id, p.rank, p.neighbor_id,
+  round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6) AS cos
+FROM picks p JOIN n qn ON p.query_id = qn.vec_id
+             JOIN n cn ON p.neighbor_id = cn.vec_id
+ORDER BY query_id, rank"""
 
 
 def lit(v):
@@ -57,14 +81,22 @@ def main(dump_dir):
     for dump, resources, cols in SPECS:
         files = glob.glob(f"{dump_dir}/{dump}/*.parquet")
         assert files, f"no dump for {dump} under {dump_dir}"
+        # Verify/VerifySome coalesce(1) their dumps; a multi-file dump
+        # would silently truncate the golden — fail loud instead
+        assert len(files) == 1, \
+            f"{dump}: expected one part file, got {len(files)} — " \
+            "the golden would be truncated"
         t = pq.read_table(files[0]).to_pylist()
         names = [c for c, _ in cols]
         rows = ",\n".join(
             "(" + ", ".join(lit(r[c]) for c in names) + ")" for r in t)
-        sel = ", ".join(f'CAST("{c}" AS {ty}) AS "{c}"' for c, ty in cols)
-        quoted = ", ".join(f'"{c}"' for c in names)
-        sql = (f"SELECT {sel}\nFROM (VALUES\n{rows}\n) AS t({quoted})\n"
-               f"ORDER BY {quoted}")
+        if dump == "q_ann_ivf_trained":
+            sql = ANN_RECOMPUTE_SQL.format(values=rows)
+        else:
+            sel = ", ".join(f'CAST("{c}" AS {ty}) AS "{c}"' for c, ty in cols)
+            quoted = ", ".join(f'"{c}"' for c in names)
+            sql = (f"SELECT {sel}\nFROM (VALUES\n{rows}\n) AS t({quoted})\n"
+                   f"ORDER BY {quoted}")
         for res in resources:
             path = os.path.join(OUT, f"{res}.sql")
             with open(path, "w") as f:
