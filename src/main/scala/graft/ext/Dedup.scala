@@ -1604,6 +1604,16 @@ object Dedup {
     * the flagged subset the drop decision is identical to stride-1
     * (a ≥-bound shared span flags ALL its carriers, so subset span
     * counts equal full-corpus counts at the bound).
+    *
+    * When to use which (measured, SCALE.md §f10): stride-1 stays the
+    * WALL-CLOCK default at every tested size — it generates no pairs
+    * and its position index builds cheaper per row than the winnow
+    * min-selection. The two-phase face pays off on the index-SIZE
+    * axis: its phase-1 index is ~2.6× smaller and position-free, so
+    * pick `window > 1` when the contaminated fraction is small AND
+    * the full (id, h, pos) index exceeds what the cluster wants to
+    * shuffle or persist — the re-index-the-world regime, not the
+    * single-job one.
     */
   def dropCrossDocSpans(df: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8, minDocs: Int = 2, window: Int = 1): DataFrame = {

@@ -394,6 +394,33 @@ object IndexStore {
     writeAnnRows(newVecs, dir, cents, cb, idCol, vecCol, SaveMode.Append)
   }
 
+  /** The "when to retrain the quantizer" signal — the decision
+    * [[appendAnnIndexes]]' frozen-quantizer contract delegates to a
+    * schedule unless something measures it: per-cell PSI between the
+    * stored inverted file's cell occupancy and a fresh batch's
+    * assignment under the SAME frozen quantizer. A drifted embedding
+    * distribution piles new vectors into few cells (recall decays at
+    * fixed nProbe; probed cells balloon), and that skew is exactly
+    * what the occupancy histogram sees — same conventional read as
+    * every PSI monitor here (Σ psi_term > 0.25 ⇒ schedule the full
+    * rebuild). Cost: one thin scan of the stored `cell` column + one
+    * row-local assignment pass over the (small) fresh batch, both
+    * reduced map-side to ≤ nCells rows — the ship-the-stats shape of
+    * [[graft.ext.Drift]], which supplies the tail.
+    */
+  def annCellDrift(spark: SparkSession, dir: String, fresh: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfFunctions.ivf_cells
+    val cents = readAnnCentroids(spark, dir)
+    val ref = readIvfAssigned(spark, dir)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("cnt_ref"))
+    val cur = fresh
+      .select(element_at(ivf_cells(col(vecCol), cents, 1), 1).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt_cur"))
+    graft.ext.Drift.psiFromHistograms(ref, cur, "cell")
+  }
+
   /** The coarse quantizer, cell-ordered. */
   def readAnnCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/$AnnCentroidsTable")

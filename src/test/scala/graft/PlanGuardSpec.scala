@@ -225,6 +225,12 @@ class PlanGuardSpec extends SparkSpec {
     // inverted file per query
     count(planOf("q_ann_ivf_persisted"), "dynamicpruning") should be >= 1
 
+    // the APPENDED store must keep the same serve-plan property: the
+    // appended parquet files land inside the cell=N partition dirs,
+    // so dynamic partition pruning fires identically — losing this
+    // would mean appends degraded the layout to flat files
+    count(planOf("q_ann_ivf_appended"), "dynamicpruning") should be >= 1
+
     // local BPE training runs at CONSTRUCTION (vocab collect + driver
     // loop); the registry-visible plan must be the returned merge
     // table only — a FileScan here means training leaked into the plan

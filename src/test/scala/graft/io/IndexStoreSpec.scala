@@ -292,6 +292,35 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
   }
 
+  test("annCellDrift: in-distribution slice reads stable, a one-cell " +
+      "flood reads shifted") {
+    val dir = java.nio.file.Files.createTempDirectory("anndrift").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    IndexStore.writeAnnIndexes(e, dir)
+
+    // a hash-slice of the corpus itself: same distribution → PSI low
+    val vbucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+    val stable = IndexStore.annCellDrift(spark, dir,
+        e.filter(vbucket >= 500 && vbucket < 600))
+      .agg(sum(org.apache.spark.sql.functions.abs(col("psi_term"))))
+      .head().getDouble(0)
+
+    // planted drift: one corpus vector repeated — every fresh row
+    // lands in ONE cell, the runaway-source shape → PSI high
+    val one = e.filter(col("vec_id") === 0)
+    val flood = (1 to 6).map(_ => one).reduce(_ union _)
+    val shifted = IndexStore.annCellDrift(spark, dir, flood)
+      .agg(sum(org.apache.spark.sql.functions.abs(col("psi_term"))))
+      .head().getDouble(0)
+
+    // 50-vector slices carry sampling noise, so the stable bound is
+    // loose; the separation from a genuine flood is the real signal
+    stable should be < 1.0
+    shifted should be > 2.0
+    shifted should be > stable * 3
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
