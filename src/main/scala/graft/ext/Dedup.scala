@@ -987,20 +987,30 @@ object Dedup {
     * bit 63 (sign) chunks correctly. Input: (id, `fpCol`); output:
     * (id_a, id_b, dist), id_a < id_b.
     */
-  def hammingBandedPairs(fps: DataFrame, fpCol: String, bits: Int,
-      maxDist: Int): DataFrame = {
+  /** The pigeonhole chunk array of a long fingerprint: `maxDist + 1`
+    * (chunk, chunk_val) structs, chunk_val = `bits/(maxDist+1)`-wide
+    * bit slice extracted by arithmetic shift + mask (sign-bit-safe).
+    * Row-local; shared by [[hammingBandedPairs]]' batch self-join and
+    * the streaming image rung's per-batch explode.
+    */
+  private[graft] def fpChunkArray(fp: Column, bits: Int,
+      maxDist: Int): Column = {
     val nChunks = maxDist + 1
     require(bits % nChunks == 0,
-      s"hammingBandedPairs: $bits fingerprint bits must split evenly " +
+      s"fpChunkArray: $bits fingerprint bits must split evenly " +
         s"into ${nChunks} chunks (maxDist + 1)")
     val width = bits / nChunks
-    val chunks = (0 until nChunks).map { c =>
+    array((0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col(fpCol), c * width)
+        shiftright(fp, c * width)
           .bitwiseAND(lit((1L << width) - 1)).as("chunk_val"))
-    }
+    }: _*)
+  }
+
+  def hammingBandedPairs(fps: DataFrame, fpCol: String, bits: Int,
+      maxDist: Int): DataFrame = {
     val exploded = fps.select(col("id"), col(fpCol),
-      explode(array(chunks: _*)).as("c"))
+      explode(fpChunkArray(col(fpCol), bits, maxDist)).as("c"))
       .select(col("id"), col(fpCol), col("c.chunk"), col("c.chunk_val"))
     exploded.as("a")
       .join(exploded.as("b"),

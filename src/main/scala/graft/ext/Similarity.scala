@@ -613,6 +613,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         round(col("approx"), 6).as("approx_cos"))
 
+  /** The full three-stage production serve from a PREBUILT store —
+    * retrieve-then-rerank entirely from disk artifacts: (1) probe
+    * cells against the byte-code table (`codes`), (2) ADC-rank and
+    * keep the top-`rerank` candidates per query, (3) re-score EXACT
+    * cosine by joining ONLY those candidates against the
+    * full-precision inverted file (`assigned`). The rerank join keys
+    * on (cell, id), so the cell-partitioned inverted file is pruned
+    * to the probed cells (the same DPP layout the IVF serve uses) —
+    * full-precision vectors are touched for ≤ rerank·|Q| rows plus
+    * only the probed fraction of the file's bytes is even readable.
+    * This is FAISS IndexIVFPQ + refine serving, with both stages fed
+    * from [[graft.io.IndexStore.writeAnnIndexes]]'s artifacts.
+    */
+  def ivfPqRerankFromIndex(codes: DataFrame, assigned: DataFrame,
+      cents: Array[Array[Double]], cb: Array[Array[Array[Double]]],
+      queries: DataFrame, k: Int, nProbe: Int = 2, rerank: Int = 20,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
+    val cands = ivfPqRanked(codes, cents, cb, queries, nProbe, idCol, vecCol)
+      .filter(col("rank") <= rerank)
+      .select("query_id", "cell", "id")
+    val exact = cands
+      .join(assigned.select(col("cell"), col("id"), col("vec"), col("norm")),
+        Seq("cell", "id"))
+      .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
+      .withColumn("cos",
+        cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+    rankTopK(exact, k)
+  }
+
   /** Shared ADC ranking over a (id, cell, codes) index: probe cells,
     * broadcast per-query LUTs, fixed-order ADC sum, (approx desc, id
     * asc) row_number — the tail both the in-plan and the persisted

@@ -211,6 +211,38 @@ object Streaming {
       .join(corpusSpans.select("h"), Seq("h"), "left_semi")
       .select(idCol)
 
+  /** Streaming IMAGE admission probe — the pixel-modality rung of the
+    * ingest ladder (none of the text/embedding rungs can see a
+    * re-encoded duplicate image). Per micro-batch: each arriving
+    * payload decodes and fingerprints ROW-LOCALLY
+    * ([[graft.ext.Multimodal.dHash64]] — real codec, one 64-bit
+    * dHash per image, unparseable payloads dropped), explodes into
+    * its `maxDist + 1` pigeonhole chunks, stream-static inner-joins
+    * the batch-built corpus chunk table on (chunk, chunk_val), and
+    * verifies exact `bit_count(xor)` against the candidate's stored
+    * fingerprint — the streaming twin of
+    * [[graft.ext.Dedup.hammingBandedPairs]]' candidate+verify split.
+    * Stateless; a pair agreeing on several chunks emits per
+    * agreement — collapse to the doc set at assembly. At 100 TB
+    * `corpusChunks` (corpus_id, chunk, chunk_val, corpus_fp — 8 B of
+    * payload per row) is bucketed on (chunk, chunk_val) so
+    * micro-batches co-locate; pixels never reach the join.
+    */
+  def streamImageHits(freshMedia: DataFrame, corpusChunks: DataFrame,
+      bits: Int = 64, maxDist: Int = 3): DataFrame =
+    graft.ext.Multimodal.dHash64(freshMedia)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("new_id"), col("dhash"),
+        explode(graft.ext.Dedup.fpChunkArray(col("dhash"), bits, maxDist)).as("c"))
+      .select(col("new_id"), col("dhash"),
+        col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+      .join(corpusChunks, Seq("chunk", "chunk_val"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .withColumn("dist",
+        bit_count(col("dhash").bitwiseXOR(col("corpus_fp"))).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select("new_id", "corpus_id", "dist")
+
   /** Streaming EMBEDDING admission probe — the vector rung of the
     * ingest ladder (exact digest < verbatim span < MinHash text <
     * embedding cosine: paraphrased near-dups share no shingles at all

@@ -948,6 +948,76 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING IMAGE ADMISSION under the gate: a REAL
+    * [[Streaming.streamImageHits]] run — the pixel-modality rung.
+    * Every document materializes as a REAL synthetic PNG
+    * (seed = doc_id/4, one perturbed pixel per variant —
+    * [[graft.ext.Multimodal.synthPngBytes]]), the corpus half
+    * batch-builds the (chunk, chunk_val → fingerprint) table, and
+    * each arriving slice payload decodes + fingerprints in-stream,
+    * banding against the static table with exact Hamming verify.
+    * The flagged doc SET must equal the batch pixels-to-pairs replay
+    * restricted across the split (the DuckDB oracle) — a wrong
+    * decode, grid, bit-pack, chunk split, or verify cannot
+    * hash-match.
+    */
+  def streamAdmitImageFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, Multimodal, TrainingData}
+    import s.implicits._
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    def mediaOf(df: DataFrame): DataFrame = df.select(col("doc_id")).as[Long]
+      .map(id => (id, Multimodal.synthPngBytes(id / 4, variant = (id % 4).toInt)))
+      .toDF("media_id", "content")
+    val corpusChunks = Multimodal.dHash64(mediaOf(d.filter(bucket < 500)))
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("corpus_id"), col("dhash").as("corpus_fp"),
+        explode(Dedup.fpChunkArray(col("dhash"), 64, 3)).as("c"))
+      .select(col("corpus_id"), col("corpus_fp"),
+        col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+      .cache()
+    try withStatePartitions(s, 4) {
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val media = stream.select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.synthPngBytes(id / 4, variant = (id % 4).toInt)))
+        .toDF("media_id", "content")
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = Streaming.streamImageHits(media, corpusChunks)
+        .select("new_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      // a pair agreeing on several chunks emits per agreement; the
+      // gate contract is the image-hit doc SET
+      buf.synchronized { buf.distinct.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      corpusChunks.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING SUBSTRING ADMISSION under the gate: a REAL
     * [[Streaming.streamSubstringHits]] run — the middle rung of the
     * admission ladder. Fresh slice as micro-batches, row-local

@@ -18,7 +18,11 @@ object DevPlans {
         // round 11: persisted serve paths, winnowed faces, local BPE
         "q_admit_persisted", "q_ann_ivf_persisted", "q_ann_ivfpq_persisted",
         "q_substring_pairs_winnowed", "q_substring_dedup_winnowed",
-        "q_bpe_train_local")
+        "q_bpe_train_local",
+        // round 12: appended-store serve, drift monitor, image dHash,
+        // persisted tokenizer encode
+        "q_ann_ivf_appended", "q_ann_drift", "q_image_neardup",
+        "q_bpe_encode_persisted", "q_ann_ivfpq_rerank_persisted")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       df.count() // let AQE finalize

@@ -102,6 +102,14 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.readAnnCentroids(spark, dir),
       IndexStore.readAnnCodebooks(spark, dir), q, k = 5)) shouldBe
       rows(graft.ext.Similarity.ivfPqTopK(e, q, k = 5))
+    // three-stage serve (ADC retrieve + exact rerank, both stages
+    // from disk) equals the in-plan rerank composition
+    rows(graft.ext.Similarity.ivfPqRerankFromIndex(
+      IndexStore.readAnnCodes(spark, dir),
+      IndexStore.readIvfAssigned(spark, dir),
+      IndexStore.readAnnCentroids(spark, dir),
+      IndexStore.readAnnCodebooks(spark, dir), q, k = 5, rerank = 20)) shouldBe
+      rows(graft.ext.Similarity.ivfPqTopK(e, q, k = 5, rerank = 20))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

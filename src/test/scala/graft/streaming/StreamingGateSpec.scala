@@ -348,6 +348,66 @@ class StreamingGateSpec extends SparkSpec {
     buf.synchronized { buf.toSet } shouldBe Set((1L, 100L))
   }
 
+  test("streaming image admission gate ≡ batch banded Hamming hit set") {
+    val dir = "/root/testdata/sf0.001"
+    val got = StreamingGate.streamAdmitImageFromFiles(spark, dir)
+    // independent batch formulation: fingerprint EVERY doc's image,
+    // band the whole set, keep pairs that cross the split
+    import spark.implicits._
+    val d = graft.Tables(spark, dir, "documents")
+    val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+    val fps = graft.ext.Multimodal.dHash64(
+        d.select(col("doc_id")).as[Long]
+          .map(id => (id, graft.ext.Multimodal.synthPngBytes(
+            id / 4, variant = (id % 4).toInt)))
+          .toDF("media_id", "content"))
+      .select(col("media_id").as("id"), col("dhash")).cache()
+    val pairs = graft.ext.Dedup.hammingBandedPairs(fps, "dhash", 64, 3)
+    val corpusIds = d.filter(bucket < 500).select(col("doc_id").as("cid"))
+    val sliceIds = d.filter(bucket >= 500 && bucket < 600)
+      .select(col("doc_id").as("sid"))
+    val want = pairs.join(corpusIds, col("id_a") === col("cid"))
+      .join(sliceIds, col("id_b") === col("sid")).select(col("id_b").as("doc_id"))
+      .union(pairs.join(sliceIds, col("id_a") === col("sid"))
+        .join(corpusIds, col("id_b") === col("cid")).select(col("id_a").as("doc_id")))
+      .distinct()
+    rowSet(got) shouldBe rowSet(want)
+    fps.unpersist()
+    ()
+  }
+
+  test("streamImageHits: planted image twin flagged per batch, unrelated not") {
+    import spark.implicits._
+    val corpus = Seq(
+        (100L, graft.ext.Multimodal.synthPngBytes(5L)),
+        (101L, graft.ext.Multimodal.synthPngBytes(33L)))
+      .toDF("media_id", "content")
+    val corpusChunks = graft.ext.Multimodal.dHash64(corpus)
+      .select(col("media_id").as("corpus_id"), col("dhash").as("corpus_fp"),
+        explode(graft.ext.Dedup.fpChunkArray(col("dhash"), 64, 3)).as("c"))
+      .select(col("corpus_id"), col("corpus_fp"),
+        col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))
+    val in = MemoryStream[(Long, Array[Byte])](spark)
+    in.addData(
+      (1L, graft.ext.Multimodal.synthPngBytes(5L, variant = 2)), // twin of 100
+      (2L, graft.ext.Multimodal.synthPngBytes(77L)),             // unrelated
+      (3L, "not an image".getBytes("UTF-8")))                    // unparseable
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = graft.streaming.Streaming.streamImageHits(
+        in.toDF.toDF("media_id", "content"), corpusChunks)
+      .select("new_id", "corpus_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    buf.synchronized { buf.toSet } shouldBe Set((1L, 100L))
+  }
+
   test("streaming substring admission gate ≡ batch shared-window formulation") {
     val dir = "/root/testdata/sf0.001"
     val got = StreamingGate.streamAdmitSubstringFromFiles(spark, dir)
