@@ -150,6 +150,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash64: survives JPEG re-encode and 2x upscale — the real " +
+      "near-dup leaks a digest can never catch") {
+    import javax.imageio.ImageIO
+    // a smooth-gradient 36x32 image (4x the 9x8 grid): lossy JPEG
+    // perturbs pixel values but not luminance GRADIENT SIGNS, and a
+    // nearest-neighbor 2x upscale preserves the sampled grid exactly
+    val w = 36; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val lum = ((math.sin(x * 0.61 + y * 0.37) + 1) * 110).toInt + 16
+      img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+    }
+    def bytesOf(i: java.awt.image.BufferedImage, fmt: String) = {
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(i, fmt, out)
+      out.toByteArray
+    }
+    val up = new java.awt.image.BufferedImage(w * 2, h * 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = up.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+    g2.drawImage(img, 0, 0, w * 2, h * 2, null)
+    g2.dispose()
+    val rows = Seq(
+      (1L, bytesOf(img, "png")),
+      (2L, bytesOf(img, "jpg")), // lossy re-encode, different bytes
+      (3L, bytesOf(up, "png")))  // 2x the pixels, same content
+    // the byte payloads all differ (exact digest dedup sees nothing)
+    rows.map(r => java.util.Arrays.hashCode(r._2)).distinct.size shouldBe 3
+    val fps = Multimodal.dHash64(rows.toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    dist(fps(1L), fps(3L)) shouldBe 0     // upscale: same sampled grid
+    dist(fps(1L), fps(2L)) should be <= 3 // JPEG: within the band bound
+  }
+
   test("dHash64: planted variants sit within 2 bits; banding finds every " +
       "in-group pair; non-images fingerprint null") {
     // 10 groups of 4: seed = id/4, one perturbed last-column pixel per
