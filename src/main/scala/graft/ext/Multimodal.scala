@@ -149,7 +149,7 @@ object Multimodal {
     * Non-PCM16 or unparseable payloads fall back to [[StubCodec]].
     */
   object WavCodec extends MediaCodec {
-    private def parsePcm16(bytes: Array[Byte]): Option[(Array[Int], Int)] =
+    private[ext] def parsePcm16(bytes: Array[Byte]): Option[(Array[Int], Int)] =
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -203,7 +203,20 @@ object Multimodal {
   def synthWavSample(seed: Long, i: Int): Int =
     (((seed * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt
 
-  def synthWavBytes(seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+  /** [[synthWavSample]] with the near-dup planting knob: `variant ≠ 0`
+    * overrides only the LAST 8 samples (one [[aHash64]] segment at
+    * the 520-sample registry sizing), so variants of the same seed
+    * perturb at most ONE gradient bit — the audio twin of
+    * [[synthPngBytes]]' last-column pixel.
+    */
+  def synthWavSampleV(seed: Long, i: Int, nSamples: Int, variant: Int): Int =
+    if (variant != 0 && i >= nSamples - 8)
+      (((seed * 31L + variant.toLong * 9679L + i.toLong * 77L) % 65536L)
+        - 32768L).toInt
+    else synthWavSample(seed, i)
+
+  def synthWavBytes(seed: Long, nSamples: Int, sampleRate: Int,
+      variant: Int = 0): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
@@ -214,8 +227,59 @@ object Multimodal {
       .putShort(2).putShort(16) // block align, bits
     bb.put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
     var i = 0
-    while (i < nSamples) { bb.putShort(synthWavSample(seed, i).toShort); i += 1 }
+    while (i < nSamples) {
+      bb.putShort(synthWavSampleV(seed, i, nSamples, variant).toShort)
+      i += 1
+    }
     bb.array()
+  }
+
+  /** Perceptual AUDIO fingerprint — the aHash twin of [[dHash64]]:
+    * parse the payload (real `javax.sound.sampled` PCM16 decode),
+    * sum |amplitude| over `nSeg` contiguous time segments
+    * (integer-exact energies), and set bit s iff energy increases
+    * across the (s, s+1) segment boundary — 64 gradient bits at the
+    * default 65 segments. The energy-envelope SHAPE survives what
+    * byte digests can't: re-normalized volume (scaling every sample
+    * preserves gradient signs), container rewrites, appended
+    * silence-trims. Row-local like dHash; near-dup search is the
+    * same [[graft.ext.Dedup.hammingBandedPairs]] machinery — one
+    * banding implementation now serves text simhash, image dHash,
+    * and audio aHash. Non-PCM16 payloads fingerprint null.
+    */
+  def aHash64(media: DataFrame, nSeg: Int = 65): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(nSeg >= 2 && nSeg - 1 <= 64,
+      s"aHash64: $nSeg segments yield ${nSeg - 1} gradient bits — must fit one long")
+    media.select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          WavCodec.parsePcm16(bytes) match {
+            case Some((samples, _)) if samples.length >= nSeg =>
+              val n = samples.length
+              val e = new Array[Long](nSeg)
+              var s = 0
+              while (s < nSeg) {
+                var i = s * n / nSeg
+                val end = (s + 1) * n / nSeg
+                var acc = 0L
+                while (i < end) { acc += math.abs(samples(i).toLong); i += 1 }
+                e(s) = acc
+                s += 1
+              }
+              var fp = 0L
+              var b = 0
+              while (b < nSeg - 1) {
+                if (e(b + 1) > e(b)) fp |= 1L << b
+                b += 1
+              }
+              (id, Some(fp))
+            case _ => (id, None: Option[Long])
+          }
+        }
+      }
+      .toDF("media_id", "ahash")
   }
 
   /** Default multi-modality codec: sniff the container magic and route

@@ -265,9 +265,37 @@ object IndexStore {
     val spark = corpus.sparkSession
     ensureBuilt(spark, corpusDir, "", s"adm|$idCol|$textCol") { dir =>
       writeAdmissionIndexes(corpus, dir, idCol, textCol,
-        manifestExtra = Seq("corpus_fingerprint" ->
-          s""""${corpusFingerprint(spark, corpusDir)}""""))
+        manifestExtra = fingerprintField(spark, corpusDir))
     }
+  }
+
+  /** Serve-side freshness check for a store that was built OUTSIDE
+    * this session (the memo only protects in-session callers): fail
+    * loud if the manifest's recorded corpus fingerprint no longer
+    * matches the corpus directory's current listing. A nightly serve
+    * job calls this once at startup — one FS metadata listing, no
+    * data read — instead of discovering staleness as silently-wrong
+    * admission verdicts.
+    */
+  def requireFresh(spark: SparkSession, indexDir: String,
+      corpusDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"requireFresh: no manifest under $indexDir")
+    val in = fs.open(path)
+    val manifest =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val recorded = """"corpus_fingerprint": "([0-9a-f]+|absent)"""".r
+      .findFirstMatchIn(manifest).map(_.group(1))
+    require(recorded.isDefined,
+      s"requireFresh: manifest under $indexDir records no corpus " +
+        "fingerprint — rebuild with a fingerprint-recording ensure*/write face")
+    val current = corpusFingerprint(spark, corpusDir)
+    require(recorded.contains(current),
+      s"requireFresh: index under $indexDir was built from a different " +
+        s"state of $corpusDir (recorded ${recorded.get}, current $current) " +
+        "— rebuild before serving")
   }
 
   /** Test hook: forget the build memo (forces a rebuild). */
@@ -300,7 +328,8 @@ object IndexStore {
       m: Int = 4, ks: Int = 16, dim: Int = 64, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[Array[Array[Double]]] = None,
-      codebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
     import graft.ext.Similarity
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -339,7 +368,8 @@ object IndexStore {
       "quantizer" ->
         (if (centroids.isDefined) "\"explicit\"" else "\"corpus\""),
       "tables" -> Seq(AnnCentroidsTable, AnnCodebooksTable, AnnCodesTable,
-        IvfAssignedTable).map("\"" + _ + "\"").mkString("[", ",", "]")))
+        IvfAssignedTable).map("\"" + _ + "\"").mkString("[", ",", "]"))
+      ++ manifestExtra)
   }
 
   /** The two corpus-sized ANN tables (codes + inverted file) for
@@ -443,9 +473,15 @@ object IndexStore {
   /** Session-scoped build-once memo for the ANN indexes (same
     * discipline as [[ensureAdmissionIndexes]]).
     */
+  private def fingerprintField(spark: SparkSession,
+      corpusDir: String): Seq[(String, String)] =
+    Seq("corpus_fingerprint" ->
+      s""""${corpusFingerprint(spark, corpusDir)}"""")
+
   def ensureAnnIndexes(corpus: DataFrame, corpusDir: String): String =
     ensureBuilt(corpus.sparkSession, corpusDir, "-ann", "ann") { dir =>
-      writeAnnIndexes(corpus, dir)
+      writeAnnIndexes(corpus, dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
 
   /** Memoized build of an ANN store exercised through the INGEST
@@ -464,8 +500,51 @@ object IndexStore {
       val cb = Similarity.pqCodebooks(corpus, 4, 16, 64)
       val bucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
       writeAnnIndexes(corpus.filter(bucket < 800), dir,
-        centroids = Some(cents), codebooks = Some(cb))
+        centroids = Some(cents), codebooks = Some(cb),
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
       appendAnnIndexes(corpus.filter(bucket >= 800), dir)
+    }
+
+  // ---- persisted perceptual fingerprints (image dHash) ----
+
+  val ImageHashTable = "image_dhash"
+
+  /** Persist the corpus's perceptual image fingerprints — the
+    * pixel-modality admission artifact: one 64-bit dHash per decoded
+    * payload ([[graft.ext.Multimodal.dHash64]] — the expensive real
+    * codec pass runs ONCE at build time), unparseable payloads
+    * dropped. 8 bytes of payload per row; the image rung and any
+    * batch near-dup job then explode chunks from THIS table instead
+    * of re-decoding the corpus — the same build-once/serve-many
+    * contract as the text digest set.
+    */
+  def writeImageIndex(media: DataFrame, dir: String,
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    graft.ext.Multimodal.dHash64(media)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("id"), col("dhash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$ImageHashTable")
+    writeManifest(media.sparkSession, dir, Seq(
+      "kind" -> "\"image\"",
+      "bits" -> "64",
+      "tables" -> s""""$ImageHashTable"""") ++ manifestExtra)
+  }
+
+  def readImageHashes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$ImageHashTable")
+
+  /** Session-scoped build-once memo for the image fingerprint table.
+    * `media` must be the (media_id, content) face of `corpusDir`'s
+    * corpus — the fingerprint memo keys on the DIRECTORY, like every
+    * ensure* face; `variant` distinguishes different media slices of
+    * the same corpus dir (the gate fingerprints the seen half, the
+    * batch near-dup faces the whole corpus).
+    */
+  def ensureImageIndex(media: DataFrame, corpusDir: String,
+      variant: String = "-img"): String =
+    ensureBuilt(media.sparkSession, corpusDir, variant, s"img$variant") { dir =>
+      writeImageIndex(media, dir,
+        manifestExtra = fingerprintField(media.sparkSession, corpusDir))
     }
 
   // ---- persisted tokenizer (BPE merge table) ----
@@ -480,7 +559,8 @@ object IndexStore {
     * map from the table instead of retraining. One tiny file —
     * `coalesce(1)` so the rule order is one reader's scan.
     */
-  def writeBpeMerges(rules: DataFrame, dir: String): Unit = {
+  def writeBpeMerges(rules: DataFrame, dir: String,
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
     rules.select("round", "left", "right", "freq").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$BpeMergesTable")
     writeManifest(rules.sparkSession, dir, Seq(
@@ -488,7 +568,7 @@ object IndexStore {
       "merges" -> rules.count().toString,
       "casefold" -> "\"lower\"",
       "tie_break" -> "\"freq desc, utf8-byte pair asc\"",
-      "tables" -> s""""$BpeMergesTable""""))
+      "tables" -> s""""$BpeMergesTable"""") ++ manifestExtra)
   }
 
   /** The merge rules back, in training order — the input
@@ -504,7 +584,8 @@ object IndexStore {
       textCol: String = "text", merges: Int = 20): String =
     ensureBuilt(corpus.sparkSession, corpusDir, "-bpe", s"bpe|$textCol|$merges") {
       dir => writeBpeMerges(
-        graft.ext.TextAnalysis.bpeTrainLocal(corpus, textCol, merges), dir)
+        graft.ext.TextAnalysis.bpeTrainLocal(corpus, textCol, merges), dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
 
   /** Tiny dependency-free JSON manifest via the Hadoop FS API (works

@@ -970,9 +970,14 @@ object StreamingGate {
     def mediaOf(df: DataFrame): DataFrame = df.select(col("doc_id")).as[Long]
       .map(id => (id, Multimodal.synthPngBytes(id / 4, variant = (id % 4).toInt)))
       .toDF("media_id", "content")
-    val corpusChunks = Multimodal.dHash64(mediaOf(d.filter(bucket < 500)))
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id").as("corpus_id"), col("dhash").as("corpus_fp"),
+    // the corpus side serves from the PERSISTED fingerprint table
+    // (io.IndexStore, built once per session+corpus): the expensive
+    // codec pass never re-runs per gate — chunks explode row-locally
+    // from 8-byte stored fingerprints
+    val idxDir = graft.io.IndexStore.ensureImageIndex(
+      mediaOf(d.filter(bucket < 500)), dir, variant = "-img-seen")
+    val corpusChunks = graft.io.IndexStore.readImageHashes(s, idxDir)
+      .select(col("id").as("corpus_id"), col("dhash").as("corpus_fp"),
         explode(Dedup.fpChunkArray(col("dhash"), 64, 3)).as("c"))
       .select(col("corpus_id"), col("corpus_fp"),
         col("c.chunk").as("chunk"), col("c.chunk_val").as("chunk_val"))

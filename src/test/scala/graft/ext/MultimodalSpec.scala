@@ -188,6 +188,39 @@ class MultimodalSpec extends SparkSpec {
     dist(fps(1L), fps(2L)) should be <= 3 // JPEG: within the band bound
   }
 
+  test("aHash64: volume halving is distance 0; planted variants within " +
+      "1 bit; non-audio fingerprints null") {
+    // halve every sample of a synth WAV by rebuilding the PCM block:
+    // energy gradient SIGNS survive re-normalized volume exactly
+    def wavOf(samples: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    val base = Array.tabulate(520)(i => Multimodal.synthWavSample(9L, i))
+    val rows = Seq(
+      (1L, Multimodal.synthWavBytes(9L, 520, 8000)),
+      (2L, wavOf(base.map(_ / 2))),                        // half volume
+      (3L, Multimodal.synthWavBytes(9L, 520, 8000, variant = 2)),
+      (4L, Multimodal.synthWavBytes(123L, 520, 8000)),     // unrelated
+      (5L, "definitely not audio".getBytes("UTF-8")))
+    val fps = Multimodal.aHash64(rows.toDF("media_id", "content"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    fps(5L) shouldBe None
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    dist(fps(1L).get, fps(2L).get) shouldBe 0      // volume-invariant
+    dist(fps(1L).get, fps(3L).get) should be <= 1  // planted variant
+    dist(fps(1L).get, fps(4L).get) should be > 3   // unrelated separated
+  }
+
   test("dHash64: planted variants sit within 2 bits; banding finds every " +
       "in-group pair; non-images fingerprint null") {
     // 10 groups of 4: seed = id/4, one perturbed last-column pixel per

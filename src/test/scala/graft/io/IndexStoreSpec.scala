@@ -258,6 +258,27 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("image index: write→read round trip preserves the fingerprints") {
+    val dir = java.nio.file.Files.createTempDirectory("imgstore").toString
+    import spark.implicits._
+    val media = Seq(
+        (1L, graft.ext.Multimodal.synthPngBytes(5L)),
+        (2L, graft.ext.Multimodal.synthPngBytes(9L, variant = 3)),
+        (3L, "opaque".getBytes("UTF-8"))) // unparseable → not stored
+      .toDF("media_id", "content")
+    IndexStore.writeImageIndex(media, dir)
+    val want = graft.ext.Multimodal.dHash64(media)
+      .filter(col("dhash").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    IndexStore.readImageHashes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe want
+    want.length shouldBe 2
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "image"""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("bpe merges: write→read round trip preserves rules and order") {
     val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
     val rules = graft.ext.TextAnalysis.bpeTrainLocal(seen, "text", merges = 12)
@@ -288,14 +309,21 @@ class IndexStoreSpec extends SparkSpec {
     java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(d1, "manifest.json")) shouldBe t1
 
+    // the serve-side check passes while the corpus is unchanged
+    IndexStore.requireFresh(spark, d1, stage.toString)
+
     // mutate the corpus dir content (new file ⇒ new fingerprint) —
-    // the memo must REBUILD instead of serving the stale index
+    // the memo must REBUILD instead of serving the stale index, and
+    // the serve-side check must fail loud until it does
     java.nio.file.Files.write(stage.resolve("late_arrival.txt"),
       "new data".getBytes("UTF-8"))
+    an[IllegalArgumentException] should be thrownBy
+      IndexStore.requireFresh(spark, d1, stage.toString)
     val d2 = IndexStore.ensureAdmissionIndexes(corpus, stage.toString)
     d2 shouldBe d1 // same destination dir...
     java.nio.file.Files.getLastModifiedTime( // ...freshly rebuilt
       java.nio.file.Paths.get(d1, "manifest.json")) should not be t1
+    IndexStore.requireFresh(spark, d1, stage.toString) // green again
 
     org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
   }
