@@ -996,10 +996,16 @@ object Dedup {
   private[graft] def fpChunkArray(fp: Column, bits: Int,
       maxDist: Int): Column = {
     val nChunks = maxDist + 1
-    require(bits % nChunks == 0,
-      s"fpChunkArray: $bits fingerprint bits must split evenly " +
-        s"into ${nChunks} chunks (maxDist + 1)")
+    // integer-division width: when bits doesn't divide evenly the
+    // top bits%nChunks bits go uncovered, which stays pigeonhole-
+    // sound — maxDist+1 DISJOINT chunks still guarantee one clean
+    // chunk for any pair within maxDist (differences in uncovered
+    // bits only make candidates MORE likely), and the exact
+    // bit_count verify downstream uses all bits regardless
     val width = bits / nChunks
+    require(width >= 1,
+      s"fpChunkArray: maxDist $maxDist needs ${nChunks} chunks of a " +
+        s"$bits-bit fingerprint — at most ${bits - 1} is supported")
     array((0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(fp, c * width)
@@ -1636,12 +1642,13 @@ object Dedup {
       val dropped = dropCrossDocSpans(
         df.join(flagged, Seq(idCol), "left_semi"), idCol, textCol,
         spanWords, minDocs)
-      // re-join the split tokens (NOT the raw column) so unflagged
-      // docs normalize whitespace exactly like the stride-1 output —
-      // double/leading/trailing spaces must not diverge the two faces
+      // passing the raw column IS the stride-1 output for a doc with
+      // nothing dropped: split keeps leading/trailing/empty tokens
+      // (limit -1) and array_join re-joins them verbatim, so
+      // array_join(split(x, " "), " ") ≡ x for every input — no
+      // whitespace divergence is possible between the two faces
       val untouched = df.join(flagged, Seq(idCol), "left_anti")
-        .select(col(idCol),
-          array_join(split(col(textCol), " "), " ").as("text_clean"),
+        .select(col(idCol), col(textCol).as("text_clean"),
           size(split(col(textCol), " ")).as("n_words"),
           lit(0).as("n_dropped"))
       return dropped.unionByName(untouched)

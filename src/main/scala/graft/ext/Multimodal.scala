@@ -261,8 +261,10 @@ object Multimodal {
               val e = new Array[Long](nSeg)
               var s = 0
               while (s < nSeg) {
-                var i = s * n / nSeg
-                val end = (s + 1) * n / nSeg
+                // boundaries in Long: s*n overflows Int from ~33.5M
+                // samples (≈13 min at 44.1 kHz) — a realistic payload
+                var i = (s.toLong * n / nSeg).toInt
+                val end = ((s + 1).toLong * n / nSeg).toInt
                 var acc = 0L
                 while (i < end) { acc += math.abs(samples(i).toLong); i += 1 }
                 e(s) = acc

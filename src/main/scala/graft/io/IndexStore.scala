@@ -213,8 +213,11 @@ object IndexStore {
     * path rebuilds instead of silently serving a stale index; the
     * fingerprint is also recorded in the manifest for offline audit.
     */
-  private val built = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[String]()
+  // dir → the (fingerprint, params) key it was LAST built with: a
+  // Map, not a Set, because different parameterizations share one
+  // destination dir — remembering every key ever built would let an
+  // A→B→A parameter sequence serve A's dir while it holds B's build
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Cheap content fingerprint of a corpus directory: md5 over the
     * recursive (path, length, mtime) listing — a driver-side FS
@@ -249,11 +252,11 @@ object IndexStore {
     val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + variant
     val dir = java.nio.file.Paths.get("target", "indexes", key)
       .toAbsolutePath.toString
-    val memoKey = s"$dir|${corpusFingerprint(spark, corpusDir)}|$params"
-    if (!built.contains(memoKey)) built.synchronized {
-      if (!built.contains(memoKey)) {
+    val memoKey = s"${corpusFingerprint(spark, corpusDir)}|$params"
+    if (built.get(dir) != memoKey) built.synchronized {
+      if (built.get(dir) != memoKey) {
         build(dir)
-        built.add(memoKey)
+        built.put(dir, memoKey)
         ()
       }
     }
@@ -296,6 +299,38 @@ object IndexStore {
       s"requireFresh: index under $indexDir was built from a different " +
         s"state of $corpusDir (recorded ${recorded.get}, current $current) " +
         "— rebuild before serving")
+  }
+
+  /** Re-stamp the manifest's corpus fingerprint to the corpus dir's
+    * CURRENT listing — the append-maintenance companion of
+    * [[requireFresh]]: an `append*Indexes` call that incorporates the
+    * batch which changed the corpus leaves the store correct but the
+    * recorded fingerprint stale, and without this the freshness check
+    * would demand the very rebuild the append avoided. Call it after
+    * each append that brings the store in line with the corpus dir;
+    * a crash between append and stamp fails SAFE (requireFresh
+    * rejects, the maintenance job re-runs).
+    */
+  def recordFingerprint(spark: SparkSession, indexDir: String,
+      corpusDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"recordFingerprint: no manifest under $indexDir")
+    val in = fs.open(path)
+    val manifest =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val fp = corpusFingerprint(spark, corpusDir)
+    val field = s""""corpus_fingerprint": "$fp""""
+    val re = """"corpus_fingerprint": "[^"]*"""".r
+    val updated =
+      if (re.findFirstIn(manifest).isDefined)
+        re.replaceAllIn(manifest, java.util.regex.Matcher.quoteReplacement(field))
+      else manifest.replaceFirst("\\{", java.util.regex.Matcher
+        .quoteReplacement(s"{\n  $field,"))
+    val out = fs.create(path, true)
+    try out.write(updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Test hook: forget the build memo (forces a rebuild). */
@@ -424,6 +459,37 @@ object IndexStore {
     writeAnnRows(newVecs, dir, cents, cb, idCol, vecCol, SaveMode.Append)
   }
 
+  /** Small-files compaction for the append-maintained ANN store —
+    * the layout debt [[appendAnnIndexes]] accumulates: every append
+    * adds a new parquet file set to each touched `cell=N` directory,
+    * and months of daily appends turn the nProbe-pruned serve scan
+    * into a many-small-files read (task-per-file overhead, footer
+    * reads). This rewrites `ann_codes`/`ivf_assigned` repartitioned
+    * BY cell — one task owns each cell's rows, so each cell dir
+    * lands as one file — through a temp dir + FS-rename swap (same
+    * discipline as [[compactAdmissionIndexes]]); rows, cells, and
+    * serve results are unchanged, pinned in IndexStoreSpec. Run it
+    * in the same maintenance slot; unlike the admission compaction
+    * there are no duplicate rows to reclaim (appends carry new ids),
+    * only files to merge.
+    */
+  def compactAnnIndexes(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(AnnCodesTable, IvfAssignedTable).foreach { t =>
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact_$t")
+      val fs = cur.getFileSystem(conf)
+      if (fs.exists(cur)) {
+        spark.read.parquet(cur.toString)
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell")
+          .parquet(tmp.toString)
+        require(fs.delete(cur, true), s"compactAnn: could not delete $cur")
+        require(fs.rename(tmp, cur), s"compactAnn: could not swap in $tmp")
+      }
+    }
+  }
+
   /** The "when to retrain the quantizer" signal — the decision
     * [[appendAnnIndexes]]' frozen-quantizer contract delegates to a
     * schedule unless something measures it: per-cell PSI between the
@@ -544,6 +610,34 @@ object IndexStore {
       variant: String = "-img"): String =
     ensureBuilt(media.sparkSession, corpusDir, variant, s"img$variant") { dir =>
       writeImageIndex(media, dir,
+        manifestExtra = fingerprintField(media.sparkSession, corpusDir))
+    }
+
+  val AudioHashTable = "audio_ahash"
+
+  /** The audio twin of [[writeImageIndex]]: one 64-bit aHash per
+    * parseable PCM payload ([[graft.ext.Multimodal.aHash64]] — the
+    * decode pass runs once at build time), non-audio rows dropped.
+    */
+  def writeAudioIndex(media: DataFrame, dir: String,
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    graft.ext.Multimodal.aHash64(media)
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id").as("id"), col("ahash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AudioHashTable")
+    writeManifest(media.sparkSession, dir, Seq(
+      "kind" -> "\"audio\"",
+      "bits" -> "64",
+      "tables" -> s""""$AudioHashTable"""") ++ manifestExtra)
+  }
+
+  def readAudioHashes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$AudioHashTable")
+
+  def ensureAudioIndex(media: DataFrame, corpusDir: String,
+      variant: String = "-aud"): String =
+    ensureBuilt(media.sparkSession, corpusDir, variant, s"aud$variant") { dir =>
+      writeAudioIndex(media, dir,
         manifestExtra = fingerprintField(media.sparkSession, corpusDir))
     }
 

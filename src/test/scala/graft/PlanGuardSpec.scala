@@ -235,6 +235,13 @@ class PlanGuardSpec extends SparkSpec {
     // loop); the registry-visible plan must be the returned merge
     // table only — a FileScan here means training leaked into the plan
     count(planOf("q_bpe_train_local"), "FileScan") shouldBe 0
+
+    // perceptual serve: the image faces read 8-byte stored
+    // fingerprints from the persisted index — a MapPartitions node in
+    // the serve plan means the PNG codec pipeline leaked back into
+    // the per-query path (it belongs in the build, once)
+    count(planOf("q_image_neardup"), "MapPartitions") shouldBe 0
+    count(planOf("q_image_clusters"), "MapPartitions") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {

@@ -216,6 +216,47 @@ class IndexStoreSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("compactAnnIndexes: merges append-accumulated files per cell, " +
+      "serve results unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("anncompact").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val vbucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+    val cents = graft.ext.Similarity.ivfCentroids(e, 16)
+    val cb = graft.ext.Similarity.pqCodebooks(e, 4, 16, 64)
+    IndexStore.writeAnnIndexes(e.filter(vbucket < 600), dir,
+      centroids = Some(cents), codebooks = Some(cb))
+    IndexStore.appendAnnIndexes(e.filter(vbucket >= 600 && vbucket < 800), dir)
+    IndexStore.appendAnnIndexes(e.filter(vbucket >= 800), dir)
+
+    def partFiles(table: String): Int =
+      new java.io.File(s"$dir/$table").listFiles()
+        .filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.startsWith("part-"))).sum
+    def cellDirs(table: String): Set[String] =
+      new java.io.File(s"$dir/$table").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    val q = e.filter(col("vec_id") < 5)
+    def served() = graft.ext.Similarity.ivfTopKFromIndex(
+        IndexStore.readIvfAssigned(spark, dir), cents, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+
+    val filesBefore = partFiles(IndexStore.IvfAssignedTable)
+    val cellsBefore = cellDirs(IndexStore.IvfAssignedTable)
+    val servedBefore = served()
+    val rowsBefore = IndexStore.readIvfAssigned(spark, dir).count()
+
+    IndexStore.compactAnnIndexes(spark, dir)
+
+    // one file per cell dir afterwards; rows/cells/serve unchanged
+    partFiles(IndexStore.IvfAssignedTable) should be < filesBefore
+    partFiles(IndexStore.IvfAssignedTable) shouldBe
+      cellDirs(IndexStore.IvfAssignedTable).size
+    cellDirs(IndexStore.IvfAssignedTable) shouldBe cellsBefore
+    IndexStore.readIvfAssigned(spark, dir).count() shouldBe rowsBefore
+    served() shouldBe servedBefore
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("compactAdmissionIndexes: serve-equal, strictly fewer rows " +
       "after duplicate appends") {
     val dir = java.nio.file.Files.createTempDirectory("idxcompact").toString
@@ -354,6 +395,70 @@ class IndexStoreSpec extends SparkSpec {
     stable should be < 1.0
     shifted should be > 2.0
     shifted should be > stable * 3
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("ensure* memo: an A→B→A parameter sequence rebuilds — the dir " +
+      "never serves a build from different parameters") {
+    IndexStore.resetBuilt()
+    val stage = java.nio.file.Files.createTempDirectory("abacorpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(stage.resolve("documents.parquet").toString)
+    def mergesServed(n: Int): Int = {
+      val d = IndexStore.ensureBpeMerges(corpus, stage.toString, merges = n)
+      IndexStore.readBpeMerges(spark, d).size
+    }
+    mergesServed(12) shouldBe 12
+    mergesServed(8) shouldBe 8   // param change rebuilds into the same dir
+    mergesServed(12) shouldBe 12 // returning to A must NOT serve B's build
+    org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+  }
+
+  test("recordFingerprint: an append-maintained store passes requireFresh " +
+      "without the rebuild the append exists to avoid") {
+    IndexStore.resetBuilt()
+    val stage = java.nio.file.Files.createTempDirectory("appfresh")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(stage.resolve("documents.parquet").toString)
+    val d1 = IndexStore.ensureAdmissionIndexes(
+      corpus.filter(bucket < 500), stage.toString)
+    IndexStore.requireFresh(spark, d1, stage.toString)
+
+    // a new batch lands in the corpus dir → the check rejects...
+    java.nio.file.Files.write(stage.resolve("new_batch.txt"),
+      "new docs arrived".getBytes("UTF-8"))
+    an[IllegalArgumentException] should be thrownBy
+      IndexStore.requireFresh(spark, d1, stage.toString)
+    // ...the maintenance job appends the batch and re-stamps —
+    // requireFresh green again with NO rebuild (manifest kept its
+    // original build parameters; only the fingerprint moved)
+    IndexStore.appendAdmissionIndexes(
+      corpus.filter(bucket >= 500 && bucket < 550).select("doc_id", "text"), d1)
+    IndexStore.recordFingerprint(spark, d1, stage.toString)
+    IndexStore.requireFresh(spark, d1, stage.toString)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d1, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "admission"""")
+    org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+  }
+
+  test("audio index: write→read round trip preserves the fingerprints") {
+    val dir = java.nio.file.Files.createTempDirectory("audstore").toString
+    import spark.implicits._
+    val media = Seq(
+        (1L, graft.ext.Multimodal.synthWavBytes(7L, 520, 8000)),
+        (2L, graft.ext.Multimodal.synthWavBytes(7L, 520, 8000, variant = 1)),
+        (3L, "opaque".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    IndexStore.writeAudioIndex(media, dir)
+    val got = IndexStore.readAudioHashes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L) // non-audio dropped
+    java.lang.Long.bitCount(got(0)._2 ^ got(1)._2) should be <= 1
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
