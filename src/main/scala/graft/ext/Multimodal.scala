@@ -215,24 +215,30 @@ object Multimodal {
         - 32768L).toInt
     else synthWavSample(seed, i)
 
-  def synthWavBytes(seed: Long, nSamples: Int, sampleRate: Int,
-      variant: Int = 0): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(44 + nSamples * 2)
+  /** Serialize PCM16 mono samples as a canonical 44-byte-header WAV —
+    * the ONE place the RIFF/WAVE container layout lives (synth
+    * fixtures and specs both go through it).
+    */
+  def wavBytes(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples * 2)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
       .put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(1) // PCM, mono
       .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
       .putShort(2).putShort(16) // block align, bits
-    bb.put("data".getBytes("US-ASCII")).putInt(nSamples * 2)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
     var i = 0
-    while (i < nSamples) {
-      bb.putShort(synthWavSampleV(seed, i, nSamples, variant).toShort)
-      i += 1
-    }
+    while (i < n) { bb.putShort(samples(i).toShort); i += 1 }
     bb.array()
   }
+
+  def synthWavBytes(seed: Long, nSamples: Int, sampleRate: Int,
+      variant: Int = 0): Array[Byte] =
+    wavBytes(Array.tabulate(nSamples)(
+      synthWavSampleV(seed, _, nSamples, variant)), sampleRate)
 
   /** Perceptual AUDIO fingerprint — the aHash twin of [[dHash64]]:
     * parse the payload (real `javax.sound.sampled` PCM16 decode),
@@ -361,6 +367,22 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** The synthetic-PNG media face of an id column — seed = id/4
+    * (groups of 4 share a base image), variant = id % 4 (one
+    * perturbed last-column pixel each): the ONE place the planted
+    * near-dup fixture contract lives on the Scala side, shared by
+    * the batch image faces and the streaming image rung (their SQL
+    * twin is ExtQueries' imageFpCtes). `ids`' first column must be
+    * long-typed; works on batch and streaming frames alike.
+    */
+  def synthPngMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(ids.columns.head).as[Long]
+      .map(id => (id, synthPngBytes(id / 4, variant = (id % 4).toInt)))
+      .toDF("media_id", "content")
   }
 
   /** Integer luminance (×1000): 299r + 587g + 114b — the BT.601 mix

@@ -186,20 +186,31 @@ object IndexStore {
     * appended store are pinned in IndexStoreSpec; SCALE.md §indexes
     * notes the trigger heuristic.
     */
-  def compactAdmissionIndexes(spark: SparkSession, dir: String): Unit = {
+  def compactAdmissionIndexes(spark: SparkSession, dir: String): Unit =
+    swapRewrite(spark, dir,
+      Seq(DigestsTable, SpanHashesTable, ShingleSetsTable, BandIndexTable)) {
+      (df, out) => df.distinct().write.mode(SaveMode.Overwrite).parquet(out)
+    }
+
+  /** The rewrite-through-tmp + FS-rename swap both compaction faces
+    * share: read each existing table, apply the per-table rewrite
+    * into `.compact_<t>`, delete the original, rename the rewrite in.
+    * The one non-atomic window is delete-to-rename — the standard
+    * FS-level swap; run compactions in a maintenance slot.
+    */
+  private def swapRewrite(spark: SparkSession, dir: String,
+      tables: Seq[String])(write: (DataFrame, String) => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(DigestsTable, SpanHashesTable, ShingleSetsTable, BandIndexTable)
-      .foreach { t =>
-        val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
-        val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact_$t")
-        val fs = cur.getFileSystem(conf)
-        if (fs.exists(cur)) {
-          spark.read.parquet(cur.toString).distinct()
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          require(fs.delete(cur, true), s"compact: could not delete $cur")
-          require(fs.rename(tmp, cur), s"compact: could not swap in $tmp")
-        }
+    tables.foreach { t =>
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact_$t")
+      val fs = cur.getFileSystem(conf)
+      if (fs.exists(cur)) {
+        write(spark.read.parquet(cur.toString), tmp.toString)
+        require(fs.delete(cur, true), s"compact: could not delete $cur")
+        require(fs.rename(tmp, cur), s"compact: could not swap in $tmp")
       }
+    }
   }
 
   /** Session-scoped build-once memo: the first call for a (session,
@@ -272,6 +283,21 @@ object IndexStore {
     }
   }
 
+  /** The one regex that knows how [[writeManifest]] serializes the
+    * fingerprint field — requireFresh and recordFingerprint both go
+    * through it, so a format change breaks in one place, loudly.
+    */
+  private val FingerprintField = """"corpus_fingerprint": "([0-9a-f]+|absent)"""".r
+
+  private def readManifest(spark: SparkSession, indexDir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path), s"no manifest under $indexDir")
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** Serve-side freshness check for a store that was built OUTSIDE
     * this session (the memo only protects in-session callers): fail
     * loud if the manifest's recorded corpus fingerprint no longer
@@ -282,15 +308,8 @@ object IndexStore {
     */
   def requireFresh(spark: SparkSession, indexDir: String,
       corpusDir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(path), s"requireFresh: no manifest under $indexDir")
-    val in = fs.open(path)
-    val manifest =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    val recorded = """"corpus_fingerprint": "([0-9a-f]+|absent)"""".r
-      .findFirstMatchIn(manifest).map(_.group(1))
+    val recorded = FingerprintField
+      .findFirstMatchIn(readManifest(spark, indexDir)).map(_.group(1))
     require(recorded.isDefined,
       s"requireFresh: manifest under $indexDir records no corpus " +
         "fingerprint — rebuild with a fingerprint-recording ensure*/write face")
@@ -313,24 +332,34 @@ object IndexStore {
     */
   def recordFingerprint(spark: SparkSession, indexDir: String,
       corpusDir: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(path), s"recordFingerprint: no manifest under $indexDir")
-    val in = fs.open(path)
-    val manifest =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    val manifest = readManifest(spark, indexDir)
     val fp = corpusFingerprint(spark, corpusDir)
     val field = s""""corpus_fingerprint": "$fp""""
-    val re = """"corpus_fingerprint": "[^"]*"""".r
     val updated =
-      if (re.findFirstIn(manifest).isDefined)
-        re.replaceAllIn(manifest, java.util.regex.Matcher.quoteReplacement(field))
+      if (FingerprintField.findFirstIn(manifest).isDefined)
+        FingerprintField.replaceAllIn(manifest,
+          java.util.regex.Matcher.quoteReplacement(field))
       else manifest.replaceFirst("\\{", java.util.regex.Matcher
         .quoteReplacement(s"{\n  $field,"))
-    val out = fs.create(path, true)
+    // tmp + rename, never truncate-in-place: this runs against a LIVE
+    // store, and a crash mid-write must not destroy the manifest's
+    // build metadata (which only a full rebuild could restore)
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.manifest_tmp")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
     try out.write(updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.delete(path, false) && fs.rename(tmp, path),
+      s"recordFingerprint: could not swap manifest under $indexDir")
+    // keep the in-session memo in step: an ensure* call after the
+    // append must SERVE the appended store, not Overwrite-rebuild it
+    // from the caller's (pre-append) corpus slice — re-key every memo
+    // entry for this dir to the fingerprint just recorded
+    built.computeIfPresent(java.nio.file.Paths.get(indexDir)
+        .toAbsolutePath.toString,
+      (_, old) => fp + old.substring(old.indexOf('|')))
+    ()
   }
 
   /** Test hook: forget the build memo (forces a rebuild). */
@@ -473,22 +502,11 @@ object IndexStore {
     * there are no duplicate rows to reclaim (appends carry new ids),
     * only files to merge.
     */
-  def compactAnnIndexes(spark: SparkSession, dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq(AnnCodesTable, IvfAssignedTable).foreach { t =>
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.compact_$t")
-      val fs = cur.getFileSystem(conf)
-      if (fs.exists(cur)) {
-        spark.read.parquet(cur.toString)
-          .repartition(col("cell"))
-          .write.mode(SaveMode.Overwrite).partitionBy("cell")
-          .parquet(tmp.toString)
-        require(fs.delete(cur, true), s"compactAnn: could not delete $cur")
-        require(fs.rename(tmp, cur), s"compactAnn: could not swap in $tmp")
-      }
+  def compactAnnIndexes(spark: SparkSession, dir: String): Unit =
+    swapRewrite(spark, dir, Seq(AnnCodesTable, IvfAssignedTable)) {
+      (df, out) => df.repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(out)
     }
-  }
 
   /** The "when to retrain the quantizer" signal — the decision
     * [[appendAnnIndexes]]' frozen-quantizer contract delegates to a

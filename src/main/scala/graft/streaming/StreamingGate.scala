@@ -967,15 +967,13 @@ object StreamingGate {
     val stage = newStage()
     val d = Tables(s, dir, "documents")
     val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
-    def mediaOf(df: DataFrame): DataFrame = df.select(col("doc_id")).as[Long]
-      .map(id => (id, Multimodal.synthPngBytes(id / 4, variant = (id % 4).toInt)))
-      .toDF("media_id", "content")
     // the corpus side serves from the PERSISTED fingerprint table
     // (io.IndexStore, built once per session+corpus): the expensive
     // codec pass never re-runs per gate — chunks explode row-locally
     // from 8-byte stored fingerprints
     val idxDir = graft.io.IndexStore.ensureImageIndex(
-      mediaOf(d.filter(bucket < 500)), dir, variant = "-img-seen")
+      Multimodal.synthPngMedia(d.filter(bucket < 500).select("doc_id")),
+      dir, variant = "-img-seen")
     val corpusChunks = graft.io.IndexStore.readImageHashes(s, idxDir)
       .select(col("id").as("corpus_id"), col("dhash").as("corpus_fp"),
         explode(Dedup.fpChunkArray(col("dhash"), 64, 3)).as("c"))
@@ -996,9 +994,7 @@ object StreamingGate {
           StructField("doc_id", LongType), StructField("text", StringType))))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.resolve("data").toString)
-      val media = stream.select(col("doc_id")).as[Long]
-        .map(id => (id, Multimodal.synthPngBytes(id / 4, variant = (id % 4).toInt)))
-        .toDF("media_id", "content")
+      val media = Multimodal.synthPngMedia(stream.select("doc_id"))
       val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
       val query = Streaming.streamImageHits(media, corpusChunks)
         .select("new_id")

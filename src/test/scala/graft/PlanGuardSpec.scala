@@ -242,6 +242,7 @@ class PlanGuardSpec extends SparkSpec {
     // the per-query path (it belongs in the build, once)
     count(planOf("q_image_neardup"), "MapPartitions") shouldBe 0
     count(planOf("q_image_clusters"), "MapPartitions") shouldBe 0
+    count(planOf("q_audio_neardup"), "MapPartitions") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {

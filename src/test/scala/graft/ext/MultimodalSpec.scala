@@ -165,7 +165,20 @@ class MultimodalSpec extends SparkSpec {
     }
     def bytesOf(i: java.awt.image.BufferedImage, fmt: String) = {
       val out = new java.io.ByteArrayOutputStream()
-      ImageIO.write(i, fmt, out)
+      if (fmt == "jpg") {
+        // pin the compression quality explicitly: the JRE default is
+        // encoder-dependent, and the dist<=3 bound below must not
+        // float with the host JDK's bundled JPEG plugin
+        val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.9f)
+        val ios = ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(i, null, null), param)
+        writer.dispose()
+        ios.close()
+      } else ImageIO.write(i, fmt, out)
       out.toByteArray
     }
     val up = new java.awt.image.BufferedImage(w * 2, h * 2,
@@ -190,24 +203,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("aHash64: volume halving is distance 0; planted variants within " +
       "1 bit; non-audio fingerprints null") {
-    // halve every sample of a synth WAV by rebuilding the PCM block:
+    // halve every sample of a synth WAV (same canonical serializer):
     // energy gradient SIGNS survive re-normalized volume exactly
-    def wavOf(samples: Array[Int]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
-        .put("WAVE".getBytes("US-ASCII"))
-      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(1).putInt(8000).putInt(16000)
-        .putShort(2).putShort(16)
-      bb.put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
-      samples.foreach(s => bb.putShort(s.toShort))
-      bb.array()
-    }
     val base = Array.tabulate(520)(i => Multimodal.synthWavSample(9L, i))
     val rows = Seq(
       (1L, Multimodal.synthWavBytes(9L, 520, 8000)),
-      (2L, wavOf(base.map(_ / 2))),                        // half volume
+      (2L, Multimodal.wavBytes(base.map(_ / 2), 8000)),    // half volume
       (3L, Multimodal.synthWavBytes(9L, 520, 8000, variant = 2)),
       (4L, Multimodal.synthWavBytes(123L, 520, 8000)),     // unrelated
       (5L, "definitely not audio".getBytes("UTF-8")))

@@ -443,6 +443,14 @@ class IndexStoreSpec extends SparkSpec {
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(d1, "manifest.json")), "UTF-8")
     manifest should include(""""kind": "admission"""")
+
+    // the stamp also re-keys the in-session memo: a later ensure*
+    // call must SERVE the appended store, not Overwrite-rebuild it
+    // from the caller's pre-append corpus slice
+    val rowsAppended = IndexStore.readDigests(spark, d1).count()
+    IndexStore.ensureAdmissionIndexes(
+      corpus.filter(bucket < 500), stage.toString) shouldBe d1
+    IndexStore.readDigests(spark, d1).count() shouldBe rowsAppended
     org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
   }
 

@@ -357,10 +357,7 @@ class StreamingGateSpec extends SparkSpec {
     val d = graft.Tables(spark, dir, "documents")
     val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
     val fps = graft.ext.Multimodal.dHash64(
-        d.select(col("doc_id")).as[Long]
-          .map(id => (id, graft.ext.Multimodal.synthPngBytes(
-            id / 4, variant = (id % 4).toInt)))
-          .toDF("media_id", "content"))
+        graft.ext.Multimodal.synthPngMedia(d.select("doc_id")))
       .select(col("media_id").as("id"), col("dhash")).cache()
     val pairs = graft.ext.Dedup.hammingBandedPairs(fps, "dhash", 64, 3)
     val corpusIds = d.filter(bucket < 500).select(col("doc_id").as("cid"))
