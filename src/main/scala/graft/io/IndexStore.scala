@@ -192,6 +192,25 @@ object IndexStore {
       (df, out) => df.distinct().write.mode(SaveMode.Overwrite).parquet(out)
     }
 
+  /** Takedown / opt-out delete for the admission store: remove `ids`
+    * (one `id` column) from the DOC-BEARING tables — `shingle_sets`
+    * and `band_index` — so removed documents stop appearing as fuzzy
+    * candidates (spec-pinned). `digests` and `span_hashes` are
+    * DELIBERATELY retained: they carry no document ids (pre-
+    * distinct'd hash sets), and for a takedown that is the direction
+    * you want — an identical or span-overlapping re-submission of
+    * removed content stays BLOCKED at the exact/substring rungs.
+    * A scheduled full rebuild reclaims the orphaned hashes if the
+    * policy is "forget entirely" rather than "never re-admit".
+    */
+  def deleteFromAdmissionIndexes(ids: DataFrame, dir: String): Unit = {
+    val del = ids.select(col(ids.columns.head).as("id"))
+    swapRewrite(ids.sparkSession, dir, Seq(ShingleSetsTable, BandIndexTable)) {
+      (df, out) => df.join(del, Seq("id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+  }
+
   /** The rewrite-through-tmp + FS-rename swap both compaction faces
     * share: read each existing table, apply the per-table rewrite
     * into `.compact_<t>`, delete the original, rename the rewrite in.
@@ -488,6 +507,62 @@ object IndexStore {
     writeAnnRows(newVecs, dir, cents, cb, idCol, vecCol, SaveMode.Append)
   }
 
+  /** Surgical delete from the persisted ANN store — the takedown /
+    * opt-out face every training-data index eventually needs: remove
+    * `ids` (one `id` column) from `ann_codes` and `ivf_assigned`
+    * WITHOUT rewriting the whole inverted file. The cell partition
+    * layout is what makes it surgical: one thin semi-join finds the
+    * affected cells, and a dynamic-partition-overwrite write replaces
+    * ONLY those cell directories with their surviving rows (untouched
+    * cells' files are not rewritten — pinned by mtime in
+    * IndexStoreSpec); a cell whose rows are all deleted is removed
+    * explicitly (dynamic overwrite can't replace a partition with
+    * nothing). Serve-equality with a rebuild-over-survivors under the
+    * same frozen quantizer is pinned; the quantizer itself is
+    * untouched (like FAISS `remove_ids` — retrain on schedule, not
+    * per delete).
+    */
+  def deleteFromAnnIndexes(ids: DataFrame, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(ids.columns.head).as("id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(AnnCodesTable, IvfAssignedTable).foreach { t =>
+      val path = s"$dir/$t"
+      val cur = spark.read.parquet(path)
+      val affectedCells = cur.join(del, Seq("id"), "left_semi")
+        .select("cell").distinct().collect().map(_.get(0))
+      if (affectedCells.nonEmpty) {
+        // survivors of ONLY the affected cells land in a temp dir
+        // (never read-and-overwrite the same path), then each
+        // affected cell directory is swapped: drop the old dir,
+        // rename the rewritten one in — a cell emptied entirely
+        // simply has nothing to rename in
+        val tmp = s"$dir/.delete_$t"
+        cur.filter(col("cell").isin(affectedCells: _*))
+          .join(del, Seq("id"), "left_anti")
+          .repartition(col("cell"))
+          .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        affectedCells.foreach { c =>
+          val oldCell = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
+          val newCell = new org.apache.hadoop.fs.Path(s"$tmp/cell=$c")
+          if (fs.exists(oldCell)) {
+            require(fs.delete(oldCell, true),
+              s"deleteFromAnnIndexes: could not drop $oldCell")
+            ()
+          }
+          if (fs.exists(newCell)) {
+            require(fs.rename(newCell, oldCell),
+              s"deleteFromAnnIndexes: could not swap in $newCell")
+            ()
+          }
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        ()
+      }
+    }
+  }
+
   /** Small-files compaction for the append-maintained ANN store —
     * the layout debt [[appendAnnIndexes]] accumulates: every append
     * adds a new parquet file set to each touched `cell=N` directory,
@@ -587,6 +662,24 @@ object IndexStore {
         centroids = Some(cents), codebooks = Some(cb),
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
       appendAnnIndexes(corpus.filter(bucket >= 800), dir)
+    }
+
+  /** Memoized build of an ANN store exercised through the TAKEDOWN
+    * cycle: full build under a full-corpus quantizer, then
+    * [[deleteFromAnnIndexes]] removes `deleteIds` surgically — the
+    * registry face serving from this store must equal a build that
+    * never contained the deleted vectors (same frozen quantizer),
+    * which is what its oracle replays.
+    */
+  def ensureAnnDeletedIndexes(corpus: DataFrame, corpusDir: String,
+      deleteIds: DataFrame): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, "-ann-del", "ann-del") { dir =>
+      import graft.ext.Similarity
+      writeAnnIndexes(corpus, dir,
+        centroids = Some(Similarity.ivfCentroids(corpus, 16)),
+        codebooks = Some(Similarity.pqCodebooks(corpus, 4, 16, 64)),
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+      deleteFromAnnIndexes(deleteIds, dir)
     }
 
   // ---- persisted perceptual fingerprints (image dHash) ----

@@ -216,6 +216,93 @@ class IndexStoreSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("deleteFromAnnIndexes: surgical per-cell takedown — serve equals " +
+      "rebuild-over-survivors, untouched cells' files never rewritten") {
+    val dirA = java.nio.file.Files.createTempDirectory("anndelA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("anndelB").toString
+    import spark.implicits._
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(e, 16)
+    val cb = graft.ext.Similarity.pqCodebooks(e, 4, 16, 64)
+    IndexStore.writeAnnIndexes(e, dirA,
+      centroids = Some(cents), codebooks = Some(cb))
+
+    // a small takedown set → few affected cells, most untouched
+    val delIds = Seq(3L, 17L)
+    val del = delIds.toDF("id")
+    val affected = IndexStore.readIvfAssigned(spark, dirA)
+      .filter(col("id").isin(delIds: _*))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    affected.size should be < 16
+    val untouchedCell = (0 until 16).find(!affected.contains(_)).get
+    def cellFiles(c: Int) = new java.io.File(
+        s"$dirA/${IndexStore.IvfAssignedTable}/cell=$c")
+      .listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.lastModified())).sorted.toSeq
+    val before = cellFiles(untouchedCell)
+
+    IndexStore.deleteFromAnnIndexes(del, dirA)
+
+    // untouched cell directory byte-for-byte left alone
+    cellFiles(untouchedCell) shouldBe before
+    // deleted ids gone from both tables
+    IndexStore.readIvfAssigned(spark, dirA)
+      .filter(col("id").isin(delIds: _*)).count() shouldBe 0
+    IndexStore.readAnnCodes(spark, dirA)
+      .filter(col("id").isin(delIds: _*)).count() shouldBe 0
+
+    // serving equals a from-scratch build over the survivors under
+    // the same frozen quantizer (FAISS remove_ids semantics)
+    IndexStore.writeAnnIndexes(e.filter(!col("vec_id").isin(delIds: _*)),
+      dirB, centroids = Some(cents), codebooks = Some(cb))
+    val q = e.filter(col("vec_id").isin(1L, 2L, 4L, 5L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    rows(graft.ext.Similarity.ivfTopKFromIndex(
+      IndexStore.readIvfAssigned(spark, dirA), cents, q, k = 5)) shouldBe
+      rows(graft.ext.Similarity.ivfTopKFromIndex(
+        IndexStore.readIvfAssigned(spark, dirB), cents, q, k = 5))
+
+    // emptying a WHOLE cell drops its directory
+    val cellToEmpty = affected.head
+    val emptyIds = IndexStore.readIvfAssigned(spark, dirA)
+      .filter(col("cell") === cellToEmpty).select("id")
+    IndexStore.deleteFromAnnIndexes(emptyIds, dirA)
+    new java.io.File(s"$dirA/${IndexStore.IvfAssignedTable}/cell=$cellToEmpty")
+      .exists() shouldBe false
+
+    for (d <- Seq(dirA, dirB))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("deleteFromAdmissionIndexes: removed docs stop being fuzzy " +
+      "candidates; the digest blocklist is deliberately retained") {
+    val dir = java.nio.file.Files.createTempDirectory("admdel").toString
+    import spark.implicits._
+    IndexStore.writeAdmissionIndexes(seen, dir)
+    val candidatesBefore = graft.ext.Dedup.minhashCrossPairsFromIndex(
+        IndexStore.readBandIndex(spark, dir),
+        IndexStore.readShingleSets(spark, dir),
+        slice, "doc_id", "text")
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    candidatesBefore should not be empty
+
+    val victim = candidatesBefore.head
+    val digestsBefore = IndexStore.readDigests(spark, dir).count()
+    IndexStore.deleteFromAdmissionIndexes(Seq(victim).toDF("id"), dir)
+
+    val candidatesAfter = graft.ext.Dedup.minhashCrossPairsFromIndex(
+        IndexStore.readBandIndex(spark, dir),
+        IndexStore.readShingleSets(spark, dir),
+        slice, "doc_id", "text")
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    candidatesAfter should not contain victim
+    candidatesAfter shouldBe (candidatesBefore - victim)
+    // the hash blocklist stays: identical re-submissions remain blocked
+    IndexStore.readDigests(spark, dir).count() shouldBe digestsBefore
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("compactAnnIndexes: merges append-accumulated files per cell, " +
       "serve results unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("anncompact").toString
