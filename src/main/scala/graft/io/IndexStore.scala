@@ -204,8 +204,14 @@ object IndexStore {
     * policy is "forget entirely" rather than "never re-admit".
     */
   def deleteFromAdmissionIndexes(ids: DataFrame, dir: String): Unit = {
-    val del = ids.select(col(ids.columns.head).as("id"))
-    swapRewrite(ids.sparkSession, dir, Seq(ShingleSetsTable, BandIndexTable)) {
+    // eager checkpoint: same self-reference hazard as
+    // [[deleteFromAnnIndexes]] — an `ids` plan derived from
+    // shingle_sets must not be re-evaluated after that table is
+    // rewritten; and mustExist because a delete that silently no-ops
+    // against a typo'd/unbuilt dir would record a takedown as done
+    val del = ids.select(col(ids.columns.head).as("id")).localCheckpoint()
+    swapRewrite(ids.sparkSession, dir, Seq(ShingleSetsTable, BandIndexTable),
+        mustExist = true) {
       (df, out) => df.join(del, Seq("id"), "left_anti")
         .write.mode(SaveMode.Overwrite).parquet(out)
     }
@@ -216,9 +222,14 @@ object IndexStore {
     * into `.compact_<t>`, delete the original, rename the rewrite in.
     * The one non-atomic window is delete-to-rename — the standard
     * FS-level swap; run compactions in a maintenance slot.
+    * `mustExist` picks the missing-table semantics: skipping is right
+    * for compaction (nothing to compact), fail-loud is right for a
+    * delete (a takedown against an absent table is an operator error,
+    * not a no-op).
     */
   private def swapRewrite(spark: SparkSession, dir: String,
-      tables: Seq[String])(write: (DataFrame, String) => Unit): Unit = {
+      tables: Seq[String], mustExist: Boolean = false)(
+      write: (DataFrame, String) => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     tables.foreach { t =>
       val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
@@ -228,7 +239,8 @@ object IndexStore {
         write(spark.read.parquet(cur.toString), tmp.toString)
         require(fs.delete(cur, true), s"compact: could not delete $cur")
         require(fs.rename(tmp, cur), s"compact: could not swap in $tmp")
-      }
+      } else require(!mustExist,
+        s"swapRewrite: required table $cur does not exist")
     }
   }
 
@@ -360,17 +372,22 @@ object IndexStore {
           java.util.regex.Matcher.quoteReplacement(field))
       else manifest.replaceFirst("\\{", java.util.regex.Matcher
         .quoteReplacement(s"{\n  $field,"))
-    // tmp + rename, never truncate-in-place: this runs against a LIVE
-    // store, and a crash mid-write must not destroy the manifest's
-    // build metadata (which only a full rebuild could restore)
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.manifest_tmp")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tmp + ATOMIC overwrite-rename (FileContext, Rename.OVERWRITE):
+    // this runs against a LIVE store, and neither a crash mid-write
+    // nor a crash mid-swap may leave the store without its manifest
+    // (whose build metadata only a full rebuild could restore) — a
+    // delete-then-rename swap would have exactly that window
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val path = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexDir/manifest.json"))
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$indexDir/.manifest_tmp"))
     val out = fs.create(tmp, true)
     try out.write(updated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    require(fs.delete(path, false) && fs.rename(tmp, path),
-      s"recordFingerprint: could not swap manifest under $indexDir")
+    org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+      .rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // keep the in-session memo in step: an ensure* call after the
     // append must SERVE the appended store, not Overwrite-rebuild it
     // from the caller's (pre-append) corpus slice — re-key every memo
@@ -379,6 +396,23 @@ object IndexStore {
         .toAbsolutePath.toString,
       (_, old) => fp + old.substring(old.indexOf('|')))
     ()
+  }
+
+  /** Order-insensitive content digest of a (small) id set — the memo
+    * ingredient for ensure* faces parameterized by an id list (delete
+    * sets are takedown lists: thousands, not corpus-sized — the cap
+    * keeps a mis-wired corpus-scale frame from becoming a silent
+    * driver collect).
+    */
+  private def idSetDigest(ids: DataFrame, cap: Int = 1 << 20): String = {
+    val vals = ids.select(col(ids.columns.head).cast("string"))
+      .limit(cap + 1).collect().map(r => String.valueOf(r.get(0)))
+    require(vals.length <= cap,
+      s"idSetDigest: id set exceeds $cap rows — not a takedown-sized set")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(vals.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Test hook: forget the build memo (forces a rebuild). */
@@ -524,13 +558,23 @@ object IndexStore {
     */
   def deleteFromAnnIndexes(ids: DataFrame, dir: String): Unit = {
     val spark = ids.sparkSession
-    val del = ids.select(col(ids.columns.head).as("id"))
+    // materialize the delete set BEFORE any mutation: `ids` is a lazy
+    // plan and may legitimately derive from the very tables this
+    // rewrites (readAnnCodes(...).filter(pred)) — without the eager
+    // checkpoint, the second table's rewrite would re-evaluate it
+    // against the already-mutated first table and silently keep the
+    // rows it was asked to remove
+    val del = ids.select(col(ids.columns.head).as("id")).localCheckpoint()
     val conf = spark.sparkContext.hadoopConfiguration
+    // both tables cell-assign the same vectors under the same frozen
+    // quantizer, so ONE thin semi-join (against the inverted file)
+    // discovers the affected cells for both rewrites
+    val affectedCells = spark.read.parquet(s"$dir/$IvfAssignedTable")
+      .join(del, Seq("id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
     Seq(AnnCodesTable, IvfAssignedTable).foreach { t =>
       val path = s"$dir/$t"
       val cur = spark.read.parquet(path)
-      val affectedCells = cur.join(del, Seq("id"), "left_semi")
-        .select("cell").distinct().collect().map(_.get(0))
       if (affectedCells.nonEmpty) {
         // survivors of ONLY the affected cells land in a temp dir
         // (never read-and-overwrite the same path), then each
@@ -673,7 +717,11 @@ object IndexStore {
     */
   def ensureAnnDeletedIndexes(corpus: DataFrame, corpusDir: String,
       deleteIds: DataFrame): String =
-    ensureBuilt(corpus.sparkSession, corpusDir, "-ann-del", "ann-del") { dir =>
+    // the delete set is a BUILD PARAMETER: fold its content digest
+    // into the memo key so a second call with different ids rebuilds
+    // instead of serving the first call's takedown state
+    ensureBuilt(corpus.sparkSession, corpusDir, "-ann-del",
+        s"ann-del|${idSetDigest(deleteIds)}") { dir =>
       import graft.ext.Similarity
       writeAnnIndexes(corpus, dir,
         centroids = Some(Similarity.ivfCentroids(corpus, 16)),

@@ -557,6 +557,72 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("delete faces: a delete set DERIVED from the store's own tables " +
+      "is honored in full (materialized before any rewrite)") {
+    // the operational shape of a takedown: "delete whatever the index
+    // says matches this predicate" — the ids plan reads the very
+    // table the delete rewrites. Without eager materialization, the
+    // second table's rewrite would re-evaluate the plan against the
+    // already-mutated first table (empty by then) and silently keep
+    // the rows it was asked to remove.
+    val dir = java.nio.file.Files.createTempDirectory("selfdel").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    IndexStore.writeAnnIndexes(e, dir)
+    // ann_codes is rewritten FIRST — derive the ids from it
+    val annIds = IndexStore.readAnnCodes(spark, dir)
+      .filter(col("id").isin(3L, 17L)).select("id")
+    IndexStore.deleteFromAnnIndexes(annIds, dir)
+    IndexStore.readAnnCodes(spark, dir)
+      .filter(col("id").isin(3L, 17L)).count() shouldBe 0
+    IndexStore.readIvfAssigned(spark, dir)
+      .filter(col("id").isin(3L, 17L)).count() shouldBe 0
+
+    val admDir = java.nio.file.Files.createTempDirectory("selfdeladm").toString
+    IndexStore.writeAdmissionIndexes(seen, admDir)
+    // shingle_sets is rewritten FIRST — derive the ids from it
+    val victim = IndexStore.readShingleSets(spark, admDir)
+      .select("id").orderBy("id").head().getLong(0)
+    val admIds = IndexStore.readShingleSets(spark, admDir)
+      .filter(col("id") === victim).select("id")
+    IndexStore.deleteFromAdmissionIndexes(admIds, admDir)
+    IndexStore.readShingleSets(spark, admDir)
+      .filter(col("id") === victim).count() shouldBe 0
+    IndexStore.readBandIndex(spark, admDir)
+      .filter(col("id") === victim).count() shouldBe 0
+    for (d <- Seq(dir, admDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
+  test("deleteFromAdmissionIndexes fails loud against an unbuilt dir " +
+      "instead of recording a takedown as done") {
+    import spark.implicits._
+    val empty = java.nio.file.Files.createTempDirectory("nodir").toString
+    an[IllegalArgumentException] should be thrownBy
+      IndexStore.deleteFromAdmissionIndexes(Seq(1L).toDF("id"), empty)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(empty))
+  }
+
+  test("ensureAnnDeletedIndexes: a different delete set rebuilds — the " +
+      "dir never serves another takedown's state") {
+    IndexStore.resetBuilt()
+    import spark.implicits._
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    def servedIds(ids: Seq[Long]): Set[Long] = {
+      val d = IndexStore.ensureAnnDeletedIndexes(e, sfDir, ids.toDF("id"))
+      IndexStore.readIvfAssigned(spark, d)
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    val afterA = servedIds(Seq(3L))
+    afterA should not contain 3L
+    afterA should contain(17L)
+    // same ids again → memoized (state already correct), still B-free
+    servedIds(Seq(3L)) shouldBe afterA
+    // a DIFFERENT takedown list must rebuild, not serve A's state
+    val afterB = servedIds(Seq(17L))
+    afterB should not contain 17L
+    afterB should contain(3L)
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
