@@ -745,9 +745,7 @@ object IndexStore {
     */
   def writeImageIndex(media: DataFrame, dir: String,
       manifestExtra: Seq[(String, String)] = Nil): Unit = {
-    graft.ext.Multimodal.dHash64(media)
-      .filter(col("dhash").isNotNull)
-      .select(col("media_id").as("id"), col("dhash"))
+    imageHashRows(media)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$ImageHashTable")
     writeManifest(media.sparkSession, dir, Seq(
       "kind" -> "\"image\"",
@@ -780,9 +778,7 @@ object IndexStore {
     */
   def writeAudioIndex(media: DataFrame, dir: String,
       manifestExtra: Seq[(String, String)] = Nil): Unit = {
-    graft.ext.Multimodal.aHash64(media)
-      .filter(col("ahash").isNotNull)
-      .select(col("media_id").as("id"), col("ahash"))
+    audioHashRows(media)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$AudioHashTable")
     writeManifest(media.sparkSession, dir, Seq(
       "kind" -> "\"audio\"",
@@ -798,6 +794,89 @@ object IndexStore {
     ensureBuilt(media.sparkSession, corpusDir, variant, s"aud$variant") { dir =>
       writeAudioIndex(media, dir,
         manifestExtra = fingerprintField(media.sparkSession, corpusDir))
+    }
+
+  // ---- perceptual store maintenance (image + audio share the shape) ----
+
+  /** The decode→fingerprint projection both image write faces share:
+    * one 64-bit dHash per parseable payload, unparseable rows dropped.
+    */
+  private def imageHashRows(media: DataFrame): DataFrame =
+    graft.ext.Multimodal.dHash64(media)
+      .filter(col("dhash").isNotNull)
+      .select(col("media_id").as("id"), col("dhash"))
+
+  private def audioHashRows(media: DataFrame): DataFrame =
+    graft.ext.Multimodal.aHash64(media)
+      .filter(col("ahash").isNotNull)
+      .select(col("media_id").as("id"), col("ahash"))
+
+  /** Incremental maintenance for the perceptual stores — the same
+    * ingest-loop contract as [[appendAdmissionIndexes]], and the EASY
+    * case of it: a perceptual fingerprint is row-local (no global
+    * totals, no banding state), so appending the new batch's
+    * fingerprint rows makes the store EXACTLY a rebuild over the
+    * union (spec-pinned), with the one shared caveat that a batch
+    * re-appended twice duplicates its rows until
+    * [[compactImageIndex]]/[[compactAudioIndex]] reclaims them. The
+    * decode pass — the expensive part — runs only over the new batch.
+    * After appending, re-stamp the corpus fingerprint with
+    * [[recordFingerprint]] so the serve-side freshness check stays
+    * green without the rebuild the append exists to avoid.
+    */
+  def appendImageIndex(media: DataFrame, dir: String): Unit =
+    imageHashRows(media)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$ImageHashTable")
+
+  def appendAudioIndex(media: DataFrame, dir: String): Unit =
+    audioHashRows(media)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$AudioHashTable")
+
+  /** Takedown / opt-out delete for a perceptual store: remove `ids`
+    * (one media-id column) from the fingerprint table. Unlike the
+    * admission store there is no retained blocklist half — the hash
+    * IS the doc-bearing row — so a takedown here fully forgets the
+    * payload: it stops being a near-dup candidate AND an identical
+    * re-submission would be re-admitted. If "never re-admit" is the
+    * policy, keep the id on an external blocklist; the store's job is
+    * serving candidates, and ghost fingerprints of removed media are
+    * exactly what a takedown must not leave behind.
+    */
+  def deleteFromImageIndex(ids: DataFrame, dir: String): Unit =
+    deleteFromHashTable(ids, dir, ImageHashTable)
+
+  def deleteFromAudioIndex(ids: DataFrame, dir: String): Unit =
+    deleteFromHashTable(ids, dir, AudioHashTable)
+
+  private def deleteFromHashTable(ids: DataFrame, dir: String,
+      table: String): Unit = {
+    // same discipline as the other delete faces: materialize a
+    // possibly-self-referential delete plan before the rewrite, and
+    // fail loud against an unbuilt store
+    val del = ids.select(col(ids.columns.head).as("id")).localCheckpoint()
+    swapRewrite(ids.sparkSession, dir, Seq(table), mustExist = true) {
+      (df, out) => df.join(del, Seq("id"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+  }
+
+  /** Compaction for an append-maintained perceptual store: distinct-
+    * rewrite (reclaims re-appended duplicate rows) that also merges
+    * the per-append small files into the session's shuffle-partition
+    * count — deliberately NOT `coalesce(1)`: at corpus scale the
+    * fingerprint table is billions of 16-byte rows, and the compacted
+    * layout should stay a parallel scan.
+    */
+  def compactImageIndex(spark: SparkSession, dir: String): Unit =
+    compactHashTable(spark, dir, ImageHashTable)
+
+  def compactAudioIndex(spark: SparkSession, dir: String): Unit =
+    compactHashTable(spark, dir, AudioHashTable)
+
+  private def compactHashTable(spark: SparkSession, dir: String,
+      table: String): Unit =
+    swapRewrite(spark, dir, Seq(table)) {
+      (df, out) => df.distinct().write.mode(SaveMode.Overwrite).parquet(out)
     }
 
   // ---- persisted tokenizer (BPE merge table) ----

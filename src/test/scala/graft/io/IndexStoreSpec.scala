@@ -623,6 +623,64 @@ class IndexStoreSpec extends SparkSpec {
     afterB should contain(3L)
   }
 
+  test("perceptual store maintenance: append ≡ rebuild-over-union, " +
+      "compaction reclaims a re-appended batch, takedown fully forgets") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("imgmaintA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("imgmaintB").toString
+    def png(id: Long) = (id, graft.ext.Multimodal.synthPngBytes(id, variant = (id % 4).toInt))
+    val batch1 = (1L to 6L).map(png).toDF("media_id", "content")
+    val batch2 = (7L to 10L).map(png).toDF("media_id", "content")
+    def hashes(dir: String): Set[(Long, Long)] =
+      IndexStore.readImageHashes(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    IndexStore.writeImageIndex(batch1, dirA)
+    IndexStore.appendImageIndex(batch2, dirA)
+    IndexStore.writeImageIndex(batch1.unionByName(batch2), dirB)
+    hashes(dirA) shouldBe hashes(dirB) // append ≡ rebuild, exactly
+
+    // the worst-case re-append: rows duplicate, the SET is unchanged,
+    // compaction reclaims the rows without changing the set
+    IndexStore.appendImageIndex(batch2, dirA)
+    val dupRows = IndexStore.readImageHashes(spark, dirA).count()
+    dupRows shouldBe (hashes(dirB).size + batch2.count())
+    IndexStore.compactImageIndex(spark, dirA)
+    IndexStore.readImageHashes(spark, dirA).count() shouldBe hashes(dirB).size
+    hashes(dirA) shouldBe hashes(dirB)
+
+    // takedown with a SELF-REFERENTIAL delete plan (ids read from the
+    // very table being rewritten) — removed media stop being
+    // candidates entirely: no ghost fingerprints
+    val victims = IndexStore.readImageHashes(spark, dirA)
+      .filter(col("id").isin(2L, 9L)).select("id")
+    IndexStore.deleteFromImageIndex(victims, dirA)
+    hashes(dirA).map(_._1) shouldBe (hashes(dirB).map(_._1) -- Set(2L, 9L))
+    // unbuilt store → fail loud, same as the other delete faces
+    val empty = java.nio.file.Files.createTempDirectory("imgnone").toString
+    an[IllegalArgumentException] should be thrownBy
+      IndexStore.deleteFromImageIndex(Seq(1L).toDF("id"), empty)
+
+    // audio twin of the same cycle (shared plumbing, real WAV codec)
+    val audDirA = java.nio.file.Files.createTempDirectory("audmaintA").toString
+    val audDirB = java.nio.file.Files.createTempDirectory("audmaintB").toString
+    def wav(id: Long) = (id, graft.ext.Multimodal.synthWavBytes(id, 520, 8000))
+    val aud1 = (1L to 4L).map(wav).toDF("media_id", "content")
+    val aud2 = (5L to 6L).map(wav).toDF("media_id", "content")
+    def audHashes(dir: String): Set[(Long, Long)] =
+      IndexStore.readAudioHashes(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    IndexStore.writeAudioIndex(aud1, audDirA)
+    IndexStore.appendAudioIndex(aud2, audDirA)
+    IndexStore.writeAudioIndex(aud1.unionByName(aud2), audDirB)
+    audHashes(audDirA) shouldBe audHashes(audDirB)
+    IndexStore.deleteFromAudioIndex(Seq(5L).toDF("id"), audDirA)
+    audHashes(audDirA).map(_._1) shouldBe Set(1L, 2L, 3L, 4L, 6L)
+
+    for (d <- Seq(dirA, dirB, empty, audDirA, audDirB))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
