@@ -920,6 +920,93 @@ object IndexStore {
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
 
+  // ---- maintenance planner ----
+
+  private val KindField = """"kind": "(\w+)"""".r
+
+  /** The "when" half of the maintenance cycle: one planner scan over
+    * a store dir that turns SCALE.md §maintenance's trigger
+    * heuristics into (action, value, threshold, due) rows a nightly
+    * maintenance job can act on directly — instead of every operator
+    * re-deriving "is compaction worth it yet?" from first principles.
+    * Signals, routed by the manifest's `kind`:
+    *
+    * - `compact` (admission/image/audio): duplicate-row ratio of the
+    *   store's cheapest hash table (`digests` for admission — every
+    *   table in the family accumulates duplicates from the SAME
+    *   re-appended batches, so the smallest currency is the sentinel
+    *   for all of them). The one signal here that reads data: a
+    *   distinct-count over a table of 8-16-byte hashes, map-side
+    *   combinable — still orders of magnitude cheaper than the
+    *   compaction it gates, and run at planner cadence, not per query.
+    * - `compact` (ann): mean part-files per `cell=N` directory — the
+    *   small-files debt [[appendAnnIndexes]] accrues — from the FS
+    *   listing alone, no data read.
+    * - `retrain_quantizer` (ann, when `freshVectors` is given): the
+    *   [[annCellDrift]] occupancy-PSI monitor with its conventional
+    *   0.25 bar — the measured retrain trigger (recall is the WRONG
+    *   signal; see SCALE.md §maintenance for the 500× separation).
+    * - `refresh` (any store, when `corpusDir` is given): the
+    *   manifest's recorded corpus fingerprint vs the dir's current
+    *   listing — due means batches landed that the store has not
+    *   incorporated: append them + [[recordFingerprint]], or rebuild.
+    *
+    * The planner's output is a handful of driver-built rows — the
+    * bounded-by-construction shape, like every stats frame here.
+    */
+  def maintenanceDue(spark: SparkSession, dir: String,
+      corpusDir: Option[String] = None,
+      freshVectors: Option[DataFrame] = None,
+      dupRatioBar: Double = 0.2, filesPerCellBar: Double = 4.0,
+      psiBar: Double = 0.25): DataFrame = {
+    val manifest = readManifest(spark, dir)
+    val kind = KindField.findFirstMatchIn(manifest).map(_.group(1))
+      .getOrElse(sys.error(s"maintenanceDue: manifest under $dir has no kind"))
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Double, Boolean)]
+
+    def dupRatio(table: String): Unit = {
+      val df = spark.read.parquet(s"$dir/$table")
+      val total = df.count()
+      val ratio =
+        if (total == 0) 0.0
+        else 1.0 - df.distinct().count().toDouble / total
+      rows += (("compact", s"dup_ratio:$table", ratio, dupRatioBar,
+        ratio > dupRatioBar))
+    }
+    kind match {
+      case "admission" => dupRatio(DigestsTable)
+      case "image" => dupRatio(ImageHashTable)
+      case "audio" => dupRatio(AudioHashTable)
+      case "ann" =>
+        val root = new org.apache.hadoop.fs.Path(s"$dir/$IvfAssignedTable")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cells = fs.listStatus(root).filter(_.isDirectory)
+        val parts = cells.map(c => fs.listStatus(c.getPath)
+          .count(_.getPath.getName.startsWith("part-")))
+        val perCell =
+          if (cells.isEmpty) 0.0 else parts.sum.toDouble / cells.length
+        rows += (("compact", "files_per_cell", perCell, filesPerCellBar,
+          perCell > filesPerCellBar))
+        freshVectors.foreach { f =>
+          val psi = annCellDrift(spark, dir, f)
+            .agg(sum(abs(col("psi_term")))).head().getDouble(0)
+          rows += (("retrain_quantizer", "sum_abs_psi", psi, psiBar,
+            psi > psiBar))
+        }
+      case _ => () // bpe: freshness is its only maintenance signal
+    }
+    corpusDir.foreach { cd =>
+      val recorded = FingerprintField.findFirstMatchIn(manifest)
+        .map(_.group(1)).getOrElse("unrecorded")
+      val stale = recorded != corpusFingerprint(spark, cd)
+      rows += (("refresh", "fingerprint_stale", if (stale) 1.0 else 0.0,
+        0.5, stale))
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("action", "signal", "value", "threshold", "due")
+  }
+
   /** Tiny dependency-free JSON manifest via the Hadoop FS API (works
     * on any scheme `dir` itself works on). Values arrive pre-encoded.
     */

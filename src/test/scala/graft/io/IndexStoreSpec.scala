@@ -681,6 +681,72 @@ class IndexStoreSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
   }
 
+  test("maintenanceDue: each store fires exactly the triggers it earned") {
+    import spark.implicits._
+    def row(df: org.apache.spark.sql.DataFrame, action: String): (Double, Boolean) = {
+      val r = df.filter(col("action") === action).head()
+      (r.getAs[Double]("value"), r.getAs[Boolean]("due"))
+    }
+
+    // admission: fresh build → compaction not due; a full re-append
+    // (worst-case duplicate accumulation, dup ratio 0.5) → due;
+    // running the compaction clears it
+    val adm = java.nio.file.Files.createTempDirectory("mdadm").toString
+    IndexStore.writeAdmissionIndexes(seen, adm)
+    row(IndexStore.maintenanceDue(spark, adm), "compact") shouldBe ((0.0, false))
+    IndexStore.appendAdmissionIndexes(seen.select("doc_id", "text"), adm)
+    val (dupR, dupDue) = row(IndexStore.maintenanceDue(spark, adm), "compact")
+    dupR shouldBe 0.5 +- 1e-9
+    dupDue shouldBe true
+    IndexStore.compactAdmissionIndexes(spark, adm)
+    row(IndexStore.maintenanceDue(spark, adm), "compact") shouldBe ((0.0, false))
+
+    // ann: appends accumulate per-cell files → compaction due at the
+    // one-file-per-cell bar; compaction restores exactly 1.0; a fresh
+    // batch that IS the corpus distribution does not trip retrain,
+    // a one-cell flood does
+    val ann = java.nio.file.Files.createTempDirectory("mdann").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val vbucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+    IndexStore.writeAnnIndexes(e.filter(vbucket < 600), ann,
+      centroids = Some(graft.ext.Similarity.ivfCentroids(e, 16)))
+    IndexStore.appendAnnIndexes(e.filter(vbucket >= 600 && vbucket < 800), ann)
+    IndexStore.appendAnnIndexes(e.filter(vbucket >= 800), ann)
+    val (fpcBefore, fpcDue) = row(
+      IndexStore.maintenanceDue(spark, ann, filesPerCellBar = 1.0), "compact")
+    fpcBefore should be > 1.0
+    fpcDue shouldBe true
+    IndexStore.compactAnnIndexes(spark, ann)
+    val (fpcAfter, fpcDueAfter) = row(
+      IndexStore.maintenanceDue(spark, ann, filesPerCellBar = 1.0), "compact")
+    fpcAfter shouldBe 1.0
+    fpcDueAfter shouldBe false
+    row(IndexStore.maintenanceDue(spark, ann, freshVectors = Some(e)),
+      "retrain_quantizer")._2 shouldBe false // identical distribution: PSI ~ 0
+    val one = e.filter(col("vec_id") === 0)
+    val flood = (1 to 6).map(_ => one).reduce(_ union _)
+    row(IndexStore.maintenanceDue(spark, ann, freshVectors = Some(flood)),
+      "retrain_quantizer")._2 shouldBe true
+
+    // refresh: green while the corpus dir is unchanged, due the
+    // moment a batch lands the store has not incorporated
+    IndexStore.resetBuilt()
+    val stage = java.nio.file.Files.createTempDirectory("mdcorpus")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val corpus = spark.read.parquet(stage.resolve("documents.parquet").toString)
+    val d = IndexStore.ensureAdmissionIndexes(corpus, stage.toString)
+    row(IndexStore.maintenanceDue(spark, d, corpusDir = Some(stage.toString)),
+      "refresh")._2 shouldBe false
+    java.nio.file.Files.write(stage.resolve("late.txt"), "x".getBytes("UTF-8"))
+    row(IndexStore.maintenanceDue(spark, d, corpusDir = Some(stage.toString)),
+      "refresh")._2 shouldBe true
+
+    for (p <- Seq(adm, ann, stage.toString))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
