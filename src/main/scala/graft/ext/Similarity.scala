@@ -409,7 +409,17 @@ object Similarity {
     */
   def ivfTopKFromIndex(assigned: DataFrame, cents: Array[Array[Double]],
       queries: DataFrame, k: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(ivfScoredFromIndex(assigned, cents, queries, nProbe,
+      idCol, vecCol), k)
+
+  /** The probe→candidate→score body [[ivfTopKFromIndex]] and
+    * [[hardNegativesFromIndex]] share: exact cosine for every corpus
+    * vector in the query's probed cells.
+    */
+  private def ivfScoredFromIndex(assigned: DataFrame,
+      cents: Array[Array[Double]], queries: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     import graft.functions.IvfFunctions.ivf_cells
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -422,12 +432,47 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id", "vec", "norm")
-    val scored = candidates
+    candidates
       .join(broadcast(querySide(queries, idCol, vecCol)), Seq("query_id"))
       .withColumn("cos",
         cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-    rankTopK(scored, k)
   }
+
+  /** Hard-negative mining — the contrastive-training consumer of the
+    * ANN machinery: for each anchor, the k HIGHEST-cosine corpus
+    * vectors that are NOT positives (`cos < posCeiling`, default the
+    * near-dup bar [[lshNearDupPairs]] uses) — the negatives that
+    * actually move an InfoNCE/triplet loss. The ceiling is the
+    * false-negative guard: a near-duplicate of the anchor scored as a
+    * negative would push apart what training should pull together,
+    * the classic in-batch-negatives failure. Row-local predicate on
+    * the scored frame, so the plan is exactly [[bruteForceTopK]]'s —
+    * one corpus scan, broadcast query side, no corpus shuffle.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      posCeiling: Double = 0.45,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val q = querySide(queries, idCol, vecCol)
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos",
+        cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+    rankTopK(scored.filter(col("cos") < posCeiling), k)
+  }
+
+  /** [[hardNegatives]] served from the PERSISTED inverted file — the
+    * scale shape: hard negatives are by construction near-top-scoring
+    * survivors, so they live in exactly the cells a probe reads (the
+    * ceiling only ever removes candidates from the top, never adds
+    * cells), and the nProbe/nCells byte-pruning story carries over
+    * unchanged.
+    */
+  def hardNegativesFromIndex(assigned: DataFrame,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int,
+      posCeiling: Double = 0.45, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(ivfScoredFromIndex(assigned, cents, queries, nProbe,
+      idCol, vecCol).filter(col("cos") < posCeiling), k)
 
   /** Hard ceiling on PQ codes per sub-quantizer: a code must fit one
     * byte — that byte-per-subvector layout IS product quantization's

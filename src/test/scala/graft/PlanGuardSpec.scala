@@ -15,6 +15,10 @@ class PlanGuardSpec extends SparkSpec {
     * - q_ann_topk: brute-force exact baseline — the non-equi
     *   (id =!= query_id) join against the broadcast QUERY side is the
     *   intended "scan corpus once" plan, not a corpus×corpus loop.
+    * - q_hard_negatives: the same brute-force shape (its IS
+    *   bruteForceTopK's scored frame plus a row-local ceiling
+    *   filter); the registered scale path is q_hard_negatives_ivf,
+    *   whose cell equi-join plans no nested loop.
     * - q_temperature_mix / q_bm25 / q_unigram_lp / q_zipf:
     *   crossJoin(broadcast(agg)) against a ONE-ROW corpus-stats
     *   aggregate — the lazy scalar-subquery shape
@@ -34,7 +38,8 @@ class PlanGuardSpec extends SparkSpec {
     *   a crossJoin(broadcast(one-row agg)) onto vocab-sized frames.
     */
   private val allowed =
-    Set("q_embed_neardup", "q_ann_topk", "q_temperature_mix", "q_bm25",
+    Set("q_embed_neardup", "q_ann_topk", "q_hard_negatives",
+      "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb")
 
@@ -230,6 +235,11 @@ class PlanGuardSpec extends SparkSpec {
     // so dynamic partition pruning fires identically — losing this
     // would mean appends degraded the layout to flat files
     count(planOf("q_ann_ivf_appended"), "dynamicpruning") should be >= 1
+
+    // hard-negative mining from the same store: the ceiling is a
+    // row-local filter on the scored frame, so it must not cost the
+    // serve plan its partition pruning
+    count(planOf("q_hard_negatives_ivf"), "dynamicpruning") should be >= 1
 
     // local BPE training runs at CONSTRUCTION (vocab collect + driver
     // loop); the registry-visible plan must be the returned merge

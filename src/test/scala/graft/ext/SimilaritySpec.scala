@@ -216,6 +216,28 @@ class SimilaritySpec extends SparkSpec {
     (exact intersect ivf).size.toDouble / exact.size shouldBe 1.0
   }
 
+  test("hardNegatives: positives above the ceiling excluded, ceiling " +
+      "off ≡ bruteForceTopK") {
+    val (corpus, queries) = planted
+    val anchors = queries.filter(col("vec_id") < 120) // the twin anchors
+    val brute = Similarity.bruteForceTopK(corpus, anchors, k = 3)
+    // sanity that the filter has something to bite: the twin (cos ≥
+    // 0.99) is the brute-force rank-1 for nearly every anchor
+    brute.filter(col("rank") === 1 &&
+      col("neighbor_id") === col("query_id") + 1).count() should be >= 55L
+    val hard = Similarity.hardNegatives(corpus, anchors, k = 3,
+      posCeiling = 0.95)
+    // no returned "negative" is a positive under the bar, and in
+    // particular no anchor is handed its own twin as a negative
+    hard.agg(max("cos")).head().getDouble(0) should be < 0.95
+    hard.filter(col("neighbor_id") === col("query_id") + 1)
+      .count() shouldBe 0L
+    // a ceiling above every cosine disables the guard: exactly top-k
+    rowList(Similarity.hardNegatives(corpus, anchors, k = 3,
+        posCeiling = 1.01).orderBy("query_id", "rank")) shouldBe
+      rowList(brute.orderBy("query_id", "rank"))
+  }
+
   /** Planted-geometry recall fixture: a deterministic 64-d corpus
     * (fixed-seed gaussians) with
     *  - 60 near-dup twin pairs (≈0.3% perturbation → cos ≥ 0.99),
