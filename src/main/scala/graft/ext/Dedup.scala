@@ -918,6 +918,102 @@ object Dedup {
     }
   }
 
+  /** Corpus-overlap matrix between document GROUPS (sources, dumps,
+    * snapshots): for every pair of groups, the MinHash-estimated and
+    * the exact n-gram-shingle Jaccard between the groups' shingle
+    * SETS — the "how much does crawl A repeat crawl B" report that
+    * decides which dumps are worth ingesting before any doc-level
+    * dedup runs.
+    *
+    * The estimate rides MinHash's mergeability: min over a group of
+    * the per-shingle hash values IS the minhash of the group's shingle
+    * union, so each group's K-slot sketch is one combinable
+    * aggregation over the exploded shingles — map-side partial mins,
+    * one shuffle keyed by group, and the estimate is then a row-local
+    * slot-match count over a #groups-sized frame. At 100 TB that
+    * sketch half never materializes a set: G sources cost G×K longs
+    * however big the corpus is. The exact half reduces to DISTINCT
+    * (group, h) first, so the inverted self-join on h expands each
+    * shingle to at most G²/2 rows (bounded by the GROUP count, not
+    * document frequency) — still a full-corpus shuffle, which is
+    * exactly what the sketch column exists to let you skip: drop it
+    * via `exact = false` and the report costs one scan + one G-row
+    * shuffle. Both columns share one oracle (the SQL replays the
+    * hash family verbatim), and the spec pins the union property
+    * (group sketch == slotwise min of per-doc signatures).
+    */
+  def sourceOverlapMatrix(df: DataFrame, groupCol: String,
+      textCol: String, exact: Boolean = true): DataFrame = {
+    // (group, h): per-doc distinct shingle hashes keyed by the GROUP —
+    // duplicate h across a group's docs is harmless for min() and
+    // removed by distinct() before the exact join
+    val sh = wordShingleHashes(df, groupCol, textCol)
+      .select(col("id").as("grp"), col("h"))
+    val est = sketchOverlapEst(groupMinhashSketch(sh))
+    if (!exact) return est.orderBy("source_a", "source_b")
+    val sets = sh.distinct()
+    val sz = sets.groupBy("grp").agg(count(lit(1)).as("n"))
+    val shared = sets.as("a")
+      .join(sets.as("b"),
+        col("a.h") === col("b.h") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("source_a"), col("b.grp").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = shared
+      .join(broadcast(sz.select(col("grp").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sz.select(col("grp").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+    // disjoint pairs have no shared row — the matrix still lists them
+    est.join(jac, Seq("source_a", "source_b"), "left")
+      .na.fill(0.0, Seq("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Group-level MinHash sketch off an exploded (grp, h) shingle-hash
+    * frame: one K-slot row per group, slot i = min over the group's
+    * hashes of hash-family member i — by the union property, exactly
+    * the minhash of the group's shingle-set UNION (spec-pinned
+    * against slotwise-min of per-document [[minhashSignature]]s).
+    * One combinable aggregation: map-side partial mins, a G-row
+    * shuffle, never a materialized set.
+    */
+  def groupMinhashSketch(sh: DataFrame): DataFrame = {
+    val mins = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * (col("h") % P) + lit(b)) % P).as(s"mh$i")
+    }
+    sh.groupBy("grp").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Merge per-batch group sketches by slotwise min — min is
+    * associative, commutative AND idempotent, so appended batch
+    * sketches collapse to exactly the union sketch regardless of how
+    * the corpus was split across batches, and re-merging the same
+    * batch twice is a no-op (the one index-store table where
+    * duplicate appends need no compaction for correctness).
+    */
+  def mergeSketches(rows: DataFrame): DataFrame = {
+    val mins = (0 until K).map(i => min(col(s"mh$i")).as(s"mh$i"))
+    rows.groupBy("grp").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Pairwise estimated Jaccard off a (grp, mh0..mh{K-1}) sketch
+    * frame: slot-match count / K per group pair. The frame is
+    * G-row however big the corpus is, so the non-equi (a < b) join
+    * is an intentional broadcast G² loop.
+    */
+  def sketchOverlapEst(sig: DataFrame): DataFrame = {
+    val slotMatches = (0 until K).map { i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0): Column
+    }.reduce(_ + _)
+    sig.as("a").join(broadcast(sig.as("b")),
+        col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("source_a"), col("b.grp").as("source_b"),
+        round(slotMatches.cast("double") / K, 6).as("est_jaccard"))
+  }
+
   /** SimHash fingerprint per document over the 60-bit token hashes
     * (term-frequency weighted): for each bit j, sum +1/-1 votes across
     * tokens; bit j of the fingerprint is 1 iff the vote is positive.

@@ -920,6 +920,76 @@ object IndexStore {
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
 
+  // ---- persisted source-overlap sketches (mergeable MinHash) ----
+
+  val SourceSketchTable = "source_sketch"
+
+  /** The shingle→group-sketch projection every sketch face shares:
+    * one K-slot MinHash row per group over the batch's shingle
+    * hashes ([[graft.ext.Dedup.groupMinhashSketch]]).
+    */
+  private def sketchRows(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    graft.ext.Dedup.groupMinhashSketch(
+      graft.ext.Dedup.wordShingleHashes(docs, groupCol, textCol)
+        .select(col("id").as("grp"), col("h")))
+
+  /** Persist per-source MinHash sketches — the corpus-overlap
+    * artifact: G×K longs however big the corpus is, continuously
+    * maintainable because min-merge is associative, commutative and
+    * idempotent ([[graft.ext.Dedup.mergeSketches]]). The store keeps
+    * one row per (group, batch); serve collapses them. Uniquely among
+    * the stores here, duplicate appends need no compaction for
+    * CORRECTNESS (re-merging a batch is a no-op) — compaction is
+    * only ever a row-count tidy.
+    */
+  def writeSourceSketches(docs: DataFrame, dir: String,
+      groupCol: String = "source", textCol: String = "text",
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    sketchRows(docs, groupCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$SourceSketchTable")
+    writeManifest(docs.sparkSession, dir, Seq(
+      "kind" -> "\"sketch\"",
+      "group_col" -> s""""$groupCol"""",
+      "text_col" -> s""""$textCol"""",
+      "shingle_n" -> graft.ext.HashDefs.ShingleN.toString,
+      "minhash_k" -> graft.ext.HashDefs.K.toString,
+      "tables" -> s""""$SourceSketchTable"""") ++ manifestExtra)
+  }
+
+  /** Ingest-cycle append: sketch ONLY the new batch and add its rows.
+    * Unlike every other append face this one is exact under
+    * arbitrary batch splits AND re-delivery — serve-side min-merge
+    * absorbs both (spec-pinned). Re-stamp the corpus fingerprint via
+    * [[recordFingerprint]] after the batch lands.
+    */
+  def appendSourceSketches(newDocs: DataFrame, dir: String,
+      groupCol: String = "source", textCol: String = "text"): Unit =
+    sketchRows(newDocs, groupCol, textCol)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$SourceSketchTable")
+
+  /** The merged one-row-per-group sketch frame the overlap report
+    * reads — feed to [[graft.ext.Dedup.sketchOverlapEst]].
+    */
+  def readSourceSketches(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.mergeSketches(
+      spark.read.parquet(s"$dir/$SourceSketchTable"))
+
+  /** Memoized build exercised through the ingest cycle: first ~80%
+    * of docs at build, the rest appended — the serve face equaling a
+    * one-shot full build IS the mergeability property, so the
+    * registry face shares the from-scratch oracle.
+    */
+  def ensureSourceSketches(docs: DataFrame, corpusDir: String,
+      groupCol: String = "source", textCol: String = "text"): String =
+    ensureBuilt(docs.sparkSession, corpusDir, "-sketch",
+        s"sketch|$groupCol|$textCol") { dir =>
+      val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+      writeSourceSketches(docs.filter(bucket < 800), dir, groupCol, textCol,
+        manifestExtra = fingerprintField(docs.sparkSession, corpusDir))
+      appendSourceSketches(docs.filter(bucket >= 800), dir, groupCol, textCol)
+    }
+
   // ---- maintenance planner ----
 
   private val KindField = """"kind": "(\w+)"""".r
@@ -994,7 +1064,8 @@ object IndexStore {
           rows += (("retrain_quantizer", "sum_abs_psi", psi, psiBar,
             psi > psiBar))
         }
-      case _ => () // bpe: freshness is its only maintenance signal
+      case _ => () // bpe/sketch: freshness is the only maintenance signal
+                   // (sketch re-appends are correctness no-ops under min-merge)
     }
     corpusDir.foreach { cd =>
       val recorded = FingerprintField.findFirstMatchIn(manifest)

@@ -19,6 +19,11 @@ class PlanGuardSpec extends SparkSpec {
     *   bruteForceTopK's scored frame plus a row-local ceiling
     *   filter); the registered scale path is q_hard_negatives_ivf,
     *   whose cell equi-join plans no nested loop.
+    * - q_source_overlap / q_source_overlap_sketch: the pairwise
+    *   (grp_a < grp_b) join over the GROUP-level minhash sketches — a
+    *   #sources-sized frame (G×K longs however big the corpus is),
+    *   broadcast by construction; the corpus-sized halves (sketch
+    *   agg, exact inverted index) are equi-keyed.
     * - q_temperature_mix / q_bm25 / q_unigram_lp / q_zipf:
     *   crossJoin(broadcast(agg)) against a ONE-ROW corpus-stats
     *   aggregate — the lazy scalar-subquery shape
@@ -39,6 +44,7 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_hard_negatives",
+      "q_source_overlap", "q_source_overlap_sketch",
       "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb")

@@ -592,4 +592,48 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     kept2 shouldBe kept
   }
+
+  test("sourceOverlapMatrix: union property; identical/subset/disjoint exact") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and runs far away"
+    val b = "a completely different second document about spark shuffles at scale"
+    val z = "entirely disjoint third text with unique zebra words only here now"
+    val df = Seq(
+      (1L, "g1", a), (2L, "g1", b),
+      (3L, "g2", a), (4L, "g2", b), // same union as g1
+      (5L, "g3", a),                // proper subset of g1
+      (6L, "g4", z)).toDF("doc_id", "grp", "text")
+    val m = Dedup.sourceOverlapMatrix(df, "grp", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    m.keySet.size shouldBe 6 // full matrix, disjoint pairs included
+    // identical unions: every sketch slot matches, exact jaccard 1
+    m(("g1", "g2")) shouldBe ((1.0, 1.0))
+    // disjoint groups: exact jaccard 0 (rows still present)
+    m(("g1", "g4"))._2 shouldBe 0.0
+    m(("g3", "g4"))._2 shouldBe 0.0
+    // subset: exact jaccard = |A| / |A ∪ B|
+    val nSub = Dedup.wordShingleHashes(
+      df.filter(col("grp") === "g3"), "doc_id", "text").count().toDouble
+    val nUnion = Dedup.wordShingleHashes(df, "grp", "text")
+      .filter(col("id") === "g1").select("h").distinct().count().toDouble
+    m(("g1", "g3"))._2 shouldBe math.rint(nSub / nUnion * 1e6) / 1e6
+    // the union property the sketch rides: group sketch == slotwise
+    // min over the group's per-DOCUMENT minhash signatures
+    val sketch = Dedup.groupMinhashSketch(
+        Dedup.wordShingleHashes(df, "grp", "text")
+          .select(col("id").as("grp"), col("h")))
+      .collect()
+      .map(r => r.getString(0) -> (1 to HashDefs.K).map(r.getLong)).toMap
+    val merged = Dedup.minhashSignature(
+        Dedup.docShingleSets(df, "doc_id", "text"))
+      .join(df.select(col("doc_id").as("id"), col("grp")), Seq("id"))
+      .collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Seq[Long]]("sig"))
+      .groupBy(_._1)
+      .map { case (g, rs) =>
+        g -> rs.map(_._2.toVector).toVector.transpose.map(_.min) }
+    sketch.keySet shouldBe merged.keySet
+    merged.foreach { case (g, sig) => sketch(g) shouldBe sig }
+  }
 }

@@ -747,6 +747,44 @@ class IndexStoreSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
   }
 
+  test("source sketches: append ≡ rebuild-over-union, re-delivery a no-op, " +
+      "serve matches the in-plan est matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("idxsketch").toString
+    val first = docs.filter(bucket < 800)
+    val rest = docs.filter(bucket >= 800)
+
+    IndexStore.writeSourceSketches(first, dir)
+    IndexStore.appendSourceSketches(rest, dir)
+    def served = IndexStore.readSourceSketches(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (1 to graft.ext.HashDefs.K).map(r.getLong)).toMap
+
+    // append-then-serve equals a one-shot build over the union —
+    // min-merge absorbs the batch split exactly
+    val oneShot = graft.ext.Dedup.groupMinhashSketch(
+        graft.ext.Dedup.wordShingleHashes(docs, "source", "text")
+          .select(col("id").as("grp"), col("h")))
+      .collect().map(r => r.getString(0) ->
+        (1 to graft.ext.HashDefs.K).map(r.getLong)).toMap
+    served shouldBe oneShot
+
+    // re-delivering a batch is a correctness no-op (idempotent merge)
+    IndexStore.appendSourceSketches(rest, dir)
+    served shouldBe oneShot
+
+    // the served est matrix equals the in-plan sketch-only matrix
+    val inPlan = graft.ext.Dedup.sourceOverlapMatrix(
+      docs, "source", "text", exact = false)
+    rowList(graft.ext.Dedup.sketchOverlapEst(
+        IndexStore.readSourceSketches(spark, dir))
+      .orderBy("source_a", "source_b")) shouldBe rowList(inPlan)
+
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "sketch"""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
