@@ -257,4 +257,75 @@ object TrainingData {
           concat_ws(":", lit(seed) +: keys.map(_.cast("string")): _*)),
           1, 15), 16, 10).cast("long"))
       .orderBy(col("order_key") +: keys: _*)
+
+  // ---- DSIR-style importance resampling --------------------------
+
+  /** Per-term importance log-ratios in integer micro-units —
+    * the DSIR recipe (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") with unigram features:
+    * `llr(term) = log10 p_target(term) − log10 p_raw(term)` under
+    * add-one smoothing over the UNION vocabulary, rounded once to
+    * micro-units so every downstream per-document sum is an EXACT
+    * integer (the [[graft.ext.QualityModel.nbTermWeightsMicro]]
+    * determinism discipline — DSIR with unigram features IS that
+    * two-class model with "drawn from the target corpus" as the
+    * class). Two corpus scans (raw + target) into vocab-sized count
+    * frames, a full-outer union join, one 1-row totals broadcast —
+    * the output is a vocab-sized artifact you train nightly and ship.
+    */
+  def importanceWeightsMicro(raw: DataFrame, target: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(split(col(textCol), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as(as))
+    val v = counts(raw, "cr")
+      .join(counts(target, "ct"), Seq("term"), "full")
+      .na.fill(0L, Seq("cr", "ct"))
+    val stats = v.agg(
+      sum("cr").as("tr"), sum("ct").as("tt"), count(lit(1)).as("nv"))
+    v.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round((
+          log10((col("ct") + 1).cast("double") /
+            (col("tt") + col("nv")).cast("double")) -
+          log10((col("cr") + 1).cast("double") /
+            (col("tr") + col("nv")).cast("double"))) * lit(1000000.0), 0)
+          .cast("long").as("llr_micro"))
+  }
+
+  /** Gumbel-top-n importance resample of `raw` under the
+    * [[importanceWeightsMicro]] table: per document, the exact
+    * integer log-weight sum, plus hash-seeded Gumbel(0,1) noise
+    * (`−ln(−ln u)`, u from the md5 bucket family every sampler here
+    * uses) — the standard without-replacement trick that makes
+    * selection probability ∝ exp(log-weight) while staying fully
+    * deterministic and layout-independent. Sampling (not
+    * thresholding) is DSIR's point: a hard top-n-by-weight collapses
+    * onto near-duplicates of the target's head, while the noise
+    * trades tail diversity against weight exactly.
+    *
+    * Shape at scale: token⋈weights equi-join + per-doc agg (the
+    * unigram-LM scoring shape), then `orderBy().limit(n)` — a
+    * distributed TakeOrdered, never a single-partition sort. For the
+    * scan-speed serving path, ship the weight table as a literal map
+    * and fold row-locally ([[graft.ext.QualityModel.nbScoreMicro]] —
+    * same artifact contract).
+    */
+  def importanceResample(raw: DataFrame, weights: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = raw.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    // inner join: the union vocabulary covers every raw token by
+    // construction, so no document loses mass here
+    val perDoc = toks.join(weights, Seq("term"))
+      .groupBy("id").agg(sum("llr_micro").as("sum_llr"))
+    val u = (splitBucket(col("id"), 1 << 20).cast("double") + 0.5) /
+      lit((1 << 20).toDouble)
+    perDoc
+      .withColumn("score",
+        col("sum_llr").cast("double") / lit(1000000.0) + -log(-log(u)))
+      .orderBy(col("score").desc, col("id"))
+      .limit(n)
+      .select(col("id"), col("sum_llr"), round(col("score"), 6).as("score"))
+  }
 }

@@ -243,4 +243,30 @@ class TrainingDataSpec extends SparkSpec {
     c.select("id").as[Long].collect().toSeq should not be
       a.select("id").as[Long].collect().toSeq
   }
+
+  test("DSIR: weight signs follow the corpora; resample is exact-n, " +
+      "layout-independent, and target-leaning") {
+    val target = (1L to 40L).map(i => (i, "clean fluent prose sentence"))
+      .toDF("doc_id", "text")
+    val raw = ((101L to 140L).map(i => (i, "clean fluent prose sentence")) ++
+      (201L to 240L).map(i => (i, "zzz spam qqq garble noise")))
+      .toDF("doc_id", "text")
+    val w = TrainingData.importanceWeightsMicro(raw, target, "text")
+    val wm = w.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // target-corpus terms score positive, raw-only terms negative
+    wm("fluent") should be > 0L
+    wm("spam") should be < 0L
+    val picked = TrainingData.importanceResample(raw, w, "doc_id", "text", 20)
+    val ids = picked.select("id").collect().map(_.getLong(0)).toSet
+    ids.size shouldBe 20
+    ids.subsetOf((101L to 140L).toSet ++ (201L to 240L).toSet) shouldBe true
+    // selection leans hard toward the target-like half: its docs all
+    // share one (large positive) sum_llr, the spam half one large
+    // negative — Gumbel noise cannot bridge a gap this wide often
+    ids.count(_ < 200L) should be >= 15
+    // deterministic under relayout
+    val again = TrainingData.importanceResample(
+      raw.repartition(7), w, "doc_id", "text", 20)
+    again.select("id").collect().map(_.getLong(0)).toSet shouldBe ids
+  }
 }
