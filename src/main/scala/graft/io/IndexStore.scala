@@ -975,6 +975,19 @@ object IndexStore {
     graft.ext.Dedup.mergeSketches(
       spark.read.parquet(s"$dir/$SourceSketchTable"))
 
+  /** Row-count tidy for an append-maintained sketch store: rewrite
+    * the per-batch rows as their merged one-row-per-group form. Pure
+    * housekeeping — serve-side merge makes the un-compacted store
+    * correct forever — but after months of daily batches the serve
+    * agg reads batches×G rows for a G-row answer, and the planner's
+    * rows-per-group signal says when that's worth reclaiming.
+    */
+  def compactSourceSketches(spark: SparkSession, dir: String): Unit =
+    swapRewrite(spark, dir, Seq(SourceSketchTable)) { (df, out) =>
+      graft.ext.Dedup.mergeSketches(df)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+
   /** Memoized build exercised through the ingest cycle: first ~80%
     * of docs at build, the rest appended — the serve face equaling a
     * one-shot full build IS the mergeability property, so the
@@ -1064,8 +1077,18 @@ object IndexStore {
           rows += (("retrain_quantizer", "sum_abs_psi", psi, psiBar,
             psi > psiBar))
         }
-      case _ => () // bpe/sketch: freshness is the only maintenance signal
-                   // (sketch re-appends are correctness no-ops under min-merge)
+      case "sketch" =>
+        // correctness never needs this compaction (min-merge absorbs
+        // duplicate rows), so the signal is purely a serve-cost tidy:
+        // batch rows per group, i.e. how much wider than G the serve
+        // agg's input has grown
+        val df = spark.read.parquet(s"$dir/$SourceSketchTable")
+        val total = df.count()
+        val groups = df.select("grp").distinct().count()
+        val perGroup = if (groups == 0) 0.0 else total.toDouble / groups
+        rows += (("compact", "rows_per_group", perGroup, filesPerCellBar,
+          perGroup > filesPerCellBar))
+      case _ => () // bpe: freshness is its only maintenance signal
     }
     corpusDir.foreach { cd =>
       val recorded = FingerprintField.findFirstMatchIn(manifest)

@@ -779,6 +779,20 @@ class IndexStoreSpec extends SparkSpec {
         IndexStore.readSourceSketches(spark, dir))
       .orderBy("source_a", "source_b")) shouldBe rowList(inPlan)
 
+    // planner earn/clear cycle for the rows-per-group tidy: pile on
+    // full-corpus re-deliveries until every group holds ≥ 5 batch
+    // rows (> the 4.0 bar), compact, signal clears, serve unchanged
+    def rowsPerGroupDue = IndexStore.maintenanceDue(spark, dir).collect()
+      .map(r => (r.getString(1), r.getBoolean(4))).toMap
+      .apply("rows_per_group")
+    (1 to 4).foreach(_ => IndexStore.appendSourceSketches(docs, dir))
+    rowsPerGroupDue shouldBe true
+    IndexStore.compactSourceSketches(spark, dir)
+    rowsPerGroupDue shouldBe false
+    spark.read.parquet(s"$dir/${IndexStore.SourceSketchTable}")
+      .count() shouldBe oneShot.size.toLong
+    served shouldBe oneShot
+
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
     manifest should include(""""kind": "sketch"""")
