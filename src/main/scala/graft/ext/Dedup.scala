@@ -949,9 +949,18 @@ object Dedup {
     // removed by distinct() before the exact join
     val sh = wordShingleHashes(df, groupCol, textCol)
       .select(col("id").as("grp"), col("h"))
-    val est = sketchOverlapEst(groupMinhashSketch(sh))
-    if (!exact) return est.orderBy("source_a", "source_b")
+    // sketch-only: aggregate straight off the exploded hashes (no
+    // (grp, h) shuffle at all — min doesn't need distinct)
+    if (!exact)
+      return sketchOverlapEst(groupMinhashSketch(sh))
+        .orderBy("source_a", "source_b")
+    // combined report: both halves read the SAME distinct'd frame
+    // (min over distinct h ≡ min over the raw multiset), so the
+    // corpus scan + shingle hashing and the (grp, h) exchange are
+    // planned once and reused across the sketch and exact subtrees
+    // instead of re-scanning the corpus per column
     val sets = sh.distinct()
+    val est = sketchOverlapEst(groupMinhashSketch(sets))
     val sz = sets.groupBy("grp").agg(count(lit(1)).as("n"))
     val shared = sets.as("a")
       .join(sets.as("b"),

@@ -110,13 +110,25 @@ object QualityModel {
       sum("c1").as("t1"), sum("c0").as("t0"), count(lit(1)).as("v"))
     tstats.crossJoin(broadcast(stats))
       .select(col("term"),
-        round((
-          log10((col("c1") + 1).cast("double") /
-            (col("t1") + col("v")).cast("double")) -
-          log10((col("c0") + 1).cast("double") /
-            (col("t0") + col("v")).cast("double"))) * lit(1000000.0), 0)
-          .cast("long").as("llr_micro"))
+        microLlr(col("c1"), col("t1"), col("c0"), col("t0"), col("v"))
+          .as("llr_micro"))
   }
+
+  /** The one micro-llr formula, shared by every two-distribution
+    * weight trainer (NB quality classes here, DSIR target-vs-raw in
+    * [[graft.ext.TrainingData.importanceWeightsMicro]]):
+    * `round((log10((cPos+1)/(tPos+v)) − log10((cNeg+1)/(tNeg+v))) ·
+    * 10⁶)` as a Long. ONE definition on purpose — the cross-engine
+    * oracles replay this exact IEEE op sequence, so a drifted copy
+    * would de-sync an oracle silently.
+    */
+  private[ext] def microLlr(cPos: Column, tPos: Column,
+      cNeg: Column, tNeg: Column, v: Column): Column =
+    round((
+      log10((cPos + 1).cast("double") / (tPos + v).cast("double")) -
+      log10((cNeg + 1).cast("double") / (tNeg + v).cast("double")))
+      * lit(1000000.0), 0)
+      .cast("long")
 
   def nbWeightsMicro(df: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = 1 << 20): Map[String, Long] = {

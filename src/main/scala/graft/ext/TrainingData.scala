@@ -285,12 +285,8 @@ object TrainingData {
       sum("cr").as("tr"), sum("ct").as("tt"), count(lit(1)).as("nv"))
     v.crossJoin(broadcast(stats))
       .select(col("term"),
-        round((
-          log10((col("ct") + 1).cast("double") /
-            (col("tt") + col("nv")).cast("double")) -
-          log10((col("cr") + 1).cast("double") /
-            (col("tr") + col("nv")).cast("double"))) * lit(1000000.0), 0)
-          .cast("long").as("llr_micro"))
+        QualityModel.microLlr(col("ct"), col("tt"), col("cr"), col("tr"),
+          col("nv")).as("llr_micro"))
   }
 
   /** Gumbel-top-n importance resample of `raw` under the
@@ -315,10 +311,18 @@ object TrainingData {
       idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = raw.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("term"))
-    // inner join: the union vocabulary covers every raw token by
-    // construction, so no document loses mass here
-    val perDoc = toks.join(weights, Seq("term"))
-      .groupBy("id").agg(sum("llr_micro").as("sum_llr"))
+    // LEFT join, OOV → 0 (the NB-gate convention: a term the weights
+    // artifact never saw carries no evidence either way). When the
+    // pool IS the training raw corpus — the registry face — the union
+    // vocabulary covers every token and this is an inner join; under
+    // the ship-the-artifact contract (weights trained yesterday,
+    // scored today) it keeps every document sampleable instead of
+    // silently dropping all-new-vocabulary docs. Broadcast: the
+    // corpus token stream must never shuffle on the skew-prone term
+    // key (the nbQualityScores discipline).
+    val perDoc = toks.join(broadcast(weights), Seq("term"), "left")
+      .groupBy("id")
+      .agg(sum(coalesce(col("llr_micro"), lit(0L))).as("sum_llr"))
     val u = (splitBucket(col("id"), 1 << 20).cast("double") + 0.5) /
       lit((1 << 20).toDouble)
     perDoc

@@ -994,10 +994,11 @@ object IndexStore {
     * registry face shares the from-scratch oracle.
     */
   def ensureSourceSketches(docs: DataFrame, corpusDir: String,
-      groupCol: String = "source", textCol: String = "text"): String =
+      groupCol: String = "source", textCol: String = "text",
+      idCol: String = "doc_id"): String =
     ensureBuilt(docs.sparkSession, corpusDir, "-sketch",
-        s"sketch|$groupCol|$textCol") { dir =>
-      val bucket = graft.ext.TrainingData.splitBucket(col("doc_id"), 1000)
+        s"sketch|$groupCol|$textCol|$idCol") { dir =>
+      val bucket = graft.ext.TrainingData.splitBucket(col(idCol), 1000)
       writeSourceSketches(docs.filter(bucket < 800), dir, groupCol, textCol,
         manifestExtra = fingerprintField(docs.sparkSession, corpusDir))
       appendSourceSketches(docs.filter(bucket >= 800), dir, groupCol, textCol)
@@ -1025,6 +1026,8 @@ object IndexStore {
     * - `compact` (ann): mean part-files per `cell=N` directory — the
     *   small-files debt [[appendAnnIndexes]] accrues — from the FS
     *   listing alone, no data read.
+    * - `compact` (sketch): batch rows per group — a pure serve-cost
+    *   tidy (min-merge keeps the un-compacted store correct forever).
     * - `retrain_quantizer` (ann, when `freshVectors` is given): the
     *   [[annCellDrift]] occupancy-PSI monitor with its conventional
     *   0.25 bar — the measured retrain trigger (recall is the WRONG
@@ -1041,7 +1044,7 @@ object IndexStore {
       corpusDir: Option[String] = None,
       freshVectors: Option[DataFrame] = None,
       dupRatioBar: Double = 0.2, filesPerCellBar: Double = 4.0,
-      psiBar: Double = 0.25): DataFrame = {
+      psiBar: Double = 0.25, rowsPerGroupBar: Double = 4.0): DataFrame = {
     val manifest = readManifest(spark, dir)
     val kind = KindField.findFirstMatchIn(manifest).map(_.group(1))
       .getOrElse(sys.error(s"maintenanceDue: manifest under $dir has no kind"))
@@ -1086,8 +1089,8 @@ object IndexStore {
         val total = df.count()
         val groups = df.select("grp").distinct().count()
         val perGroup = if (groups == 0) 0.0 else total.toDouble / groups
-        rows += (("compact", "rows_per_group", perGroup, filesPerCellBar,
-          perGroup > filesPerCellBar))
+        rows += (("compact", "rows_per_group", perGroup, rowsPerGroupBar,
+          perGroup > rowsPerGroupBar))
       case _ => () // bpe: freshness is its only maintenance signal
     }
     corpusDir.foreach { cd =>
