@@ -1004,6 +1004,45 @@ object IndexStore {
       appendSourceSketches(docs.filter(bucket >= 800), dir, groupCol, textCol)
     }
 
+  // ---- persisted DSIR importance weights ----
+
+  val DsirWeightsTable = "dsir_weights"
+
+  /** Persist a trained DSIR weight table
+    * ([[graft.ext.TrainingData.importanceWeightsMicro]]) — the same
+    * train-nightly/ship contract as the NB weights: vocab-sized
+    * (term, llr_micro) rows; every resample job reads the table
+    * instead of re-scanning raw + target. Like the NB table this is
+    * NOT appendable (the llr folds both corpora's totals into every
+    * term) — retrain to refresh, which is one pass over each corpus.
+    */
+  def writeDsirWeights(raw: DataFrame, target: DataFrame, dir: String,
+      textCol: String = "text",
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    graft.ext.TrainingData.importanceWeightsMicro(raw, target, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$DsirWeightsTable")
+    writeManifest(raw.sparkSession, dir, Seq(
+      "kind" -> "\"dsir\"",
+      "text_col" -> s""""$textCol"""",
+      "tables" -> s""""$DsirWeightsTable"""") ++ manifestExtra)
+  }
+
+  def readDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$DsirWeightsTable")
+
+  /** Session-scoped train-once memo. `tag` names the raw/target
+    * SELECTION (a build parameter the frames encode but the corpus
+    * path does not), so two different target definitions over the
+    * same corpus dir build separate stores.
+    */
+  def ensureDsirWeights(raw: DataFrame, target: DataFrame,
+      corpusDir: String, tag: String, textCol: String = "text"): String =
+    ensureBuilt(raw.sparkSession, corpusDir, "-dsir",
+        s"dsir|$tag|$textCol") { dir =>
+      writeDsirWeights(raw, target, dir, textCol,
+        manifestExtra = fingerprintField(raw.sparkSession, corpusDir))
+    }
+
   // ---- maintenance planner ----
 
   private val KindField = """"kind": "(\w+)"""".r

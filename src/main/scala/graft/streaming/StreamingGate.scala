@@ -828,6 +828,62 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING INDEX-STORE MAINTENANCE under the gate: the ingest
+    * loop for the per-source overlap sketches run as a REAL stream —
+    * each arriving micro-batch is sketched and appended to the
+    * persisted store from inside `foreachBatch` (batch 0 writes the
+    * store + manifest, later batches
+    * [[graft.io.IndexStore.appendSourceSketches]]), and after the
+    * stream drains the overlap matrix is SERVED from the store. The
+    * gate pins the mergeable-sketch exactness claim live: min-merge
+    * is associative/commutative/idempotent, so however the planner
+    * slices the corpus into micro-batches, serve-after-stream must
+    * equal the one-shot batch matrix — which is exactly the DuckDB
+    * oracle (the same est replay as the batch faces). Stateless on
+    * the stream side (the STORE is the state), like every
+    * maintenance job should be.
+    */
+  def streamSketchMaintenanceFromFiles(s: SparkSession, dir: String): DataFrame = {
+    val stage = newStage()
+    val storeDir = stage.resolve("store").toString
+    try withStatePartitions(s, 4) {
+      val d = Tables(s, dir, "documents")
+        .select("doc_id", "source", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          d.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId == 0L)
+            graft.io.IndexStore.writeSourceSketches(batch, storeDir)
+          else
+            graft.io.IndexStore.appendSourceSketches(batch, storeDir)
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      graft.ext.Dedup.sketchOverlapEst(
+          graft.io.IndexStore.readSourceSketches(s, storeDir))
+        .orderBy("source_a", "source_b")
+        .localCheckpoint() // materialize before the stage dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING MODEL-QUALITY ADMISSION under the gate: the model rung
     * of the ingest ladder — NB weights are trained OFFLINE on the
     * corpus half ([[graft.ext.QualityModel.nbWeightsMicro]], the

@@ -799,6 +799,29 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("dsir weights: write→read round trip equals the in-plan table; " +
+      "resample from the store equals in-plan resample") {
+    val dir = java.nio.file.Files.createTempDirectory("idxdsir").toString
+    val isTarget = col("source").isin("src0", "src1")
+    val d = docs
+    val raw = d.filter(!isTarget)
+    val target = d.filter(isTarget)
+    IndexStore.writeDsirWeights(raw, target, dir)
+    val inPlan = graft.ext.TrainingData.importanceWeightsMicro(
+      raw, target, "text")
+    rowSet(IndexStore.readDsirWeights(spark, dir)) shouldBe rowSet(inPlan)
+    rowList(graft.ext.TrainingData.importanceResample(
+        raw, IndexStore.readDsirWeights(spark, dir), "doc_id", "text", 10)
+      .orderBy("id")) shouldBe
+      rowList(graft.ext.TrainingData.importanceResample(
+          raw, inPlan, "doc_id", "text", 10)
+        .orderBy("id"))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "dsir"""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
