@@ -735,6 +735,32 @@ object TextAnalysis {
     regexp_replace(ip, "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** HTML/markup boilerplate strip — the raw-crawl front door a C4 /
+    * RefinedWeb-class pipeline runs before any text operator: drop
+    * `<script>`/`<style>` blocks with their contents (payload, not
+    * prose), drop every remaining tag, decode the five XML entities +
+    * `&nbsp;`, collapse whitespace. A FIXED, ordered regexp chain —
+    * row-local, codegen'd `regexp_replace` stack, zero shuffle — with
+    * every pattern RE2-safe (no backrefs, no lookaround; the
+    * [[redactPii]] cross-engine discipline), so the DuckDB oracle
+    * replays the chain verbatim. Entities decode AFTER tag removal
+    * (so `&lt;b&gt;` in prose stays literal text rather than becoming
+    * a strippable tag — the order a correct extractor needs).
+    */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    // entity names are regex-safe literals (no metacharacters), so
+    // the same strings are the patterns in BOTH engines; &amp; runs
+    // LAST so a double-escaped "&amp;lt;" decodes one level per pass
+    // (to "&lt;"), never jumping straight to "<"
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Within-document repetition signal: the fraction of word n-grams
     * that are duplicates of an earlier n-gram (1 − distinct/total) —
     * the Gopher/C4-style repetition filter. Row-local higher-order

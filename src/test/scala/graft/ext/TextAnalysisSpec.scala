@@ -128,6 +128,26 @@ class TextAnalysisSpec extends SparkSpec {
     out(3) shouldBe "no pii here 12.5 degrees v1.2"
   }
 
+  test("stripMarkup: script/style dropped WITH contents, tags dropped, " +
+      "entities decoded after tag removal, plain text untouched") {
+    val out = Seq(
+      "<html><head><script>if (a < b) { alert('x') }</script>" +
+        "<style>p{margin:0}</style></head>" +
+        "<body><h1>Hi</h1><p>one <b>two</b>   three</p></body></html>",
+      // entity-escaped markup in PROSE must stay literal text, not
+      // become a strippable tag (decode runs after tag removal)
+      "tags like &lt;b&gt; stay; 5 &gt; 3 &amp;&amp; 2 &lt; 4",
+      // double-escaped entity decodes ONE level
+      "write &amp;lt; for a literal",
+      "already clean text")
+      .toDF("t").select(TextAnalysis.stripMarkup(col("t")).as("r"))
+      .as[String].collect()
+    out(0) shouldBe "Hi one two three"
+    out(1) shouldBe "tags like <b> stay; 5 > 3 && 2 < 4"
+    out(2) shouldBe "write &lt; for a literal"
+    out(3) shouldBe "already clean text"
+  }
+
   test("repeatedNgramRatio: distinct grams score 0, repeated grams the dup fraction") {
     val out = Seq(
       "a b c d e",   // 3 distinct 3-grams
