@@ -72,13 +72,45 @@ object Similarity {
     * no shuffle of the corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(bruteScored(corpus, queries, idCol, vecCol), k)
+
+  /** The exact-cosine scored frame every brute face ranks or filters:
+    * one corpus scan against the broadcast query side.
+    */
+  private def bruteScored(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
     val q = querySide(queries, idCol, vecCol)
-    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+    c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cos",
         cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-    rankTopK(scored, k)
+  }
+
+  /** Contrastive TRAINING TRIPLETS (anchor, positive, hard negative)
+    * — the assembled end product the near-dup and hard-negative
+    * machinery exists to feed: per anchor, the highest-cosine corpus
+    * vector AT/ABOVE `posFloor` (the near-dup "same thing" bar) as
+    * the positive, and the highest-cosine vector BELOW `negCeiling`
+    * as the negative ([[hardNegatives]] rank 1 — hard by
+    * construction, false-negative-guarded by the ceiling). Anchors
+    * with no qualifying positive emit nothing: a triplet loss needs
+    * all three legs. One scored frame feeds both argmaxes — a single
+    * corpus scan, broadcast anchors, two row-local window ranks.
+    */
+  def trainingTriplets(corpus: DataFrame, anchors: DataFrame,
+      posFloor: Double = 0.45, negCeiling: Double = 0.45,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = bruteScored(corpus, anchors, idCol, vecCol)
+    def top1(part: DataFrame, outId: String, outCos: String) =
+      rankTopK(part, 1)
+        .select(col("query_id"), col("neighbor_id").as(outId),
+          col("cos").as(outCos))
+    top1(scored.filter(col("cos") >= posFloor), "pos_id", "pos_cos")
+      .join(top1(scored.filter(col("cos") < negCeiling),
+        "neg_id", "neg_cos"), Seq("query_id"))
+      .select(col("query_id").as("anchor_id"), col("pos_id"),
+        col("neg_id"), col("pos_cos"), col("neg_cos"))
   }
 
   /** Deterministic pseudo-random hyperplane component r[plane][d]:

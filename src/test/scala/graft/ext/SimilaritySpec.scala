@@ -238,6 +238,25 @@ class SimilaritySpec extends SparkSpec {
       rowList(brute.orderBy("query_id", "rank"))
   }
 
+  test("trainingTriplets: twins become positives, never negatives; " +
+      "three-leg contract drops anchors without a positive") {
+    val (corpus, queries) = planted
+    val anchors = queries.filter(col("vec_id") < 120) // the twin anchors
+    val t = Similarity.trainingTriplets(corpus, anchors, posFloor = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    t.nonEmpty shouldBe true
+    t.foreach { case (anchor, (pos, neg, posCos, negCos)) =>
+      pos shouldBe anchor + 1      // the planted twin is the positive
+      posCos should be >= 0.95
+      negCos should be < 0.95      // the negative is under the bar...
+      neg should not be (anchor + 1) // ...and never the twin itself
+    }
+    // an anchor with no neighbor >= floor yields no triplet at all
+    val none = Similarity.trainingTriplets(corpus, anchors, posFloor = 1.01)
+    none.count() shouldBe 0L
+  }
+
   /** Planted-geometry recall fixture: a deterministic 64-d corpus
     * (fixed-seed gaussians) with
     *  - 60 near-dup twin pairs (≈0.3% perturbation → cos ≥ 0.99),
