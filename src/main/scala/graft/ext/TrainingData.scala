@@ -258,6 +258,64 @@ object TrainingData {
           1, 15), 16, 10).cast("long"))
       .orderBy(col("order_key") +: keys: _*)
 
+  // ---- span-corruption example construction ----------------------
+
+  /** T5/UL2-style span-corruption training pairs, fully
+    * deterministic: partition each document's tokens into fixed
+    * blocks of `blockLen`, and in every FULL block mask one
+    * `spanLen`-token span whose offset is hash-picked from
+    * (doc id, block index) — `input` replaces each masked span with
+    * its block's `<extra_id_b>` sentinel, `target` is the sentinel +
+    * the masked tokens, in block order (the partial tail block stays
+    * uncorrupted). Defaults approximate the T5 recipe's 15% noise
+    * density (3/20). Sentinel-splice of `target` back into `input`
+    * reconstructs the document exactly (spec-pinned).
+    *
+    * Everything is row-local higher-order array expressions — no
+    * explode, no join, no shuffle: the construction pass runs at
+    * scan speed on any corpus size, and the md5-derived offsets make
+    * it reproducible across engines, so the oracle replays every
+    * span choice.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1 && spanLen < blockLen,
+      s"spanCorrupt: need 1 <= spanLen < blockLen, got $spanLen/$blockLen")
+    def sentinel(b: Column): Column =
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    val ws = split(col(textCol), " ")
+    val nb = (size(ws) / lit(blockLen)).cast("int") // full blocks only
+    // one hash-picked 0-based span offset per full block
+    val starts = when(nb >= 1,
+      transform(sequence(lit(0), nb - 1), b =>
+        pmod(graft.ext.TextAnalysis.tokenHash60(
+            concat(col(idCol).cast("string"), lit(":"), b.cast("string"))),
+          lit((blockLen - spanLen + 1).toLong)).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val d = df.withColumn("__ws", ws).withColumn("__st", starts)
+    val masked = transform(sequence(lit(0), size(col("__ws")) - 1), i => {
+      val b = (i / lit(blockLen)).cast("int")
+      val off = pmod(i, lit(blockLen))
+      // null (→ filtered) for a tail block: no start recorded there
+      val s = try_element_at(col("__st"), b + 1)
+      when(s.isNotNull && off === s, sentinel(b))
+        .when(s.isNotNull && off > s && off < s + spanLen,
+          lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), i + 1))
+    })
+    val input = array_join(filter(masked, x => x.isNotNull), " ")
+    val target = when(size(col("__st")) === 0, lit(""))
+      .otherwise(array_join(
+        transform(sequence(lit(0), size(col("__st")) - 1), b => {
+          val s = element_at(col("__st"), b + 1)
+          val toks = (0 until spanLen).map(k =>
+            element_at(col("__ws"), b * blockLen + s + k + 1))
+          concat_ws(" ", sentinel(b) +: toks: _*)
+        }), " "))
+    d.select(col(idCol).as("id"), input.as("input"), target.as("target"),
+      size(col("__st")).as("n_spans"))
+  }
+
   // ---- DSIR-style importance resampling --------------------------
 
   /** Per-term importance log-ratios in integer micro-units —

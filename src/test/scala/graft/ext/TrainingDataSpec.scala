@@ -244,6 +244,36 @@ class TrainingDataSpec extends SparkSpec {
       a.select("id").as[Long].collect().toSeq
   }
 
+  test("spanCorrupt: sentinel-splice reconstructs the doc; tail block " +
+      "untouched; short docs pass through") {
+    val text = (1 to 47).map(i => s"w$i").mkString(" ") // 2 full blocks + 7
+    val r = TrainingData.spanCorrupt(
+      Seq((7L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
+    r.getInt(3) shouldBe 2
+    val input = r.getString(1)
+    val target = r.getString(2)
+    // token accounting: each block trades 3 tokens for 1 sentinel
+    input.split(" ").length shouldBe 47 - 2 * 3 + 2
+    target.split(" ").length shouldBe 2 * 4
+    // the round-trip contract: splicing each target span back over
+    // its sentinel reconstructs the document exactly
+    val spans = target.split("<extra_id_").drop(1).map { seg =>
+      seg.takeWhile(_ != '>').toInt ->
+        seg.dropWhile(_ != '>').drop(1).trim
+    }.toMap
+    val rebuilt = "<extra_id_(\\d+)>".r
+      .replaceAllIn(input, m => spans(m.group(1).toInt))
+    rebuilt shouldBe text
+    // the partial tail block is never corrupted
+    (41 to 47).foreach(i => input should include(s"w$i"))
+    // a doc under one block is untouched with an empty target
+    val short = TrainingData.spanCorrupt(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text").head()
+    short.getString(1) shouldBe "a b c"
+    short.getString(2) shouldBe ""
+    short.getInt(3) shouldBe 0
+  }
+
   test("DSIR: weight signs follow the corpora; resample is exact-n, " +
       "layout-independent, and target-leaning") {
     val target = (1L to 40L).map(i => (i, "clean fluent prose sentence"))
