@@ -718,6 +718,31 @@ object TextAnalysis {
         round(col("score_raw"), 6).as("score"))
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-search combiner (sparse BM25 + dense cosine):
+    * `rrf(d) = Σ 1/(k + rank_i(d))` over the lists containing d,
+    * k = 60 by convention (Cormack et al.). Rank-based, so the two
+    * scorers need no calibration against each other — exactly why
+    * RRF is the production default for hybrid retrieval. Inputs are
+    * (id, rank) frames (top-k sized, not corpus-sized); the fuse is
+    * a full-outer join over ≤ 2k rows, a driver-trivial tail on top
+    * of whatever retrieval stacks produced the lists.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame,
+      k: Int = 60, topK: Int = 10): DataFrame = {
+    val s = sparse.select(col("id"), col("rank").as("rank_s"))
+    val d = dense.select(col("id"), col("rank").as("rank_d"))
+    val fused = s.join(d, Seq("id"), "full")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(k) + col("rank_s")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rank_d")), lit(0.0))).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("id"))).cast("int")) // ≤ topK rows
+      .select(col("id"), col("rank"), round(col("rrf"), 6).as("rrf"))
+  }
+
   /** PII redaction: emails, IPv4 literals, and phone-shaped digit
     * runs replaced by typed placeholder tags — the scrubbing pass
     * every training corpus runs before anything else sees the text.

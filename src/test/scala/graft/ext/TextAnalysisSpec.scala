@@ -128,6 +128,23 @@ class TextAnalysisSpec extends SparkSpec {
     out(3) shouldBe "no pii here 12.5 degrees v1.2"
   }
 
+  test("rrfFuse: hand-computed fusion, single-list docs score one leg, " +
+      "ties break to min id") {
+    val sparse = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val dense = Seq((20L, 1), (40L, 3)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFuse(sparse, dense, k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // doc 20 is in both lists: 1/62 + 1/61 — the fused winner
+    out(0) shouldBe ((20L, 1,
+      math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6))
+    // single-list docs score only their own leg
+    out(1) shouldBe ((10L, 2, math.rint(1.0 / 61 * 1e6) / 1e6))
+    // 30 (sparse rank 3) and 40 (dense rank 3) tie at 1/63 → min id
+    out(2)._1 shouldBe 30L
+    out(3)._1 shouldBe 40L
+    out(2)._3 shouldBe out(3)._3
+  }
+
   test("stripMarkup: script/style dropped WITH contents, tags dropped, " +
       "entities decoded after tag removal, plain text untouched") {
     val out = Seq(
