@@ -28,6 +28,9 @@ class PlanGuardSpec extends SparkSpec {
     *   same whole-corpus broadcast non-equi scan q_embed_neardup is
     *   allowlisted for; banded/IVF candidate stages are the scale
     *   path.
+    * - q_hybrid_rrf: composes the two allowlisted retrieval shapes —
+    *   bm25's one-row stats broadcast and bruteForceTopK's non-equi
+    *   dense scan; the fusion itself is a top-k-sized outer join.
     * - q_dsir_sample: importanceWeightsMicro's
     *   crossJoin(broadcast(one-row totals agg)) onto the vocab frame
     *   — the same ship-the-quantizer shape as q_bm25/q_unigram_lp.
@@ -52,7 +55,7 @@ class PlanGuardSpec extends SparkSpec {
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_hard_negatives",
       "q_source_overlap", "q_source_overlap_sketch", "q_dsir_sample",
-      "q_training_triplets",
+      "q_training_triplets", "q_hybrid_rrf",
       "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb")
