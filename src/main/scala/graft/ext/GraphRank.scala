@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph importance over the near-dup similarity graph: which
+  * document in a duplicate neighborhood is the CANONICAL one to keep?
+  * Near-dup survivor selection by doc_id or length is arbitrary;
+  * PageRank over the similarity graph keeps the document other
+  * documents cluster around — the graph-centrality criterion
+  * (SimHash/dedup literature's "pick the medoid" heuristic, made
+  * global).
+  *
+  * The rank currency is INTEGER micro-units, not doubles: rank starts
+  * at 10⁶, one iteration is
+  * `r' = 150000 + Σ_in (85·r_u) div (100·deg_u)` — the damping-0.85
+  * power iteration with every term floored into BIGINT. Two reasons:
+  *  - a distributed double sum is partition-order-dependent; integer
+  *    sums are exact on any layout, so ranks are bit-stable and the
+  *    DuckDB oracle replays the full iteration unrolled;
+  *  - the floor loses <1 micro-unit per edge per iteration —
+  *    irrelevant for an ORDERING statistic (what survivor selection
+  *    consumes).
+  * Dangling mass is NOT redistributed (isolated docs sit at the
+  * 150000 teleport floor after one iteration) — fine for ranking
+  * within connected near-dup neighborhoods, which is the use.
+  */
+object GraphRank {
+
+  /** Fixed-iteration integer PageRank. `nodes` = one `id` column
+    * (every document, so isolated docs still get a rank row);
+    * `pairs` = undirected similarity edges (id_a, id_b), e.g.
+    * [[Dedup.ngramJaccardPairs]]' output. Returns (id, n_neighbors,
+    * rank_micro).
+    *
+    * Scale shape: the edge list and degree table are computed once
+    * and localCheckpoint'd (they are reused every iteration — the
+    * GraphX lineage-truncation discipline, same as bpeTrain's vocab);
+    * each iteration is one equi-join rank⋈edges on `src` + one
+    * map-side-combinable groupBy on `dst` — the standard Pregel
+    * message round as two shuffles, no driver-side data beyond the
+    * plan. Iterations are fixed (default 5), not convergence-tested:
+    * survivor selection needs a stable ordering, not ε-convergence,
+    * and fixed rounds keep the plan static and the oracle unrollable.
+    */
+  def pagerankMicro(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val ids = nodes.select(col("id")).localCheckpoint()
+    var ranks = ids.select(col("id"), lit(1000000L).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          expr("(85 * r) div (100 * deg)").as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      ranks = ids
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    ids
+      .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .join(ranks, Seq("id"))
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("n_neighbors"),
+        col("r").as("rank_micro"))
+  }
+}

@@ -203,6 +203,87 @@ object TextAnalysis {
         round(col("sum_lp").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Shared scoring half of the CCNet bucketing faces: `lang_pred`
+    * (marker-word [[langId]]) plus an exact-integer fluency statistic
+    * per document — Σ round(ln(corpus-freq of token) · 10⁶) as a
+    * BIGINT of micro-nats. This is the unigram-LM perplexity ordering
+    * (perplexity = exp(ln N − Σ ln c / n); the ln N shift is constant
+    * per corpus, so ordering by Σ ln c / n IS ordering by perplexity,
+    * inverted) carried in integers: the per-token `round(ln(c)·1e6)`
+    * is one identical IEEE op sequence on Spark and DuckDB (the
+    * q_pmi ln precedent), and from there every aggregate is exact
+    * BIGINT arithmetic — no order-dependent double sums anywhere.
+    */
+  def ccnetFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lid = langId(df, textCol)
+      .select(col(idCol).as("id"), col("lang_pred"))
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val vlp = vocab.select(col("term"),
+      round(log(col("c").cast("double")) * lit(1000000.0))
+        .cast("long").as("lp_micro"))
+    toks.join(vlp, Seq("term"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"), sum("lp_micro").as("lp_sum_micro"))
+      .join(lid, Seq("id"))
+      // exact-input division: both operands integers < 2^53, so the
+      // double is the same bit pattern on any engine
+      .withColumn("fluency",
+        col("lp_sum_micro").cast("double") / col("n_tok"))
+  }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020): split each language's documents into head/middle/tail
+    * TERCILES by LM fluency — head = the most fluent (lowest
+    * perplexity) third, the slice CCNet keeps for training. Terciles
+    * are `ntile(3)` over (fluency desc, id) per language — rank-based
+    * and total-ordered, so the bucketing replays exactly.
+    *
+    * Scale note: the window sorts each language's documents in full —
+    * fine to ~10⁸ docs/language, but a skewed corpus (one dominant
+    * language at 100 TB) serializes that language's sort. The scale
+    * path is [[ccnetBucketsThresh]]: per-language tercile CUTS (a
+    * G-row aggregate) broadcast back, bucket assignment row-local.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang_pred")
+      .orderBy(col("fluency").desc, col("id"))
+    ccnetFluency(df, idCol, textCol)
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail"))
+      .select("id", "lang_pred", "n_tok", "lp_sum_micro", "bucket")
+  }
+
+  /** Threshold-based CCNet bucketing — the 100 TB path: per-language
+    * tercile cuts via EXACT percentile (a #languages-row aggregate),
+    * broadcast back, bucket = two row-local comparisons. No
+    * per-language sort of the corpus; the only corpus-sized shuffles
+    * are the vocab join and the per-doc aggregation that
+    * [[ccnetFluency]] already pays. Bucket EDGES differ from
+    * [[ccnetBuckets]]' rank terciles only at interpolated boundaries
+    * (ntile is count-based; quantile interpolates) — both are valid
+    * CCNet splits; this face's oracle replays its own semantics
+    * exactly.
+    */
+  def ccnetBucketsThresh(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scored = ccnetFluency(df, idCol, textCol)
+    val cuts = scored.groupBy("lang_pred").agg(
+      expr(s"percentile(fluency, ${1.0 / 3})").as("t_lo"),
+      expr(s"percentile(fluency, ${2.0 / 3})").as("t_hi"))
+    scored.join(broadcast(cuts), Seq("lang_pred"))
+      .withColumn("bucket",
+        when(col("fluency") >= col("t_hi"), "head")
+          .when(col("fluency") >= col("t_lo"), "middle")
+          .otherwise("tail"))
+      .select("id", "lang_pred", "n_tok", "lp_sum_micro", "bucket")
+  }
+
   /** Adjacent-token pair frequencies — the statistic a BPE/WordPiece
     * tokenizer trainer computes every merge round (which symbol pair
     * is most frequent?). Pairs are built ROW-LOCALLY with `zip_with`

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM tokenizer ENCODING support (the SentencePiece encode
+  * half): Viterbi segmentation of each word under a trained piece →
+  * log-probability table — pick the segmentation maximizing the sum
+  * of piece log-probs. Row-local; the table ships once per plan as a
+  * compiled reference object, exactly like the BPE rank map
+  * ([[BpeEncodeSupport]]).
+  */
+object UnigramEncodeSupport {
+
+  /** Compiled piece table + the two scalars the DP needs: the longest
+    * piece length (bounds the inner loop) and the unknown-character
+    * penalty (min trained log-prob minus 10 — any in-vocabulary
+    * segmentation beats one through an unknown char, but coverage
+    * never fails).
+    */
+  final class Table(val lp: java.util.HashMap[String, java.lang.Double],
+      val maxLen: Int, val unkLp: Double) extends Serializable
+
+  def compile(pieces: Array[String], lps: Array[Double]): Table = {
+    require(pieces.length == lps.length && pieces.length > 0,
+      "unigram_encode: empty or misaligned piece table")
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    var maxLen = 1
+    var minLp = Double.MaxValue
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i), java.lang.Double.valueOf(lps(i)))
+      if (pieces(i).length > maxLen) maxLen = pieces(i).length
+      if (lps(i) < minLp) minLp = lps(i)
+      i += 1
+    }
+    new Table(m, maxLen, minLp - 10.0)
+  }
+
+  /** Viterbi DP per word (words = space-split, matching training's
+    * tokenization). Tie-break: strict `>` with the ending-piece
+    * length scanned ascending, so an exact score tie resolves to the
+    * SHORTEST final piece — deterministic on any platform, and the
+    * same rule the trainer's prune step uses (UnigramTok.viterbi).
+    */
+  def encode(text: UTF8String, t: Table): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new java.util.ArrayList[UTF8String]()
+    var w = 0
+    while (w < words.length) {
+      val word = words(w)
+      val n = word.length
+      if (n > 0) {
+        val best = new Array[Double](n + 1)
+        val back = new Array[Int](n + 1)
+        var i = 1
+        while (i <= n) {
+          best(i) = Double.NegativeInfinity
+          val lMax = if (t.maxLen < i) t.maxLen else i
+          var l = 1
+          while (l <= lMax) {
+            val lp = t.lp.get(word.substring(i - l, i))
+            val s =
+              if (lp != null) best(i - l) + lp.doubleValue()
+              else if (l == 1) best(i - l) + t.unkLp
+              else Double.NegativeInfinity
+            if (s > best(i)) { best(i) = s; back(i) = l }
+            l += 1
+          }
+          i += 1
+        }
+        // reconstruct right-to-left, emit left-to-right
+        val cuts = new java.util.ArrayList[Integer]()
+        var p = n
+        while (p > 0) { cuts.add(Integer.valueOf(p)); p -= back(p) }
+        var k = cuts.size() - 1
+        var start = 0
+        while (k >= 0) {
+          val end = cuts.get(k).intValue()
+          out.add(UTF8String.fromString(word.substring(start, end)))
+          start = end
+          k -= 1
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
+/** `unigram_encode(text)` under a fixed trained piece table
+  * (driver-known, shipped once per plan as a compiled table reference
+  * object) — the Viterbi sibling of [[BpeEncodeExpr]].
+  */
+case class UnigramEncodeExpr(child: Expression, pieces: Seq[(String, Double)])
+    extends UnaryExpression {
+
+  private lazy val table = UnigramEncodeSupport.compile(
+    pieces.map(_._1).toArray, pieces.map(_._2).toArray)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"unigram_encode needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramEncodeSupport.encode(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramEncodeSupport.Table].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramEncodeSupport.encode($c, $tableRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeExpr =
+    copy(child = newChild)
+}
+
+object UnigramFunctions {
+  /** Viterbi-encode text into pieces under a trained unigram table. */
+  def unigram_encode(text: Column, pieces: Seq[(String, Double)]): Column =
+    GraftColumnBridge.column(UnigramEncodeExpr(
+      GraftColumnBridge.expression(text), pieces))
+}

@@ -920,6 +920,49 @@ object IndexStore {
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
 
+  // ---- persisted tokenizer (unigram-LM piece table) ----
+
+  val UnigramPiecesTable = "unigram_pieces"
+
+  /** Persist a trained unigram-LM piece table
+    * ([[graft.ext.UnigramTok.unigramTrain]]'s (rank, piece, logp)) —
+    * the SentencePiece sibling of [[writeBpeMerges]]: nightly
+    * training writes the table + a manifest recording the encode
+    * semantics (casefold, Viterbi tie rule), and every encode job
+    * compiles its lookup table from it instead of retraining. One
+    * tiny file — `coalesce(1)`, the table is vocab-sized.
+    */
+  def writeUnigramPieces(table: DataFrame, dir: String,
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    table.select("rank", "piece", "logp").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$UnigramPiecesTable")
+    writeManifest(table.sparkSession, dir, Seq(
+      "kind" -> "\"unigram\"",
+      "pieces" -> table.count().toString,
+      "casefold" -> "\"lower\"",
+      "viterbi_tie" -> "\"strict >, piece length asc (shortest final piece)\"",
+      "tables" -> s""""$UnigramPiecesTable"""") ++ manifestExtra)
+  }
+
+  /** The piece table back, rank order — the input
+    * [[graft.ext.UnigramTok.unigramEncode]] compiles its Viterbi
+    * lookup from.
+    */
+  def readUnigramPieces(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    spark.read.parquet(s"$dir/$UnigramPiecesTable")
+      .orderBy("rank").select("piece", "logp").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  /** Session-scoped train-once memo for the unigram tokenizer. */
+  def ensureUnigramPieces(corpus: DataFrame, corpusDir: String,
+      textCol: String = "text", vocabSize: Int = 80): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, "-unigram",
+      s"unigram|$textCol|$vocabSize") { dir =>
+      writeUnigramPieces(
+        graft.ext.UnigramTok.unigramTrain(corpus, textCol, vocabSize), dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+    }
+
   // ---- persisted source-overlap sketches (mergeable MinHash) ----
 
   val SourceSketchTable = "source_sketch"
@@ -1130,7 +1173,7 @@ object IndexStore {
         val perGroup = if (groups == 0) 0.0 else total.toDouble / groups
         rows += (("compact", "rows_per_group", perGroup, rowsPerGroupBar,
           perGroup > rowsPerGroupBar))
-      case _ => () // bpe: freshness is its only maintenance signal
+      case _ => () // bpe/unigram: freshness is the only maintenance signal
     }
     corpusDir.foreach { cd =>
       val recorded = FingerprintField.findFirstMatchIn(manifest)

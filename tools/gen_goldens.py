@@ -36,6 +36,12 @@ SPECS = [
     ("q_bpe_encode", ["q_bpe_encode"],
      [("doc_id", "BIGINT"), ("n_sub", "INTEGER"),
       ("first_sub", "VARCHAR"), ("last_sub", "VARCHAR")]),
+    ("q_unigram_tok_train", ["q_unigram_tok_train"],
+     [("rank", "INTEGER"), ("piece", "VARCHAR"), ("logp", "DOUBLE")]),
+    ("q_unigram_tok_encode",
+     ["q_unigram_tok_encode"],
+     [("doc_id", "BIGINT"), ("n_pieces", "INTEGER"),
+      ("first_piece", "VARCHAR"), ("last_piece", "VARCHAR")]),
     # q_ann_ivf_trained is SEMI-INDEPENDENT: only the neighbor PICKS
     # (query_id, rank, neighbor_id — the part that depends on the
     # frozen Lloyd-trained centroids) are inlined; the cosine is
