@@ -45,13 +45,31 @@ object GraphRank {
     */
   def pagerankMicro(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 5): DataFrame = {
-    val edges = pairs
+    val (ids, edges, deg) = prepare(nodes, pairs)
+    finish(ids, deg, rankLoop(ids, edges, deg, iters))
+  }
+
+  /** Materialize the graph ONCE: the pair frame is typically the
+    * expensive part (an inverted-index join), and both the forward
+    * and reversed edge direction read it — checkpoint pairs FIRST so
+    * the union's two branches scan executor blocks, not two runs of
+    * the pair job.
+    */
+  private def prepare(nodes: DataFrame, pairs: DataFrame) = {
+    val p = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val ids = nodes.select(col("id")).localCheckpoint()
+    (ids, edges, deg)
+  }
+
+  private def rankLoop(ids: DataFrame, edges: DataFrame, deg: DataFrame,
+      iters: Int): DataFrame = {
     var ranks = ids.select(col("id"), lit(1000000L).as("r"))
     var i = 0
     while (i < iters) {
@@ -68,11 +86,44 @@ object GraphRank {
         .localCheckpoint()
       i += 1
     }
+    ranks
+  }
+
+  private def finish(ids: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame =
     ids
       .join(deg.withColumnRenamed("src", "id"), Seq("id"), "left")
       .join(ranks, Seq("id"))
       .select(col("id"),
         coalesce(col("deg"), lit(0L)).as("n_neighbors"),
         col("r").as("rank_micro"))
+
+  /** The USE of the rank: near-dup survivor selection by local
+    * centrality. A document is dropped when some similarity-neighbor
+    * out-ranks it — strictly higher [[pagerankMicro]] rank, or equal
+    * rank and lower id (the deterministic tie) — so each connected
+    * neighborhood keeps exactly its local maxima: the docs the
+    * neighborhood clusters around. Isolated documents always survive.
+    *
+    * One extra round over [[pagerankMicro]]'s output: edges ⋈ ranks
+    * twice on the edge endpoints (equi-joins), a distinct on the
+    * dropped ids, one anti-join — all integer compares, so the oracle
+    * replays the drop rule verbatim on top of the unrolled rank CTEs.
+    */
+  def pagerankSurvivors(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 5): DataFrame = {
+    // one graph materialization feeds the rank loop AND the drop rule
+    val (ids, edges, deg) = prepare(nodes, pairs)
+    val ranked = finish(ids, deg, rankLoop(ids, edges, deg, iters))
+      .localCheckpoint()
+    val dropped = edges
+      .join(ranked.select(col("id").as("src"),
+        col("rank_micro").as("r_src")), Seq("src"))
+      .join(ranked.select(col("id").as("dst"),
+        col("rank_micro").as("r_dst")), Seq("dst"))
+      .filter(col("r_dst") > col("r_src") ||
+        (col("r_dst") === col("r_src") && col("dst") < col("src")))
+      .select(col("src").as("id")).distinct()
+    ranked.join(dropped, Seq("id"), "left_anti")
   }
 }

@@ -885,6 +885,60 @@ object TextAnalysis {
         / total.cast("double"))
   }
 
+  /** Gopher-style quality RULES (Rae et al. 2021, App. A), each as a
+    * named boolean plus the integer evidence it reads — the explicit
+    * rule-list face of what [[qualityScore]] folds into one number.
+    * Every threshold compare is INTEGER cross-multiplication (mean
+    * word length ∈ [3,10] becomes `3n ≤ Σlen ≤ 10n`, duplicate-bigram
+    * fraction ≤ 0.2 becomes `5(t−d) ≤ t`), so the whole face is exact
+    * arithmetic — no float thresholds to drift between engines. Pure
+    * row-local projection: scales as a scan.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = tokens(t)
+    val nWords = size(ws).cast("long")
+    val charSum = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    // symbol evidence: '#' characters plus '...' runs (the Gopher
+    // symbol-to-word numerator)
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val nSym = nHash + nEll
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val nStops = gopherStops
+      .map(s => array_contains(ws, s).cast("long")).reduce(_ + _)
+    // duplicate-bigram evidence (the n=2 slice of repeatedNgramRatio,
+    // kept as the two integers so the rule replays exactly)
+    val t2 = greatest(nWords - 1, lit(0L))
+    // try_element_at: for a 1-word doc the (discarded) gram branch
+    // still builds its expression, and ANSI element_at would throw on
+    // the out-of-bounds second token
+    val grams = transform(sequence(lit(0), greatest(t2, lit(1L)).cast("int") - 1),
+      i => concat_ws(" ", try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
+    val d2 = when(t2 <= 0, lit(0L))
+      .otherwise(size(array_distinct(grams)).cast("long"))
+    val rWordcount = nWords >= 50L && nWords <= 100000L
+    val rMeanlen = charSum >= nWords * 3L && charSum <= nWords * 10L
+    val rAlpha = nAlpha * 5L >= nWords * 4L
+    val rSymbol = nSym * 10L <= nWords
+    val rStops = nStops >= 2L
+    val rRep2 = (t2 - d2) * 5L <= t2
+    df.select(col(idCol).as("id"),
+      nWords.as("n_words"), charSum.as("char_sum"),
+      nAlpha.as("n_alpha_words"), nSym.as("n_sym"),
+      nStops.as("n_stop_hits"), t2.as("bigram_total"),
+      d2.as("bigram_distinct"),
+      rWordcount.as("r_wordcount"), rMeanlen.as("r_meanlen"),
+      rAlpha.as("r_alpha"), rSymbol.as("r_symbol"),
+      rStops.as("r_stops"), rRep2.as("r_rep2"),
+      (rWordcount && rMeanlen && rAlpha && rSymbol && rStops && rRep2)
+        .as("pass"))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * `h := (h*31 + (tokenHash60(t) mod 2^20)) mod 2^30`, left fold in
     * token order. Order-sensitive (unlike a bag-of-words hash) so

@@ -106,39 +106,47 @@ object UnigramTok {
         }
         i += 1
       }
-      val z = logA(n) // log P(word); singles cover every corpus char
-      ll += f * z
-      // backward: logB(i) = log P(suffix word[i,n))
-      val logB = new Array[Double](n + 1)
-      i = n - 1
-      while (i >= 0) {
-        logB(i) = Double.NegativeInfinity
-        val lMax = math.min(m.maxLen, n - i)
-        var l = 1
-        while (l <= lMax) {
-          val plp = m.lpOf(word.substring(i, i + l))
-          if (plp != Double.NegativeInfinity)
-            logB(i) = logAdd(logB(i), plp + logB(i + l))
-          l += 1
-        }
-        i -= 1
-      }
-      // expected count of the occurrence (i, l): posterior mass of
-      // every segmentation path through that span
-      i = 0
-      while (i < n) {
-        val lMax = math.min(m.maxLen, n - i)
-        var l = 1
-        while (l <= lMax) {
-          val pi = m.idx.get(word.substring(i, i + l))
-          if (pi != null) {
-            val k = pi.intValue()
-            val post = logA(i) + m.lp(k) + logB(i + l) - z
-            if (post != Double.NegativeInfinity) exp(k) += f * math.exp(post)
+      val z = logA(n)
+      // a word leaves the model's support when EM has zeroed every
+      // piece covering one of its spans (the character_coverage<1
+      // analogue). Skip it this round — including it would divide by
+      // z = -inf and NaN-poison every expected count (observed: an
+      // all--inf table on the f10 corpus). Encode still covers such
+      // words via the unk fallback.
+      if (z != Double.NegativeInfinity) {
+        ll += f * z
+        // backward: logB(i) = log P(suffix word[i,n))
+        val logB = new Array[Double](n + 1)
+        i = n - 1
+        while (i >= 0) {
+          logB(i) = Double.NegativeInfinity
+          val lMax = math.min(m.maxLen, n - i)
+          var l = 1
+          while (l <= lMax) {
+            val plp = m.lpOf(word.substring(i, i + l))
+            if (plp != Double.NegativeInfinity)
+              logB(i) = logAdd(logB(i), plp + logB(i + l))
+            l += 1
           }
-          l += 1
+          i -= 1
         }
-        i += 1
+        // expected count of the occurrence (i, l): posterior mass of
+        // every segmentation path through that span
+        i = 0
+        while (i < n) {
+          val lMax = math.min(m.maxLen, n - i)
+          var l = 1
+          while (l <= lMax) {
+            val pi = m.idx.get(word.substring(i, i + l))
+            if (pi != null) {
+              val k = pi.intValue()
+              val post = logA(i) + m.lp(k) + logB(i + l) - z
+              if (post != Double.NegativeInfinity) exp(k) += f * math.exp(post)
+            }
+            l += 1
+          }
+          i += 1
+        }
       }
       wi += 1
     }

@@ -48,6 +48,22 @@ class GraphRankSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("survivors: local maxima win, equal-rank ties go to lower id") {
+    def survivors(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Seq[Long] =
+      GraphRank.pagerankSurvivors(
+          nodes.toDF("id"), pairs.toDF("id_a", "id_b"), iters = 5)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // path a-b-c: center b out-ranks both ends; isolated d survives
+    survivors(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L))) shouldBe
+      Seq(2L, 4L)
+    // symmetric pair: equal ranks → lower id survives
+    survivors(Seq(1L, 2L), Seq((1L, 2L))) shouldBe Seq(1L)
+    // two separate components each keep their own center
+    survivors(Seq(1L, 2L, 3L, 10L, 11L, 12L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))) shouldBe
+      Seq(2L, 11L)
+  }
+
   test("mass never exceeds the closed-form ceiling") {
     // with floor-division leakage, total rank after any iteration is
     // ≤ N·(teleport + damping·1e6) and ≥ N·teleport
