@@ -270,6 +270,26 @@ class PlanGuardSpec extends SparkSpec {
     count(planOf("q_image_neardup"), "MapPartitions") shouldBe 0
     count(planOf("q_image_clusters"), "MapPartitions") shouldBe 0
     count(planOf("q_audio_neardup"), "MapPartitions") shouldBe 0
+
+    // Gopher rules: pure row-local projection — ONE scan, no joins,
+    // no aggregation exchange (the only exchange is the output sort)
+    val gopher = planOf("q_gopher_rules")
+    count(gopher, "FileScan") shouldBe 1
+    count(gopher, "Join") shouldBe 0
+    count(gopher, "Exchange hashpartitioning") shouldBe 0
+
+    // CCNet threshold face: the per-language tercile cuts join back
+    // as a BROADCAST (the scale path's whole point — no per-language
+    // corpus sort); a sort-merge join here would shuffle the scored
+    // frame against a #languages-row aggregate
+    val ccth = planOf("q_ccnet_buckets_thresh")
+    count(ccth, "BroadcastHashJoin") should be >= 1
+
+    // PageRank faces: the graph is checkpointed ONCE and shared
+    // (graphMemo) — the registry-visible plan reads executor blocks,
+    // never re-runs the inverted-index pair job
+    count(planOf("q_neardup_pagerank"), "FileScan") shouldBe 0
+    count(planOf("q_pagerank_survivors"), "FileScan") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {
