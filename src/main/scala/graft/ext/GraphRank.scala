@@ -49,48 +49,71 @@ object GraphRank {
     finish(ids, deg, rankLoop(ids, edges, deg, iters))
   }
 
-  /** Session-scoped memo of the materialized graph, keyed by the
-    * canonicalized analyzed plans of (nodes, pairs) — the
-    * [[Dedup]] probe-stats pattern. The pair frame is typically an
-    * inverted-index join (the expensive half), and a session running
-    * both the rank face and the survivor face over the same corpus
-    * was paying it twice. Checkpointed blocks are immutable for the
-    * session's lifetime; sessions are weak keys. Same staleness
-    * granularity as Spark's own file-index caching: a session that
-    * rewrites the corpus in place can see the old graph until it
-    * reopens.
+  private case class GraphKey(
+      session: org.apache.spark.sql.SparkSession, // identity equality
+      nodesPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      pairsPlan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  /** Bounded memo of the materialized graph, keyed by (session, the
+    * canonicalized analyzed plans of nodes and pairs) — STRUCTURAL
+    * plan equality, not a plan hash, so a collision can never serve
+    * another corpus's graph as output (the [[Dedup]] probe-stats memo
+    * tolerates hash keys because its entries only pick a plan; this
+    * one's entries ARE the data). Bounded LRU (not weak keys: the
+    * cached DataFrames strongly reference their session, which would
+    * defeat a WeakHashMap and leak every graph forever): at most
+    * [[MaxGraphs]] graphs stay alive, evicted oldest-first, and
+    * stopped sessions' entries are purged on access — dropping the
+    * reference lets the ContextCleaner unpersist the checkpointed
+    * blocks. A session that rewrites the corpus in place can see the
+    * old graph until eviction — the same staleness granularity as
+    * Spark's own file-index caching.
     */
+  private val MaxGraphs = 8
   private val graphMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(Int, Int),
-        (DataFrame, DataFrame, DataFrame)]]()
+    new java.util.LinkedHashMap[GraphKey, (DataFrame, DataFrame, DataFrame)](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[GraphKey, (DataFrame, DataFrame, DataFrame)])
+          : Boolean = size() > MaxGraphs
+    }
+
+  /** Test hook: live memo entries. */
+  private[graft] def graphMemoEntries: Int =
+    graphMemo.synchronized(graphMemo.size())
 
   /** Materialize the graph ONCE: checkpoint pairs FIRST so the
     * reversed-edge union's two branches scan executor blocks, not two
     * runs of the pair job; memoize so the rank and survivor faces
-    * share one build.
+    * share one build. The build runs under the memo lock — callers
+    * are the sequential registry faces, and a duplicate concurrent
+    * build would cost more than the wait.
     */
-  private def prepare(nodes: DataFrame, pairs: DataFrame) = {
-    val cache = graphMemo.synchronized {
-      graphMemo.computeIfAbsent(pairs.sparkSession,
-        _ => new java.util.concurrent.ConcurrentHashMap[(Int, Int),
-          (DataFrame, DataFrame, DataFrame)]())
+  private def prepare(nodes: DataFrame, pairs: DataFrame) =
+    graphMemo.synchronized {
+      val it = graphMemo.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getKey.session.sparkContext.isStopped) it.remove()
+      val key = GraphKey(pairs.sparkSession,
+        nodes.queryExecution.analyzed.canonicalized,
+        pairs.queryExecution.analyzed.canonicalized)
+      val hit = graphMemo.get(key)
+      if (hit != null) hit
+      else {
+        val p = pairs
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+          .localCheckpoint()
+        val edges = p
+          .union(p.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val ids = nodes.select(col("id")).localCheckpoint()
+        val g = (ids, edges, deg)
+        graphMemo.put(key, g)
+        g
+      }
     }
-    val key = (nodes.queryExecution.analyzed.canonicalized.hashCode(),
-      pairs.queryExecution.analyzed.canonicalized.hashCode())
-    cache.computeIfAbsent(key, _ => {
-      val p = pairs
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-        .localCheckpoint()
-      val edges = p
-        .union(p.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val ids = nodes.select(col("id")).localCheckpoint()
-      (ids, edges, deg)
-    })
-  }
 
   private def rankLoop(ids: DataFrame, edges: DataFrame, deg: DataFrame,
       iters: Int): DataFrame = {

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.UnigramSeg
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,6 +33,11 @@ import org.apache.spark.sql.functions._
   * explicit (seed cut: count desc then piece asc; prune cut: loss
   * desc then piece asc; Viterbi: strict `>` with piece length
   * ascending → shortest final piece on exact ties).
+  *
+  * Segmentation positions are CODE POINT boundaries throughout
+  * ([[UnigramSeg]]): pieces never contain an unpaired surrogate, so
+  * the table survives the UTF8String/parquet round trip on non-BMP
+  * text and encode stays lossless.
   */
 object UnigramTok {
 
@@ -60,6 +66,28 @@ object UnigramTok {
     else if (a >= b) a + math.log1p(math.exp(b - a))
     else b + math.log1p(math.exp(a - b))
 
+  /** The one distributed corpus touch all driver-local entry points
+    * share: (word, freq) vocabulary — tokenize, casefold, cap, collect,
+    * sort UTF-8-asc (the fixed iteration order every double sum
+    * depends on).
+    */
+  private def collectVocab(df: DataFrame, textCol: String, maxVocab: Int,
+      caller: String): (Array[String], Array[Long]) = {
+    val vocabDf = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // count-then-collect (the bpeTrainLocal discipline): fail loud
+    // before shipping an over-cap vocabulary to the driver
+    val nVocab = vocabDf.count()
+    require(nVocab <= maxVocab,
+      s"$caller: vocabulary has $nVocab words > maxVocab=$maxVocab — " +
+        "train on a sampled corpus or raise the cap deliberately")
+    val rows = vocabDf.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)(utf8Ord)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
   /** Trained table state: pieces sorted UTF-8-asc, aligned log-probs,
     * and the piece→index map the DPs look up through.
     */
@@ -76,37 +104,50 @@ object UnigramTok {
     }
   }
 
+  /** Forward DP: log P(word) = log Σ over all segmentations, filled
+    * into `logA` (length n+1, caller-allocated). Shared by the E-step
+    * and [[unigramLogLik]] so the two can never drift.
+    */
+  private def forward(word: String, m: Model, logA: Array[Double]): Double = {
+    val n = word.length
+    logA(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      logA(i) = Double.NegativeInfinity
+      if (UnigramSeg.isBoundary(word, i)) {
+        val lMax = math.min(m.maxLen, i)
+        var l = 1
+        while (l <= lMax) {
+          if (UnigramSeg.isBoundary(word, i - l)) {
+            val plp = m.lpOf(word.substring(i - l, i))
+            if (plp != Double.NegativeInfinity)
+              logA(i) = logAdd(logA(i), logA(i - l) + plp)
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    logA(n)
+  }
+
   /** One EM step over the word vocabulary: forward-backward per word
     * (expected count of every piece occurrence under the CURRENT
     * probabilities), then renormalize. Returns the new log-probs and
     * the corpus log-likelihood BEFORE the update (for the
     * monotonicity pin in the spec).
     */
-  private def emStep(words: Array[Array[Char]], freqs: Array[Long],
+  private def emStep(words: Array[String], freqs: Array[Long],
       m: Model): (Array[Double], Double) = {
     val exp = new Array[Double](m.pieces.length)
     var ll = 0.0
     var wi = 0
     while (wi < words.length) {
-      val word = new String(words(wi))
+      val word = words(wi)
       val f = freqs(wi).toDouble
       val n = word.length
-      // forward: logA(i) = log P(prefix word[0,i))
       val logA = new Array[Double](n + 1)
-      var i = 1
-      while (i <= n) {
-        logA(i) = Double.NegativeInfinity
-        val lMax = math.min(m.maxLen, i)
-        var l = 1
-        while (l <= lMax) {
-          val plp = m.lpOf(word.substring(i - l, i))
-          if (plp != Double.NegativeInfinity)
-            logA(i) = logAdd(logA(i), logA(i - l) + plp)
-          l += 1
-        }
-        i += 1
-      }
-      val z = logA(n)
+      val z = forward(word, m, logA)
       // a word leaves the model's support when EM has zeroed every
       // piece covering one of its spans (the character_coverage<1
       // analogue). Skip it this round — including it would divide by
@@ -117,35 +158,40 @@ object UnigramTok {
         ll += f * z
         // backward: logB(i) = log P(suffix word[i,n))
         val logB = new Array[Double](n + 1)
-        i = n - 1
+        logB(n) = 0.0
+        var i = n - 1
         while (i >= 0) {
           logB(i) = Double.NegativeInfinity
-          val lMax = math.min(m.maxLen, n - i)
-          var l = 1
-          while (l <= lMax) {
-            val plp = m.lpOf(word.substring(i, i + l))
-            if (plp != Double.NegativeInfinity)
-              logB(i) = logAdd(logB(i), plp + logB(i + l))
-            l += 1
+          if (UnigramSeg.isBoundary(word, i)) {
+            val lMax = math.min(m.maxLen, n - i)
+            var l = 1
+            while (l <= lMax) {
+              if (UnigramSeg.isBoundary(word, i + l)) {
+                val plp = m.lpOf(word.substring(i, i + l))
+                if (plp != Double.NegativeInfinity)
+                  logB(i) = logAdd(logB(i), plp + logB(i + l))
+              }
+              l += 1
+            }
           }
           i -= 1
         }
         // expected count of the occurrence (i, l): posterior mass of
         // every segmentation path through that span
-        i = 0
-        while (i < n) {
-          val lMax = math.min(m.maxLen, n - i)
+        var i2 = 0
+        while (i2 < n) {
+          val lMax = math.min(m.maxLen, n - i2)
           var l = 1
           while (l <= lMax) {
-            val pi = m.idx.get(word.substring(i, i + l))
+            val pi = m.idx.get(word.substring(i2, i2 + l))
             if (pi != null) {
               val k = pi.intValue()
-              val post = logA(i) + m.lp(k) + logB(i + l) - z
+              val post = logA(i2) + m.lp(k) + logB(i2 + l) - z
               if (post != Double.NegativeInfinity) exp(k) += f * math.exp(post)
             }
             l += 1
           }
-          i += 1
+          i2 += 1
         }
       }
       wi += 1
@@ -177,15 +223,19 @@ object UnigramTok {
     var i = 1
     while (i <= n) {
       best(i) = Double.NegativeInfinity
-      val lMax = math.min(m.maxLen, i)
-      var l = 1
-      while (l <= lMax) {
-        val pi = m.idx.get(word.substring(i - l, i))
-        if (pi != null && pi.intValue() != mask) {
-          val s = best(i - l) + m.lp(pi.intValue())
-          if (s > best(i)) { best(i) = s; back(i) = l }
+      if (UnigramSeg.isBoundary(word, i)) {
+        val lMax = math.min(m.maxLen, i)
+        var l = 1
+        while (l <= lMax) {
+          if (UnigramSeg.isBoundary(word, i - l)) {
+            val pi = m.idx.get(word.substring(i - l, i))
+            if (pi != null && pi.intValue() != mask) {
+              val s = best(i - l) + m.lp(pi.intValue())
+              if (s > best(i)) { best(i) = s; back(i) = l }
+            }
+          }
+          l += 1
         }
-        l += 1
       }
       i += 1
     }
@@ -207,16 +257,16 @@ object UnigramTok {
     * driver runs seed → (EM × emIters → prune by likelihood loss)
     * until the vocabulary fits `vocabSize`.
     *
-    * Seed = every single character seen (never PRUNED — though a
-    * single whose EM mass underflows to zero still leaves via the
-    * zero-mass filter below, the character_coverage<1 analogue;
-    * encode's unk fallback keeps segmentation total either way) +
-    * the top `seedSize` multi-char substrings of words (length ≤
-    * `maxPieceLen`) by occurrence count. Prune drops the
-    * lowest-loss multi-char pieces, where loss(x) = viterbiCount(x) ·
-    * (lp(x) − altLp(x)) — how much corpus Viterbi likelihood is lost
-    * if x's uses must re-segment without it; pieces the Viterbi pass
-    * never uses drop first.
+    * Seed = every single CODE POINT seen (never PRUNED — though one
+    * whose EM mass underflows to zero still leaves via the zero-mass
+    * filter below, the character_coverage<1 analogue; encode's unk
+    * fallback keeps segmentation total either way) + the top
+    * `seedSize` multi-code-point substrings of words (length ≤
+    * `maxPieceLen` UTF-16 units, cut at code-point boundaries).
+    * Prune drops the lowest-loss multi pieces, where loss(x) =
+    * viterbiCount(x) · (lp(x) − altLp(x)) — how much corpus Viterbi
+    * likelihood is lost if x's uses must re-segment without it;
+    * pieces the Viterbi pass never uses drop first.
     *
     * Output: (rank, piece, logp) with rank 1 = most probable
     * (tie: piece UTF-8-asc), logp from the final normalized EM step.
@@ -226,45 +276,37 @@ object UnigramTok {
       shrink: Double = 0.25, maxVocab: Int = 1 << 22): DataFrame = {
     import scala.collection.mutable
     val spark = df.sparkSession
-    val vocabDf = df
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    // count-then-collect (the bpeTrainLocal discipline): fail loud
-    // before shipping an over-cap vocabulary to the driver
-    val nVocab = vocabDf.count()
-    require(nVocab <= maxVocab,
-      s"unigramTrain: vocabulary has $nVocab words > maxVocab=$maxVocab — " +
-        "train on a sampled corpus or raise the cap deliberately")
-    val rows = vocabDf.collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)(utf8Ord)
-    val words = rows.map(_._1.toCharArray)
-    val freqs = rows.map(_._2)
+    val (words, freqs) = collectVocab(df, textCol, maxVocab, "unigramTrain")
 
-    // ---- seed: substring counts (chars mandatory, top multis) ----
+    // ---- seed: substring counts (code points mandatory, top multis) --
     val subCount = mutable.HashMap.empty[String, Double]
     var wi = 0
     while (wi < words.length) {
-      val word = new String(words(wi)); val f = freqs(wi).toDouble
+      val word = words(wi); val f = freqs(wi).toDouble
       var i = 0
       while (i < word.length) {
-        val lMax = math.min(maxPieceLen, word.length - i)
-        var l = 1
-        while (l <= lMax) {
-          val s = word.substring(i, i + l)
-          subCount.update(s, subCount.getOrElse(s, 0.0) + f)
-          l += 1
+        if (UnigramSeg.isBoundary(word, i)) {
+          val lMax = math.min(maxPieceLen, word.length - i)
+          var l = 1
+          while (l <= lMax) {
+            if (UnigramSeg.isBoundary(word, i + l)) {
+              val s = word.substring(i, i + l)
+              subCount.update(s, subCount.getOrElse(s, 0.0) + f)
+            }
+            l += 1
+          }
         }
         i += 1
       }
       wi += 1
     }
-    val singles = subCount.keysIterator.filter(_.length == 1)
-      .toArray.sorted(utf8Ord)
+    val singles = subCount.keysIterator
+      .filter(UnigramSeg.isSingleCodePoint(_)).toArray.sorted(utf8Ord)
     require(vocabSize >= singles.length + 1,
       s"unigramTrain: vocabSize=$vocabSize cannot hold the " +
-        s"${singles.length} mandatory single-character pieces")
-    val multis = subCount.iterator.filter(_._1.length > 1).toArray
+        s"${singles.length} mandatory single-code-point pieces")
+    val multis = subCount.iterator
+      .filter { case (p, _) => !UnigramSeg.isSingleCodePoint(p) }.toArray
       .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(
         Ordering.Double.TotalOrdering, utf8Ord))
       .take(seedSize).map(_._1)
@@ -293,29 +335,31 @@ object UnigramTok {
         val vc = new Array[Double](pieces.length)
         wi = 0
         while (wi < words.length) {
-          val (_, ids) = viterbi(new String(words(wi)), m)
+          val (_, ids) = viterbi(words(wi), m)
           val f = freqs(wi).toDouble
           ids.foreach(k => vc(k) += f)
           wi += 1
         }
         // loss of dropping x: its uses re-segment at the runner-up
         // score — never-used pieces carry zero loss and drop first
-        val nSingles = pieces.count(_.length == 1)
+        val nSingles = pieces.count(UnigramSeg.isSingleCodePoint(_))
         val keepMultis = math.max(vocabSize - nSingles,
           math.ceil((pieces.length - nSingles) * (1.0 - shrink)).toInt - 1)
-        val scored = pieces.indices.filter(k => pieces(k).length > 1).map { k =>
-          val loss =
-            if (vc(k) == 0.0) Double.NegativeInfinity
-            else {
-              val (alt, _) = viterbi(pieces(k), m, mask = k)
-              vc(k) * (m.lp(k) - alt) // alt=-inf never happens: singles stay
-            }
-          (loss, pieces(k))
-        }
+        val scored = pieces.indices
+          .filter(k => !UnigramSeg.isSingleCodePoint(pieces(k))).map { k =>
+            val loss =
+              if (vc(k) == 0.0) Double.NegativeInfinity
+              else {
+                val (alt, _) = viterbi(pieces(k), m, mask = k)
+                vc(k) * (m.lp(k) - alt) // alt=-inf never: singles stay
+              }
+            (loss, pieces(k))
+          }
         val kept = scored.sortBy { case (loss, p) => (-loss, p) }(
           Ordering.Tuple2(Ordering.Double.TotalOrdering, utf8Ord))
           .take(keepMultis).map(_._2)
-        val next = (pieces.filter(_.length == 1) ++ kept).sorted(utf8Ord)
+        val next = (pieces.filter(UnigramSeg.isSingleCodePoint(_)) ++ kept)
+          .sorted(utf8Ord)
         val keptLp = next.map(p => lps(m0.idx.get(p).intValue()))
         pieces = next
         lps = keptLp // renormalized by the next round's EM
@@ -340,39 +384,20 @@ object UnigramTok {
     * log P(w), with P(w) the forward-summed probability over ALL
     * segmentations — the quantity EM maximizes. Driver-local over the
     * collected vocabulary (same cap discipline as training); the spec
-    * pins that more EM iterations never decrease it.
+    * pins that more EM iterations never decrease it. Shares
+    * [[forward]] with the E-step, so the measured model can never
+    * drift from the trained one.
     */
   def unigramLogLik(df: DataFrame, textCol: String,
       pieces: Seq[(String, Double)], maxVocab: Int = 1 << 22): Double = {
-    val vocabDf = df
-      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    val nVocab = vocabDf.count()
-    require(nVocab <= maxVocab,
-      s"unigramLogLik: vocabulary has $nVocab words > maxVocab=$maxVocab")
-    val rows = vocabDf.collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)(utf8Ord)
+    val (words, freqs) = collectVocab(df, textCol, maxVocab, "unigramLogLik")
     val sorted = pieces.sortBy(_._1)(utf8Ord)
     val m = new Model(sorted.map(_._1).toArray, sorted.map(_._2).toArray)
     var ll = 0.0
-    rows.foreach { case (word, f) =>
-      val n = word.length
-      val logA = new Array[Double](n + 1)
-      var i = 1
-      while (i <= n) {
-        logA(i) = Double.NegativeInfinity
-        val lMax = math.min(m.maxLen, i)
-        var l = 1
-        while (l <= lMax) {
-          val plp = m.lpOf(word.substring(i - l, i))
-          if (plp != Double.NegativeInfinity)
-            logA(i) = logAdd(logA(i), logA(i - l) + plp)
-          l += 1
-        }
-        i += 1
-      }
-      ll += f * logA(n)
+    var wi = 0
+    while (wi < words.length) {
+      ll += freqs(wi) * forward(words(wi), m, new Array[Double](words(wi).length + 1))
+      wi += 1
     }
     ll
   }

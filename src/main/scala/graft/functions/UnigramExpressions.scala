@@ -9,6 +9,34 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Code-point discipline shared by the unigram trainer and encoder:
+  * segmentation positions are CODE POINT boundaries, never the middle
+  * of a surrogate pair. Cutting a pair would emit lone-surrogate
+  * pieces, which UTF8String/parquet mangle to '?' — breaking encode
+  * losslessness and corrupting a persisted piece table on non-BMP
+  * text (emoji, CJK extensions).
+  */
+object UnigramSeg {
+
+  /** `pos` is a valid cut position in `word`. */
+  def isBoundary(word: String, pos: Int): Boolean =
+    pos <= 0 || pos >= word.length ||
+      !(Character.isHighSurrogate(word.charAt(pos - 1)) &&
+        Character.isLowSurrogate(word.charAt(pos)))
+
+  /** [start, end) spans exactly ONE code point — the unit the unk
+    * fallback emits (a BMP char, or an atomic surrogate pair).
+    */
+  def isSingleCodePoint(word: String, start: Int, end: Int): Boolean =
+    end - start == 1 ||
+      (end - start == 2 && Character.isHighSurrogate(word.charAt(start)) &&
+        Character.isLowSurrogate(word.charAt(start + 1)))
+
+  /** The piece string is one code point. */
+  def isSingleCodePoint(piece: String): Boolean =
+    isSingleCodePoint(piece, 0, piece.length)
+}
+
 /** Unigram-LM tokenizer ENCODING support (the SentencePiece encode
   * half): Viterbi segmentation of each word under a trained piece →
   * log-probability table — pick the segmentation maximizing the sum
@@ -48,6 +76,8 @@ object UnigramEncodeSupport {
     * length scanned ascending, so an exact score tie resolves to the
     * SHORTEST final piece — deterministic on any platform, and the
     * same rule the trainer's prune step uses (UnigramTok.viterbi).
+    * Cuts only at code-point boundaries; the unk fallback emits one
+    * CODE POINT (so a surrogate pair stays atomic — [[UnigramSeg]]).
     */
   def encode(text: UTF8String, t: Table): ArrayData = {
     val words = text.toString.split(" ", -1)
@@ -62,16 +92,24 @@ object UnigramEncodeSupport {
         var i = 1
         while (i <= n) {
           best(i) = Double.NegativeInfinity
-          val lMax = if (t.maxLen < i) t.maxLen else i
-          var l = 1
-          while (l <= lMax) {
-            val lp = t.lp.get(word.substring(i - l, i))
-            val s =
-              if (lp != null) best(i - l) + lp.doubleValue()
-              else if (l == 1) best(i - l) + t.unkLp
-              else Double.NegativeInfinity
-            if (s > best(i)) { best(i) = s; back(i) = l }
-            l += 1
+          if (UnigramSeg.isBoundary(word, i)) {
+            // ≥2 so a surrogate-pair unk (l=2, one code point) stays
+            // reachable even under a single-char piece table
+            val span = if (t.maxLen < 2) 2 else t.maxLen
+            val lMax = if (span < i) span else i
+            var l = 1
+            while (l <= lMax) {
+              if (UnigramSeg.isBoundary(word, i - l)) {
+                val lp = t.lp.get(word.substring(i - l, i))
+                val s =
+                  if (lp != null) best(i - l) + lp.doubleValue()
+                  else if (UnigramSeg.isSingleCodePoint(word, i - l, i))
+                    best(i - l) + t.unkLp
+                  else Double.NegativeInfinity
+                if (s > best(i)) { best(i) = s; back(i) = l }
+              }
+              l += 1
+            }
           }
           i += 1
         }

@@ -130,6 +130,41 @@ class UnigramTokSpec extends SparkSpec {
     a shouldBe c
   }
 
+  test("surrogate pairs stay atomic: unk emits whole code points") {
+    // no emoji piece in the table → unk fallback; the pair must come
+    // out as ONE piece, not two lone surrogates mangled to '?'
+    val emoji = "😀" // U+1F600
+    val got = encodeOne(s"a${emoji}b", table)
+    got shouldBe Seq("a", emoji, "b")
+    got.mkString("") shouldBe s"a${emoji}b"
+  }
+
+  test("training on non-BMP text survives the persisted round trip") {
+    val emoji = "😀"
+    val df = corpus(s"$emoji$emoji ab ab", s"$emoji ab", s"$emoji$emoji$emoji")
+    val t = UnigramTok.unigramTrain(df, "text", vocabSize = 10,
+      maxPieceLen = 4, seedSize = 20)
+    val pieces = t.collect().map(r => (r.getString(1), r.getDouble(2))).toSeq
+    // no piece contains an unpaired surrogate
+    pieces.foreach { case (p, _) =>
+      p.indices.foreach { i =>
+        if (Character.isHighSurrogate(p.charAt(i)))
+          assert(i + 1 < p.length && Character.isLowSurrogate(p.charAt(i + 1)),
+            s"lone high surrogate in piece ${p.map(_.toInt.toHexString)}")
+        if (Character.isLowSurrogate(p.charAt(i)))
+          assert(i > 0 && Character.isHighSurrogate(p.charAt(i - 1)),
+            s"lone low surrogate in piece ${p.map(_.toInt.toHexString)}")
+      }
+    }
+    // the emoji is segmentable: it (or a run of it) is in the table
+    pieces.exists(_._1.contains(emoji)) shouldBe true
+    // encode round-trips losslessly through the trained table
+    val enc = UnigramTok.unigramEncode(df, "text", pieces)
+      .select(col("text"), concat_ws("", col("pieces")).as("glued"))
+      .collect()
+    enc.foreach(r => r.getString(1) shouldBe r.getString(0).replace(" ", ""))
+  }
+
   test("persisted round-trip: encode-from-index equals encode-from-train") {
     val tmp = java.nio.file.Files.createTempDirectory("unigram-store")
       .toString
