@@ -894,8 +894,28 @@ object TextAnalysis {
     * arithmetic — no float thresholds to drift between engines. Pure
     * row-local projection: scales as a scan.
     */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The Gopher evidence columns and per-rule booleans, built ONCE so
+    * the batch rule table and the streaming gate predicate can never
+    * drift. Field order mirrors the output schema of [[gopherRules]].
+    */
+  private final case class GopherEvidence(
+      nWords: Column, charSum: Column, nAlpha: Column, nSym: Column,
+      nStops: Column, t2: Column, d2: Column) {
+    val rWordcount: Column = nWords >= 50L && nWords <= 100000L
+    val rMeanlen: Column = charSum >= nWords * 3L && charSum <= nWords * 10L
+    val rAlpha: Column = nAlpha * 5L >= nWords * 4L
+    val rSymbol: Column = nSym * 10L <= nWords
+    val rStops: Column = nStops >= 2L
+    val rRep2: Column = (t2 - d2) * 5L <= t2
+    /** The five corpus-language-agnostic rules — everything except
+      * the stop-word rule, which is an ENGLISH prior.
+      */
+    val structuralPass: Column =
+      rWordcount && rMeanlen && rAlpha && rSymbol && rRep2
+    val pass: Column = structuralPass && rStops
+  }
+
+  private def gopherEvidence(t: Column): GopherEvidence = {
     val ws = tokens(t)
     val nWords = size(ws).cast("long")
     val charSum = aggregate(transform(ws, w => length(w).cast("long")),
@@ -906,7 +926,6 @@ object TextAnalysis {
     val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
     val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
       .cast("long")
-    val nSym = nHash + nEll
     val gopherStops = Seq("the", "be", "to", "of", "and", "that",
       "have", "with")
     val nStops = gopherStops
@@ -921,22 +940,28 @@ object TextAnalysis {
       i => concat_ws(" ", try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
     val d2 = when(t2 <= 0, lit(0L))
       .otherwise(size(array_distinct(grams)).cast("long"))
-    val rWordcount = nWords >= 50L && nWords <= 100000L
-    val rMeanlen = charSum >= nWords * 3L && charSum <= nWords * 10L
-    val rAlpha = nAlpha * 5L >= nWords * 4L
-    val rSymbol = nSym * 10L <= nWords
-    val rStops = nStops >= 2L
-    val rRep2 = (t2 - d2) * 5L <= t2
+    GopherEvidence(nWords, charSum, nAlpha, nHash + nEll, nStops, t2, d2)
+  }
+
+  /** The five structural Gopher rules as one row-local predicate —
+    * the streaming-gate rung's filter ([[gopherRules]]' `pass` minus
+    * the English stop-word prior, which a multilingual ingest gate
+    * must not apply).
+    */
+  def gopherStructuralPass(text: Column): Column =
+    gopherEvidence(text).structuralPass
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val e = gopherEvidence(col(textCol))
     df.select(col(idCol).as("id"),
-      nWords.as("n_words"), charSum.as("char_sum"),
-      nAlpha.as("n_alpha_words"), nSym.as("n_sym"),
-      nStops.as("n_stop_hits"), t2.as("bigram_total"),
-      d2.as("bigram_distinct"),
-      rWordcount.as("r_wordcount"), rMeanlen.as("r_meanlen"),
-      rAlpha.as("r_alpha"), rSymbol.as("r_symbol"),
-      rStops.as("r_stops"), rRep2.as("r_rep2"),
-      (rWordcount && rMeanlen && rAlpha && rSymbol && rStops && rRep2)
-        .as("pass"))
+      e.nWords.as("n_words"), e.charSum.as("char_sum"),
+      e.nAlpha.as("n_alpha_words"), e.nSym.as("n_sym"),
+      e.nStops.as("n_stop_hits"), e.t2.as("bigram_total"),
+      e.d2.as("bigram_distinct"),
+      e.rWordcount.as("r_wordcount"), e.rMeanlen.as("r_meanlen"),
+      e.rAlpha.as("r_alpha"), e.rSymbol.as("r_symbol"),
+      e.rStops.as("r_stops"), e.rRep2.as("r_rep2"),
+      e.pass.as("pass"))
   }
 
   /** Rolling polynomial fingerprint over the token stream:

@@ -897,6 +897,57 @@ object StreamingGate {
     * integer count surfaces, one rounded-to-micro llr per term, exact
     * BIGINT sums).
     */
+  /** Gopher structural-rules rung of the streaming admission ladder:
+    * each arriving micro-batch is filtered by the five
+    * language-agnostic Gopher rules
+    * ([[graft.ext.TextAnalysis.gopherStructuralPass]] — word count,
+    * mean word length, alpha fraction, symbol ratio, duplicate
+    * bigrams; the English stop-word prior stays out of an ingest
+    * gate). Stateless pure projection like the quality rung, so the
+    * admitted set must equal the batch replay bit-for-bit.
+    */
+  def streamAdmitGopherFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{TextAnalysis, TrainingData}
+    val stage = newStage()
+    try withStatePartitions(s, 4) {
+      val d = Tables(s, dir, "documents")
+      val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = stream
+        .filter(TextAnalysis.gopherStructuralPass(col("text")))
+        .select("doc_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   def streamAdmitQualityFromFiles(s: SparkSession, dir: String): DataFrame = {
     import graft.ext.{QualityModel, TrainingData}
     val stage = newStage()
