@@ -290,6 +290,7 @@ class PlanGuardSpec extends SparkSpec {
     // never re-runs the inverted-index pair job
     count(planOf("q_neardup_pagerank"), "FileScan") shouldBe 0
     count(planOf("q_pagerank_survivors"), "FileScan") shouldBe 0
+    count(planOf("q_semantic_pagerank"), "FileScan") shouldBe 0
   }
 
   test("filter queries push their predicates into the parquet scan") {
