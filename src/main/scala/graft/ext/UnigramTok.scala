@@ -412,4 +412,20 @@ object UnigramTok {
     df.withColumn("pieces",
       graft.functions.UnigramFunctions.unigram_encode(
         lower(col(textCol)), pieces))
+
+  /** Subword-regularization encoding (Kudo 2018 §3): adds `pieces` —
+    * a segmentation SAMPLED ∝ P(seg)^α per word instead of the
+    * Viterbi argmax, the data-augmentation variant that exposes a
+    * model to alternative tokenizations of the same text. Draws come
+    * from a deterministic splitmix64 stream over (seed, word content,
+    * position), so the sampled corpus is layout-stable and
+    * reproducible — same golden-oracle discipline as the Viterbi
+    * face. Row-local, one codegen'd expression.
+    */
+  def unigramSample(df: DataFrame, textCol: String,
+      pieces: Seq[(String, Double)], seed: Long = 42L,
+      alpha: Double = 0.5): DataFrame =
+    df.withColumn("pieces",
+      graft.functions.UnigramFunctions.unigram_sample(
+        lower(col(textCol)), pieces, seed, alpha))
 }

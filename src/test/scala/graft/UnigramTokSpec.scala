@@ -165,6 +165,37 @@ class UnigramTokSpec extends SparkSpec {
     enc.foreach(r => r.getString(1) shouldBe r.getString(0).replace(" ", ""))
   }
 
+  test("sampling: lossless, deterministic in seed, and lattice-faithful") {
+    import graft.functions.UnigramFunctions
+    def sampleOne(text: String, seed: Long, alpha: Double): Seq[String] =
+      corpus(text)
+        .select(UnigramFunctions
+          .unigram_sample(col("text"), table, seed, alpha).as("p"))
+        .collect().head.getSeq[String](0)
+    // lossless for any seed
+    (1L to 20L).foreach { s =>
+      sampleOne("abcabc dcba", s, 0.5).mkString("") shouldBe "abcabcdcba"
+    }
+    // same seed → identical; layout-independent by construction
+    sampleOne("abcabc dcba", 7L, 0.5) shouldBe sampleOne("abcabc dcba", 7L, 0.5)
+    // lattice fidelity: "abc" has exactly 4 segmentations; at α=1
+    // P([abc]) = p_abc / Z. Empirical frequency over 3000 seeds must
+    // land near it (binomial 3σ ≈ 0.027)
+    val lpm = table.toMap
+    val pA = math.exp(lpm("a")); val pB = math.exp(lpm("b"))
+    val pC = math.exp(lpm("c")); val pAb = math.exp(lpm("ab"))
+    val pBc = math.exp(lpm("bc")); val pAbc = math.exp(lpm("abc"))
+    val z = pAbc + pAb * pC + pA * pBc + pA * pB * pC
+    val expect = pAbc / z
+    val hits = (1L to 3000L).count(s => sampleOne("abc", s, 1.0) == Seq("abc"))
+    val freq = hits.toDouble / 3000.0
+    freq should be(expect +- 0.03)
+    // α large → the argmax dominates: every sample is the Viterbi seg
+    (1L to 25L).foreach { s =>
+      sampleOne("abc", s, 100.0) shouldBe encodeOne("abc", table)
+    }
+  }
+
   test("persisted round-trip: encode-from-index equals encode-from-train") {
     val tmp = java.nio.file.Files.createTempDirectory("unigram-store")
       .toString

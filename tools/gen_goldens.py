@@ -42,6 +42,10 @@ SPECS = [
      ["q_unigram_tok_encode"],
      [("doc_id", "BIGINT"), ("n_pieces", "INTEGER"),
       ("first_piece", "VARCHAR"), ("last_piece", "VARCHAR")]),
+    ("q_unigram_tok_sample",
+     ["q_unigram_tok_sample"],
+     [("doc_id", "BIGINT"), ("n_pieces", "INTEGER"),
+      ("first_piece", "VARCHAR"), ("last_piece", "VARCHAR")]),
     # q_ann_ivf_trained is SEMI-INDEPENDENT: only the neighbor PICKS
     # (query_id, rank, neighbor_id — the part that depends on the
     # frozen Lloyd-trained centroids) are inlined; the cosine is
