@@ -46,6 +46,11 @@ SPECS = [
      ["q_unigram_tok_sample"],
      [("doc_id", "BIGINT"), ("n_pieces", "INTEGER"),
       ("first_piece", "VARCHAR"), ("last_piece", "VARCHAR")]),
+    ("q_tokenizer_fertility",
+     ["q_tokenizer_fertility"],
+     [("source", "VARCHAR"), ("n_docs", "BIGINT"),
+      ("sum_words", "BIGINT"), ("sum_uni_pieces", "BIGINT"),
+      ("sum_bpe_pieces", "BIGINT")]),
     # q_ann_ivf_trained is SEMI-INDEPENDENT: only the neighbor PICKS
     # (query_id, rank, neighbor_id — the part that depends on the
     # frozen Lloyd-trained centroids) are inlined; the cosine is
