@@ -271,18 +271,32 @@ object TextAnalysis {
     * exactly.
     */
   def ccnetBucketsThresh(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val scored = ccnetFluency(df, idCol, textCol)
-    val cuts = scored.groupBy("lang_pred").agg(
+      textCol: String): DataFrame =
+    ccnetBucketsWithCuts(df, idCol, textCol,
+      ccnetCuts(df, idCol, textCol))
+
+  /** The per-language tercile CUTS alone — the calibration artifact
+    * ([[graft.io.IndexStore]] persists it): a #languages-row frame of
+    * exact percentiles over the fluency scores.
+    */
+  def ccnetCuts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ccnetFluency(df, idCol, textCol).groupBy("lang_pred").agg(
       expr(s"percentile(fluency, ${1.0 / 3})").as("t_lo"),
       expr(s"percentile(fluency, ${2.0 / 3})").as("t_hi"))
-    scored.join(broadcast(cuts), Seq("lang_pred"))
+
+  /** Bucket under SUPPLIED cuts — the serve half: score the corpus,
+    * broadcast the (tiny) cut table, two row-local compares. What a
+    * nightly-calibrated gate runs against fresh data.
+    */
+  def ccnetBucketsWithCuts(df: DataFrame, idCol: String,
+      textCol: String, cuts: DataFrame): DataFrame =
+    ccnetFluency(df, idCol, textCol)
+      .join(broadcast(cuts), Seq("lang_pred"))
       .withColumn("bucket",
         when(col("fluency") >= col("t_hi"), "head")
           .when(col("fluency") >= col("t_lo"), "middle")
           .otherwise("tail"))
       .select("id", "lang_pred", "n_tok", "lp_sum_micro", "bucket")
-  }
 
   /** Adjacent-token pair frequencies — the statistic a BPE/WordPiece
     * tokenizer trainer computes every merge round (which symbol pair

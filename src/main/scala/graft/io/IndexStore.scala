@@ -963,6 +963,41 @@ object IndexStore {
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
 
+  // ---- persisted CCNet tercile cuts (quality-gate calibration) ----
+
+  val CcnetCutsTable = "ccnet_cuts"
+
+  /** Persist the per-language CCNet tercile cuts
+    * ([[graft.ext.TextAnalysis.ccnetCuts]]) — the calibrate-offline/
+    * serve-online shape the rate rung already uses for its threshold
+    * scalar, here as a #languages-row parquet artifact: nightly
+    * calibration on a reference corpus, and every bucketing job
+    * broadcasts the table instead of re-sorting per language.
+    */
+  def writeCcnetCuts(cuts: DataFrame, dir: String,
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    cuts.select("lang_pred", "t_lo", "t_hi").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$CcnetCutsTable")
+    writeManifest(cuts.sparkSession, dir, Seq(
+      "kind" -> "\"ccnet\"",
+      "languages" -> cuts.count().toString,
+      "terciles" -> "\"exact percentile(1/3, 2/3) of fluency\"",
+      "tables" -> s""""$CcnetCutsTable"""") ++ manifestExtra)
+  }
+
+  def readCcnetCuts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$CcnetCutsTable")
+
+  /** Session-scoped calibrate-once memo for the cut table. */
+  def ensureCcnetCuts(corpus: DataFrame, corpusDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, "-ccnet",
+      s"ccnet|$idCol|$textCol") { dir =>
+      writeCcnetCuts(
+        graft.ext.TextAnalysis.ccnetCuts(corpus, idCol, textCol), dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+    }
+
   // ---- persisted source-overlap sketches (mergeable MinHash) ----
 
   val SourceSketchTable = "source_sketch"

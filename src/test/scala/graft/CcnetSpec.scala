@@ -54,6 +54,18 @@ class CcnetSpec extends SparkSpec {
     Seq(1L, 11L).foreach(i => thr(i)._2 shouldBe rank(i)._2)
   }
 
+  test("persisted cuts serve the same buckets as in-plan calibration") {
+    val tmp = java.nio.file.Files.createTempDirectory("ccnet-store").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val inPlan = TextAnalysis.ccnetBucketsThresh(corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val dir = graft.io.IndexStore.ensureCcnetCuts(corpus, tmp)
+    val served = TextAnalysis.ccnetBucketsWithCuts(corpus, "doc_id", "text",
+        graft.io.IndexStore.readCcnetCuts(spark, dir))
+      .collect().map(_.toSeq).toSet
+    served shouldBe inPlan
+  }
+
   test("fluency is exact-integer and layout-deterministic") {
     def rows(df: DataFrame): Seq[Seq[Any]] =
       TextAnalysis.ccnetFluency(df, "doc_id", "text")
