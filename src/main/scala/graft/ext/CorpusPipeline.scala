@@ -27,15 +27,36 @@ import org.apache.spark.sql.functions._
   * [[Dedup.nearDupClusters]] label) makes the survivor set
   * deterministic and layout-independent — re-running preparation on a
   * grown corpus keeps the same representatives wherever clusters
-  * didn't change.
+  * didn't change. The opt-in [[SurvivorPolicy.Ranked]] policy instead
+  * keeps each neighborhood's [[GraphRank.pagerankMicro]] local maxima
+  * — the documents the neighborhood clusters around — at the cost of
+  * the rank iteration's 2-shuffles-per-round; only the survivor
+  * CHOICE moves, never which documents count as near-duplicates
+  * (spec-pinned in CorpusPipelineSpec).
   */
 object CorpusPipeline {
+
+  /** Which document survives a near-dup neighborhood. */
+  sealed trait SurvivorPolicy
+  object SurvivorPolicy {
+    /** Each connected cluster keeps its MIN-ID member (the
+      * [[Dedup.nearDupClusters]] label) — one survivor per cluster,
+      * zero extra passes. The default.
+      */
+    case object MinId extends SurvivorPolicy
+    /** Each neighborhood keeps its [[GraphRank.pagerankSurvivors]]
+      * local rank maxima — graph-centrality canonicals (a cluster
+      * with several dense cores keeps one per core).
+      */
+    case object Ranked extends SurvivorPolicy
+  }
 
   /** Prepare `df` for training: returns one row per SURVIVING document
     * — (id, lang_pred, quality, n_tokens, split_bucket, split).
     */
   def prepare(df: DataFrame, idCol: String, textCol: String,
-      allowedLangs: Seq[String], minQuality: Double): DataFrame = {
+      allowedLangs: Seq[String], minQuality: Double,
+      survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId): DataFrame = {
     val text: Column = col(textCol)
     // stage 1: row-local gates (no shuffle) — the survivor
     // attributes (lang, quality, token count) are ALSO row-local, so
@@ -60,16 +81,23 @@ object CorpusPipeline {
     val collapse = Dedup.collapsedShingleSets(kept, idCol, textCol,
       HashDefs.ShingleN, Dedup.CollapseMode.Always,
       carry = Seq("lang_pred", "quality", "n_tokens"))
-    // stage 3: near-dup clusters over exact survivors; keep each
-    // cluster's min-id representative (singletons keep themselves).
+    // stage 3: near-dup survivors over exact survivors — both
+    // policies consume the SAME pair graph (only the survivor choice
+    // differs): min-id keeps each cluster's label member, ranked
+    // keeps each neighborhood's integer-PageRank local maxima.
     // Duplicate-cluster star edges are unnecessary here: the members
     // they would connect are exactly the losers stage 2 removes.
-    val reps = Dedup.nearDupClusters(
-        collapse.repSets.select(col("id")),
-        Dedup.minhashRepPairs(collapse.repSets, minJaccard = 0.5)
-          .select("id_a", "id_b"))
-      .filter(col("id") === col("cluster"))
-      .select("id")
+    val pairs = Dedup.minhashRepPairs(collapse.repSets, minJaccard = 0.5)
+      .select("id_a", "id_b")
+    val reps = survivorPolicy match {
+      case SurvivorPolicy.MinId =>
+        Dedup.nearDupClusters(collapse.repSets.select(col("id")), pairs)
+          .filter(col("id") === col("cluster"))
+          .select("id")
+      case SurvivorPolicy.Ranked =>
+        GraphRank.pagerankSurvivors(collapse.repSets.select(col("id")), pairs)
+          .select("id")
+    }
     val survivors = collapse.repAttrs.get.join(reps, Seq("id"), "left_semi")
     // stage 4: stable hash split on the id
     TrainingData.withSplit(survivors, col("id"))

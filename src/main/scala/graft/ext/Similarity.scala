@@ -100,15 +100,51 @@ object Similarity {
     */
   def trainingTriplets(corpus: DataFrame, anchors: DataFrame,
       posFloor: Double = 0.45, negCeiling: Double = 0.45,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = bruteScored(corpus, anchors, idCol, vecCol)
-    // both argmaxes in ONE map-side-combinable aggregation over one
-    // pass of the scored frame — a window per leg re-ran the whole
-    // anchors×corpus scoring twice and shuffled the scored rows
-    // (measured 5.0 s → 3.2 s at sf0.1 on the corpus-as-anchors
-    // face; the remainder is the one exact scoring pass itself).
-    // max of (cos, −id) structs = highest cos, ties to MIN id
-    // — exactly rankTopK's (cos desc, id asc) contract.
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    tripletArgmax(bruteScored(corpus, anchors, idCol, vecCol),
+      posFloor, negCeiling)
+
+  /** [[trainingTriplets]] served from the PERSISTED inverted file —
+    * the scale shape for mining triplets over EVERY document (the
+    * contrastive-pretraining loop): candidates per anchor come from
+    * the anchor's `nProbe` probed cells of the cell-partitioned
+    * `ivf_assigned` table (the [[hardNegativesFromIndex]] DPP plan),
+    * so the exact-cosine pass scores nProbe/nCells of the corpus per
+    * anchor instead of all of it — the brute face's O(|anchors|·n)
+    * scoring (O(n²) with corpus-as-anchors) becomes
+    * O(|anchors|·n·nProbe/nCells), and the probe equi-join prunes
+    * whole cell directories' BYTES, not just rows. Both triplet legs
+    * read the one probed-candidate frame: the positive is by
+    * construction a near-dup (same cell as its anchor with
+    * overwhelming probability — that is what a coarse quantizer
+    * means), and a hard negative is a near-top-scoring survivor, so
+    * the cells a probe reads are exactly where both legs live; a
+    * low-cosine "easy" negative outside the probed cells is one a
+    * triplet loss gains nothing from. Anchors are broadcast per call
+    * (the serve contract): mine a huge anchor set in batches — the
+    * shape contrastive training consumes anyway (one mining pass per
+    * epoch shard), each batch a DPP-pruned index serve.
+    */
+  def trainingTripletsFromIndex(assigned: DataFrame,
+      cents: Array[Array[Double]], anchors: DataFrame,
+      posFloor: Double = 0.45, negCeiling: Double = 0.45, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    tripletArgmax(ivfScoredFromIndex(assigned, cents, anchors, nProbe,
+      idCol, vecCol), posFloor, negCeiling)
+
+  /** The triplet-assembly tail the brute and FromIndex faces share:
+    * both argmaxes in ONE map-side-combinable aggregation over one
+    * pass of the scored frame — a window per leg re-ran the whole
+    * anchors×corpus scoring twice and shuffled the scored rows
+    * (measured 5.0 s → 3.2 s at sf0.1 on the corpus-as-anchors brute
+    * face; the remainder is the scoring pass itself).
+    * max of (cos, −id) structs = highest cos, ties to MIN id
+    * — exactly rankTopK's (cos desc, id asc) contract. Anchors with
+    * no qualifying positive (or no negative) emit nothing: a triplet
+    * loss needs all three legs.
+    */
+  private def tripletArgmax(scored: DataFrame, posFloor: Double,
+      negCeiling: Double): DataFrame = {
     def arg1(cond: Column) =
       max(when(cond, struct(col("cos"), (-col("id")).as("nid"))))
     scored.groupBy("query_id")

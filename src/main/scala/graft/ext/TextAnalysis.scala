@@ -866,6 +866,16 @@ object TextAnalysis {
     * replays the chain verbatim. Entities decode AFTER tag removal
     * (so `&lt;b&gt;` in prose stays literal text rather than becoming
     * a strippable tag — the order a correct extractor needs).
+    *
+    * Known limitation (shared by every regex-grade stripper): the tag
+    * patterns terminate at the FIRST `>`, so a `>` inside a quoted
+    * attribute (`<a title="x>y">`) leaves the attribute tail behind
+    * as prose, and a script/style OPEN tag with `>` in an attribute
+    * mis-scopes its block. Real-crawl HTML at that grubbiness level
+    * wants a quote-aware alternation (`<("[^"]*"|'[^']*'|[^>])*>` —
+    * still RE2-safe) or a proper extractor (trafilatura-class)
+    * upstream; this chain is the deterministic, oracle-replayable
+    * boilerplate pass, not an HTML parser.
     */
   def stripMarkup(text: Column): Column = {
     val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")

@@ -349,14 +349,18 @@ object TrainingData {
 
   /** Gumbel-top-n importance resample of `raw` under the
     * [[importanceWeightsMicro]] table: per document, the exact
-    * integer log-weight sum, plus hash-seeded Gumbel(0,1) noise
-    * (`−ln(−ln u)`, u from the md5 bucket family every sampler here
-    * uses) — the standard without-replacement trick that makes
-    * selection probability ∝ exp(log-weight) while staying fully
-    * deterministic and layout-independent. Sampling (not
-    * thresholding) is DSIR's point: a hard top-n-by-weight collapses
-    * onto near-duplicates of the target's head, while the noise
-    * trades tail diversity against weight exactly.
+    * integer log-weight sum rescaled to NATURAL log (the micro-llr is
+    * log10-based, so the weight term is multiplied by ln 10 — without
+    * that the Gumbel trick samples ∝ w^(1/ln 10) ≈ w^0.434, a
+    * silently flattened temperature), plus hash-seeded Gumbel(0,1)
+    * noise (`−ln(−ln u)`, u from the md5 bucket family every sampler
+    * here uses) — the standard without-replacement trick that makes
+    * selection probability ∝ exp(log-weight), i.e. ∝ the importance
+    * weight itself, while staying fully deterministic and
+    * layout-independent. Sampling (not thresholding) is DSIR's point:
+    * a hard top-n-by-weight collapses onto near-duplicates of the
+    * target's head, while the noise trades tail diversity against
+    * weight exactly.
     *
     * Shape at scale: token⋈weights equi-join + per-doc agg (the
     * unigram-LM scoring shape), then `orderBy().limit(n)` — a
@@ -385,7 +389,8 @@ object TrainingData {
       lit((1 << 20).toDouble)
     perDoc
       .withColumn("score",
-        col("sum_llr").cast("double") / lit(1000000.0) + -log(-log(u)))
+        col("sum_llr").cast("double") / lit(1000000.0) * lit(math.log(10.0))
+          + -log(-log(u)))
       .orderBy(col("score").desc, col("id"))
       .limit(n)
       .select(col("id"), col("sum_llr"), round(col("score"), 6).as("score"))

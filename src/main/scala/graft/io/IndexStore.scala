@@ -265,7 +265,15 @@ object IndexStore {
     * recursive (path, length, mtime) listing — a driver-side FS
     * listing, no data read, the same freshness signal incremental
     * frameworks key caches on. Any file added, removed, grown, or
-    * rewritten in place changes it.
+    * rewritten in place changes it — up to the filesystem's mtime
+    * granularity: an in-place rewrite that preserves the byte length
+    * within one mtime tick (a same-second overwrite on a seconds-
+    * resolution FS) is invisible, the standard metadata-heuristic
+    * blind spot (make's, too). Corpus dirs here are write-once
+    * parquet (writers replace files, never patch them in place), so
+    * the listing is the right cost/fidelity point; a pipeline that
+    * DOES rewrite in place should mix a content sample (e.g. parquet
+    * footer bytes) into its freshness key instead.
     */
   def corpusFingerprint(spark: SparkSession, corpusDir: String): String = {
     val root = new org.apache.hadoop.fs.Path(corpusDir)
@@ -617,15 +625,70 @@ object IndexStore {
     * lands as one file — through a temp dir + FS-rename swap (same
     * discipline as [[compactAdmissionIndexes]]); rows, cells, and
     * serve results are unchanged, pinned in IndexStoreSpec. Run it
-    * in the same maintenance slot; unlike the admission compaction
-    * there are no duplicate rows to reclaim (appends carry new ids),
-    * only files to merge.
+    * in the same maintenance slot. Appends carry new ids in the happy
+    * path, but an at-least-once ingest loop can RE-DELIVER a batch —
+    * [[appendAnnIndexes]] has no dedup of its own, and duplicate
+    * (id, cell) rows would duplicate serve candidates forever — so
+    * the rewrite goes through `distinct()` (rows are exact
+    * duplicates: same id, cell, codes/vec under the frozen quantizer),
+    * reclaiming re-delivered batches exactly like the admission
+    * compaction does.
     */
   def compactAnnIndexes(spark: SparkSession, dir: String): Unit =
     swapRewrite(spark, dir, Seq(AnnCodesTable, IvfAssignedTable)) {
-      (df, out) => df.repartition(col("cell"))
+      (df, out) => df.distinct().repartition(col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(out)
     }
+
+  /** The RETRAIN executor — the action [[annCellDrift]] and
+    * [[maintenanceDue]]'s `retrain_quantizer` signal call for: train
+    * a fresh quantizer (centroids + PQ codebooks) on the CURRENT
+    * corpus, re-encode every vector under it, and swap the whole
+    * index family in atomically-per-table (the same
+    * build-into-tmp → delete → rename discipline as
+    * [[compactAdmissionIndexes]]; the manifest swaps last, so a crash
+    * mid-swap leaves a store [[requireFresh]] would reject rather
+    * than a silently mixed quantizer). This closes the drift loop:
+    * append-freeze ([[appendAnnIndexes]]) → detect ([[annCellDrift]])
+    * → plan ([[maintenanceDue]]) → retrain (here) — FAISS's
+    * `train()`-again-and-rebuild, scheduled by the PSI monitor
+    * instead of by the calendar. The result is byte-for-byte a fresh
+    * [[writeAnnIndexes]] over `corpus` (spec-pinned): retraining is a
+    * full re-encode by definition — the cost a drifted distribution
+    * has already justified — so unlike append/delete there is no
+    * incremental shortcut to document.
+    *
+    * `corpus` must be the SOURCE vectors (the corpus dir), never a
+    * frame derived from the store's own tables — the build overwrites
+    * those mid-plan.
+    */
+  def retrainAnnIndexes(corpus: DataFrame, dir: String, nCells: Int = 16,
+      m: Int = 4, ks: Int = 16, dim: Int = 64, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$dir/.retrain")
+    val fs = tmpRoot.getFileSystem(conf)
+    fs.delete(tmpRoot, true) // a previous crashed retrain's leftovers
+    writeAnnIndexes(corpus, tmpRoot.toString, nCells, m, ks, dim,
+      trainIters, idCol, vecCol, manifestExtra = manifestExtra)
+    // data tables first, manifest LAST: every pre-manifest crash
+    // leaves the old manifest's fingerprint/params in place, which
+    // requireFresh/ensureBuilt treat as "rebuild before serving"
+    (Seq(AnnCentroidsTable, AnnCodebooksTable, AnnCodesTable,
+        IvfAssignedTable) :+ "manifest.json").foreach { t =>
+      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fresh = new org.apache.hadoop.fs.Path(s"$tmpRoot/$t")
+      if (fs.exists(cur)) {
+        require(fs.delete(cur, true), s"retrain: could not delete $cur")
+        ()
+      }
+      require(fs.rename(fresh, cur), s"retrain: could not swap in $fresh")
+    }
+    fs.delete(tmpRoot, true)
+    ()
+  }
 
   /** The "when to retrain the quantizer" signal — the decision
     * [[appendAnnIndexes]]' frozen-quantizer contract delegates to a
@@ -1107,6 +1170,22 @@ object IndexStore {
 
   def readDsirWeights(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$DsirWeightsTable")
+
+  /** The weight table as the ship-to-executors map a row-local scorer
+    * folds ([[graft.ext.QualityModel.nbScoreMicro]] — DSIR with
+    * unigram features IS that two-class model). Same fail-loud vocab
+    * cap as [[readNbWeightsMicro]].
+    */
+  def readDsirWeightsMicro(spark: SparkSession, dir: String,
+      maxVocab: Int = 1 << 20): Map[String, Long] = {
+    val rows = spark.read.parquet(s"$dir/$DsirWeightsTable")
+    val n = rows.count()
+    require(n <= maxVocab,
+      s"readDsirWeightsMicro: persisted vocabulary has $n terms > " +
+        s"maxVocab=$maxVocab — prune the tail or use a broadcast-join scorer")
+    rows.select("term", "llr_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Session-scoped train-once memo. `tag` names the raw/target
     * SELECTION (a build parameter the frames encode but the corpus

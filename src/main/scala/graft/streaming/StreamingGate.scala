@@ -991,6 +991,71 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING DSIR ADMISSION under the gate: the target-relevance
+    * rung — the PERSISTED DSIR weight table
+    * ([[graft.io.IndexStore.ensureDsirWeights]], trained offline on
+    * the raw-vs-target split the batch resample faces use) is shipped
+    * as a literal map and each arriving micro-batch is filtered by
+    * the row-local exact-integer fold
+    * ([[graft.ext.QualityModel.nbScoreMicro]] — DSIR with unigram
+    * features IS that two-class model, with "drawn from the target
+    * corpus" as the class). The calibrated bar is sum_llr > 0: the
+    * document reads as more target-like than raw-like, the zero-point
+    * the micro-llr construction defines (the NB quality gate's own
+    * bar). Fully stateless — no watermark, no state store, no join —
+    * so the admitted SET is arrival-order-independent and must equal
+    * the batch replay (weights, exact BIGINT sums) bit-for-bit, which
+    * is the DuckDB oracle. Unlike the Gumbel-noised resample faces
+    * this rung THRESHOLDS rather than samples: an ingest gate decides
+    * per document as it arrives; the diversity-preserving sampling
+    * pass stays a batch job over admitted documents.
+    */
+  def streamAdmitDsirFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{QualityModel, TrainingData}
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val isTarget = col("source").isin("src0", "src1")
+    val idxDir = graft.io.IndexStore.ensureDsirWeights(
+      d.filter(!isTarget), d.filter(isTarget), dir, tag = "src01")
+    val weights = graft.io.IndexStore.readDsirWeightsMicro(s, idxDir)
+    try withStatePartitions(s, 4) {
+      val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = stream
+        .filter(QualityModel.nbScoreMicro(col("text"), weights) > 0)
+        .select("doc_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }.toDF("doc_id").orderBy("doc_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING FUZZY ADMISSION under the gate: a REAL
     * [[Streaming.streamFuzzyHits]] run — the fresh slice arrives as
     * micro-batches and each batch bands row-locally, candidates via a
@@ -1130,18 +1195,23 @@ object StreamingGate {
     * [[Streaming.streamSubstringHits]] run — the middle rung of the
     * admission ladder. Fresh slice as micro-batches, row-local
     * stride-1 window hashing, stream-static LEFT SEMI against the
-    * batch-built corpus span-hash set. The flagged doc SET must equal
-    * the batch formulation ("slice docs sharing ≥1 verbatim 8-word
-    * window with the corpus"), which is the DuckDB oracle.
+    * corpus span-hash set served from the PERSISTED admission store
+    * ([[graft.io.IndexStore.readSpanHashes]] — the `span_hashes`
+    * table is written pre-distinct'd, so the gate's static side is a
+    * thin scan of 8-byte hashes, never a per-run corpus rebuild; the
+    * store is the same one the exact/model persisted rung serves
+    * from, built once per session+corpus). The flagged doc SET must
+    * equal the batch formulation ("slice docs sharing ≥1 verbatim
+    * 8-word window with the corpus"), which is the DuckDB oracle.
     */
   def streamAdmitSubstringFromFiles(s: SparkSession, dir: String): DataFrame = {
-    import graft.ext.{Dedup, TrainingData}
+    import graft.ext.TrainingData
     val stage = newStage()
     val d = Tables(s, dir, "documents")
     val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
-    val seen = d.filter(bucket < 500)
-    val corpusSpans = Dedup.spanHashIndex(seen, "doc_id", "text", 8)
-      .select("h").distinct().cache()
+    val idxDir = graft.io.IndexStore.ensureAdmissionIndexes(
+      d.filter(bucket < 500), dir)
+    val corpusSpans = graft.io.IndexStore.readSpanHashes(s, idxDir).cache()
     try withStatePartitions(s, 4) {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")

@@ -258,6 +258,27 @@ class PlanGuardSpec extends SparkSpec {
     // serve plan its partition pruning
     count(planOf("q_hard_negatives_ivf"), "dynamicpruning") should be >= 1
 
+    // index-served triplet mining: BOTH legs read the one probed-
+    // candidate frame off the cell-partitioned inverted file — no
+    // sort-merge join, no corpus re-encode, and the brute face's
+    // O(n²) corpus-as-anchors scoring replaced by the cell-restricted
+    // scan. The registry face anchors on the WHOLE corpus, which
+    // probes every cell — DPP would prune nothing there (correctly
+    // not inserted); the serving shape is BATCHED anchors (one mining
+    // pass per epoch shard), and that plan must keep the inverted
+    // file's dynamic partition pruning exactly like the other serves
+    count(planOf("q_training_triplets_ivf"), "SortMergeJoin") shouldBe 0
+    val tripletIdxDir = graft.io.IndexStore.ensureAnnIndexes(
+      graft.Tables(spark, sfDir, "embeddings"), sfDir)
+    val tripletBatched = graft.ext.Similarity.trainingTripletsFromIndex(
+      graft.io.IndexStore.readIvfAssigned(spark, tripletIdxDir),
+      graft.io.IndexStore.readAnnCentroids(spark, tripletIdxDir),
+      graft.Tables(spark, sfDir, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 10))
+      .queryExecution.executedPlan.toString
+    count(tripletBatched, "dynamicpruning") should be >= 1
+    count(tripletBatched, "SortMergeJoin") shouldBe 0
+
     // local BPE training runs at CONSTRUCTION (vocab collect + driver
     // loop); the registry-visible plan must be the returned merge
     // table only — a FileScan here means training leaked into the plan

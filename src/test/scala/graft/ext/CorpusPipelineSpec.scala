@@ -67,4 +67,52 @@ class CorpusPipelineSpec extends SparkSpec {
         .filter(col("doc_id") === 1L).head().getString(5)
     splitOf(docs) shouldBe splitOf(grown)
   }
+
+  test("ranked survivor policy: only the survivor choice moves — gates " +
+      "and near-dup membership are policy-invariant") {
+    // a STAR neighborhood where the min-id member is NOT the most
+    // central: the hub (id 2) shares two of its three word blocks
+    // with every leaf (pairwise Jaccard ≈ 0.65 > 0.5), while leaves
+    // share only one block with each other (≈ 0.32 < 0.5) — so the
+    // graph is hub—leaf edges only. Min-id keeps leaf 1 (the cluster
+    // label); rank must keep the hub. Every 3-gram contains a
+    // block-tagged word, so blocks share no shingles. Tags picked by
+    // DevStar: banding at J≈0.65 catches ~80% of edges per hash
+    // family, so the family is chosen to land all three star edges
+    // (deterministic thereafter).
+    def block(tag: String): String =
+      (1 to 10).map(j => s"the $tag$j of").mkString(" ")
+    val (a, b, c) = (block("delta"), block("epsilon"), block("zeta"))
+    val docs = Seq(
+      (1L, s"$a $b"),      // leaf
+      (2L, s"$a $b $c"),   // the hub
+      (3L, s"$b $c"),      // leaf
+      (4L, s"$a $c"),      // leaf
+      (9L, "the house and the garden of the family is near the river " +
+        "and the path to the village leads through the forest to the " +
+        "bridge and the mill at the edge of the town where the market " +
+        "is held in the square for the people of the region to trade")
+    ).toDF("doc_id", "text")
+    def prep(p: CorpusPipeline.SurvivorPolicy) =
+      CorpusPipeline.prepare(docs, "doc_id", "text", Seq("en"), 0.5,
+        survivorPolicy = p)
+    val minId = prep(CorpusPipeline.SurvivorPolicy.MinId)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val ranked = prep(CorpusPipeline.SurvivorPolicy.Ranked)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    // min-id keeps the cluster label (1); rank keeps the hub (2) —
+    // the document the neighborhood clusters around
+    minId.keySet should contain(1L)
+    (minId.keySet should not).contain(2L)
+    ranked.keySet should contain(2L)
+    (ranked.keySet should not).contain(1L)
+    // the isolated survivor is policy-invariant, attrs and split
+    // included (only the near-dup survivor choice moved)
+    ranked(9L) shouldBe minId(9L)
+    // both policies keep exactly one survivor from this single
+    // connected cluster plus the isolated doc
+    minId.keySet.size shouldBe 2
+    ranked.keySet.size shouldBe 2
+  }
 }

@@ -822,6 +822,86 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("retrainAnnIndexes: serve equals a fresh build over the current " +
+      "corpus, and the drift monitor goes green after the retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("annretrain").toString
+    val freshDir = java.nio.file.Files.createTempDirectory("annfresh").toString
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    // regime change: the old corpus A, plus a new clustered mass B —
+    // every B vector is an A vector pulled hard toward one axis
+    // (shared component dominates ⇒ one tight cosine cluster, but
+    // with enough variance that a retrained quantizer can dedicate
+    // several cells to it)
+    val bVecs = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "CAST(x + CASE WHEN i = 0 THEN 8.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding"))
+    val current = e.unionByName(bVecs)
+
+    // stale store: built before the regime change (A only)
+    IndexStore.writeAnnIndexes(e, dir)
+    def psiOf(d: String, fresh: org.apache.spark.sql.DataFrame): Double =
+      IndexStore.annCellDrift(spark, d, fresh)
+        .agg(sum(org.apache.spark.sql.functions.abs(col("psi_term"))))
+        .head().getDouble(0)
+    // the monitor's fresh slice is what ingest looks like NOW — a
+    // hash-slice of the current (mixed) corpus: the stale store reads
+    // heavy drift (half the mass piles into cells the old quantizer
+    // never balanced for)...
+    val vbucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+    val monitorSlice = current.filter(vbucket < 500)
+    val psiStale = psiOf(dir, monitorSlice)
+    psiStale should be > 0.25
+
+    // ...the executor retrains on the current corpus and swaps; the
+    // monitor goes green without touching its own configuration
+    IndexStore.retrainAnnIndexes(current, dir)
+    val psiRetrained = psiOf(dir, monitorSlice)
+    psiRetrained should be < 0.25
+    psiStale should be > psiRetrained * 3
+
+    // the retrained store is byte-for-byte a fresh build: quantizer,
+    // codebooks, and both serve faces
+    IndexStore.writeAnnIndexes(current, freshDir)
+    IndexStore.readAnnCentroids(spark, dir).map(_.toSeq).toSeq shouldBe
+      IndexStore.readAnnCentroids(spark, freshDir).map(_.toSeq).toSeq
+    IndexStore.readAnnCodebooks(spark, dir).map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      IndexStore.readAnnCodebooks(spark, freshDir).map(_.map(_.toSeq).toSeq).toSeq
+    val q = current.filter(col("vec_id") < 5)
+    def serveRows(d: String) = rowList(graft.ext.Similarity.ivfTopKFromIndex(
+      IndexStore.readIvfAssigned(spark, d),
+      IndexStore.readAnnCentroids(spark, d), q, k = 5)
+      .orderBy("query_id", "rank"))
+    serveRows(dir) shouldBe serveRows(freshDir)
+    def adcRows(d: String) = rowList(graft.ext.Similarity.ivfPqTopKFromIndex(
+      IndexStore.readAnnCodes(spark, d),
+      IndexStore.readAnnCentroids(spark, d),
+      IndexStore.readAnnCodebooks(spark, d), q, k = 5)
+      .orderBy("query_id", "rank"))
+    adcRows(dir) shouldBe adcRows(freshDir)
+    // manifest swapped with the tables — still a valid ann manifest
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "ann"""")
+
+    // an at-least-once ingest loop re-delivering an already-ingested
+    // batch leaves exact duplicate (id, cell) rows — which duplicate
+    // candidates and can shift serve top-k; compactAnnIndexes'
+    // distinct-rewrite reclaims them and restores the serve
+    val clean = serveRows(dir)
+    val batch = current.filter(vbucket >= 900)
+    IndexStore.appendAnnIndexes(batch, dir)
+    IndexStore.appendAnnIndexes(batch, dir) // re-delivery
+    val n = IndexStore.readIvfAssigned(spark, dir).count()
+    IndexStore.compactAnnIndexes(spark, dir)
+    IndexStore.readIvfAssigned(spark, dir).count() shouldBe
+      (n - 2 * batch.count())
+    serveRows(dir) shouldBe clean
+    for (p <- Seq(dir, freshDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+  }
+
   test("ensureAdmissionIndexes builds once per corpus dir and memoizes") {
     IndexStore.resetBuilt()
     val d1 = IndexStore.ensureAdmissionIndexes(seen, sfDir)
