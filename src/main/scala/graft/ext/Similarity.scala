@@ -157,6 +157,33 @@ object Similarity {
         round(col("g.cos"), 6).as("neg_cos"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the QA face of the approximation ladder: every ANN serve
+    * (LSH/IVF/PQ and their persisted twins) trades recall for bytes,
+    * and this measures the trade IN the engine, on the live index,
+    * instead of trusting the fixture-time calibration forever. Both
+    * inputs are (query_id, neighbor_id, …) top-k frames (any of the
+    * rankTopK-shaped outputs); returns one row per exact-side query:
+    * (query_id, n_matched, recall). Cost: two top-k-sized frames
+    * joined on their keys — independent of corpus size, so running
+    * it per serve batch (sampled queries) is how a production index
+    * gets its recall monitored alongside [[graft.io.IndexStore]]'s
+    * occupancy-PSI drift signal.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1 (got $k)")
+    val matched = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    exact.select("query_id").distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double")
+          / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane component r[plane][d]:
     * a hash of (plane, d) mapped into [-0.5, 0.5). Computed driver-side
     * and embedded as a literal array, so the per-row projection is one
@@ -352,6 +379,23 @@ object Similarity {
     * misconfigured nCells must fail loud, not collect a corpus.
     */
   val MaxIvfCells = 65536
+
+  /** Cell count that holds probed-candidate volume as the corpus
+    * grows — the IVF twin of [[lshPlanesFor]]: a probe scores
+    * n·nProbe/nCells candidates per query, so a FIXED cell count
+    * turns every serve (and the triplet-mining faces built on it)
+    * into a constant-factor cut of an O(n) scan. √n cells (the FAISS
+    * sizing convention) makes per-query candidates O(√n·nProbe) and
+    * keeps quantizer training cost ∝ cells×dim. Never below
+    * `floorCells` (the registry's oracle-replayable sizing), never
+    * above [[MaxIvfCells]] (the quantizer must stay train-offline/
+    * broadcast sized — beyond the cap, shard the corpus and give
+    * each shard its own index, the standard multi-index layout).
+    */
+  def ivfCellsFor(n: Long, floorCells: Int = 16): Int =
+    math.min(MaxIvfCells,
+      math.max(floorCells,
+        math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
 
   def ivfCentroids(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {

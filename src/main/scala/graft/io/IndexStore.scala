@@ -771,6 +771,25 @@ object IndexStore {
       appendAnnIndexes(corpus.filter(bucket >= 800), dir)
     }
 
+  /** Memoized build of an ANN store exercised through the RETRAIN
+    * cycle: day-1 build whose quantizer saw only the first ~80% of
+    * vectors (the stale-quantizer state a drifted ingest leaves
+    * behind), then [[retrainAnnIndexes]] over the full corpus — the
+    * executor the drift monitor's `retrain_quantizer` signal fires.
+    * Because retrain trains on and re-encodes the CURRENT corpus,
+    * the final store must serve exactly like a from-scratch
+    * [[writeAnnIndexes]] over it — which is what lets the registry
+    * face share q_ann_ivf's oracle (full-corpus centroid replay).
+    */
+  def ensureAnnRetrainedIndexes(corpus: DataFrame, corpusDir: String): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, "-ann-ret", "ann-ret") { dir =>
+      val bucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
+      writeAnnIndexes(corpus.filter(bucket < 800), dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+      retrainAnnIndexes(corpus, dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+    }
+
   /** Memoized build of an ANN store exercised through the TAKEDOWN
     * cycle: full build under a full-corpus quantizer, then
     * [[deleteFromAnnIndexes]] removes `deleteIds` surgically — the

@@ -49,6 +49,9 @@ object DevScale {
     case "genClique" :: k :: outDir :: Nil => genClique(k.toInt, outDir)
     case "ivfAB" :: sfDir :: rest =>
       ivfAB(sfDir, rest.headOption.map(_.toInt).getOrElse(64))
+    case "tripletsAB" :: sfDir :: rest =>
+      tripletsAB(sfDir, rest.headOption.map(_.toInt).getOrElse(16),
+        rest.lift(1).map(_.toInt).getOrElse(2))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -253,6 +256,35 @@ object DevScale {
           f"(nq=$nq truth=${exact.size})")
       }
     }
+    spark.stop()
+  }
+
+  /** Cell-sizing A/B for corpus-as-anchors triplet mining from a
+    * persisted store: builds the ANN index at `nCells`, then times
+    * `trainingTripletsFromIndex` over the whole corpus — the
+    * ivfCellsFor(√n) story's measured face (candidates per anchor =
+    * n·nProbe/nCells, so cells must grow with the corpus or the
+    * serve decays to a constant-factor cut of O(n) per anchor).
+    */
+  private def tripletsAB(sfDir: String, nCells: Int, nProbe: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-tripletsab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory(s"tripab$nCells").toString
+    val t0 = System.nanoTime()
+    graft.io.IndexStore.writeAnnIndexes(e, dir, nCells = nCells)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    (1 to 2).foreach { i =>
+      val t1 = System.nanoTime()
+      val n = graft.ext.Similarity.trainingTripletsFromIndex(
+        graft.io.IndexStore.readIvfAssigned(spark, dir),
+        graft.io.IndexStore.readAnnCentroids(spark, dir), e,
+        nProbe = nProbe).count()
+      println(f"[scale] $sfDir tripletsAB cells=$nCells probe=$nProbe run$i: " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s ($n triplets, " +
+        f"build $tBuild%.2f s)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }
 

@@ -526,4 +526,15 @@ class SimilaritySpec extends SparkSpec {
     }
     restricted.values.sum should be < full.values.sum // strictly prunes
   }
+
+  test("ivfCellsFor: sqrt growth between the floor and the broadcast cap") {
+    Similarity.ivfCellsFor(0L) shouldBe 16 // floor holds on degenerate n
+    Similarity.ivfCellsFor(100L) shouldBe 16 // floor until sqrt(n) > floor
+    Similarity.ivfCellsFor(1000000L) shouldBe 1000
+    Similarity.ivfCellsFor(1L << 40) shouldBe Similarity.MaxIvfCells // capped
+    // monotone: more corpus never means fewer cells
+    val pts = Seq(1L, 1000L, 100000L, 10000000L, 1L << 40)
+      .map(Similarity.ivfCellsFor(_))
+    pts shouldBe pts.sorted
+  }
 }
