@@ -152,7 +152,8 @@ object Bench {
       "q_stream_join", "q_stream_outer_join", "q_running_activeness",
       "q_stream_window", "q_stream_dedup", "q_stream_enrich",
       "q_stream_admit", "q_stream_admit_fuzzy", "q_stream_admit_substring",
-      "q_stream_admit_embed", "q_stream_admit_quality",
+      "q_stream_admit_embed", "q_stream_admit_embed_persisted",
+      "q_stream_admit_quality",
       "q_stream_admit_persisted", "q_stream_admit_rate",
       "q_stream_admit_image", "q_stream_admit_dsir", "q_stream_drift")
     // SPARK_GRAFT_ONLY=q_a,q_b — iterate on a subset (dev loop only;

@@ -157,6 +157,59 @@ object Similarity {
         round(col("g.cos"), 6).as("neg_cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then deduplicate ONLY within clusters — the
+    * all-pairs semantic near-dup scan restricted to cells, which is
+    * the paper's point (k-means cells make web-scale pairwise cosine
+    * tractable) and exactly the IVF machinery this engine already
+    * persists. Deterministic adaptation: clusters = the hash-picked
+    * [[ivfCentroids]] cells (SQL-replayable, unlike k-means); within
+    * each cell, a document is DROPPED when some same-cell neighbor
+    * with pair cosine ≥ `tau` sits CLOSER to the shared centroid
+    * (strictly lower centroid-cosine survives; ties keep the lower
+    * id) — the paper's "keep the member farthest from the centroid"
+    * rule, which preserves the diverse outlier of each duplicate
+    * clump rather than its most generic member. Survivors =
+    * per-clump local minima of centroid-cosine, isolated docs always
+    * survive. Returns (id, cell, centroid_cos).
+    *
+    * Scale shape: assignment is the row-local codegen'd
+    * [[graft.functions.IvfCells]] pass; the only join is the
+    * within-cell self-join, quadratic in CELL occupancy, not corpus
+    * size — size cells with [[ivfCellsFor]] and the per-cell work
+    * stays bounded as the corpus grows (the lshNearDupPairs
+    * occupancy discipline). Zero-norm vectors have null cosines:
+    * they never drop anything and are never dropped.
+    */
+  def semDedupSurvivors(corpus: DataFrame, nCells: Int = 16,
+      tau: Double = 0.45,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfFunctions.ivf_cells
+    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    // centroid-cosine via the same index-order double dot the cell
+    // assignment uses (centroids are unit vectors), so the SQL twin
+    // replays both bit-for-bit
+    val dots = array(cents.map(c => dot(col("vec"), typedLit(c))): _*)
+    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
+      .withColumn("ccos",
+        when(col("norm") =!= 0.0, element_at(dots, col("cell") + 1) / col("norm")))
+    val slim = c.select("id", "cell", "vec", "norm", "ccos")
+    val pairs = slim.as("a")
+      .join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .withColumn("cos", cosineFromNorms(col("a.vec"), col("b.vec"),
+        col("a.norm"), col("b.norm")))
+      .filter(col("cos") >= tau)
+    val dropped = pairs
+      .filter(col("b.ccos") < col("a.ccos") ||
+        (col("b.ccos") === col("a.ccos") && col("b.id") < col("a.id")))
+      .select(col("a.id").as("id")).distinct()
+    slim.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"), round(col("ccos"), 6).as("centroid_cos"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the QA face of the approximation ladder: every ANN serve
     * (LSH/IVF/PQ and their persisted twins) trades recall for bytes,

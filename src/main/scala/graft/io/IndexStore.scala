@@ -744,8 +744,14 @@ object IndexStore {
     Seq("corpus_fingerprint" ->
       s""""${corpusFingerprint(spark, corpusDir)}"""")
 
-  def ensureAnnIndexes(corpus: DataFrame, corpusDir: String): String =
-    ensureBuilt(corpus.sparkSession, corpusDir, "-ann", "ann") { dir =>
+  /** `variant` distinguishes different corpus SLICES of the same
+    * corpus dir (the memo keys on the directory, not the frame): the
+    * registry's search faces index the full embeddings table, the
+    * streaming gate indexes the seen half.
+    */
+  def ensureAnnIndexes(corpus: DataFrame, corpusDir: String,
+      variant: String = "-ann"): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, variant, s"ann$variant") { dir =>
       writeAnnIndexes(corpus, dir,
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
@@ -1289,6 +1295,18 @@ object IndexStore {
           if (cells.isEmpty) 0.0 else parts.sum.toDouble / cells.length
         rows += (("compact", "files_per_cell", perCell, filesPerCellBar,
           perCell > filesPerCellBar))
+        // at-least-once re-delivery leaves exact duplicate (id, cell)
+        // rows that duplicate serve candidates — compactAnnIndexes'
+        // distinct-rewrite reclaims them, and this is its trigger
+        // (id-distinct over the thin id column, map-side combinable,
+        // never touches the vectors)
+        val ids = spark.read.parquet(root.toString).select("id")
+        val total = ids.count()
+        val dupR =
+          if (total == 0) 0.0
+          else 1.0 - ids.distinct().count().toDouble / total
+        rows += (("compact", s"dup_ratio:$IvfAssignedTable", dupR,
+          dupRatioBar, dupR > dupRatioBar))
         freshVectors.foreach { f =>
           val psi = annCellDrift(spark, dir, f)
             .agg(sum(abs(col("psi_term")))).head().getDouble(0)

@@ -1316,6 +1316,79 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING EMBEDDING ADMISSION FROM THE PERSISTED ANN STORE —
+    * the build-once/serve-many wiring for the vector rung, closing
+    * the last gate whose static side was rebuilt in-plan per run:
+    * the seen half's cell-partitioned inverted file
+    * ([[graft.io.IndexStore.ensureAnnIndexes]], `-ann-seen` variant)
+    * is the candidate index; each arriving vector probes its nProbe=2
+    * cells row-locally (the frozen quantizer ships as a literal) and
+    * joins ONLY those cells' stored vectors, exact-cosine verified at
+    * the rung's 0.35 bar. Stateless; the hit SET equals the batch
+    * IVF-probe formulation, which is the DuckDB oracle (centroid
+    * pick + assignment restricted to the seen half, probes over the
+    * fresh slice). Complementary to [[streamAdmitEmbedFromFiles]]'s
+    * LSH rung the way q_ann_ivf is to q_ann_lsh: cells give
+    * byte-pruned candidate generation from a persisted artifact;
+    * LSH gives table-OR recall without training anything.
+    */
+  def streamAdmitEmbedPersistedFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Similarity, TrainingData}
+    import graft.functions.IvfFunctions.ivf_cells
+    val stage = newStage()
+    val e = Tables(s, dir, "embeddings")
+    val bucket = TrainingData.splitBucket(col("vec_id"), 1000)
+    val idxDir = graft.io.IndexStore.ensureAnnIndexes(
+      e.filter(bucket < 500).select("vec_id", "embedding"), dir,
+      variant = "-ann-seen")
+    val cents = graft.io.IndexStore.readAnnCentroids(s, idxDir)
+    val assigned = graft.io.IndexStore.readIvfAssigned(s, idxDir)
+      .select(col("id").as("corpus_id"), col("cell"),
+        col("vec").as("cvec"), col("norm").as("cnorm"))
+    try withStatePartitions(s, 4) {
+      val fresh = e.filter(bucket >= 500 && bucket < 600)
+        .select("vec_id", "embedding")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val probed = Similarity.withNorm(
+          stream.select(col("vec_id"), col("embedding").as("vec")))
+        .withColumn("cell", explode(ivf_cells(col("vec"), cents, 2)))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val query = probed.join(assigned, Seq("cell"))
+        .filter(Similarity.cosineFromNorms(col("vec"), col("cvec"),
+          col("norm"), col("cnorm")) >= 0.35)
+        .select("vec_id")
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect().map(_.getLong(0))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      // one emit per (probed cell, stored vector) hit; the gate
+      // contract is the flagged vector SET
+      buf.synchronized { buf.distinct.toSeq }.toDF("vec_id").orderBy("vec_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING DRIFT MONITOR under the gate: a REAL
     * [[Streaming.runningHistogram]] run (update-mode streaming
     * aggregation, state = the histogram) over the fresh slice's

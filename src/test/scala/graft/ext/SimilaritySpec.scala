@@ -527,6 +527,42 @@ class SimilaritySpec extends SparkSpec {
     restricted.values.sum should be < full.values.sum // strictly prunes
   }
 
+  test("semDedupSurvivors: drop rule honors its definition — clumps keep " +
+      "their centroid-farthest member, isolated docs always survive") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val all = e.count()
+    // an unreachable threshold deduplicates nothing
+    Similarity.semDedupSurvivors(e, tau = 1.1).count() shouldBe all
+    val surv = Similarity.semDedupSurvivors(e)
+      .select("id").collect().map(_.getLong(0)).toSet
+    surv.size.toLong should be <= all
+    // independent replay of the clump structure: within-cell pairs at
+    // the same tau off the same deterministic quantizer
+    val cents = Similarity.ivfCentroids(e, 16)
+    import graft.functions.IvfFunctions.ivf_cells
+    val c = Similarity.withNorm(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(Similarity.cosineFromNorms(col("a.vec"), col("b.vec"),
+        col("a.norm"), col("b.norm")) >= 0.45)
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.nonEmpty shouldBe true // fixture must exercise the rule
+    val inClump = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // isolated docs (no qualifying neighbor) all survive
+    val isolated = c.select("id").collect().map(_.getLong(0)).toSet -- inClump
+    (isolated -- surv) shouldBe empty
+    // every connected clump keeps at least one member (the strict
+    // centroid-cosine order has a minimum)
+    (inClump intersect surv).nonEmpty shouldBe true
+    // and dedup actually fired: some clump member was dropped
+    (inClump -- surv).nonEmpty shouldBe true
+  }
+
   test("ivfCellsFor: sqrt growth between the floor and the broadcast cap") {
     Similarity.ivfCellsFor(0L) shouldBe 16 // floor holds on degenerate n
     Similarity.ivfCellsFor(100L) shouldBe 16 // floor until sqrt(n) > floor

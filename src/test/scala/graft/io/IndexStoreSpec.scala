@@ -705,6 +705,10 @@ class IndexStoreSpec extends SparkSpec {
     // one-file-per-cell bar; compaction restores exactly 1.0; a fresh
     // batch that IS the corpus distribution does not trip retrain,
     // a one-cell flood does
+    def sig(df: org.apache.spark.sql.DataFrame, s: String): (Double, Boolean) = {
+      val r = df.filter(col("signal") === s).head()
+      (r.getAs[Double]("value"), r.getAs[Boolean]("due"))
+    }
     val ann = java.nio.file.Files.createTempDirectory("mdann").toString
     val e = graft.Tables(spark, sfDir, "embeddings")
     val vbucket = graft.ext.TrainingData.splitBucket(col("vec_id"), 1000)
@@ -712,15 +716,29 @@ class IndexStoreSpec extends SparkSpec {
       centroids = Some(graft.ext.Similarity.ivfCentroids(e, 16)))
     IndexStore.appendAnnIndexes(e.filter(vbucket >= 600 && vbucket < 800), ann)
     IndexStore.appendAnnIndexes(e.filter(vbucket >= 800), ann)
-    val (fpcBefore, fpcDue) = row(
-      IndexStore.maintenanceDue(spark, ann, filesPerCellBar = 1.0), "compact")
+    val (fpcBefore, fpcDue) = sig(
+      IndexStore.maintenanceDue(spark, ann, filesPerCellBar = 1.0),
+      "files_per_cell")
     fpcBefore should be > 1.0
     fpcDue shouldBe true
+    // disjoint appends carry no duplicate ids — the reclaim signal
+    // stays quiet until an at-least-once re-delivery actually happens
+    sig(IndexStore.maintenanceDue(spark, ann, dupRatioBar = 0.1),
+      s"dup_ratio:${IndexStore.IvfAssignedTable}") shouldBe ((0.0, false))
     IndexStore.compactAnnIndexes(spark, ann)
-    val (fpcAfter, fpcDueAfter) = row(
-      IndexStore.maintenanceDue(spark, ann, filesPerCellBar = 1.0), "compact")
+    val (fpcAfter, fpcDueAfter) = sig(
+      IndexStore.maintenanceDue(spark, ann, filesPerCellBar = 1.0),
+      "files_per_cell")
     fpcAfter shouldBe 1.0
     fpcDueAfter shouldBe false
+    // re-deliver a batch → duplicate ids appear → reclaim due at the
+    // 0.1 bar; compaction's distinct-rewrite clears it
+    IndexStore.appendAnnIndexes(e.filter(vbucket >= 800), ann)
+    sig(IndexStore.maintenanceDue(spark, ann, dupRatioBar = 0.1),
+      s"dup_ratio:${IndexStore.IvfAssignedTable}")._2 shouldBe true
+    IndexStore.compactAnnIndexes(spark, ann)
+    sig(IndexStore.maintenanceDue(spark, ann, dupRatioBar = 0.1),
+      s"dup_ratio:${IndexStore.IvfAssignedTable}") shouldBe ((0.0, false))
     row(IndexStore.maintenanceDue(spark, ann, freshVectors = Some(e)),
       "retrain_quantizer")._2 shouldBe false // identical distribution: PSI ~ 0
     val one = e.filter(col("vec_id") === 0)
