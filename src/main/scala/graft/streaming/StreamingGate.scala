@@ -1389,6 +1389,78 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING ANN-STORE MAINTENANCE under the gate — the ingest
+    * loop for the vector index run as a REAL stream, the ANN mirror
+    * of [[streamSketchMaintenanceFromFiles]]: the quantizer is
+    * trained OFFLINE over the full corpus (the production split that
+    * makes appends exact), batch 0 writes the store from its slice,
+    * every later micro-batch [[graft.io.IndexStore.appendAnnIndexes]]
+    * against the frozen quantizer from inside `foreachBatch`, and
+    * after the stream drains the maintenance PLANNER decides what the
+    * store needs: the per-append small files trip `files_per_cell`,
+    * the gate executes [[graft.io.IndexStore.compactAnnIndexes]], and
+    * the post-maintenance serve must equal a one-shot full build —
+    * which is exactly q_ann_ivf's oracle, so the whole
+    * append→plan→compact→serve cycle is hash-gated. Stateless on the
+    * stream side (the STORE is the state).
+    */
+  def streamAnnMaintenanceFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
+    val stage = newStage()
+    val storeDir = stage.resolve("store").toString
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    // offline-trained quantizer: the day-0 artifact every batch
+    // (including batch 0) encodes against
+    val cents = Similarity.ivfCentroids(e, 16)
+    val cb = Similarity.pqCodebooks(e, 4, 16, 64)
+    try withStatePartitions(s, 4) {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          e.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId == 0L)
+            graft.io.IndexStore.writeAnnIndexes(batch, storeDir,
+              centroids = Some(cents), codebooks = Some(cb))
+          else
+            graft.io.IndexStore.appendAnnIndexes(batch, storeDir)
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      // the maintenance slot: act on exactly what the planner says is
+      // due (the per-append small files), never unconditionally
+      val due = graft.io.IndexStore.maintenanceDue(s, storeDir,
+          filesPerCellBar = 1.0)
+        .filter(col("action") === "compact" && col("due"))
+        .count()
+      require(due >= 1, "streamAnnMaintenance: appends must earn compaction")
+      graft.io.IndexStore.compactAnnIndexes(s, storeDir)
+
+      Similarity.ivfTopKFromIndex(
+          graft.io.IndexStore.readIvfAssigned(s, storeDir),
+          graft.io.IndexStore.readAnnCentroids(s, storeDir),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+        .localCheckpoint() // materialize before the stage dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING DRIFT MONITOR under the gate: a REAL
     * [[Streaming.runningHistogram]] run (update-mode streaming
     * aggregation, state = the histogram) over the fresh slice's
