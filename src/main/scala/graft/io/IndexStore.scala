@@ -643,23 +643,27 @@ object IndexStore {
   /** The RETRAIN executor — the action [[annCellDrift]] and
     * [[maintenanceDue]]'s `retrain_quantizer` signal call for: train
     * a fresh quantizer (centroids + PQ codebooks) on the CURRENT
-    * corpus, re-encode every vector under it, and swap the whole
-    * index family in atomically-per-table (the same
-    * build-into-tmp → delete → rename discipline as
-    * [[compactAdmissionIndexes]]; the manifest swaps last, so a crash
-    * mid-swap leaves a store [[requireFresh]] would reject rather
-    * than a silently mixed quantizer). This closes the drift loop:
-    * append-freeze ([[appendAnnIndexes]]) → detect ([[annCellDrift]])
-    * → plan ([[maintenanceDue]]) → retrain (here) — FAISS's
-    * `train()`-again-and-rebuild, scheduled by the PSI monitor
-    * instead of by the calendar. The result is byte-for-byte a fresh
-    * [[writeAnnIndexes]] over `corpus` (spec-pinned): retraining is a
-    * full re-encode by definition — the cost a drifted distribution
-    * has already justified — so unlike append/delete there is no
-    * incremental shortcut to document.
+    * corpus, re-encode every vector under it, and swap the WHOLE
+    * STORE DIRECTORY in (build into a sibling tmp, two renames).
+    * Directory-level on purpose: a retrain changes the quantizer AND
+    * every row derived from it, and per-table swaps would open a
+    * window where new centroids serve against old cell assignments —
+    * a silently MIXED quantizer, the one failure mode an index swap
+    * must never have. With the directory swap the only crash window
+    * is store-briefly-absent (reads fail loudly; the previous build
+    * survives at `<dir>.retrain_old` for manual recovery — re-running
+    * the retrain is the documented remedy). This closes the drift
+    * loop: append-freeze ([[appendAnnIndexes]]) → detect
+    * ([[annCellDrift]]) → plan ([[maintenanceDue]]) → retrain (here)
+    * — FAISS's `train()`-again-and-rebuild, scheduled by the PSI
+    * monitor instead of by the calendar. The result is byte-for-byte
+    * a fresh [[writeAnnIndexes]] over `corpus` (spec-pinned):
+    * retraining is a full re-encode by definition — the cost a
+    * drifted distribution has already justified — so unlike
+    * append/delete there is no incremental shortcut to document.
     *
     * `corpus` must be the SOURCE vectors (the corpus dir), never a
-    * frame derived from the store's own tables — the build overwrites
+    * frame derived from the store's own tables — the build replaces
     * those mid-plan.
     */
   def retrainAnnIndexes(corpus: DataFrame, dir: String, nCells: Int = 16,
@@ -668,25 +672,23 @@ object IndexStore {
       manifestExtra: Seq[(String, String)] = Nil): Unit = {
     val spark = corpus.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val tmpRoot = new org.apache.hadoop.fs.Path(s"$dir/.retrain")
-    val fs = tmpRoot.getFileSystem(conf)
-    fs.delete(tmpRoot, true) // a previous crashed retrain's leftovers
-    writeAnnIndexes(corpus, tmpRoot.toString, nCells, m, ks, dim,
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    // tmp and graveyard are SIBLINGS of the store dir, so the store
+    // itself can be renamed as one unit
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.retrain")
+    val grave = new org.apache.hadoop.fs.Path(s"$dir.retrain_old")
+    val fs = cur.getFileSystem(conf)
+    require(fs.exists(cur),
+      s"retrainAnnIndexes: no store at $dir — nothing to retrain " +
+        "(a crashed prior retrain leaves the old build at " +
+        s"$grave; restore or rebuild)")
+    fs.delete(tmp, true) // a previous crashed retrain's leftovers
+    fs.delete(grave, true)
+    writeAnnIndexes(corpus, tmp.toString, nCells, m, ks, dim,
       trainIters, idCol, vecCol, manifestExtra = manifestExtra)
-    // data tables first, manifest LAST: every pre-manifest crash
-    // leaves the old manifest's fingerprint/params in place, which
-    // requireFresh/ensureBuilt treat as "rebuild before serving"
-    (Seq(AnnCentroidsTable, AnnCodebooksTable, AnnCodesTable,
-        IvfAssignedTable) :+ "manifest.json").foreach { t =>
-      val cur = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val fresh = new org.apache.hadoop.fs.Path(s"$tmpRoot/$t")
-      if (fs.exists(cur)) {
-        require(fs.delete(cur, true), s"retrain: could not delete $cur")
-        ()
-      }
-      require(fs.rename(fresh, cur), s"retrain: could not swap in $fresh")
-    }
-    fs.delete(tmpRoot, true)
+    require(fs.rename(cur, grave), s"retrain: could not retire $cur")
+    require(fs.rename(tmp, cur), s"retrain: could not swap in $tmp")
+    fs.delete(grave, true)
     ()
   }
 
