@@ -111,20 +111,28 @@ object CorpusPipeline {
     * quality gate → exact dedup → near-dup survivors), as exact
     * integer counts so the report itself is oracle-checkable. This is
     * the number the data team actually argues about ("the near-dup
-    * stage ate 12% of our tokens — at which threshold?"), and at
-    * 100 TB each stage row is one map-side-combinable count/sum over
-    * a frame the pipeline materializes anyway. The exact-dedup stage
-    * keeps the min-id winner per digest — the same rule [[prepare]]'s
-    * collapse applies — so funnel counts match what prepare ships.
+    * stage ate 12% of our tokens — at which threshold?"). Cost: ONE
+    * cached scoring pass feeds the three gate-stage aggregations (the
+    * count/sum rows are map-side combinable over it), plus the
+    * [[prepare]] run itself for the near-dup stage — the funnel is a
+    * report you produce WITH the preparation run, not a free rider on
+    * it.
+    * The exact-dedup stage keeps the min-id winner per digest — the
+    * same rule [[prepare]]'s collapse applies — so funnel counts
+    * match what prepare ships.
     */
   def prepareFunnel(df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double,
       survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val text: Column = col(textCol)
+    // cached: the lang-ID + quality scoring chain is the expensive
+    // row-local half and feeds the lang/quality/exact stage rows —
+    // uncached, each stage aggregation would re-score the corpus
     val scored = TextAnalysis.langId(df, textCol)
       .withColumn("quality", TextAnalysis.qualityScore(text))
       .withColumn("__nt", size(TextAnalysis.tokens(text)).cast("long"))
+      .cache()
     val langKept = scored.filter(col("lang_pred").isin(allowedLangs: _*))
     val kept = langKept.filter(col("quality") >= minQuality)
     val exact = kept

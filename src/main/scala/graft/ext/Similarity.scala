@@ -166,7 +166,7 @@ object Similarity {
     * persists. Deterministic adaptation: clusters = the hash-picked
     * [[ivfCentroids]] cells (SQL-replayable, unlike k-means); within
     * each cell, a document is DROPPED when some same-cell neighbor
-    * with pair cosine ≥ `tau` sits CLOSER to the shared centroid
+    * with pair cosine ≥ `tau` sits FARTHER from the shared centroid
     * (strictly lower centroid-cosine survives; ties keep the lower
     * id) — the paper's "keep the member farthest from the centroid"
     * rule, which preserves the diverse outlier of each duplicate
@@ -195,7 +195,10 @@ object Similarity {
       .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
       .withColumn("ccos",
         when(col("norm") =!= 0.0, element_at(dots, col("cell") + 1) / col("norm")))
-    val slim = c.select("id", "cell", "vec", "norm", "ccos")
+    // cached: the assignment pass (nCells dot products per row — the
+    // expensive row-local half) feeds both sides of the self-join AND
+    // the final anti-join; uncached it would re-encode the corpus 3×
+    val slim = c.select("id", "cell", "vec", "norm", "ccos").cache()
     val pairs = slim.as("a")
       .join(slim.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))

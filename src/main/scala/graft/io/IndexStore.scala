@@ -97,11 +97,22 @@ object IndexStore {
     * [[graft.ext.QualityModel.nbWeightsMicro]]).
     */
   def readNbWeightsMicro(spark: SparkSession, dir: String,
-      maxVocab: Int = 1 << 20): Map[String, Long] = {
-    val rows = spark.read.parquet(s"$dir/$NbWeightsTable")
+      maxVocab: Int = 1 << 20): Map[String, Long] =
+    readWeightTable(spark, s"$dir/$NbWeightsTable", "readNbWeightsMicro",
+      maxVocab)
+
+  /** One (term, llr_micro) table → shipped map loader for every
+    * weight artifact (NB quality, DSIR importance): count-then-collect
+    * (never limit(n+1) — the AQE replan hazard
+    * [[graft.ext.QualityModel.nbWeightsMicro]] documents) with the
+    * fail-loud vocab cap in ONE place.
+    */
+  private def readWeightTable(spark: SparkSession, path: String,
+      label: String, maxVocab: Int): Map[String, Long] = {
+    val rows = spark.read.parquet(path)
     val n = rows.count()
     require(n <= maxVocab,
-      s"readNbWeightsMicro: persisted vocabulary has $n terms > " +
+      s"$label: persisted vocabulary has $n terms > " +
         s"maxVocab=$maxVocab — prune the tail or use a broadcast-join scorer")
     rows.select("term", "llr_micro").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1204,15 +1215,9 @@ object IndexStore {
     * cap as [[readNbWeightsMicro]].
     */
   def readDsirWeightsMicro(spark: SparkSession, dir: String,
-      maxVocab: Int = 1 << 20): Map[String, Long] = {
-    val rows = spark.read.parquet(s"$dir/$DsirWeightsTable")
-    val n = rows.count()
-    require(n <= maxVocab,
-      s"readDsirWeightsMicro: persisted vocabulary has $n terms > " +
-        s"maxVocab=$maxVocab — prune the tail or use a broadcast-join scorer")
-    rows.select("term", "llr_micro").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
+      maxVocab: Int = 1 << 20): Map[String, Long] =
+    readWeightTable(spark, s"$dir/$DsirWeightsTable", "readDsirWeightsMicro",
+      maxVocab)
 
   /** Session-scoped train-once memo. `tag` names the raw/target
     * SELECTION (a build parameter the frames encode but the corpus
@@ -1297,16 +1302,20 @@ object IndexStore {
           if (cells.isEmpty) 0.0 else parts.sum.toDouble / cells.length
         rows += (("compact", "files_per_cell", perCell, filesPerCellBar,
           perCell > filesPerCellBar))
-        // at-least-once re-delivery leaves exact duplicate (id, cell)
-        // rows that duplicate serve candidates — compactAnnIndexes'
-        // distinct-rewrite reclaims them, and this is its trigger
-        // (id-distinct over the thin id column, map-side combinable,
-        // never touches the vectors)
-        val ids = spark.read.parquet(root.toString).select("id")
-        val total = ids.count()
+        // at-least-once re-delivery leaves exact duplicate rows that
+        // duplicate serve candidates — compactAnnIndexes'
+        // distinct-rewrite reclaims them, and this is its trigger.
+        // FULL-ROW distinct on purpose, matching the remedy exactly:
+        // an id re-appended with a RECOMPUTED embedding is not an
+        // exact duplicate, the compaction would not remove it, and a
+        // row-count signal that counted ids would re-fire forever
+        // with a no-op remedy (that case is a content UPDATE — route
+        // it through deleteFromAnnIndexes + append, like any upsert)
+        val rowsDf = spark.read.parquet(root.toString)
+        val total = rowsDf.count()
         val dupR =
           if (total == 0) 0.0
-          else 1.0 - ids.distinct().count().toDouble / total
+          else 1.0 - rowsDf.distinct().count().toDouble / total
         rows += (("compact", s"dup_ratio:$IvfAssignedTable", dupR,
           dupRatioBar, dupR > dupRatioBar))
         freshVectors.foreach { f =>

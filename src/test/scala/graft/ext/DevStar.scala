@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * hub-leaf edges under the repo's MinHash banding — the
   * CorpusPipelineSpec ranked-policy fixture is deterministic once
   * chosen, but banding at J≈0.65 misses ~20% of edges per hash
-  * family, so the tags must be picked to land. `runMain graft.DevStar`.
+  * family, so the tags must be picked to land. `Test/runMain graft.ext.DevStar`.
   */
 object DevStar {
   def main(args: Array[String]): Unit = {
