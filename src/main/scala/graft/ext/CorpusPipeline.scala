@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end corpus preparation — the training-data north star as ONE
   * composable call: language gate → quality gate → exact dedup →
-  * near-dup (MinHash+LSH) dedup → split assignment. Every stage is an
-  * existing gated operator; this is the composition a user of the
-  * engine actually runs before tokenization, and it is itself
+  * near-dup (MinHash+LSH) dedup → optional SEMANTIC dedup (SemDeDup
+  * over a doc-aligned embedding frame) → split assignment. Every stage
+  * is an existing gated operator; this is the composition a user of
+  * the engine actually runs before tokenization, and it is itself
   * oracle-gated end-to-end (q_corpus_prepare replays all five stages
-  * in SQL).
+  * in SQL; q_corpus_prepare_semantic adds the embedding stage).
   *
   * Stage ORDER is the 100 TB design:
   *  1. row-local gates first (lang-ID + quality are zero-shuffle
@@ -19,7 +20,12 @@ import org.apache.spark.sql.functions._
   *     corpora are 30-50% byte-identical, so this collapses the
   *     input to the expensive stage);
   *  3. near-dup LSH third (band equi-join over what remains);
-  *  4. split LAST, so train/valid/test membership is stable under
+  *  4. semantic dedup (opt-in) fourth: paraphrase-grade duplicates
+  *     share no shingles, so they pass every text stage — SemDeDup's
+  *     cell-scoped cosine clumps catch them, and running it LAST
+  *     among the dedups means the cell self-join sees only text-stage
+  *     survivors (the smallest frame of the run);
+  *  5. split LAST, so train/valid/test membership is stable under
   *     re-preparation — the split key is the document id, not
   *     anything the earlier stages computed.
   *
@@ -51,22 +57,39 @@ object CorpusPipeline {
     case object Ranked extends SurvivorPolicy
   }
 
-  /** Prepare `df` for training: returns one row per SURVIVING document
-    * — (id, lang_pred, quality, n_tokens, split_bucket, split).
+  /** The row-local scoring pass [[prepare]] and [[prepareFunnel]]
+    * share: lang-ID + quality + whitespace token count, computed for
+    * every input row (Catalyst pushes the gates' filters below the
+    * projection, so unfiltered rows never evaluate the extra columns
+    * in the prepare-only path; the funnel caches this frame ONCE and
+    * feeds every stage aggregation from it).
     */
-  def prepare(df: DataFrame, idCol: String, textCol: String,
-      allowedLangs: Seq[String], minQuality: Double,
-      survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId): DataFrame = {
+  private def scoredFrame(df: DataFrame, textCol: String): DataFrame = {
     val text: Column = col(textCol)
-    // stage 1: row-local gates (no shuffle) — the survivor
-    // attributes (lang, quality, token count) are ALSO row-local, so
-    // they are computed here and carried through the collapse join
-    // rather than re-derived from a second corpus scan at the end
-    val kept = TextAnalysis.langId(df, textCol)
+    TextAnalysis.langId(df, textCol)
       .withColumn("quality", TextAnalysis.qualityScore(text))
-      .filter(col("lang_pred").isin(allowedLangs: _*) &&
-        col("quality") >= minQuality)
       .withColumn("n_tokens", size(TextAnalysis.tokens(text)))
+  }
+
+  /** The pipeline's internal frames: per-rep attributes (id,
+    * lang_pred, quality, n_tokens for every exact-dedup winner), the
+    * near-dup survivor ids, and — when a semantic stage is configured
+    * — the post-semantic survivor ids.
+    */
+  private final case class Frames(repAttrs: DataFrame, nearReps: DataFrame,
+      semanticReps: Option[DataFrame])
+
+  private def pipelineFrames(scored: DataFrame, idCol: String,
+      textCol: String, allowedLangs: Seq[String], minQuality: Double,
+      survivorPolicy: SurvivorPolicy,
+      semanticVectors: Option[DataFrame], semanticTau: Double,
+      semanticCells: Int, vecIdCol: String, vecCol: String): Frames = {
+    // stage 1: row-local gates (no shuffle) — the survivor attributes
+    // (lang, quality, token count) are ALSO row-local, computed in the
+    // shared scoring pass and carried through the collapse join rather
+    // than re-derived from a second corpus scan at the end
+    val kept = scored.filter(col("lang_pred").isin(allowedLangs: _*) &&
+      col("quality") >= minQuality)
     // stages 2+3 fused over ONE digest+shingle scan: the exact-dedup
     // winners ARE the collapse representatives (min id per distinct
     // text), and the near-dup stage consumes exactly those documents'
@@ -98,8 +121,47 @@ object CorpusPipeline {
         GraphRank.pagerankSurvivors(collapse.repSets.select(col("id")), pairs)
           .select("id")
     }
-    val survivors = collapse.repAttrs.get.join(reps, Seq("id"), "left_semi")
-    // stage 4: stable hash split on the id
+    // stage 4 (opt-in): SEMANTIC dedup over the text-stage survivors'
+    // embeddings — paraphrase-grade duplicates share no shingles and
+    // pass stages 2-3, but clump in embedding space. SemDeDup
+    // ([[Similarity.semDedupSurvivors]]) restricted to the survivor
+    // set: a doc is dropped only when its OWN vector loses a clump
+    // (cos ≥ semanticTau to a same-cell neighbor strictly closer to
+    // the centroid); docs WITHOUT an embedding row cannot be judged
+    // and always survive. The restriction means the cell self-join
+    // runs over the smallest frame of the pipeline, and the centroid
+    // pick is hash-deterministic over the survivor set, so the whole
+    // stage replays in the oracle.
+    val semanticReps = semanticVectors.map { vecs =>
+      val repVecs = vecs.select(col(vecIdCol).as("id"), col(vecCol))
+        .join(reps, Seq("id"), "left_semi")
+      val semSurv = Similarity.semDedupSurvivors(repVecs, semanticCells,
+        semanticTau, "id", vecCol).select("id")
+      val semLosers = repVecs.select("id")
+        .join(semSurv, Seq("id"), "left_anti")
+      reps.join(semLosers, Seq("id"), "left_anti")
+    }
+    Frames(collapse.repAttrs.get, reps, semanticReps)
+  }
+
+  /** Prepare `df` for training: returns one row per SURVIVING document
+    * — (id, lang_pred, quality, n_tokens, split_bucket, split).
+    * `semanticVectors` (doc-aligned `(vecIdCol, vecCol)` rows) opts in
+    * the embedding-space dedup stage; `semanticCells = 0` sizes cells
+    * with [[Similarity.ivfCellsFor]], an explicit count pins a layout.
+    */
+  def prepare(df: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String], minQuality: Double,
+      survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId,
+      semanticVectors: Option[DataFrame] = None,
+      semanticTau: Double = 0.45, semanticCells: Int = 0,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val f = pipelineFrames(scoredFrame(df, textCol), idCol, textCol,
+      allowedLangs, minQuality, survivorPolicy,
+      semanticVectors, semanticTau, semanticCells, vecIdCol, vecCol)
+    val survivors = f.repAttrs
+      .join(f.semanticReps.getOrElse(f.nearReps), Seq("id"), "left_semi")
+    // final stage: stable hash split on the id
     TrainingData.withSplit(survivors, col("id"))
       .select(col("id").as(idCol), col("lang_pred"), col("quality"),
         col("n_tokens"), col("split_bucket"), col("split"))
@@ -108,49 +170,60 @@ object CorpusPipeline {
   /** Stage-by-stage FUNNEL accounting of [[prepare]] — the report a
     * corpus-construction run publishes next to its output: documents
     * and whitespace tokens surviving each stage (input → lang gate →
-    * quality gate → exact dedup → near-dup survivors), as exact
-    * integer counts so the report itself is oracle-checkable. This is
-    * the number the data team actually argues about ("the near-dup
-    * stage ate 12% of our tokens — at which threshold?"). Cost: ONE
-    * cached scoring pass feeds the three gate-stage aggregations (the
-    * count/sum rows are map-side combinable over it), plus the
-    * [[prepare]] run itself for the near-dup stage — the funnel is a
-    * report you produce WITH the preparation run, not a free rider on
-    * it.
+    * quality gate → exact dedup → near-dup survivors → semantic
+    * survivors when the stage is configured), as exact integer counts
+    * so the report itself is oracle-checkable. This is the number the
+    * data team actually argues about ("the near-dup stage ate 12% of
+    * our tokens — at which threshold?"). Cost: ONE cached scoring
+    * pass feeds the input/lang/quality/exact stage aggregations AND
+    * the pipeline itself (prepare's gates read the same cached frame
+    * — the corpus is lang/quality-scored exactly once per funnel
+    * run), plus the near-dup graph the survivors need anyway. The
+    * 5-or-6-row report is materialized eagerly so the scoring cache
+    * is released before returning.
     * The exact-dedup stage keeps the min-id winner per digest — the
     * same rule [[prepare]]'s collapse applies — so funnel counts
     * match what prepare ships.
     */
   def prepareFunnel(df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double,
-      survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId): DataFrame = {
+      survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId,
+      semanticVectors: Option[DataFrame] = None,
+      semanticTau: Double = 0.45, semanticCells: Int = 0,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val text: Column = col(textCol)
     // cached: the lang-ID + quality scoring chain is the expensive
-    // row-local half and feeds the lang/quality/exact stage rows —
-    // uncached, each stage aggregation would re-score the corpus
-    val scored = TextAnalysis.langId(df, textCol)
-      .withColumn("quality", TextAnalysis.qualityScore(text))
-      .withColumn("__nt", size(TextAnalysis.tokens(text)).cast("long"))
-      .cache()
+    // row-local half; every gate-stage aggregation AND the pipeline's
+    // own gates read this one materialization
+    val scored = scoredFrame(df, textCol).cache()
     val langKept = scored.filter(col("lang_pred").isin(allowedLangs: _*))
     val kept = langKept.filter(col("quality") >= minQuality)
     val exact = kept
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(text)).orderBy(col(idCol))))
       .filter(col("__rn") === 1)
-    val survivors = prepare(df, idCol, textCol, allowedLangs, minQuality,
-      survivorPolicy)
-    def stat(stage: String, ord: Int, f: DataFrame, nt: Column): DataFrame =
-      f.agg(count(lit(1)).as("docs"),
+    val f = pipelineFrames(scored, idCol, textCol, allowedLangs,
+      minQuality, survivorPolicy, semanticVectors, semanticTau,
+      semanticCells, vecIdCol, vecCol)
+    val nt = col("n_tokens").cast("long")
+    def stat(stage: String, ord: Int, fr: DataFrame): DataFrame =
+      fr.agg(count(lit(1)).as("docs"),
           coalesce(sum(nt), lit(0L)).as("tokens"))
         .select(lit(stage).as("stage"), lit(ord).as("stage_order"),
           col("docs"), col("tokens"))
-    stat("input", 0, df, size(TextAnalysis.tokens(text)).cast("long"))
-      .unionByName(stat("lang_gate", 1, langKept, col("__nt")))
-      .unionByName(stat("quality_gate", 2, kept, col("__nt")))
-      .unionByName(stat("exact_dedup", 3, exact, col("__nt")))
-      .unionByName(stat("near_dup", 4, survivors,
-        col("n_tokens").cast("long")))
+    val nearSurv = f.repAttrs.join(f.nearReps, Seq("id"), "left_semi")
+    val base = stat("input", 0, scored)
+      .unionByName(stat("lang_gate", 1, langKept))
+      .unionByName(stat("quality_gate", 2, kept))
+      .unionByName(stat("exact_dedup", 3, exact))
+      .unionByName(stat("near_dup", 4, nearSurv))
+    val out = f.semanticReps
+      .map(sr => base.unionByName(stat("semantic_dedup", 5,
+        f.repAttrs.join(sr, Seq("id"), "left_semi"))))
+      .getOrElse(base)
+      .localCheckpoint()
+    scored.unpersist()
+    out
   }
 }

@@ -177,16 +177,20 @@ object Similarity {
     * Scale shape: assignment is the row-local codegen'd
     * [[graft.functions.IvfCells]] pass; the only join is the
     * within-cell self-join, quadratic in CELL occupancy, not corpus
-    * size — size cells with [[ivfCellsFor]] and the per-cell work
-    * stays bounded as the corpus grows (the lshNearDupPairs
-    * occupancy discipline). Zero-norm vectors have null cosines:
-    * they never drop anything and are never dropped.
+    * size — `nCells = 0` (the default) sizes cells with
+    * [[ivfCellsFor]] from one cheap `count()` so the per-cell work
+    * stays bounded as the corpus grows (the lshNearDupPairs occupancy
+    * discipline); pass an explicit cell count to pin a layout (the
+    * registry face pins 16 so its oracle replays at every SF).
+    * Zero-norm vectors have null cosines: they never drop anything
+    * and are never dropped.
     */
-  def semDedupSurvivors(corpus: DataFrame, nCells: Int = 16,
+  def semDedupSurvivors(corpus: DataFrame, nCells: Int = 0,
       tau: Double = 0.45,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.IvfFunctions.ivf_cells
-    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val cells = if (nCells > 0) nCells else ivfCellsFor(corpus.count())
+    val cents = ivfCentroids(corpus, cells, idCol, vecCol)
     // centroid-cosine via the same index-order double dot the cell
     // assignment uses (centroids are unit vectors), so the SQL twin
     // replays both bit-for-bit
@@ -195,10 +199,50 @@ object Similarity {
       .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
       .withColumn("ccos",
         when(col("norm") =!= 0.0, element_at(dots, col("cell") + 1) / col("norm")))
-    // cached: the assignment pass (nCells dot products per row — the
-    // expensive row-local half) feeds both sides of the self-join AND
-    // the final anti-join; uncached it would re-encode the corpus 3×
-    val slim = c.select("id", "cell", "vec", "norm", "ccos").cache()
+    semDedupTail(c.select("id", "cell", "vec", "norm", "ccos"), tau)
+  }
+
+  /** [[semDedupSurvivors]] served from the PERSISTED ANN store — the
+    * build-once/serve-many shape for the paper's operator: `assigned`
+    * is the stored (id, cell, vec, norm) inverted file
+    * ([[graft.io.IndexStore.readIvfAssigned]]) and `cents` the stored
+    * quantizer, so the run pays NEITHER the centroid pick (a corpus
+    * orderBy-limit-collect) nor the nCells-dots-per-row encode pass —
+    * the two costs the in-plan face re-pays per run and the store
+    * exists to amortize. The centroid-cosine needs only the row's OWN
+    * cell's centroid: a broadcast equi-join on `cell` against the
+    * nCells-row centroid frame makes it ONE codegen'd dot per row
+    * (vs nCells in the encode pass). Same drop rule, same output,
+    * same oracle as the in-plan face (served ≡ in-plan is
+    * spec-pinned); the within-cell self-join reads the
+    * cell-partitioned file co-grouped by its own layout.
+    */
+  def semDedupFromIndex(assigned: DataFrame, cents: Array[Array[Double]],
+      tau: Double = 0.45): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }
+      .toSeq.toDF("cell", "cvec")
+    val c = assigned
+      .select(col("id"), col("cell").cast("int").as("cell"),
+        col("vec"), col("norm"))
+      .join(broadcast(centsDf), Seq("cell"))
+      .withColumn("ccos",
+        when(col("norm") =!= 0.0, dot(col("vec"), col("cvec")) / col("norm")))
+    semDedupTail(c.select("id", "cell", "vec", "norm", "ccos"), tau)
+  }
+
+  /** The clump-collapse tail both SemDeDup faces share: within-cell
+    * pairs at `tau`, the farthest-from-centroid drop rule, and the
+    * survivor anti-join, over one cached assignment frame. The cache
+    * feeds both sides of the self-join AND the final anti-join
+    * (uncached, the assignment would recompute 3×); the survivors are
+    * materialized via `localCheckpoint` so the cache can be released
+    * before returning — repeated calls in a long session must not
+    * accumulate cached partitions until LRU eviction.
+    */
+  private def semDedupTail(assigned: DataFrame, tau: Double): DataFrame = {
+    val slim = assigned.cache()
     val pairs = slim.as("a")
       .join(slim.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
@@ -209,8 +253,11 @@ object Similarity {
       .filter(col("b.ccos") < col("a.ccos") ||
         (col("b.ccos") === col("a.ccos") && col("b.id") < col("a.id")))
       .select(col("a.id").as("id")).distinct()
-    slim.join(dropped, Seq("id"), "left_anti")
+    val out = slim.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cell"), round(col("ccos"), 6).as("centroid_cos"))
+      .localCheckpoint()
+    slim.unpersist()
+    out
   }
 
   /** Recall@k of an approximate top-k result against the exact one —
@@ -220,24 +267,27 @@ object Similarity {
     * instead of trusting the fixture-time calibration forever. Both
     * inputs are (query_id, neighbor_id, …) top-k frames (any of the
     * rankTopK-shaped outputs); returns one row per exact-side query:
-    * (query_id, n_matched, recall). Cost: two top-k-sized frames
-    * joined on their keys — independent of corpus size, so running
-    * it per serve batch (sampled queries) is how a production index
-    * gets its recall monitored alongside [[graft.io.IndexStore]]'s
-    * occupancy-PSI drift signal.
+    * (query_id, n_matched, recall). The denominator is the EXACT
+    * side's per-query row count, not a nominal k — when the corpus
+    * is smaller than k+1 after self-exclusion the exact list is
+    * short, and dividing by k would understate recall and make 1.0
+    * unreachable. Cost: two top-k-sized frames joined on their keys
+    * — independent of corpus size, so running it per serve batch
+    * (sampled queries) is how a production index gets its recall
+    * monitored alongside [[graft.io.IndexStore]]'s occupancy-PSI
+    * drift signal.
     */
-  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"recallAtK: k must be >= 1 (got $k)")
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
     val matched = exact.select("query_id", "neighbor_id")
       .join(approx.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
-    exact.select("query_id").distinct()
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
       .join(matched, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         round(coalesce(col("n_matched"), lit(0L)).cast("double")
-          / lit(k.toDouble), 6).as("recall"))
+          / col("n_exact").cast("double"), 6).as("recall"))
   }
 
   /** Deterministic pseudo-random hyperplane component r[plane][d]:

@@ -758,9 +758,16 @@ object IndexStore {
       s""""${corpusFingerprint(spark, corpusDir)}"""")
 
   /** `variant` distinguishes different corpus SLICES of the same
-    * corpus dir (the memo keys on the directory, not the frame): the
-    * registry's search faces index the full embeddings table, the
-    * streaming gate indexes the seen half.
+    * corpus dir (the memo keys on the directory + variant, never the
+    * FRAME): the registry's search faces index the full embeddings
+    * table, the streaming gate indexes the seen half. CONTRACT: each
+    * distinct slice of one corpus dir MUST use a distinct variant —
+    * the memo cannot see which rows `corpus` selects, so two callers
+    * reusing one variant with different slices would silently share
+    * whichever store was built first (the same convention
+    * [[ensureDsirWeights]] enforces through its `tag`, where the
+    * selection is likewise a build parameter the path doesn't
+    * encode).
     */
   def ensureAnnIndexes(corpus: DataFrame, corpusDir: String,
       variant: String = "-ann"): String =
@@ -1305,19 +1312,17 @@ object IndexStore {
         // at-least-once re-delivery leaves exact duplicate rows that
         // duplicate serve candidates — compactAnnIndexes'
         // distinct-rewrite reclaims them, and this is its trigger.
-        // FULL-ROW distinct on purpose, matching the remedy exactly:
-        // an id re-appended with a RECOMPUTED embedding is not an
-        // exact duplicate, the compaction would not remove it, and a
-        // row-count signal that counted ids would re-fire forever
-        // with a no-op remedy (that case is a content UPDATE — route
-        // it through deleteFromAnnIndexes + append, like any upsert)
-        val rowsDf = spark.read.parquet(root.toString)
-        val total = rowsDf.count()
-        val dupR =
-          if (total == 0) 0.0
-          else 1.0 - rowsDf.distinct().count().toDouble / total
-        rows += (("compact", s"dup_ratio:$IvfAssignedTable", dupR,
-          dupRatioBar, dupR > dupRatioBar))
+        // FULL-ROW distinct on purpose (dupRatio's semantic), matching
+        // the remedy exactly: an id re-appended with a RECOMPUTED
+        // embedding is not an exact duplicate, the compaction would
+        // not remove it, and a row-count signal that counted ids
+        // would re-fire forever with a no-op remedy (that case is a
+        // content UPDATE — route it through deleteFromAnnIndexes +
+        // append, like any upsert). Cost note: this is the one ann
+        // signal that reads data — two scans of the inverted file at
+        // planner cadence, still orders of magnitude cheaper than the
+        // compaction it gates.
+        dupRatio(IvfAssignedTable)
         freshVectors.foreach { f =>
           val psi = annCellDrift(spark, dir, f)
             .agg(sum(abs(col("psi_term")))).head().getDouble(0)

@@ -1461,6 +1461,87 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING ANN RETRAIN under the gate — the drift loop's OTHER
+    * remedy run live, completing [[streamAnnMaintenanceFromFiles]]
+    * (whose planner only ever fires the compaction): a store built
+    * with a quantizer that never saw part of the distribution takes a
+    * DRIFTED ingest — the held-out slice arrives as real micro-batches
+    * and is appended against the frozen stale quantizer — and after
+    * the stream drains, [[graft.io.IndexStore.maintenanceDue]]'s
+    * `retrain_quantizer` occupancy-PSI signal must FIRE (the gate
+    * requires it — the expensive action executes from the planner's
+    * verdict, never unconditionally; an in-distribution slice staying
+    * below the bar is pinned in IndexStoreSpec) before the slot runs
+    * [[graft.io.IndexStore.retrainAnnIndexes]] over the CURRENT
+    * corpus and serves. Drift construction: the corpus is partitioned
+    * by its own deterministic full-corpus cell structure — the day-0
+    * quantizer trains on 14 of 16 cells' vectors, so the arriving
+    * two-cell slice piles into few cells of the stale quantizer,
+    * exactly the skew the PSI monitor watches for. Retrain trains on
+    * and re-encodes the full corpus, so the post-retrain serve must
+    * equal a from-scratch full build — q_ann_ivf's oracle hash-gates
+    * the whole ingest→drift→detect→retrain→serve cycle.
+    */
+  def streamAnnRetrainFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Similarity
+    import graft.functions.IvfFunctions.ivf_cells
+    val stage = newStage()
+    val storeDir = stage.resolve("store").toString
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val fullCents = Similarity.ivfCentroids(e, 16)
+    val driftCell = element_at(ivf_cells(col("embedding"), fullCents, 1), 1)
+    val seen = e.filter(driftCell >= 2)
+    val fresh = e.filter(driftCell < 2)
+    try withStatePartitions(s, 4) {
+      // day-0 build: quantizer trained on `seen` only — the stale
+      // state a drifted ingest leaves behind
+      graft.io.IndexStore.writeAnnIndexes(seen, storeDir)
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.io.IndexStore.appendAnnIndexes(batch, storeDir)
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      // the maintenance slot: the PSI monitor must CALL for the
+      // retrain (the drifted slice against the stale quantizer's
+      // occupancy), and only then does the executor run — over the
+      // corpus SOURCE, never the store's own tables
+      val due = graft.io.IndexStore.maintenanceDue(s, storeDir,
+          freshVectors = Some(fresh))
+        .filter(col("action") === "retrain_quantizer" && col("due"))
+        .count()
+      require(due == 1L,
+        "streamAnnRetrain: the drifted slice must trip the PSI signal")
+      graft.io.IndexStore.retrainAnnIndexes(e, storeDir)
+
+      Similarity.ivfTopKFromIndex(
+          graft.io.IndexStore.readIvfAssigned(s, storeDir),
+          graft.io.IndexStore.readAnnCentroids(s, storeDir),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+        .localCheckpoint() // materialize before the stage dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING DRIFT MONITOR under the gate: a REAL
     * [[Streaming.runningHistogram]] run (update-mode streaming
     * aggregation, state = the histogram) over the fresh slice's

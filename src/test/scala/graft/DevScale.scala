@@ -52,6 +52,8 @@ object DevScale {
     case "tripletsAB" :: sfDir :: rest =>
       tripletsAB(sfDir, rest.headOption.map(_.toInt).getOrElse(16),
         rest.lift(1).map(_.toInt).getOrElse(2))
+    case "semdedupAB" :: sfDir :: rest =>
+      semdedupAB(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -282,6 +284,44 @@ object DevScale {
         nProbe = nProbe).count()
       println(f"[scale] $sfDir tripletsAB cells=$nCells probe=$nProbe run$i: " +
         f"${(System.nanoTime() - t1) / 1e9}%.2f s ($n triplets, " +
+        f"build $tBuild%.2f s)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    spark.stop()
+  }
+
+  /** In-plan vs persisted-store A/B for SemDeDup: builds the ANN
+    * store once (the nightly artifact), then times
+    * `semDedupSurvivors` (centroid collect + nCells-dots-per-row
+    * encode per run) against `semDedupFromIndex` (stored cells, one
+    * broadcast-join dot per row) at the same cell count —
+    * `nCells = 0` sizes with ivfCellsFor, the default both faces
+    * would run at scale.
+    */
+  private def semdedupAB(sfDir: String, nCells0: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-semdedupab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, sfDir, "embeddings")
+    val nCells =
+      if (nCells0 > 0) nCells0
+      else graft.ext.Similarity.ivfCellsFor(e.count())
+    val dir = java.nio.file.Files.createTempDirectory(s"sdab$nCells").toString
+    val t0 = System.nanoTime()
+    graft.io.IndexStore.writeAnnIndexes(e, dir, nCells = nCells)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    (1 to 2).foreach { i =>
+      val t1 = System.nanoTime()
+      val nIn = graft.ext.Similarity.semDedupSurvivors(e, nCells).count()
+      val tIn = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val nIdx = graft.ext.Similarity.semDedupFromIndex(
+        graft.io.IndexStore.readIvfAssigned(spark, dir),
+        graft.io.IndexStore.readAnnCentroids(spark, dir)).count()
+      val tIdx = (System.nanoTime() - t2) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] $sfDir semdedupAB cells=$nCells run$i: " +
+        f"inplan=$tIn%.2f s ($nIn) fromindex=$tIdx%.2f s ($nIdx, " +
         f"build $tBuild%.2f s)")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -48,10 +48,12 @@ class PlanGuardSpec extends SparkSpec {
     * - q_zorder_cells / q_zorder_prune: crossJoin(broadcast(stats))
     *   against ONE-ROW min/max aggregates (the ship-the-stats shape
     *   again) — the cell assignment itself is row-local.
-    * - q_ann_recall: its exact side IS bruteForceTopK (the allowlisted
-    *   non-equi dense scan — recall is measured AGAINST the exact
-    *   baseline by definition); the recall join itself is a
-    *   top-k-sized left-semi equi-join.
+    * - q_ann_recall / q_ann_recall_rerank: their exact side IS
+    *   bruteForceTopK (the allowlisted non-equi dense scan — recall
+    *   is measured AGAINST the exact baseline by definition); the
+    *   recall join itself is a top-k-sized left-semi equi-join, and
+    *   the rerank face's approximate side is the DPP-pruned
+    *   three-stage store serve (all equi-joins).
     * - q_pmi / q_quality_nb: the same ship-the-stats shape — PMI's
     *   n_tok/n_pairs totals and NB's t1/t0/v smoothing constants ride
     *   a crossJoin(broadcast(one-row agg)) onto vocab-sized frames.
@@ -63,7 +65,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb",
-      "q_ann_recall")
+      "q_ann_recall", "q_ann_recall_rerank")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

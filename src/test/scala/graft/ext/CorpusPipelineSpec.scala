@@ -115,4 +115,66 @@ class CorpusPipelineSpec extends SparkSpec {
     minId.keySet.size shouldBe 2
     ranked.keySet.size shouldBe 2
   }
+
+  // a second/third long-en text sharing no 3-shingles with `base`, so
+  // the text stages never pair them — the semantic fixtures below
+  // need survivors that only EMBEDDING space can link
+  private val house = "the house and the garden of the family is near " +
+    "the river and the path to the village leads through the forest " +
+    "to the bridge and the mill at the edge of the town where the " +
+    "market is held in the square for the people of the region to " +
+    "trade and the goods are sold in the stalls along the main street " +
+    "of the town during the morning hours of the market day there"
+  private val lake = "the water of the lake and the stone of the hill " +
+    "are part of the landscape and the birds of the valley fly over " +
+    "the fields to the nest in the tall tree by the old farm where " +
+    "the horses of the owner graze in the meadow during the long days " +
+    "of the summer and the workers of the farm gather the harvest for " +
+    "the winter in the barn beside the stable near the gate of the yard"
+
+  test("semantic stage: embedding-space duplicates that pass every " +
+      "text stage are dropped; docs without a vector always survive") {
+    val docs = Seq((1L, base), (6L, house), (8L, lake))
+      .toDF("doc_id", "text")
+    // docs 1 and 8 are PARAPHRASES: zero shared shingles (every text
+    // stage keeps both) but identical embeddings; doc 6 has no vector
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (8L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def ids(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val without = ids(CorpusPipeline.prepare(docs, "doc_id", "text",
+      Seq("en"), 0.5))
+    without shouldBe Set(1L, 6L, 8L)
+    val withSem = CorpusPipeline.prepare(docs, "doc_id", "text",
+      Seq("en"), 0.5, semanticVectors = Some(vecs))
+    // identical vectors tie on centroid-cosine → the lower id
+    // survives the clump; the vectorless doc is never judged
+    ids(withSem) shouldBe Set(1L, 6L)
+    // survivor attrs/split are stage-order invariant: the semantic
+    // stage only removes rows, never rewrites them
+    withSem.filter(col("doc_id") === 1L).head().toSeq shouldBe
+      CorpusPipeline.prepare(docs, "doc_id", "text", Seq("en"), 0.5)
+        .filter(col("doc_id") === 1L).head().toSeq
+  }
+
+  test("funnel gains the semantic_dedup row when the stage is " +
+      "configured; counts stay monotone and match prepare") {
+    val docs = Seq((1L, base), (6L, house), (8L, lake))
+      .toDF("doc_id", "text")
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (8L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val plain = CorpusPipeline.prepareFunnel(docs, "doc_id", "text",
+      Seq("en"), 0.5).collect()
+    plain.length shouldBe 5 // no stage row without the opt-in
+    val fun = CorpusPipeline.prepareFunnel(docs, "doc_id", "text",
+        Seq("en"), 0.5, semanticVectors = Some(vecs))
+      .orderBy("stage_order").collect()
+    fun.length shouldBe 6
+    fun.last.getString(0) shouldBe "semantic_dedup"
+    val docCounts = fun.map(_.getLong(2)).toSeq
+    docCounts shouldBe docCounts.sorted.reverse // monotone funnel
+    // the last stage row counts exactly what prepare ships
+    fun.last.getLong(2) shouldBe CorpusPipeline.prepare(docs, "doc_id",
+      "text", Seq("en"), 0.5, semanticVectors = Some(vecs)).count()
+  }
 }

@@ -539,8 +539,10 @@ class SimilaritySpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     surv.size.toLong should be <= all
     // independent replay of the clump structure: within-cell pairs at
-    // the same tau off the same deterministic quantizer
-    val cents = Similarity.ivfCentroids(e, 16)
+    // the same tau off the same deterministic quantizer — sized
+    // exactly as the default path sizes it (ivfCellsFor over the
+    // corpus count), which pins the auto-sizing contract
+    val cents = Similarity.ivfCentroids(e, Similarity.ivfCellsFor(all))
     import graft.functions.IvfFunctions.ivf_cells
     val c = Similarity.withNorm(
         e.select(col("vec_id").as("id"), col("embedding").as("vec")))
@@ -561,6 +563,46 @@ class SimilaritySpec extends SparkSpec {
     (inClump intersect surv).nonEmpty shouldBe true
     // and dedup actually fired: some clump member was dropped
     (inClump -- surv).nonEmpty shouldBe true
+  }
+
+  test("semDedupFromIndex: served survivors ≡ in-plan survivors over " +
+      "the same corpus, and the serve never re-encodes") {
+    import graft.io.IndexStore
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    try {
+      IndexStore.writeAnnIndexes(e, dir)
+      val served = Similarity.semDedupFromIndex(
+        IndexStore.readIvfAssigned(spark, dir),
+        IndexStore.readAnnCentroids(spark, dir))
+      val inPlan = Similarity.semDedupSurvivors(e, nCells = 16)
+      rowSet(served) shouldBe rowSet(inPlan)
+      // the point of the persisted face: no IvfCells encode pass in
+      // the plan — cells come from the store, the centroid-cosine
+      // from a broadcast join against the stored quantizer
+      val plan = served.queryExecution.executedPlan.toString
+      plan.toLowerCase should not include "ivf_cells"
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir))
+    }
+  }
+
+  test("recallAtK: denominator is the exact side's own row count — " +
+      "short exact lists can still reach recall 1.0") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+        (2L, 1, 20L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+        (2L, 1, 99L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val out = Similarity.recallAtK(exact, approx)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // query 1: 3-of-3 exact rows matched → 1.0 (a k=5 divisor would
+    // cap this at 0.6 forever); query 2: 0-of-1 → 0.0
+    out shouldBe Array((1L, 3L, 1.0), (2L, 0L, 0.0))
   }
 
   test("ivfCellsFor: sqrt growth between the floor and the broadcast cap") {
