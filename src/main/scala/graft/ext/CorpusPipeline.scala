@@ -133,8 +133,14 @@ object CorpusPipeline {
     // pick is hash-deterministic over the survivor set, so the whole
     // stage replays in the oracle.
     val semanticReps = semanticVectors.map { vecs =>
+      // cached: the survivor-restricted embedding frame feeds the
+      // auto-sizing count, the centroid pick, the assignment pass,
+      // AND the loser anti-join — uncached, each would re-run the
+      // embeddings scan + survivor semi-join (same lineage-backed
+      // LRU discipline as the collapse caches)
       val repVecs = vecs.select(col(vecIdCol).as("id"), col(vecCol))
         .join(reps, Seq("id"), "left_semi")
+        .cache()
       val semSurv = Similarity.semDedupSurvivors(repVecs, semanticCells,
         semanticTau, "id", vecCol).select("id")
       val semLosers = repVecs.select("id")

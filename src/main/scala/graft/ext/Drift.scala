@@ -45,8 +45,15 @@ object Drift {
       .na.fill(0L, Seq("cnt_ref", "cnt_cur"))
       .withColumn("t_ref", sum(col("cnt_ref")).over(w))
       .withColumn("t_cur", sum(col("cnt_cur")).over(w))
-    val pRef = col("cnt_ref").cast("double") / col("t_ref")
-    val pCur = col("cnt_cur").cast("double") / col("t_cur")
+    // zero-total guard: an EMPTY side (e.g. an empty fresh batch fed
+    // to the ANN drift monitor) has no defined shares — null, not an
+    // ANSI DIVIDE_BY_ZERO that kills the planner; with any rows on
+    // the side the expression is the plain division the SQL oracles
+    // replay, bit-identical
+    val pRef = when(col("t_ref") > 0,
+      col("cnt_ref").cast("double") / col("t_ref"))
+    val pCur = when(col("t_cur") > 0,
+      col("cnt_cur").cast("double") / col("t_cur"))
     val term = (pRef - pCur) *
       log(greatest(pRef, lit(Eps)) / greatest(pCur, lit(Eps)))
     joined.select(col(keyCol), col("cnt_ref"), col("cnt_cur"),

@@ -223,12 +223,23 @@ object Similarity {
     import spark.implicits._
     val centsDf = cents.zipWithIndex.map { case (v, cid) => (cid, v.toSeq) }
       .toSeq.toDF("cell", "cvec")
+    // LEFT join + fail-loud: an inner join would silently DROP every
+    // row whose stored cell has no centroid — the mixed-artifacts
+    // state a read racing a retrain swap (or hand-mixed store dirs)
+    // produces — and silent row loss is the one failure a dedup
+    // stage must never have. The error is raised per offending row
+    // at evaluation, costing no extra scan on the happy path.
     val c = assigned
       .select(col("id"), col("cell").cast("int").as("cell"),
         col("vec"), col("norm"))
-      .join(broadcast(centsDf), Seq("cell"))
+      .join(broadcast(centsDf), Seq("cell"), "left")
       .withColumn("ccos",
-        when(col("norm") =!= 0.0, dot(col("vec"), col("cvec")) / col("norm")))
+        when(col("cvec").isNull, raise_error(concat(
+          lit("semDedupFromIndex: stored cell "), col("cell").cast("string"),
+          lit(" has no centroid — the inverted file and quantizer are " +
+            "from different builds"))))
+        .otherwise(
+          when(col("norm") =!= 0.0, dot(col("vec"), col("cvec")) / col("norm"))))
     semDedupTail(c.select("id", "cell", "vec", "norm", "ccos"), tau)
   }
 
@@ -236,10 +247,14 @@ object Similarity {
     * pairs at `tau`, the farthest-from-centroid drop rule, and the
     * survivor anti-join, over one cached assignment frame. The cache
     * feeds both sides of the self-join AND the final anti-join
-    * (uncached, the assignment would recompute 3×); the survivors are
-    * materialized via `localCheckpoint` so the cache can be released
-    * before returning — repeated calls in a long session must not
-    * accumulate cached partitions until LRU eviction.
+    * (uncached, the assignment would recompute 3×). Deliberately a
+    * lazy, lineage-backed `cache()` with no unpersist: an eager
+    * `localCheckpoint` (tried in round 14) truncates lineage — lost
+    * executor blocks then permanently break every downstream
+    * consumer instead of recomputing — and hides the real plan from
+    * the plan-guard pins; the cache is reclaimed by session LRU like
+    * the dedup collapse caches, the documented trade for repeated
+    * calls in one session.
     */
   private def semDedupTail(assigned: DataFrame, tau: Double): DataFrame = {
     val slim = assigned.cache()
@@ -253,11 +268,8 @@ object Similarity {
       .filter(col("b.ccos") < col("a.ccos") ||
         (col("b.ccos") === col("a.ccos") && col("b.id") < col("a.id")))
       .select(col("a.id").as("id")).distinct()
-    val out = slim.join(dropped, Seq("id"), "left_anti")
+    slim.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cell"), round(col("ccos"), 6).as("centroid_cos"))
-      .localCheckpoint()
-    slim.unpersist()
-    out
   }
 
   /** Recall@k of an approximate top-k result against the exact one —

@@ -1324,8 +1324,12 @@ object IndexStore {
         // compaction it gates.
         dupRatio(IvfAssignedTable)
         freshVectors.foreach { f =>
+          // coalesce: an EMPTY fresh batch yields an all-null PSI
+          // frame (p_cur = x/0) whose sum is null — no evidence of
+          // drift reads as 0.0 / not-due, never as an opaque NPE
           val psi = annCellDrift(spark, dir, f)
-            .agg(sum(abs(col("psi_term")))).head().getDouble(0)
+            .agg(coalesce(sum(abs(col("psi_term"))), lit(0.0)))
+            .head().getDouble(0)
           rows += (("retrain_quantizer", "sum_abs_psi", psi, psiBar,
             psi > psiBar))
         }

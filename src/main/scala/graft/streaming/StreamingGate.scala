@@ -1528,7 +1528,9 @@ object StreamingGate {
         .filter(col("action") === "retrain_quantizer" && col("due"))
         .count()
       require(due == 1L,
-        "streamAnnRetrain: the drifted slice must trip the PSI signal")
+        "streamAnnRetrain: the drifted slice must trip the PSI signal " +
+          "(an empty or in-distribution fresh slice reads PSI ~0 and " +
+          "correctly does NOT earn a retrain)")
       graft.io.IndexStore.retrainAnnIndexes(e, storeDir)
 
       Similarity.ivfTopKFromIndex(

@@ -583,6 +583,12 @@ class SimilaritySpec extends SparkSpec {
       // from a broadcast join against the stored quantizer
       val plan = served.queryExecution.executedPlan.toString
       plan.toLowerCase should not include "ivf_cells"
+      // mixed artifacts fail LOUD, never silently drop rows: a
+      // quantizer from a different (smaller) build leaves stored
+      // cells uncovered, and a dedup stage must not lose documents
+      an[Exception] should be thrownBy Similarity.semDedupFromIndex(
+        IndexStore.readIvfAssigned(spark, dir),
+        IndexStore.readAnnCentroids(spark, dir).take(8)).count()
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir))

@@ -741,6 +741,11 @@ class IndexStoreSpec extends SparkSpec {
       s"dup_ratio:${IndexStore.IvfAssignedTable}") shouldBe ((0.0, false))
     row(IndexStore.maintenanceDue(spark, ann, freshVectors = Some(e)),
       "retrain_quantizer")._2 shouldBe false // identical distribution: PSI ~ 0
+    // an EMPTY fresh batch is "no evidence", not an error: PSI reads
+    // 0.0 and the retrain is not due (the agg's null-sum guard)
+    row(IndexStore.maintenanceDue(spark, ann,
+        freshVectors = Some(e.filter(col("vec_id") < 0))),
+      "retrain_quantizer") shouldBe ((0.0, false))
     val one = e.filter(col("vec_id") === 0)
     val flood = (1 to 6).map(_ => one).reduce(_ union _)
     row(IndexStore.maintenanceDue(spark, ann, freshVectors = Some(flood)),
