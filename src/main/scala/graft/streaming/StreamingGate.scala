@@ -1464,34 +1464,41 @@ object StreamingGate {
   /** STREAMING ANN RETRAIN under the gate — the drift loop's OTHER
     * remedy run live, completing [[streamAnnMaintenanceFromFiles]]
     * (whose planner only ever fires the compaction): a store built
-    * with a quantizer that never saw part of the distribution takes a
-    * DRIFTED ingest — the held-out slice arrives as real micro-batches
-    * and is appended against the frozen stale quantizer — and after
-    * the stream drains, [[graft.io.IndexStore.maintenanceDue]]'s
-    * `retrain_quantizer` occupancy-PSI signal must FIRE (the gate
-    * requires it — the expensive action executes from the planner's
-    * verdict, never unconditionally; an in-distribution slice staying
-    * below the bar is pinned in IndexStoreSpec) before the slot runs
+    * before a REGIME CHANGE takes the drifted ingest — a new source's
+    * embeddings shifted +3.0 per component, the clustered-new-mass
+    * shape IndexStoreSpec's retrain fixture validates, arriving as
+    * real micro-batches appended against the frozen stale quantizer —
+    * and after the stream drains,
+    * [[graft.io.IndexStore.maintenanceDue]]'s `retrain_quantizer`
+    * occupancy-PSI signal must FIRE (the gate requires it — the
+    * expensive action executes from the planner's verdict, never
+    * unconditionally; an in-distribution slice staying below the bar
+    * is pinned in IndexStoreSpec) before the slot runs
     * [[graft.io.IndexStore.retrainAnnIndexes]] over the CURRENT
-    * corpus and serves. Drift construction: the corpus is partitioned
-    * by its own deterministic full-corpus cell structure — the day-0
-    * quantizer trains on 14 of 16 cells' vectors, so the arriving
-    * two-cell slice piles into few cells of the stale quantizer,
-    * exactly the skew the PSI monitor watches for. Retrain trains on
-    * and re-encodes the full corpus, so the post-retrain serve must
-    * equal a from-scratch full build — q_ann_ivf's oracle hash-gates
-    * the whole ingest→drift→detect→retrain→serve cycle.
+    * corpus and serves. The shift points every drifted vector near
+    * the all-ones diagonal, so they crowd the stale quantizer's few
+    * diagonal-most cells — the occupancy skew the monitor watches
+    * for, at ANY corpus size (a held-out-region construction was
+    * tried first and its PSI faded below the 0.25 bar as the flat
+    * corpus grew — measured in SCALE.md). The shift is double-add +
+    * cast-to-float, so the DuckDB oracle replays the drifted corpus
+    * bit-exactly: the full IVF replay over
+    * seen ∪ shifted hash-tail hash-gates the whole
+    * ingest→drift→detect→retrain→serve cycle.
     */
   def streamAnnRetrainFromFiles(s: SparkSession, dir: String): DataFrame = {
-    import graft.ext.Similarity
-    import graft.functions.IvfFunctions.ivf_cells
+    import graft.ext.{Similarity, TrainingData}
     val stage = newStage()
     val storeDir = stage.resolve("store").toString
-    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-    val fullCents = Similarity.ivfCentroids(e, 16)
-    val driftCell = element_at(ivf_cells(col("embedding"), fullCents, 1), 1)
-    val seen = e.filter(driftCell >= 2)
-    val fresh = e.filter(driftCell < 2)
+    val bucket = TrainingData.splitBucket(col("vec_id"), 1000)
+    val shifted = transform(col("embedding"),
+      x => (x.cast("double") + lit(3.0)).cast("float"))
+    val corpus = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        when(bucket >= 800, shifted).otherwise(col("embedding"))
+          .as("embedding"))
+    val seen = corpus.filter(bucket < 800)
+    val fresh = corpus.filter(bucket >= 800)
     try withStatePartitions(s, 4) {
       // day-0 build: quantizer trained on `seen` only — the stale
       // state a drifted ingest leaves behind
@@ -1531,12 +1538,12 @@ object StreamingGate {
         "streamAnnRetrain: the drifted slice must trip the PSI signal " +
           "(an empty or in-distribution fresh slice reads PSI ~0 and " +
           "correctly does NOT earn a retrain)")
-      graft.io.IndexStore.retrainAnnIndexes(e, storeDir)
+      graft.io.IndexStore.retrainAnnIndexes(corpus, storeDir)
 
       Similarity.ivfTopKFromIndex(
           graft.io.IndexStore.readIvfAssigned(s, storeDir),
           graft.io.IndexStore.readAnnCentroids(s, storeDir),
-          e.filter(col("vec_id") < 10), k = 5, nProbe = 2)
+          corpus.filter(col("vec_id") < 10), k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
         .localCheckpoint() // materialize before the stage dir is deleted
     } finally {

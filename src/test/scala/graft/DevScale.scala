@@ -54,6 +54,7 @@ object DevScale {
         rest.lift(1).map(_.toInt).getOrElse(2))
     case "semdedupAB" :: sfDir :: rest =>
       semdedupAB(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
+    case "retrainPsi" :: sfDir :: Nil => retrainPsi(sfDir)
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -287,6 +288,38 @@ object DevScale {
         f"build $tBuild%.2f s)")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    spark.stop()
+  }
+
+  /** Dev probe for the streaming-retrain gate's drift construction:
+    * for each held-out cell count k, report the fresh fraction and
+    * the occupancy PSI the planner would read (fresh slice assigned
+    * under a quantizer trained without cells < k, vs the post-append
+    * store occupancy) — picks a k whose signal clears 0.25 at every
+    * SF rather than tuning on one.
+    */
+  private def retrainPsi(sfDir: String): Unit = {
+    import graft.ext.Similarity
+    import graft.functions.IvfFunctions.ivf_cells
+    val spark = GraftSession.local(32, "graft-dev-retrain-psi")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    val fullCents = Similarity.ivfCentroids(e, 16)
+    val driftCell = element_at(ivf_cells(col("embedding"), fullCents, 1), 1)
+    (1 to 5).foreach { k =>
+      val seen = e.filter(driftCell >= k)
+      val fresh = e.filter(driftCell < k)
+      val nf = fresh.count()
+      val dir = java.nio.file.Files.createTempDirectory(s"rpsi$k").toString
+      graft.io.IndexStore.writeAnnIndexes(seen, dir)
+      graft.io.IndexStore.appendAnnIndexes(fresh, dir)
+      val psi = graft.io.IndexStore.annCellDrift(spark, dir, fresh)
+        .agg(coalesce(sum(abs(col("psi_term"))), lit(0.0)))
+        .head().getDouble(0)
+      println(f"[scale] $sfDir retrainPsi heldout<$k: fresh=$nf/$n psi=$psi%.3f")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     spark.stop()
   }
 
