@@ -1782,6 +1782,95 @@ object Dedup {
         size(filter(sequence(lit(0), size(ws) - 1), coveredAt)).as("n_dropped"))
   }
 
+  /** The canonical paragraph split every paragraph-granularity
+    * consumer shares — the batch dedup, the persisted hash store
+    * ([[graft.io.IndexStore]]'s `paragraph_hashes`), and the
+    * streaming gate must agree on what a "paragraph" IS, or the
+    * anti-join stops matching the index it was built from: `sep` as
+    * a LITERAL boundary (regex-quoted for the split), position
+    * preserved, blank/whitespace-only paragraphs dropped (they would
+    * otherwise all collapse onto one global "winner"). Returns
+    * (id, idx, para).
+    */
+  def paragraphRows(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("id", "idx", "para")
+      .filter(length(trim(col("para"))) > 0)
+
+  /** Row-local non-blank paragraph count under the same split rule —
+    * per-document totals without a second explode+shuffle pass.
+    */
+  def paragraphCount(text: Column, sep: String = "\n\n"): Column =
+    size(filter(split(text, java.util.regex.Pattern.quote(sep)),
+      p => length(trim(p)) > 0))
+
+  /** Reassemble (id, idx, para) survivors into one document per id,
+    * original paragraph order: (id, clean_text, n_kept).
+    */
+  def reassembleParagraphs(kept: DataFrame, sep: String = "\n\n"): DataFrame =
+    kept.groupBy("id")
+      .agg(
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x("para"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+
+  /** Paragraph-level exact dedup with document reassembly — the
+    * Dolma / RefinedWeb paragraph pass: the repeated unit on the web
+    * is usually a PARAGRAPH (boilerplate footers, license blocks,
+    * syndicated blurbs) lifted into otherwise-distinct documents, so
+    * whole-document dedup never fires on it, and the substring
+    * machinery ([[winnowedSpanHashIndex]]) pays a stride-position
+    * index that the fixed `sep` boundary makes unnecessary. Every
+    * distinct paragraph keeps exactly its globally FIRST occurrence —
+    * min (doc, position), deterministic on any layout — and loses
+    * every other one, within-document repeats included (the Gopher
+    * duplicate-paragraph signal, acted on rather than just scored);
+    * each document is then reassembled from its surviving paragraphs
+    * in original order. Returns one row per document that has at
+    * least one non-blank paragraph: (idCol, clean_text, n_paras,
+    * n_kept) — a fully-deduplicated document stays in the output
+    * with clean_text = "" and n_kept = 0 so the caller decides its
+    * fate.
+    *
+    * Scale shape: the paragraph text rides exactly two shuffles. The
+    * winner pick is a map-side-combinable min-struct groupBy on the
+    * paragraph's 128-bit digest — a boilerplate paragraph present in
+    * 10⁸ documents combines to one row per map task instead of
+    * piling its occurrences onto one window partition (the
+    * [[exactDedup]] hot-digest discipline); the winning paragraph's
+    * text rides the combined shuffle because it IS the output, and
+    * the winners ARE the kept rows (no winner-to-paragraph join
+    * back). Reassembly is the one per-document shuffle any
+    * paragraph-granularity rewrite must pay. Per-document totals are
+    * a ROW-LOCAL [[paragraphCount]] projection of the original frame
+    * — the corpus is scanned a second time but never re-exploded or
+    * re-shuffled — joined to the rebuilt docs on id (doc-count
+    * narrow rows, the n_kept = 0 outer half).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = paragraphRows(df, idCol, textCol, sep)
+    // ids are unique per (id, idx), so `para` never decides the min —
+    // it rides the struct to come back out with its winner
+    val winners = paras
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"))
+      .select(col("w.id").as("id"), col("w.idx").as("idx"),
+        col("w.para").as("para"))
+    val rebuilt = reassembleParagraphs(winners, sep)
+    df.select(col(idCol).as("id"),
+        paragraphCount(col(textCol), sep).cast("long").as("n_paras"))
+      .filter(col("n_paras") > 0)
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
     * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
     * route through [[Similarity]]'s LSH bucketing first.

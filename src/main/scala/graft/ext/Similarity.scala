@@ -272,6 +272,61 @@ object Similarity {
       .select(col("id"), col("cell"), round(col("ccos"), 6).as("centroid_cos"))
   }
 
+  /** SSL-prototype pruning — the diversification half of D4
+    * (Sorscher et al. 2022, "Beyond neural scaling laws: beating
+    * power law scaling via data pruning"; Tirumala et al. 2023, "D4:
+    * Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): after SemDeDup removes semantic duplicates,
+    * each cluster still over-represents its PROTOTYPES — the generic
+    * center-of-mass documents that add the least marginal signal per
+    * token when data is abundant — so D4 drops the most-prototypical
+    * `dropPermille`/1000 of every cell (highest centroid-cosine
+    * first) and keeps the diverse tail. `asgn` is any (id, cell,
+    * centroid_cos) frame — [[semDedupSurvivors]] and
+    * [[semDedupFromIndex]] output feed it directly, so the
+    * persisted-store serve composes for free.
+    *
+    * Deterministic: rank by (centroid_cos desc, id asc) — ids are
+    * unique, a total order — and the cut is integer permille
+    * arithmetic (`n·dropPermille div 1000`), so both engines compute
+    * the same drop set on any layout; a 1-member cell never drops
+    * (its cut is 0 for dropPermille < 1000). Null centroid-cosines
+    * (zero-norm vectors) are never ranked and always survive, the
+    * [[semDedupSurvivors]] convention.
+    *
+    * Scale shape: one window over `cell` partitions whose size the
+    * [[ivfCellsFor]] occupancy contract bounds at ≈√n — the budget
+    * the SemDeDup self-join already spends — over three narrow
+    * columns; no text or vectors move.
+    */
+  def prototypePrune(asgn: DataFrame, dropPermille: Int = 250): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropPermille >= 0 && dropPermille < 1000,
+      s"dropPermille must be in [0, 1000): $dropPermille")
+    val byCell = Window.partitionBy("cell")
+    val ranked = asgn.filter(col("centroid_cos").isNotNull)
+      .withColumn("rk", row_number().over(
+        byCell.orderBy(col("centroid_cos").desc, col("id").asc)))
+      .withColumn("cn", count(lit(1)).over(byCell))
+    ranked.filter(col("rk") > expr(s"cn * $dropPermille div 1000"))
+      .select("id", "cell", "centroid_cos")
+      .unionByName(asgn.filter(col("centroid_cos").isNull)
+        .select("id", "cell", "centroid_cos"))
+  }
+
+  /** The full D4 pipeline over a raw embedding corpus: SemDeDup
+    * (duplicate clumps collapse to their centroid-farthest member),
+    * then [[prototypePrune]] over the survivors' own cell assignment
+    * — one assignment pass feeds both stages. See the papers cited
+    * on [[prototypePrune]]; serve from the persisted store at scale
+    * by composing `prototypePrune(semDedupFromIndex(...))` instead.
+    */
+  def d4Survivors(corpus: DataFrame, nCells: Int = 0, tau: Double = 0.45,
+      dropPermille: Int = 250, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    prototypePrune(semDedupSurvivors(corpus, nCells, tau, idCol, vecCol),
+      dropPermille)
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the QA face of the approximation ladder: every ANN serve
     * (LSH/IVF/PQ and their persisted twins) trades recall for bytes,

@@ -878,6 +878,52 @@ object IndexStore {
         manifestExtra = fingerprintField(media.sparkSession, corpusDir))
     }
 
+  val ParagraphHashTable = "paragraph_hashes"
+
+  /** Persist the corpus's distinct paragraph-hash set — the
+    * paragraph-granularity admission artifact (the static side of the
+    * Dolma/RefinedWeb paragraph pass, [[graft.ext.Dedup.paragraphDedup]]'s
+    * streaming counterpart): one 60-bit hash per distinct non-blank
+    * paragraph (split on `sep`), pre-distinct'd so the serving gate's
+    * static side is a thin scan of 8-byte hashes, never a per-run
+    * corpus re-split — the `span_hashes` contract one granularity up.
+    */
+  def writeParagraphIndex(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n\n",
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    paragraphHashRows(corpus, idCol, textCol, sep)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$ParagraphHashTable")
+    writeManifest(corpus.sparkSession, dir, Seq(
+      "kind" -> "\"paragraph\"",
+      "tables" -> s""""$ParagraphHashTable"""") ++ manifestExtra)
+  }
+
+  def readParagraphHashes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$ParagraphHashTable")
+
+  /** Session-scoped build-once memo for the paragraph-hash table —
+    * `corpus` must be a deterministic face of `corpusDir`'s corpus
+    * (the memo keys on the DIRECTORY + variant, the ensure*
+    * convention: each distinct slice needs a distinct variant).
+    */
+  def ensureParagraphIndex(corpus: DataFrame, corpusDir: String,
+      variant: String = "-para"): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, variant, s"para$variant") { dir =>
+      writeParagraphIndex(corpus, dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+    }
+
+  /** One 60-bit hash per distinct non-blank paragraph, under the
+    * canonical [[graft.ext.Dedup.paragraphRows]] split rule the gate
+    * and the batch operator share.
+    */
+  private def paragraphHashRows(corpus: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    graft.ext.Dedup.paragraphRows(corpus, idCol, textCol, sep)
+      .select(graft.ext.TextAnalysis.tokenHash60(col("para")).as("h"))
+      .distinct()
+
   val AudioHashTable = "audio_ahash"
 
   /** The audio twin of [[writeImageIndex]]: one 64-bit aHash per
@@ -980,6 +1026,28 @@ object IndexStore {
 
   def compactAudioIndex(spark: SparkSession, dir: String): Unit =
     compactHashTable(spark, dir, AudioHashTable)
+
+  /** Incremental maintenance for the paragraph store — the
+    * cross-batch state behind [[graft.streaming.Streaming.streamParagraphSurvivors]]:
+    * after a batch is admitted, append ITS paragraph hashes so the
+    * next batch's anti-join sees them. A paragraph hash is row-local
+    * (the easy [[appendImageIndex]] case): append ≡ rebuild-over-union
+    * up to duplicate rows, which a re-appended batch (or a paragraph
+    * two batches both introduced) accumulates until the
+    * distinct-rewrite [[compactParagraphIndex]] reclaims them —
+    * duplicates never change an anti-join verdict, only its bytes.
+    * Re-stamp the corpus fingerprint after appending
+    * ([[recordFingerprint]]) to keep the serve-side freshness check
+    * green without the rebuild the append exists to avoid.
+    */
+  def appendParagraphIndex(batch: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n\n"): Unit =
+    paragraphHashRows(batch, idCol, textCol, sep)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphHashTable")
+
+  def compactParagraphIndex(spark: SparkSession, dir: String): Unit =
+    compactHashTable(spark, dir, ParagraphHashTable)
 
   private def compactHashTable(spark: SparkSession, dir: String,
       table: String): Unit =

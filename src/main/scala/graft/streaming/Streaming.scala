@@ -211,6 +211,31 @@ object Streaming {
       .join(corpusSpans.select("h"), Seq("h"), "left_semi")
       .select(idCol)
 
+  /** Streaming PARAGRAPH admission — the paragraph-granularity rung
+    * of the ingest ladder ([[graft.ext.Dedup.paragraphDedup]]'s
+    * admission form): per micro-batch, each arriving document splits
+    * ROW-LOCALLY into its non-blank paragraphs, each paragraph
+    * hashes, and the ones the corpus already has are removed by a
+    * stream-static LEFT ANTI join against the persisted corpus
+    * paragraph-hash set ([[graft.io.IndexStore.readParagraphHashes]]
+    * — 8 bytes per distinct corpus paragraph, the static side never
+    * re-splits the corpus). Emits the SURVIVING (id, idx, para) rows:
+    * the admitted unit is the paragraph — a doc arriving as pure
+    * already-seen boilerplate contributes nothing — and document
+    * reassembly is a deterministic order-by-idx fold over the
+    * survivors at assembly time. Unlike the batch operator this rung
+    * takes no position in WITHIN-slice duplication (two arriving
+    * docs sharing a NEW paragraph both keep it — cross-batch state
+    * is the store's job, via the append path). Stateless.
+    */
+  def streamParagraphSurvivors(fresh: DataFrame, corpusParas: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n\n"): DataFrame =
+    graft.ext.Dedup.paragraphRows(fresh, idCol, textCol, sep)
+      .withColumn("h", graft.ext.TextAnalysis.tokenHash60(col("para")))
+      .join(corpusParas.select("h"), Seq("h"), "left_anti")
+      .select(col("id").as(idCol), col("idx"), col("para"))
+
   /** Streaming IMAGE admission probe — the pixel-modality rung of the
     * ingest ladder (none of the text/embedding rungs can see a
     * re-encoded duplicate image). Per micro-batch: each arriving

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1245,6 +1245,87 @@ object StreamingGate {
       buf.synchronized { buf.distinct.toSeq }.toDF("doc_id").orderBy("doc_id")
     } finally {
       corpusSpans.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** STREAMING PARAGRAPH ADMISSION under the gate: a REAL
+    * [[Streaming.streamParagraphSurvivors]] run — the
+    * paragraph-granularity rung between the exact-digest and
+    * substring rungs. The derived corpus gives every doc two
+    * paragraphs (its own text + a 3-variant boilerplate footer;
+    * doc_id % 10 == 7 docs are PURE boilerplate — both paragraphs
+    * corpus-known, the fully-stripped case). Fresh docs arrive as
+    * micro-batches, split row-locally, and their already-seen
+    * paragraphs are removed by the stream-static LEFT ANTI join
+    * against the PERSISTED corpus paragraph-hash store
+    * ([[graft.io.IndexStore.ensureParagraphIndex]] — built once per
+    * session+corpus, the gate's static side is a thin 8-byte-hash
+    * scan). After the drain the admitted paragraphs reassemble into
+    * (doc_id, clean_text, n_paras, n_kept) — exactly the batch
+    * formulation the DuckDB oracle replays; a fully-boilerplate doc
+    * stays in the output at n_kept = 0.
+    */
+  def streamAdmitParagraphFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TrainingData
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    def boilerOf(v: Column): Column =
+      concat(lit("subscribe to the graft newsletter variant "), v.cast("string"))
+    val synth = d.select(col("doc_id"),
+      concat_ws("\n\n",
+        when(col("doc_id") % 10 === 7, boilerOf((col("doc_id") + 1) % 3))
+          .otherwise(col("text")),
+        boilerOf(col("doc_id") % 3)).as("text"))
+    val idxDir = graft.io.IndexStore.ensureParagraphIndex(
+      synth.filter(bucket < 500), dir)
+    val corpusParas = graft.io.IndexStore.readParagraphHashes(s, idxDir).cache()
+    try withStatePartitions(s, 4) {
+      val fresh = synth.filter(bucket >= 500 && bucket < 600)
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      val query = Streaming.streamParagraphSurvivors(stream, corpusParas)
+        .writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      val kept = buf.synchronized { buf.toSeq }.toDF("id", "idx", "para")
+      val rebuilt = graft.ext.Dedup.reassembleParagraphs(kept)
+        .withColumnRenamed("id", "doc_id")
+      // per-doc totals ROW-LOCALLY from the same slice under the same
+      // split rule — fully-stripped docs must still emit their row
+      val totals = fresh.select(col("doc_id"),
+          graft.ext.Dedup.paragraphCount(col("text")).cast("long").as("n_paras"))
+        .filter(col("n_paras") > 0)
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    } finally {
+      corpusParas.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }

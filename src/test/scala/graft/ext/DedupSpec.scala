@@ -30,6 +30,26 @@ class DedupSpec extends SparkSpec {
       Set(Seq(3L, "aaa", "x"))
   }
 
+  test("paragraphDedup: first (doc, position) occurrence wins, within-doc " +
+      "repeats stripped, docs rebuilt in order, blank paragraphs dropped") {
+    val df = Seq(
+      (1L, "alpha\n\nshared\n\nbeta"),          // owns 'shared' first
+      (2L, "gamma\n\nshared\n\ngamma"),         // cross-doc dup + self-repeat
+      (3L, "shared"),                           // fully deduplicated away
+      (4L, "\n\ndelta")                         // leading blank paragraph
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+    rowSet(out) shouldBe Set(
+      Seq(1L, "alpha\n\nshared\n\nbeta", 3L, 3L),
+      Seq(2L, "gamma", 3L, 1L),
+      Seq(3L, "", 1L, 0L),
+      Seq(4L, "delta", 1L, 1L))
+    // a regex-metacharacter separator is treated as a literal
+    val piped = Seq((1L, "a|b"), (2L, "b|c")).toDF("doc_id", "text")
+    rowSet(Dedup.paragraphDedup(piped, "doc_id", "text", sep = "|")) shouldBe
+      Set(Seq(1L, "a|b", 2L, 2L), Seq(2L, "c", 2L, 1L))
+  }
+
   test("normalize: lowercase, punct→space, collapsed whitespace") {
     val df = Seq("  Hello,   WORLD!! 42  ", "already clean").toDF("text")
       .select(TextAnalysis.normalize(col("text")).as("n"))

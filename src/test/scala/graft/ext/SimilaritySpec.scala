@@ -595,6 +595,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prototypePrune: per-cell integer cut drops the most-prototypical " +
+      "first, singles and null-cosine rows always survive") {
+    val asgn = Seq(
+      // cell 0: four ranked members — 250‰ cuts exactly the top one
+      (1L, 0, Some(0.95)), (2L, 0, Some(0.80)),
+      (3L, 0, Some(0.60)), (4L, 0, Some(0.20)),
+      // cell 1: a single member — cut is 0, it survives
+      (5L, 1, Some(0.99)),
+      // zero-norm vector: null cosine, never ranked, always kept
+      (6L, 0, Option.empty[Double])
+    ).toDF("id", "cell", "centroid_cos")
+    val kept = Similarity.prototypePrune(asgn)
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 3L, 4L, 5L, 6L)
+    // dropPermille = 0 is the identity
+    Similarity.prototypePrune(asgn, dropPermille = 0).count() shouldBe 6
+    // ties rank deterministically by id: equal cosines drop the LOWER
+    // rank first = the lower id
+    val tied = Seq((10L, 0, 0.5), (11L, 0, 0.5), (12L, 0, 0.5),
+      (13L, 0, 0.5)).toDF("id", "cell", "centroid_cos")
+    Similarity.prototypePrune(tied)
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(11L, 12L, 13L)
+  }
+
+  test("d4Survivors: a strict subset of semDedupSurvivors with the " +
+      "per-cell permille cut applied to the survivor occupancy") {
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val sd = Similarity.semDedupSurvivors(e, nCells = 16)
+    val d4 = Similarity.d4Survivors(e, nCells = 16)
+    val sdIds = sd.select("id").collect().map(_.getLong(0)).toSet
+    val d4Ids = d4.select("id").collect().map(_.getLong(0)).toSet
+    d4Ids.subsetOf(sdIds) shouldBe true
+    d4Ids.size should be < sdIds.size // the fixture has cells ≥ 4 deep
+    // exact head-count contract per cell: kept = n - n*250 div 1000
+    // over the ranked (non-null) members
+    val byCell = sd.filter(col("centroid_cos").isNotNull)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keptByCell = d4.filter(col("centroid_cos").isNotNull)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byCell.foreach { case (cell, n) =>
+      keptByCell.getOrElse(cell, 0L) shouldBe n - n * 250 / 1000
+    }
+  }
+
   test("recallAtK: denominator is the exact side's own row count — " +
       "short exact lists can still reach recall 1.0") {
     val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),

@@ -407,6 +407,46 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("paragraph index: distinct non-blank paragraph hashes, round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("parastore").toString
+    import spark.implicits._
+    val corpus = Seq(
+        (1L, "alpha\n\nshared"),
+        (2L, "shared\n\nbeta"),   // 'shared' stores ONCE
+        (3L, "  \n\nalpha"))      // blank paragraph never stored
+      .toDF("doc_id", "text")
+    IndexStore.writeParagraphIndex(corpus, dir)
+    val hashes = IndexStore.readParagraphHashes(spark, dir)
+      .collect().map(_.getLong(0)).sorted
+    hashes.length shouldBe 3 // alpha, shared, beta — pre-distinct'd
+    hashes.distinct.length shouldBe 3
+    val want = Seq("alpha", "shared", "beta")
+      .map(graft.functions.TextHashing.hash60).sorted
+    hashes.toSeq shouldBe want
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "paragraph"""")
+
+    // append + compact ≡ rebuild over the union: the cross-batch
+    // state path behind the streaming paragraph gate
+    val batch = Seq((4L, "gamma\n\nshared")).toDF("doc_id", "text")
+    IndexStore.appendParagraphIndex(batch, dir)
+    // duplicates never change an anti-join verdict, only its bytes
+    IndexStore.readParagraphHashes(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (want :+ graft.functions.TextHashing.hash60("shared") :+
+        graft.functions.TextHashing.hash60("gamma")).sorted
+    IndexStore.compactParagraphIndex(spark, dir)
+    val unionDir = java.nio.file.Files.createTempDirectory("parastore2").toString
+    IndexStore.writeParagraphIndex(corpus.unionByName(batch), unionDir)
+    IndexStore.readParagraphHashes(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      IndexStore.readParagraphHashes(spark, unionDir)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(unionDir))
+  }
+
   test("bpe merges: write→read round trip preserves rules and order") {
     val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
     val rules = graft.ext.TextAnalysis.bpeTrainLocal(seen, "text", merges = 12)
