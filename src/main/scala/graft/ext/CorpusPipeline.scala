@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus preparation — the training-data north star as ONE
   * composable call: language gate → quality gate → exact dedup →
   * near-dup (MinHash+LSH) dedup → optional SEMANTIC dedup (SemDeDup
-  * over a doc-aligned embedding frame) → split assignment. Every stage
-  * is an existing gated operator; this is the composition a user of
-  * the engine actually runs before tokenization, and it is itself
-  * oracle-gated end-to-end (q_corpus_prepare replays all five stages
-  * in SQL; q_corpus_prepare_semantic adds the embedding stage).
+  * over a doc-aligned embedding frame) → optional D4 DIVERSIFY
+  * ([[Similarity.prototypePrune]] over the same assignment) → split
+  * assignment. Every stage is an existing gated operator; this is the
+  * composition a user of the engine actually runs before
+  * tokenization, and it is itself oracle-gated end-to-end
+  * (q_corpus_prepare replays all five stages in SQL;
+  * q_corpus_prepare_semantic adds the embedding stage,
+  * q_corpus_prepare_d4 the prune on top).
   *
   * Stage ORDER is the 100 TB design:
   *  1. row-local gates first (lang-ID + quality are zero-shuffle
@@ -74,16 +77,18 @@ object CorpusPipeline {
   /** The pipeline's internal frames: per-rep attributes (id,
     * lang_pred, quality, n_tokens for every exact-dedup winner), the
     * near-dup survivor ids, and — when a semantic stage is configured
-    * — the post-semantic survivor ids.
+    * — the post-semantic survivor ids, plus the post-diversify ids
+    * when the D4 prune is also opted in.
     */
   private final case class Frames(repAttrs: DataFrame, nearReps: DataFrame,
-      semanticReps: Option[DataFrame])
+      semanticReps: Option[DataFrame], diversifiedReps: Option[DataFrame])
 
   private def pipelineFrames(scored: DataFrame, idCol: String,
       textCol: String, allowedLangs: Seq[String], minQuality: Double,
       survivorPolicy: SurvivorPolicy,
       semanticVectors: Option[DataFrame], semanticTau: Double,
-      semanticCells: Int, vecIdCol: String, vecCol: String): Frames = {
+      semanticCells: Int, diversifyPermille: Int,
+      vecIdCol: String, vecCol: String): Frames = {
     // stage 1: row-local gates (no shuffle) — the survivor attributes
     // (lang, quality, token count) are ALSO row-local, computed in the
     // shared scoring pass and carried through the collapse join rather
@@ -132,7 +137,7 @@ object CorpusPipeline {
     // runs over the smallest frame of the pipeline, and the centroid
     // pick is hash-deterministic over the survivor set, so the whole
     // stage replays in the oracle.
-    val semanticReps = semanticVectors.map { vecs =>
+    val semanticFrames = semanticVectors.map { vecs =>
       // cached: the survivor-restricted embedding frame feeds the
       // auto-sizing count, the centroid pick, the assignment pass,
       // AND the loser anti-join — uncached, each would re-run the
@@ -141,13 +146,28 @@ object CorpusPipeline {
       val repVecs = vecs.select(col(vecIdCol).as("id"), col(vecCol))
         .join(reps, Seq("id"), "left_semi")
         .cache()
-      val semSurv = Similarity.semDedupSurvivors(repVecs, semanticCells,
-        semanticTau, "id", vecCol).select("id")
-      val semLosers = repVecs.select("id")
-        .join(semSurv, Seq("id"), "left_anti")
-      reps.join(semLosers, Seq("id"), "left_anti")
+      val semFull = Similarity.semDedupSurvivors(repVecs, semanticCells,
+        semanticTau, "id", vecCol)
+      def minusVecLosers(keptVecIds: DataFrame): DataFrame =
+        reps.join(
+          repVecs.select("id").join(keptVecIds, Seq("id"), "left_anti"),
+          Seq("id"), "left_anti")
+      // stage 4b (opt-in on top of 4): D4 prototype pruning
+      // ([[Similarity.prototypePrune]]) over the SAME survivor
+      // assignment SemDeDup just produced — the clumps collapsed,
+      // now each cell sheds its most-prototypical permille; the
+      // shared semDedup tail cache means the prune re-reads the
+      // assignment, never re-encodes
+      val diversified =
+        if (diversifyPermille > 0)
+          Some(minusVecLosers(
+            Similarity.prototypePrune(semFull, diversifyPermille)
+              .select("id")))
+        else None
+      (minusVecLosers(semFull.select("id")), diversified)
     }
-    Frames(collapse.repAttrs.get, reps, semanticReps)
+    Frames(collapse.repAttrs.get, reps,
+      semanticFrames.map(_._1), semanticFrames.flatMap(_._2))
   }
 
   /** Prepare `df` for training: returns one row per SURVIVING document
@@ -155,18 +175,28 @@ object CorpusPipeline {
     * `semanticVectors` (doc-aligned `(vecIdCol, vecCol)` rows) opts in
     * the embedding-space dedup stage; `semanticCells = 0` sizes cells
     * with [[Similarity.ivfCellsFor]], an explicit count pins a layout.
+    * `diversifyPermille > 0` opts in the D4 prototype prune on top of
+    * the semantic stage (each cell sheds its most-prototypical
+    * permille of the SemDeDup survivors — requires `semanticVectors`:
+    * prototypicality is centroid-cosine, there is nothing to rank
+    * without the assignment).
     */
   def prepare(df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double,
       survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId,
       semanticVectors: Option[DataFrame] = None,
       semanticTau: Double = 0.45, semanticCells: Int = 0,
+      diversifyPermille: Int = 0,
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(diversifyPermille == 0 || semanticVectors.nonEmpty,
+      "diversifyPermille needs the semantic stage: pass semanticVectors")
     val f = pipelineFrames(scoredFrame(df, textCol), idCol, textCol,
       allowedLangs, minQuality, survivorPolicy,
-      semanticVectors, semanticTau, semanticCells, vecIdCol, vecCol)
+      semanticVectors, semanticTau, semanticCells, diversifyPermille,
+      vecIdCol, vecCol)
     val survivors = f.repAttrs
-      .join(f.semanticReps.getOrElse(f.nearReps), Seq("id"), "left_semi")
+      .join(f.diversifiedReps.orElse(f.semanticReps).getOrElse(f.nearReps),
+        Seq("id"), "left_semi")
     // final stage: stable hash split on the id
     TrainingData.withSplit(survivors, col("id"))
       .select(col("id").as(idCol), col("lang_pred"), col("quality"),
@@ -196,8 +226,11 @@ object CorpusPipeline {
       survivorPolicy: SurvivorPolicy = SurvivorPolicy.MinId,
       semanticVectors: Option[DataFrame] = None,
       semanticTau: Double = 0.45, semanticCells: Int = 0,
+      diversifyPermille: Int = 0,
       vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(diversifyPermille == 0 || semanticVectors.nonEmpty,
+      "diversifyPermille needs the semantic stage: pass semanticVectors")
     val text: Column = col(textCol)
     // cached: the lang-ID + quality scoring chain is the expensive
     // row-local half; every gate-stage aggregation AND the pipeline's
@@ -211,7 +244,7 @@ object CorpusPipeline {
       .filter(col("__rn") === 1)
     val f = pipelineFrames(scored, idCol, textCol, allowedLangs,
       minQuality, survivorPolicy, semanticVectors, semanticTau,
-      semanticCells, vecIdCol, vecCol)
+      semanticCells, diversifyPermille, vecIdCol, vecCol)
     val nt = col("n_tokens").cast("long")
     def stat(stage: String, ord: Int, fr: DataFrame): DataFrame =
       fr.agg(count(lit(1)).as("docs"),
@@ -224,10 +257,14 @@ object CorpusPipeline {
       .unionByName(stat("quality_gate", 2, kept))
       .unionByName(stat("exact_dedup", 3, exact))
       .unionByName(stat("near_dup", 4, nearSurv))
-    val out = f.semanticReps
+    val withSem = f.semanticReps
       .map(sr => base.unionByName(stat("semantic_dedup", 5,
         f.repAttrs.join(sr, Seq("id"), "left_semi"))))
       .getOrElse(base)
+    val out = f.diversifiedReps
+      .map(dr => withSem.unionByName(stat("diversify", 6,
+        f.repAttrs.join(dr, Seq("id"), "left_semi"))))
+      .getOrElse(withSem)
       .localCheckpoint()
     scored.unpersist()
     out

@@ -157,6 +157,63 @@ class CorpusPipelineSpec extends SparkSpec {
         .filter(col("doc_id") === 1L).head().toSeq
   }
 
+  // two more no-shared-shingle english texts for the diversify
+  // fixture (four distinct vectors must all SURVIVE SemDeDup so the
+  // prune has a cell to rank)
+  private val field = "the teacher of the school and the children of " +
+    "the class read the books of the library in the room near the " +
+    "hall and the lessons of the day cover the history of the land " +
+    "and the numbers of the charts while the bell of the tower rings " +
+    "at the end of the hour for the break in the yard of the school " +
+    "before the start of the next class in the afternoon"
+  private val ship = "the sailor of the ship and the captain of the " +
+    "crew watch the waves of the sea from the deck of the vessel " +
+    "while the wind of the north fills the sails of the mast and the " +
+    "cargo of the hold stays dry under the boards during the voyage " +
+    "to the port of the south where the goods of the merchants wait " +
+    "on the docks for the arrival of the fleet in the harbor"
+
+  test("diversify stage: each cell sheds its most-prototypical permille " +
+      "of the SemDeDup survivors; vectorless docs still always survive") {
+    val docs = Seq((1L, base), (6L, house), (8L, lake), (11L, field),
+      (13L, ship)).toDF("doc_id", "text")
+    // four DISTINCT directions, pairwise cosine < tau — no SemDeDup
+    // clumps, so the semantic stage keeps all four and the prune's
+    // one cell ranks exactly four members: 250‰ cuts the single
+    // most-prototypical (centroid-closest) one
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (8L, Array(0.0872f, 0.9962f)),
+      (11L, Array(-0.9848f, 0.1736f)),
+      (13L, Array(-0.2588f, -0.9659f))).toDF("vec_id", "embedding")
+    def ids(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val withSem = ids(CorpusPipeline.prepare(docs, "doc_id", "text",
+      Seq("en"), 0.5, semanticVectors = Some(vecs), semanticCells = 1))
+    withSem shouldBe Set(1L, 6L, 8L, 11L, 13L)
+    val withD4 = ids(CorpusPipeline.prepare(docs, "doc_id", "text",
+      Seq("en"), 0.5, semanticVectors = Some(vecs), semanticCells = 1,
+      diversifyPermille = 250))
+    withD4.subsetOf(withSem) shouldBe true
+    withD4.size shouldBe 4 // exactly one of the four ranked docs drops
+    withD4 should contain(6L) // vectorless is never ranked
+    // the funnel gains the diversify row, stays monotone, and its
+    // last count is what prepare ships
+    val fun = CorpusPipeline.prepareFunnel(docs, "doc_id", "text",
+        Seq("en"), 0.5, semanticVectors = Some(vecs), semanticCells = 1,
+        diversifyPermille = 250)
+      .orderBy("stage_order").collect()
+    fun.length shouldBe 7
+    fun.last.getString(0) shouldBe "diversify"
+    val docCounts = fun.map(_.getLong(2)).toSeq
+    docCounts shouldBe docCounts.sorted.reverse
+    fun.last.getLong(2) shouldBe 4L
+    // the prune is meaningless without the assignment: fail loud
+    an[IllegalArgumentException] should be thrownBy
+      CorpusPipeline.prepare(docs, "doc_id", "text", Seq("en"), 0.5,
+        diversifyPermille = 250)
+  }
+
   test("funnel gains the semantic_dedup row when the stage is " +
       "configured; counts stay monotone and match prepare") {
     val docs = Seq((1L, base), (6L, house), (8L, lake))
