@@ -303,15 +303,21 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(dropPermille >= 0 && dropPermille < 1000,
       s"dropPermille must be in [0, 1000): $dropPermille")
+    // ONE window spec, ONE pass over `asgn`: the rank and the
+    // non-null cell count share the spec (the count takes the full
+    // frame), and null cosines sort LAST — their rank exceeds the
+    // non-null count, so the single cut predicate keeps them without
+    // a second branch (a union of a null-filtered twin would
+    // re-execute the whole upstream SemDeDup plan, plan-guard-pinned
+    // against via the FileScan count)
     val byCell = Window.partitionBy("cell")
-    val ranked = asgn.filter(col("centroid_cos").isNotNull)
-      .withColumn("rk", row_number().over(
-        byCell.orderBy(col("centroid_cos").desc, col("id").asc)))
-      .withColumn("cn", count(lit(1)).over(byCell))
-    ranked.filter(col("rk") > expr(s"cn * $dropPermille div 1000"))
+      .orderBy(col("centroid_cos").desc_nulls_last, col("id").asc)
+    asgn
+      .withColumn("rk", row_number().over(byCell))
+      .withColumn("cn", count(col("centroid_cos")).over(byCell.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rk") > expr(s"cn * $dropPermille div 1000"))
       .select("id", "cell", "centroid_cos")
-      .unionByName(asgn.filter(col("centroid_cos").isNull)
-        .select("id", "cell", "centroid_cos"))
   }
 
   /** The full D4 pipeline over a raw embedding corpus: SemDeDup

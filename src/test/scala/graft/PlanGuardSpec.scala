@@ -228,6 +228,25 @@ class PlanGuardSpec extends SparkSpec {
     count(cp, "InMemoryTableScan") should be >= 2
     count(cp, "CartesianProduct") shouldBe 0
 
+    // paragraph dedup: the winner pick must stay PARTIAL-aggregated
+    // (the map-side min-struct combine is the hot-digest skew
+    // defense — a boilerplate paragraph in 10⁸ docs combines per map
+    // task; a Window formulation here would pile it onto one task),
+    // and the per-doc totals are a ROW-LOCAL paragraphCount
+    // projection: exactly ONE Generate (the winner path's explode) —
+    // a second one means the totals regressed to a re-explode
+    val pd = planOf("q_paragraph_dedup")
+    count(pd, "SortAggregate") should be >= 2 // partial + final min(struct)
+    count(pd, "Generate") shouldBe 1
+
+    // D4: the prototype prune is ONE window over the cell partitions
+    // on top of SemDeDup's own plan — zero windows in the q_semdedup
+    // plan, exactly one here, and no extra corpus scan
+    count(planOf("q_semdedup"), "Window") shouldBe 0
+    val d4 = planOf("q_d4_resample")
+    count(d4, "Window") shouldBe 1
+    count(d4, "FileScan") shouldBe count(planOf("q_semdedup"), "FileScan")
+
     // admission: the corpus Bloom must be PRE-BUILT (bloomProbeEager
     // literal) — a bloom_filter_agg in the visible plan means the
     // probe regressed to per-branch scalar subqueries, which planned
