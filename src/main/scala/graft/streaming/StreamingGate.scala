@@ -1470,6 +1470,103 @@ object StreamingGate {
     }
   }
 
+  /** CUMULATIVE streaming paragraph admission — the cross-batch half
+    * of [[streamAdmitParagraphFromFiles]]: there the store is frozen
+    * (one build, every batch anti-joins it), here each processed
+    * batch's paragraph hashes APPEND to the store
+    * ([[graft.io.IndexStore.appendParagraphIndex]] from inside
+    * `foreachBatch` — the ingest-loop pattern
+    * [[streamAnnMaintenanceFromFiles]] established), so a paragraph
+    * first admitted in batch k is STRIPPED from every batch after k —
+    * the true Dolma semantics where the corpus grows as it admits.
+    * The static side is re-read per batch (a fresh `spark.read`
+    * resolves the file listing AFTER the previous batch's append; a
+    * plan-cached frame would pin the listing at stream start and
+    * silently serve the frozen semantics). Fresh docs carry a third
+    * paragraph — a 7-variant "weekly digest" footer the corpus does
+    * NOT have — so each variant survives exactly in the first batch
+    * that carries it and strips everywhere later; the oracle replays
+    * this as h ∉ corpus ∧ batch = min-batch-carrying-h (batch order
+    * is deterministic: staged files carry strictly increasing
+    * modification times, the file source replays oldest-first).
+    */
+  def streamAdmitParagraphCumulativeFromFiles(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.ext.{Dedup, TextAnalysis, TrainingData}
+    val stage = newStage()
+    val storeDir = stage.resolve("store").toString
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    def boilerOf(v: Column): Column =
+      concat(lit("subscribe to the graft newsletter variant "), v.cast("string"))
+    val synth = d.select(col("doc_id"),
+      concat_ws("\n\n",
+        when(col("doc_id") % 10 === 7, boilerOf((col("doc_id") + 1) % 3))
+          .otherwise(col("text")),
+        boilerOf(col("doc_id") % 3)).as("text"))
+    // fresh docs gain the 7-variant digest footer the corpus lacks —
+    // the cross-batch duplication this face exists to exercise
+    val fresh = synth.filter(bucket >= 500 && bucket < 600)
+      .select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          concat(lit("weekly digest issue "),
+            (col("doc_id") % 7).cast("string"))).as("text"))
+    // a FRESH store per run — appends mutate it, so the session memo
+    // (ensureParagraphIndex) must not own this directory
+    graft.io.IndexStore.writeParagraphIndex(
+      synth.filter(bucket < 500), storeDir)
+    try withStatePartitions(s, 4) {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val store = graft.io.IndexStore.readParagraphHashes(s, storeDir)
+          val kept = Dedup.paragraphRows(batch, "doc_id", "text")
+            .withColumn("h", TextAnalysis.tokenHash60(col("para")))
+            .join(store, Seq("h"), "left_anti")
+            .select("id", "idx", "para")
+            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+          buf.synchronized { buf ++= kept }
+          // the admitted batch is now corpus: its paragraphs join the
+          // store BEFORE the next batch's anti-join reads it
+          graft.io.IndexStore.appendParagraphIndex(batch, storeDir)
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      val kept = buf.synchronized { buf.toSeq }.toDF("id", "idx", "para")
+      val rebuilt = Dedup.reassembleParagraphs(kept)
+        .withColumnRenamed("id", "doc_id")
+      val totals = fresh.select(col("doc_id"),
+          Dedup.paragraphCount(col("text")).cast("long").as("n_paras"))
+        .filter(col("n_paras") > 0)
+      totals.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("doc_id")
+        .localCheckpoint() // materialize before the stage dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING ANN-STORE MAINTENANCE under the gate — the ingest
     * loop for the vector index run as a REAL stream, the ANN mirror
     * of [[streamSketchMaintenanceFromFiles]]: the quantizer is
