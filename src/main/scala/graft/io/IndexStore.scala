@@ -1367,6 +1367,12 @@ object IndexStore {
       case "admission" => dupRatio(DigestsTable)
       case "image" => dupRatio(ImageHashTable)
       case "audio" => dupRatio(AudioHashTable)
+      // the cumulative paragraph gate appends every batch's hash set;
+      // already-seen paragraphs re-append as exact duplicate rows
+      // (correctness is duplicate-insensitive — an anti-join verdict
+      // never changes — so this signal is purely the serve-cost tidy
+      // that gates compactParagraphIndex's distinct-rewrite)
+      case "paragraph" => dupRatio(ParagraphHashTable)
       case "ann" =>
         val root = new org.apache.hadoop.fs.Path(s"$dir/$IvfAssignedTable")
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

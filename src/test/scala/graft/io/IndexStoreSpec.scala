@@ -436,7 +436,15 @@ class IndexStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq shouldBe
       (want :+ graft.functions.TextHashing.hash60("shared") :+
         graft.functions.TextHashing.hash60("gamma")).sorted
+    // the planner sees the re-appended duplicate ('shared' twice in 5
+    // rows = ratio 0.2) and its verdict gates the remedy: due above
+    // the bar before the compaction, cleared after it
+    def dupDue(): Boolean = IndexStore.maintenanceDue(spark, dir,
+        dupRatioBar = 0.1)
+      .filter(col("action") === "compact" && col("due")).count() == 1
+    dupDue() shouldBe true
     IndexStore.compactParagraphIndex(spark, dir)
+    dupDue() shouldBe false
     val unionDir = java.nio.file.Files.createTempDirectory("parastore2").toString
     IndexStore.writeParagraphIndex(corpus.unionByName(batch), unionDir)
     IndexStore.readParagraphHashes(spark, dir)
