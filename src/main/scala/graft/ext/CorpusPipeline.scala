@@ -88,7 +88,8 @@ object CorpusPipeline {
       survivorPolicy: SurvivorPolicy,
       semanticVectors: Option[DataFrame], semanticTau: Double,
       semanticCells: Int, diversifyPermille: Int,
-      vecIdCol: String, vecCol: String): Frames = {
+      vecIdCol: String, vecCol: String,
+      semanticIndex: Option[(DataFrame, Array[Array[Double]])]): Frames = {
     // stage 1: row-local gates (no shuffle) — the survivor attributes
     // (lang, quality, token count) are ALSO row-local, computed in the
     // shared scoring pass and carried through the collapse join rather
@@ -137,37 +138,84 @@ object CorpusPipeline {
     // runs over the smallest frame of the pipeline, and the centroid
     // pick is hash-deterministic over the survivor set, so the whole
     // stage replays in the oracle.
-    val semanticFrames = semanticVectors.map { vecs =>
-      // cached: the survivor-restricted embedding frame feeds the
-      // auto-sizing count, the centroid pick, the assignment pass,
-      // AND the loser anti-join — uncached, each would re-run the
-      // embeddings scan + survivor semi-join (same lineage-backed
-      // LRU discipline as the collapse caches)
-      val repVecs = vecs.select(col(vecIdCol).as("id"), col(vecCol))
-        .join(reps, Seq("id"), "left_semi")
-        .cache()
-      val semFull = Similarity.semDedupSurvivors(repVecs, semanticCells,
-        semanticTau, "id", vecCol)
-      def minusVecLosers(keptVecIds: DataFrame): DataFrame =
-        reps.join(
-          repVecs.select("id").join(keptVecIds, Seq("id"), "left_anti"),
-          Seq("id"), "left_anti")
-      // stage 4b (opt-in on top of 4): D4 prototype pruning
-      // ([[Similarity.prototypePrune]]) over the SAME survivor
-      // assignment SemDeDup just produced — the clumps collapsed,
-      // now each cell sheds its most-prototypical permille; the
-      // shared semDedup tail cache means the prune re-reads the
-      // assignment, never re-encodes
-      val diversified =
-        if (diversifyPermille > 0)
-          Some(minusVecLosers(
-            Similarity.prototypePrune(semFull, diversifyPermille)
-              .select("id")))
-        else None
-      (minusVecLosers(semFull.select("id")), diversified)
-    }
+    // the semantic stage's two sources share one tail: `vectored` is
+    // the id set the stage can judge (everything else survives
+    // unconditionally — vectorless docs cannot lose a clump), and
+    // `semSurvivorIds` the ids SemDeDup keeps among them
+    val semanticFrames: Option[(DataFrame, Option[DataFrame])] =
+      (semanticVectors, semanticIndex) match {
+        case (Some(vecs), _) =>
+          // IN-PLAN face: centroid pick + encode run over the
+          // survivor-restricted embedding frame per preparation run.
+          // cached: the restricted frame feeds the auto-sizing count,
+          // the centroid pick, the assignment pass, AND the loser
+          // anti-join — uncached, each would re-run the embeddings
+          // scan + survivor semi-join (same lineage-backed LRU
+          // discipline as the collapse caches)
+          val repVecs = vecs.select(col(vecIdCol).as("id"), col(vecCol))
+            .join(reps, Seq("id"), "left_semi")
+            .cache()
+          val semBare = Similarity.semDedupSurvivors(repVecs, semanticCells,
+            semanticTau, "id", vecCol)
+          Some(semanticTail(reps, repVecs.select("id"), semBare,
+            diversifyPermille))
+        case (None, Some((assigned, cents))) =>
+          // STORE-SERVED face: the persisted (id, cell, vec, norm)
+          // inverted file restricted to the text-stage survivors by
+          // one left-semi on id, deduped within the STORE's cells
+          // via [[Similarity.semDedupFromIndex]] — the run pays
+          // neither the centroid pick nor the encode pass (the
+          // 2.7-5.8× A/B measured on the standalone faces carries
+          // over; SCALE.md §"prepare's semantic stage from the
+          // store"). Deliberate semantic distinction from the
+          // in-plan face, documented on [[prepare]]: cells come from
+          // the CORPUS-trained quantizer (the one every other store
+          // consumer shares), not from a survivor-restricted re-pick
+          // — the "one quantizer, many consumers" production shape.
+          val repAsgn = assigned.join(reps, Seq("id"), "left_semi")
+          val semBare = Similarity.semDedupFromIndex(repAsgn, cents,
+            semanticTau)
+          Some(semanticTail(reps, repAsgn.select("id"), semBare,
+            diversifyPermille))
+        case (None, None) => None
+      }
     Frames(collapse.repAttrs.get, reps,
       semanticFrames.map(_._1), semanticFrames.flatMap(_._2))
+  }
+
+  /** The shared stage-4/4b tail over either semantic source:
+    * survivors = reps minus the vectored docs whose id lost a clump
+    * (vectorless docs always survive), and — when D4 is opted in —
+    * the prototype prune over the SAME (id, cell, centroid_cos)
+    * assignment `semBare` produced (no re-encode; the
+    * [[Similarity.prototypePrune]] composition).
+    */
+  private def semanticTail(reps: DataFrame, vectoredIds: DataFrame,
+      semBare: DataFrame, diversifyPermille: Int)
+      : (DataFrame, Option[DataFrame]) = {
+    // with the D4 stage on, TWO consumers read the SemDeDup
+    // survivors (the semantic losers anti-join AND the prune) —
+    // semDedupTail caches only the assignment, so uncached each
+    // would re-run the quadratic within-cell self-join; same lazy
+    // lineage-backed discipline as the collapse caches
+    // (deterministic either way — this is purely the
+    // one-self-join-execution claim)
+    val semFull =
+      if (diversifyPermille > 0) semBare.cache() else semBare
+    def minusVecLosers(keptVecIds: DataFrame): DataFrame =
+      reps.join(
+        vectoredIds.join(keptVecIds, Seq("id"), "left_anti"),
+        Seq("id"), "left_anti")
+    // stage 4b (opt-in on top of 4): D4 prototype pruning over the
+    // SAME survivor assignment SemDeDup just produced — the clumps
+    // collapsed, now each cell sheds its most-prototypical permille
+    val diversified =
+      if (diversifyPermille > 0)
+        Some(minusVecLosers(
+          Similarity.prototypePrune(semFull, diversifyPermille)
+            .select("id")))
+      else None
+    (minusVecLosers(semFull.select("id")), diversified)
   }
 
   /** Prepare `df` for training: returns one row per SURVIVING document
@@ -177,9 +225,28 @@ object CorpusPipeline {
     * with [[Similarity.ivfCellsFor]], an explicit count pins a layout.
     * `diversifyPermille > 0` opts in the D4 prototype prune on top of
     * the semantic stage (each cell sheds its most-prototypical
-    * permille of the SemDeDup survivors — requires `semanticVectors`:
+    * permille of the SemDeDup survivors — requires a semantic source:
     * prototypicality is centroid-cosine, there is nothing to rank
     * without the assignment).
+    *
+    * `semanticIndex` is the PERSISTED alternative to
+    * `semanticVectors` (pass exactly one): the stored (id, cell,
+    * vec, norm) inverted file + quantizer
+    * ([[graft.io.IndexStore.readIvfAssigned]] /
+    * `readAnnCentroids`), restricted to the text-stage survivors by
+    * one left-semi — the nightly e2e run then pays neither the
+    * centroid pick nor the per-row encode pass the in-plan stage
+    * re-pays per run. Semantics note (deliberate, spec-pinned both
+    * ways): the in-plan stage picks centroids FROM the survivor set,
+    * the store stage dedups within the CORPUS-trained quantizer's
+    * cells — the assignment every other store consumer (search,
+    * triplets, D4) already shares. A store built over exactly the
+    * survivor-restricted vectors reproduces the in-plan output
+    * bit-for-bit (CorpusPipelineSpec); the full-corpus store is the
+    * production shape and carries its own oracle
+    * (q_corpus_prepare_semantic_persisted). Vectorless docs always
+    * survive under either source — a doc with no row in the
+    * inverted file cannot be judged.
     */
   def prepare(df: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double,
@@ -187,13 +254,19 @@ object CorpusPipeline {
       semanticVectors: Option[DataFrame] = None,
       semanticTau: Double = 0.45, semanticCells: Int = 0,
       diversifyPermille: Int = 0,
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(diversifyPermille == 0 || semanticVectors.nonEmpty,
-      "diversifyPermille needs the semantic stage: pass semanticVectors")
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      semanticIndex: Option[(DataFrame, Array[Array[Double]])] = None)
+      : DataFrame = {
+    require(semanticVectors.isEmpty || semanticIndex.isEmpty,
+      "pass semanticVectors OR semanticIndex, not both")
+    require(diversifyPermille == 0 ||
+      semanticVectors.nonEmpty || semanticIndex.nonEmpty,
+      "diversifyPermille needs the semantic stage: pass semanticVectors " +
+        "or semanticIndex")
     val f = pipelineFrames(scoredFrame(df, textCol), idCol, textCol,
       allowedLangs, minQuality, survivorPolicy,
       semanticVectors, semanticTau, semanticCells, diversifyPermille,
-      vecIdCol, vecCol)
+      vecIdCol, vecCol, semanticIndex)
     val survivors = f.repAttrs
       .join(f.diversifiedReps.orElse(f.semanticReps).getOrElse(f.nearReps),
         Seq("id"), "left_semi")
@@ -227,10 +300,16 @@ object CorpusPipeline {
       semanticVectors: Option[DataFrame] = None,
       semanticTau: Double = 0.45, semanticCells: Int = 0,
       diversifyPermille: Int = 0,
-      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      vecIdCol: String = "vec_id", vecCol: String = "embedding",
+      semanticIndex: Option[(DataFrame, Array[Array[Double]])] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(diversifyPermille == 0 || semanticVectors.nonEmpty,
-      "diversifyPermille needs the semantic stage: pass semanticVectors")
+    require(semanticVectors.isEmpty || semanticIndex.isEmpty,
+      "pass semanticVectors OR semanticIndex, not both")
+    require(diversifyPermille == 0 ||
+      semanticVectors.nonEmpty || semanticIndex.nonEmpty,
+      "diversifyPermille needs the semantic stage: pass semanticVectors " +
+        "or semanticIndex")
     val text: Column = col(textCol)
     // cached: the lang-ID + quality scoring chain is the expensive
     // row-local half; every gate-stage aggregation AND the pipeline's
@@ -244,7 +323,7 @@ object CorpusPipeline {
       .filter(col("__rn") === 1)
     val f = pipelineFrames(scored, idCol, textCol, allowedLangs,
       minQuality, survivorPolicy, semanticVectors, semanticTau,
-      semanticCells, diversifyPermille, vecIdCol, vecCol)
+      semanticCells, diversifyPermille, vecIdCol, vecCol, semanticIndex)
     val nt = col("n_tokens").cast("long")
     def stat(stage: String, ord: Int, fr: DataFrame): DataFrame =
       fr.agg(count(lit(1)).as("docs"),

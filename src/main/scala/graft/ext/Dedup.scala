@@ -1871,6 +1871,93 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Strip ALREADY-SEEN paragraphs from a document batch against a
+    * corpus paragraph-hash set — the BATCH twin of
+    * [[graft.streaming.Streaming.streamParagraphSurvivors]] plus the
+    * reassembly, as one reusable operator: split under the canonical
+    * [[paragraphRows]] rule, one 60-bit hash per paragraph, LEFT ANTI
+    * against `seenHashes` (a thin `h`-column scan — the
+    * [[graft.io.IndexStore.readParagraphHashes]] shape), survivors
+    * reassembled in original order. Output contract matches
+    * [[paragraphDedup]]: one row per input document with ≥ 1
+    * non-blank paragraph — (idCol, clean_text, n_paras, n_kept),
+    * clean_text = "" when everything was seen (the caller decides a
+    * fully-boilerplate doc's fate). Unlike [[paragraphDedup]] this
+    * takes NO position on within-batch duplication (two batch docs
+    * sharing a NEW paragraph both keep it — cross-batch state is the
+    * store's job via the append path, the streaming rung's
+    * convention).
+    *
+    * Scale shape: the batch text rides the explode + the one
+    * reassembly shuffle; the corpus side is 8 bytes per distinct
+    * corpus paragraph and never re-splits; the anti-join is an
+    * equi-join on the hash.
+    */
+  def stripSeenParagraphs(df: DataFrame, seenHashes: DataFrame,
+      idCol: String, textCol: String, sep: String = "\n\n"): DataFrame = {
+    val kept = paragraphRows(df, idCol, textCol, sep)
+      .withColumn("h", TextAnalysis.tokenHash60(col("para")))
+      .join(seenHashes.select("h"), Seq("h"), "left_anti")
+      .select("id", "idx", "para")
+    val rebuilt = reassembleParagraphs(kept, sep)
+    df.select(col(idCol).as("id"),
+        paragraphCount(col(textCol), sep).cast("long").as("n_paras"))
+      .filter(col("n_paras") > 0)
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Paragraph-grain FUZZY near-dup pairs — the rung
+    * [[paragraphDedup]]'s exact digest pass cannot see: a
+    * boilerplate footer with a one-word edit (tracking tokens, issue
+    * numbers, site names) hashes to a fresh digest per variant and
+    * survives the exact pass in every document, while the substring
+    * machinery only catches runs ≥ spanWords. This is the MinHash
+    * band pipeline re-keyed to the PARAGRAPH: the unit of
+    * deduplication is (doc, position), candidates come from band
+    * collisions among DISTINCT paragraph texts, and each candidate
+    * pair is verified with the exact shingle Jaccard. Returns one
+    * row per qualifying pair of distinct-paragraph REPRESENTATIVES —
+    * (id_a, idx_a, id_b, idx_b, jaccard), sides ordered by
+    * (id, idx), jaccard ≥ `minJaccard` — ready for the same
+    * cluster/survivor treatment the document family applies.
+    *
+    * Scale shape, inherited wholesale from [[minhashDedupPairs]]:
+    * the exact-dup COLLAPSE FRONT carries over one granularity down
+    * — a verbatim footer present in 10⁸ documents first collapses to
+    * ONE representative via the same map-side-combinable min-struct
+    * groupBy as [[paragraphDedup]]'s winner pick (hot-digest skew
+    * never reaches the band join; without it the footer's copies
+    * would co-bucket in EVERY band and the candidate join would go
+    * quadratic in its document frequency), signatures are a
+    * projection over the rep sets, candidates an equi-join on
+    * (band, band_hash), and the verify is one codegen'd
+    * array_intersect per candidate. Paragraphs with fewer than
+    * [[HashDefs.ShingleN]] words carry no shingles and never pair
+    * (the document family's convention).
+    */
+  def paragraphNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", minJaccard: Double = 0.5): DataFrame = {
+    val paras = paragraphRows(df, idCol, textCol, sep)
+    // one rep per distinct paragraph text: globally-first (id, idx),
+    // the paragraphDedup winner rule — map-side combinable
+    val reps = paras
+      .groupBy(md5(col("para")).as("__dg"))
+      .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"))
+      .select(struct(col("w.id").as("id"), col("w.idx").as("idx")).as("id"),
+        col("w.para").as("para"))
+    val sets = reps.select(col("id"),
+      graft.functions.TextHashFunctions.shingle_hashes(col("para"), ShingleN)
+        .as("hs"))
+    minhashRepPairs(sets, minJaccard)
+      .select(col("id_a.id").as("id_a"), col("id_a.idx").as("idx_a"),
+        col("id_b.id").as("id_b"), col("id_b.idx").as("idx_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
     * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
     * route through [[Similarity]]'s LSH bucketing first.

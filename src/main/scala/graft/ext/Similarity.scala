@@ -286,6 +286,18 @@ object Similarity {
     * [[semDedupFromIndex]] output feed it directly, so the
     * persisted-store serve composes for free.
     *
+    * Fidelity DEVIATION from Tirumala 2023 (not just an
+    * optimization): the paper RE-CLUSTERS the SemDeDup survivors
+    * before its prototype prune, whereas this ranks against the
+    * PRE-dedup centroids and assignment — prototypicality is
+    * measured relative to cluster centers that still reflect the
+    * removed duplicate clumps, so the drop SET can differ from a
+    * paper-faithful run (deterministic and oracle-matched either
+    * way). The adaptation buys the no-re-encode composition over the
+    * persisted store; a paper-faithful pass is one
+    * `semDedupSurvivors` re-run over the survivor subset when the
+    * drop-set difference matters.
+    *
     * Deterministic: rank by (centroid_cos desc, id asc) — ids are
     * unique, a total order — and the cut is integer permille
     * arithmetic (`n·dropPermille div 1000`), so both engines compute

@@ -258,6 +258,61 @@ object TrainingData {
           1, 15), 16, 10).cast("long"))
       .orderBy(col("order_key") +: keys: _*)
 
+  /** END-TO-END training-batch emission — the engine's actual end
+    * product, composed as ONE operator: tokenize with a TRAINED merge
+    * table ([[TextAnalysis.bpeEncode]] over
+    * [[graft.io.IndexStore.readBpeMerges]]' persisted artifact — the
+    * nightly-train/ship shape), TRUNCATE each document's token stream
+    * to the `maxTokens` context budget, apply the seeded global
+    * [[trainingOrder]] permutation, and PACK the ordered stream into
+    * `budget`-token bins (the [[packIntoBins]] cut rule: bin = floor
+    * of tokens-before / budget). Returns one row per document —
+    * (idCol, order_key, toks, n_tok, tokens_before, bin) — where
+    * `toks` IS the payload (the truncated subword array) and the
+    * row order (order_key, id) IS the training order; write with a
+    * partition-numbered sink and readers consume bins in file order.
+    *
+    * Everything is deterministic and layout-independent: the merge
+    * table is an input, truncation is a row-local slice, the
+    * permutation a pure hash of (seed, id), and the cut integer
+    * arithmetic over exact longs — so bin CONTENTS are reproducible
+    * on any cluster layout (spec-pinned) and the whole composition
+    * replays in SQL (the tokenizer half rides the checked-in golden,
+    * the order/pack half is recomputed live — the q_ann_ivf_trained
+    * semi-independent oracle precedent).
+    *
+    * Scale note, inherited from [[packIntoBins]]: with `shard = None`
+    * the running-sum window is one global range-sorted task — the
+    * exact single-stream semantic, fine to ~10M docs. Past that,
+    * pass `shard` (any parallelism unit: hash bucket, source, date):
+    * each shard becomes an independent reader's stream with its own
+    * seeded order and its own bin numbering — the standard
+    * data-parallel emission layout (one stream per reader), exactly
+    * [[packIntoBins]]'s sharded contract.
+    */
+  def emitBatches(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, shard: Option[String] = None): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val keep = Seq(col(idCol).as("id"),
+      slice(col("subwords"), 1, maxTokens).as("toks")) ++ shard.map(col)
+    val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
+    val ordered = trainingOrder(enc, Seq(col("id")), seed)
+    val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
+      Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tok").cast("long")).over(w)
+          - col("n_tok"), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
+      .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
+        col("n_tok"), col("tokens_before"), col("bin"))
+        ++ shard.map(col): _*)
+  }
+
   // ---- span-corruption example construction ----------------------
 
   /** T5/UL2-style span-corruption training pairs, fully

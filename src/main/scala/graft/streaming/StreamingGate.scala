@@ -1278,8 +1278,13 @@ object StreamingGate {
         when(col("doc_id") % 10 === 7, boilerOf((col("doc_id") + 1) % 3))
           .otherwise(col("text")),
         boilerOf(col("doc_id") % 3)).as("text"))
+    // "-para-seen": the memo keys on (corpusDir, variant) and this is
+    // a SYNTHETIC face (boilerplate-augmented, bucket<500 slice) of
+    // the corpus dir — the default "-para" stays free for plain-corpus
+    // callers (the "-img-seen"/"-ann-seen" convention of the sibling
+    // gates)
     val idxDir = graft.io.IndexStore.ensureParagraphIndex(
-      synth.filter(bucket < 500), dir)
+      synth.filter(bucket < 500), dir, variant = "-para-seen")
     val corpusParas = graft.io.IndexStore.readParagraphHashes(s, idxDir).cache()
     try withStatePartitions(s, 4) {
       val fresh = synth.filter(bucket >= 500 && bucket < 600)

@@ -54,6 +54,10 @@ object DevScale {
         rest.lift(1).map(_.toInt).getOrElse(2))
     case "semdedupAB" :: sfDir :: rest =>
       semdedupAB(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
+    case "prepAB" :: sfDir :: rest =>
+      prepAB(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
+    case "d4Scale" :: sfDir :: rest =>
+      d4Scale(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
     case "retrainPsi" :: sfDir :: Nil => retrainPsi(sfDir)
     case _ =>
       System.err.println(
@@ -358,6 +362,84 @@ object DevScale {
         f"build $tBuild%.2f s)")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    spark.stop()
+  }
+
+  /** In-plan vs store-served A/B for the e2e preparation's SEMANTIC
+    * stage (verdict r14 task #1): times `CorpusPipeline.prepare`
+    * three ways on the same corpus — no semantic stage (the text
+    * baseline, isolating stage 4's marginal cost), the in-plan stage
+    * (centroid pick + encode per run), and the store-served stage
+    * (stored inverted file + quantizer, one left-semi restriction) —
+    * after building the full-corpus ANN store once (the nightly
+    * artifact every other serve already shares).
+    */
+  private def prepAB(sfDir: String, nCells0: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-prepab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val langs = Seq("en", "de", "fr")
+    def d = Tables(spark, sfDir, "documents")
+    def e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val nCells =
+      if (nCells0 > 0) nCells0
+      else graft.ext.Similarity.ivfCellsFor(e.count())
+    val dir = java.nio.file.Files.createTempDirectory(s"ppab$nCells").toString
+    val t0 = System.nanoTime()
+    graft.io.IndexStore.writeAnnIndexes(e, dir, nCells = nCells)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    import graft.ext.CorpusPipeline
+    (1 to 2).foreach { i =>
+      val tb = System.nanoTime()
+      val nBase = CorpusPipeline.prepare(d, "doc_id", "text", langs, 0.5)
+        .count()
+      val tBase = (System.nanoTime() - tb) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      val nIn = CorpusPipeline.prepare(d, "doc_id", "text", langs, 0.5,
+        semanticVectors = Some(e), semanticTau = 0.35,
+        semanticCells = nCells).count()
+      val tIn = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val nIdx = CorpusPipeline.prepare(d, "doc_id", "text", langs, 0.5,
+        semanticTau = 0.35,
+        semanticIndex = Some((
+          graft.io.IndexStore.readIvfAssigned(spark, dir),
+          graft.io.IndexStore.readAnnCentroids(spark, dir)))).count()
+      val tIdx = (System.nanoTime() - t2) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] $sfDir prepAB cells=$nCells run$i: " +
+        f"base=$tBase%.2f s ($nBase) inplan=$tIn%.2f s ($nIn) " +
+        f"fromindex=$tIdx%.2f s ($nIdx, build $tBuild%.2f s)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    spark.stop()
+  }
+
+  /** f-ladder point for the D4 prune's one-window cost (verdict r14
+    * task #4): SemDeDup survivors vs the full D4 pipeline at
+    * ivfCellsFor sizing — the delta IS prototypePrune's window over
+    * the √n-bounded cell partitions.
+    */
+  private def d4Scale(sfDir: String, nCells0: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-d4")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val nCells =
+      if (nCells0 > 0) nCells0
+      else graft.ext.Similarity.ivfCellsFor(e.count())
+    (1 to 2).foreach { i =>
+      val t1 = System.nanoTime()
+      val nSem = graft.ext.Similarity.semDedupSurvivors(e, nCells).count()
+      val tSem = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      val t2 = System.nanoTime()
+      val nD4 = graft.ext.Similarity.d4Survivors(e, nCells).count()
+      val tD4 = (System.nanoTime() - t2) / 1e9
+      spark.catalog.clearCache()
+      println(f"[scale] $sfDir d4Scale cells=$nCells run$i: " +
+        f"semdedup=$tSem%.2f s ($nSem) d4=$tD4%.2f s ($nD4)")
+    }
     spark.stop()
   }
 

@@ -48,12 +48,13 @@ class PlanGuardSpec extends SparkSpec {
     * - q_zorder_cells / q_zorder_prune: crossJoin(broadcast(stats))
     *   against ONE-ROW min/max aggregates (the ship-the-stats shape
     *   again) — the cell assignment itself is row-local.
-    * - q_ann_recall / q_ann_recall_rerank: their exact side IS
-    *   bruteForceTopK (the allowlisted non-equi dense scan — recall
-    *   is measured AGAINST the exact baseline by definition); the
-    *   recall join itself is a top-k-sized left-semi equi-join, and
-    *   the rerank face's approximate side is the DPP-pruned
-    *   three-stage store serve (all equi-joins).
+    * - q_ann_recall / q_ann_recall_rerank / q_ann_recall_lsh: their
+    *   exact side IS bruteForceTopK (the allowlisted non-equi dense
+    *   scan — recall is measured AGAINST the exact baseline by
+    *   definition); the recall join itself is a top-k-sized
+    *   left-semi equi-join, and the approximate sides are the
+    *   DPP-pruned store serve / the LSH (table, bucket) equi-join —
+    *   no nested loop of their own.
     * - q_pmi / q_quality_nb: the same ship-the-stats shape — PMI's
     *   n_tok/n_pairs totals and NB's t1/t0/v smoothing constants ride
     *   a crossJoin(broadcast(one-row agg)) onto vocab-sized frames.
@@ -65,7 +66,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb",
-      "q_ann_recall", "q_ann_recall_rerank")
+      "q_ann_recall", "q_ann_recall_rerank", "q_ann_recall_lsh")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"
@@ -234,9 +235,15 @@ class PlanGuardSpec extends SparkSpec {
     // task; a Window formulation here would pile it onto one task),
     // and the per-doc totals are a ROW-LOCAL paragraphCount
     // projection: exactly ONE Generate (the winner path's explode) —
-    // a second one means the totals regressed to a re-explode
+    // a second one means the totals regressed to a re-explode.
+    // The pin is on the AGGREGATION MODE (partial_min in the plan
+    // text) plus the absence of any Window, not on the physical
+    // operator name: SortAggregate vs ObjectHashAggregate selection
+    // is a Spark-version/conf detail, while "the min-struct combine
+    // runs map-side" is the property that survives an engine upgrade
     val pd = planOf("q_paragraph_dedup")
-    count(pd, "SortAggregate") should be >= 2 // partial + final min(struct)
+    count(pd, "partial_min") should be >= 1 // map-side min(struct) combine
+    count(pd, "Window") shouldBe 0 // the single-partition formulation
     count(pd, "Generate") shouldBe 1
 
     // D4: the prototype prune is ONE window over the cell partitions

@@ -234,4 +234,48 @@ class CorpusPipelineSpec extends SparkSpec {
     fun.last.getLong(2) shouldBe CorpusPipeline.prepare(docs, "doc_id",
       "text", Seq("en"), 0.5, semanticVectors = Some(vecs)).count()
   }
+
+  test("semantic stage from the persisted store: a store built over the " +
+      "survivor-restricted vectors reproduces the in-plan output " +
+      "bit-for-bit, and D4 composes over the same assignment") {
+    import graft.io.IndexStore
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, sf, "documents")
+    val e = graft.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val langs = Seq("en", "de", "fr")
+    // phase 1: the text-stage survivor set (no semantic stage), which
+    // defines the restricted vector frame the in-plan stage encodes
+    val textSurv = CorpusPipeline.prepare(docs, "doc_id", "text", langs, 0.5)
+      .select(col("doc_id").as("vec_id"))
+    val restricted = e.join(textSurv, Seq("vec_id"), "left_semi")
+    val dir = java.nio.file.Files.createTempDirectory("preppersist").toString
+    try {
+      IndexStore.writeAnnIndexes(restricted, dir)
+      val idx = Some((IndexStore.readIvfAssigned(spark, dir),
+        IndexStore.readAnnCentroids(spark, dir)))
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      // served ≡ in-plan when the store holds exactly the survivor
+      // vectors (same quantizer basis → same cells → same drop set)
+      rows(CorpusPipeline.prepare(docs, "doc_id", "text", langs, 0.5,
+        semanticIndex = idx, semanticTau = 0.35)) shouldBe
+        rows(CorpusPipeline.prepare(docs, "doc_id", "text", langs, 0.5,
+          semanticVectors = Some(e), semanticTau = 0.35,
+          semanticCells = 16))
+      // and the D4 composition rides the same assignment either way
+      rows(CorpusPipeline.prepare(docs, "doc_id", "text", langs, 0.5,
+        semanticIndex = idx, semanticTau = 0.35,
+        diversifyPermille = 250)) shouldBe
+        rows(CorpusPipeline.prepare(docs, "doc_id", "text", langs, 0.5,
+          semanticVectors = Some(e), semanticTau = 0.35,
+          semanticCells = 16, diversifyPermille = 250))
+      // exactly one semantic source: both at once is a caller bug
+      an[IllegalArgumentException] should be thrownBy
+        CorpusPipeline.prepare(docs, "doc_id", "text", langs, 0.5,
+          semanticVectors = Some(e), semanticIndex = idx)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

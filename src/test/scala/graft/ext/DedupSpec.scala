@@ -50,6 +50,35 @@ class DedupSpec extends SparkSpec {
       Set(Seq(1L, "a|b", 2L, 2L), Seq(2L, "c", 2L, 1L))
   }
 
+  test("paragraphNearDupPairs: one-word-edited boilerplate pairs across " +
+      "docs, verbatim copies collapse to one rep, distant texts and " +
+      "short paragraphs never pair") {
+    def footer(v: Int): String = "please subscribe to the graft weekly " +
+      s"newsletter for more updates and news edition $v"
+    val df = Seq(
+      (1L, "first document body with words\n\n" + footer(0)),
+      (2L, "second document body text here\n\n" + footer(0)), // verbatim copy
+      (3L, "third document body words here\n\n" + footer(1)), // one-word edit
+      (4L, "tiny\n\nxy z") // < ShingleN words: no shingles, never pairs
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphNearDupPairs(df, "doc_id", "text").collect()
+    val pairs = out.map(r => ((r.getLong(0), r.getInt(1)),
+      (r.getLong(2), r.getInt(3)))).toSet
+    // the two footer VARIANTS pair at their reps: footer(0)'s first
+    // occurrence is (1, 1) — doc 2's verbatim copy collapsed into it
+    // and never appears as a pair side — and footer(1)'s is (3, 1)
+    pairs should contain(((1L, 1), (3L, 1)))
+    out.flatMap(r => Seq((r.getLong(0), r.getInt(1)),
+      (r.getLong(2), r.getInt(3)))) should not contain ((2L, 1))
+    // jaccard strictly below 1 (distinct texts) and ≥ the 0.5 bar
+    out.foreach { r =>
+      r.getDouble(4) should be >= 0.5
+      r.getDouble(4) should be < 1.0
+    }
+    // the distant body texts share one trigram at most — never a pair
+    pairs.foreach { case (a, b) => Set(a._2, b._2) shouldBe Set(1) }
+  }
+
   test("normalize: lowercase, punct→space, collapsed whitespace") {
     val df = Seq("  Hello,   WORLD!! 42  ", "already clean").toDF("text")
       .select(TextAnalysis.normalize(col("text")).as("n"))

@@ -244,6 +244,50 @@ class TrainingDataSpec extends SparkSpec {
       a.select("id").as[Long].collect().toSeq
   }
 
+  test("emitBatches: bin contents are layout-independent, truncation " +
+      "caps the stream, and the sharded form packs per shard") {
+    val docs = (1L to 60L).map { i =>
+      (i, (if (i % 2 == 0) "alpha " else "beta ") * (i % 9 + 2).toInt +
+        s"tail$i", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val merges = Seq(("a", "l"), ("t", "a"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TrainingData.emitBatches(df, "doc_id", "text", merges,
+        maxTokens = 8, budget = 40, seed = "7")
+    val out = run(docs)
+    // layout-independent: any input partitioning → the same rows
+    rowSet(out) shouldBe rowSet(run(docs.repartition(7)))
+    rowSet(out) shouldBe rowSet(run(docs.coalesce(1)))
+    val rows = out.orderBy("order_key", "doc_id").collect()
+    // truncation: no stream exceeds the context budget, and the cap
+    // actually fires on the long docs
+    rows.map(_.getInt(3)).max shouldBe 8
+    // the pack cut rule: tokens_before is the running sum in
+    // (order_key, id) order, bin = the integer cut
+    rows.foldLeft(0L) { (acc, r) =>
+      r.getLong(4) shouldBe acc
+      r.getInt(5) shouldBe (acc / 40).toInt
+      acc + r.getInt(3)
+    }
+    // seed moves the permutation wholesale
+    val reseeded = TrainingData.emitBatches(docs, "doc_id", "text",
+      merges, maxTokens = 8, budget = 40, seed = "8")
+    reseeded.orderBy("order_key", "doc_id").collect()
+      .map(_.getLong(0)).toSeq should not be rows.map(_.getLong(0)).toSeq
+    // sharded: each shard packs independently with its own running
+    // sum — exactly the global rule applied within the shard
+    val sharded = TrainingData.emitBatches(docs, "doc_id", "text",
+        merges, maxTokens = 8, budget = 40, seed = "7",
+        shard = Some("source"))
+      .orderBy("source", "order_key", "doc_id").collect()
+    sharded.groupBy(_.getString(6)).foreach { case (_, rs) =>
+      rs.foldLeft(0L) { (acc, r) =>
+        r.getLong(4) shouldBe acc
+        acc + r.getInt(3)
+      }
+    }
+  }
+
   test("spanCorrupt: sentinel-splice reconstructs the doc; tail block " +
       "untouched; short docs pass through") {
     val text = (1 to 47).map(i => s"w$i").mkString(" ") // 2 full blocks + 7
