@@ -101,6 +101,26 @@ final case class OrcSink(path: String) extends Sink {
     df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
 }
 
+/** Per-epoch parquet sink for `foreachBatch` ingest loops: the frame
+  * must carry a `batch_id` column, which becomes a partition directory
+  * written in DYNAMIC partition-overwrite mode — a replayed epoch
+  * (foreachBatch is at-least-once after a failure) overwrites ONLY its
+  * own `batch_id=k/` partition, leaving every other epoch's output
+  * intact, so the sink is effectively-once without any read-side
+  * dedup. Append mode would duplicate the replayed epoch; whole-path
+  * overwrite would erase every earlier one.
+  */
+final case class EpochParquetSink(path: String) extends Sink {
+  override def write(df: DataFrame): Unit = {
+    require(df.columns.contains("batch_id"),
+      "EpochParquetSink needs a batch_id column to key the epoch partition")
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+  }
+}
+
 /** S8 — console preview (ETL_pipeline.py:352,364). */
 object ConsoleSink {
   def show(df: DataFrame, n: Int = 30): Unit = df.show(n, truncate = false)

@@ -1494,9 +1494,67 @@ object StreamingGate {
     * this as h ∉ corpus ∧ batch = min-batch-carrying-h (batch order
     * is deterministic: staged files carry strictly increasing
     * modification times, the file source replays oldest-first).
+    *
+    * This variant collects each batch's survivors to a DRIVER buffer —
+    * the oracle-HARNESS shape (bounded: 100 fresh docs at any sf the
+    * harness stages), not the serving one; the production twin is
+    * [[streamAdmitParagraphCumulativeSinked]], which routes the same
+    * survivors per batch through a [[graft.io.EpochParquetSink]] and
+    * is spec-pinned output-identical to this buffer on the same slices.
     */
   def streamAdmitParagraphCumulativeFromFiles(s: SparkSession,
       dir: String): DataFrame = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    paragraphCumulativeRun(s, dir,
+      emitKept = (kept, _) => {
+        val rows = kept.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getString(2)))
+        buf.synchronized { buf ++= rows }
+        ()
+      },
+      keptAfterDrain = () => {
+        import s.implicits._
+        buf.synchronized { buf.toSeq }.toDF("id", "idx", "para")
+      })
+  }
+
+  /** PRODUCTION-shaped twin of [[streamAdmitParagraphCumulativeFromFiles]]:
+    * the same grow-as-it-admits ingest loop, but each batch's admitted
+    * paragraph rows land in a [[graft.io.EpochParquetSink]] under
+    * `sinkDir` (partitioned by `batch_id`, dynamic overwrite — a
+    * replayed epoch rewrites only its own partition, so the at-least-
+    * once foreachBatch contract becomes effectively-once on disk)
+    * instead of a driver buffer. After the stream drains, the final
+    * frame is assembled from the SINK's rows — what a downstream
+    * consumer would read — so the returned DataFrame exercises the
+    * full write→read round trip. The sink directory is the caller's:
+    * it outlives the gate's staging dir (the real deployment keeps it
+    * as the admitted-corpus landing zone).
+    */
+  def streamAdmitParagraphCumulativeSinked(s: SparkSession, dir: String,
+      sinkDir: String): DataFrame = {
+    val sink = graft.io.EpochParquetSink(sinkDir)
+    paragraphCumulativeRun(s, dir,
+      emitKept = (kept, batchId) =>
+        sink.write(kept.withColumn("batch_id", lit(batchId))),
+      keptAfterDrain = () =>
+        s.read.parquet(sinkDir).select("id", "idx", "para"))
+  }
+
+  /** Shared core of the two cumulative-paragraph gates: drives the
+    * stream and hands each batch's admitted rows (id, idx, para) to
+    * `emitKept`; after the stream drains, `keptAfterDrain` supplies
+    * the accumulated survivor rows (from whichever medium `emitKept`
+    * stored them in) for the final reassembly. The admitted frame is
+    * eagerly `localCheckpoint`ed BEFORE both the emit and the store
+    * append — the anti-join's static side must be the PRE-append store
+    * (a lazy emit executing after the append would strip the batch's
+    * own paragraphs), and pinning materialization here keeps that
+    * ordering correct for any emit implementation.
+    */
+  private def paragraphCumulativeRun(s: SparkSession, dir: String,
+      emitKept: (DataFrame, Long) => Unit,
+      keptAfterDrain: () => DataFrame): DataFrame = {
     import graft.ext.{Dedup, TextAnalysis, TrainingData}
     val stage = newStage()
     val storeDir = stage.resolve("store").toString
@@ -1532,18 +1590,19 @@ object StreamingGate {
           StructField("doc_id", LongType), StructField("text", StringType))))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.resolve("data").toString)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
       val query = stream.writeStream
         .option("checkpointLocation", stage.resolve("ckpt").toString)
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val store = graft.io.IndexStore.readParagraphHashes(s, storeDir)
+          // eager checkpoint: materialize the anti-join against the
+          // PRE-append store before the append below mutates it
           val kept = Dedup.paragraphRows(batch, "doc_id", "text")
             .withColumn("h", TextAnalysis.tokenHash60(col("para")))
             .join(store, Seq("h"), "left_anti")
             .select("id", "idx", "para")
-            .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-          buf.synchronized { buf ++= kept }
+            .localCheckpoint()
+          emitKept(kept, batchId)
           // the admitted batch is now corpus: its paragraphs join the
           // store BEFORE the next batch's anti-join reads it
           graft.io.IndexStore.appendParagraphIndex(batch, storeDir)
@@ -1553,8 +1612,7 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      import s.implicits._
-      val kept = buf.synchronized { buf.toSeq }.toDF("id", "idx", "para")
+      val kept = keptAfterDrain()
       val rebuilt = Dedup.reassembleParagraphs(kept)
         .withColumnRenamed("id", "doc_id")
       val totals = fresh.select(col("doc_id"),
@@ -1568,6 +1626,139 @@ object StreamingGate {
         .orderBy("doc_id")
         .localCheckpoint() // materialize before the stage dir is deleted
     } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
+  /** STREAMING five-rung Dolma ingest — the composed admission
+    * pipeline (`q_admit_full_paragraph`'s semantics) run as a REAL
+    * stream with every static side a PERSISTED artifact: arriving
+    * docs are judged at DOC grain against the admission store's
+    * digest / span-hash / band+shingle tables
+    * ([[graft.io.IndexStore.readDigests]] etc. — the corpus is never
+    * touched at admit time) plus the in-plan corpus-half LSH index
+    * for the embedding rung (cached once, reused by every batch —
+    * the vector travels WITH the doc row, staged by one static join,
+    * so the rung is a batch-local probe), and each batch's ADMITTED
+    * docs are then stripped of already-seen paragraphs against the
+    * persisted paragraph store (variant "-para-seen", the synth
+    * boilerplate corpus the paragraph gates share) and reassembled.
+    * All five static sides are FROZEN for the run, so the admitted
+    * set is independent of the batch split and the gate shares the
+    * batch face's oracle — the composition, not any one rung, is
+    * what this face pins (each rung's own gate already exists).
+    */
+  def streamAdmitFullParagraphFromFiles(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.ext.{Dedup, Similarity, TrainingData}
+    import graft.functions.LshFunctions.lsh_buckets
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    val idxDir = graft.io.IndexStore.ensureAdmissionIndexes(
+      d.filter(bucket < 500), dir)
+    def boilerOf(v: Column): Column =
+      concat(lit("subscribe to the graft newsletter variant "), v.cast("string"))
+    def synthText(idC: Column, textC: Column): Column =
+      concat_ws("\n\n",
+        when(idC % 10 === 7, boilerOf((idC + 1) % 3)).otherwise(textC),
+        boilerOf(idC % 3))
+    val paraDir = graft.io.IndexStore.ensureParagraphIndex(
+      d.filter(bucket < 500)
+        .select(col("doc_id"), synthText(col("doc_id"), col("text")).as("text")),
+      dir, variant = "-para-seen")
+    // corpus half of the embedding rung's LSH index (q_admit_full's
+    // parameters), cached across batches — ~vec count rows of
+    // (id, table, bucket) + the norm'd vectors for the verify
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val ebucket = TrainingData.splitBucket(col("vec_id"), 1000)
+    val cN = Similarity.withNorm(e.filter(ebucket < 500)
+      .select(col("vec_id"), col("embedding").as("vec"))).cache()
+    val cIdx = cN.select(col("vec_id"),
+      posexplode(lsh_buckets(col("vec"), 6, 8, 64)).as(Seq("tbl", "bucket")))
+      .cache()
+    try withStatePartitions(s, 4) {
+      // the vector rides the staged row (one static equi-join at
+      // staging time) — an arriving doc carries everything its
+      // admission needs, the stream-enrich convention
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select("doc_id", "text")
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val digests = graft.io.IndexStore.readDigests(s, idxDir)
+      val spans = graft.io.IndexStore.readSpanHashes(s, idxDir)
+      val bandIdx = graft.io.IndexStore.readBandIndex(s, idxDir)
+      val shingles = graft.io.IndexStore.readShingleSets(s, idxDir)
+      val paraHashes = graft.io.IndexStore.readParagraphHashes(s, paraDir)
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val exactNovel = batch.withColumn("digest", md5(col("text")))
+            .join(digests, Seq("digest"), "left_anti")
+            .drop("digest")
+          val substrHits = Dedup.spanHashIndex(batch, "doc_id", "text", 8)
+            .join(spans, Seq("h"), "left_semi")
+            .select(col("id").as("doc_id")).distinct()
+          val fuzzyHits = Dedup.minhashCrossPairsFromIndex(
+              bandIdx, shingles, batch, "doc_id", "text")
+            .select(col("new_id").as("doc_id")).distinct()
+          val nN = Similarity.withNorm(
+            batch.filter(col("embedding").isNotNull)
+              .select(col("doc_id"), col("embedding").as("vec")))
+          val embHits = nN
+            .select(col("doc_id"), col("vec"), col("norm"),
+              posexplode(lsh_buckets(col("vec"), 6, 8, 64))
+                .as(Seq("tbl", "bucket")))
+            .join(cIdx.withColumnRenamed("vec_id", "cid"),
+              Seq("tbl", "bucket"))
+            .filter(col("doc_id") =!= col("cid"))
+            .select("doc_id", "cid", "vec", "norm").distinct()
+            .join(cN.select(col("vec_id").as("cid"), col("vec").as("cv"),
+              col("norm").as("cn")), Seq("cid"))
+            .filter(Similarity.cosineFromNorms(
+              col("vec"), col("cv"), col("norm"), col("cn")) >= 0.35)
+            .select("doc_id").distinct()
+          val admitted = exactNovel
+            .join(substrHits, Seq("doc_id"), "left_anti")
+            .join(fuzzyHits, Seq("doc_id"), "left_anti")
+            .join(embHits, Seq("doc_id"), "left_anti")
+            .select("doc_id")
+          val rows = Dedup.stripSeenParagraphs(
+              batch.select(col("doc_id"),
+                  synthText(col("doc_id"), col("text")).as("text"))
+                .join(admitted, Seq("doc_id"), "left_semi"),
+              paraHashes, "doc_id", "text")
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }
+        .toDF("doc_id", "clean_text", "n_paras", "n_kept")
+        .orderBy("doc_id")
+    } finally {
+      cN.unpersist()
+      cIdx.unpersist()
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
     }
   }

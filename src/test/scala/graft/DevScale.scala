@@ -59,6 +59,8 @@ object DevScale {
     case "d4Scale" :: sfDir :: rest =>
       d4Scale(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
     case "retrainPsi" :: sfDir :: Nil => retrainPsi(sfDir)
+    case "paraLadder" :: sfDir :: rest =>
+      paraLadder(sfDir, rest.headOption.map(_.toInt).getOrElse(8))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -440,6 +442,59 @@ object DevScale {
       println(f"[scale] $sfDir d4Scale cells=$nCells run$i: " +
         f"semdedup=$tSem%.2f s ($nSem) d4=$tD4%.2f s ($nD4)")
     }
+    spark.stop()
+  }
+
+  /** Batch ladder for the CUMULATIVE paragraph gate's ingest loop
+    * (verdict r14 task #4): seeds the store from one hash slice, then
+    * replays the remaining `nBatches` slices through the gate's
+    * per-batch body — fresh static read of the growing hash table,
+    * LEFT ANTI strip, then append — timing each half separately, so
+    * the question "does per-batch cost grow with the store?" gets a
+    * measured answer rather than the 3-batch gate's single point.
+    * Also reports the store's accumulated row count (append never
+    * dedups across batches; compactParagraphIndex reclaims) and ends
+    * with one compact + a final-batch re-probe to price the reclaim.
+    */
+  private def paraLadder(sfDir: String, nBatches: Int): Unit = {
+    import graft.ext.{Dedup, TextAnalysis}
+    val spark = GraftSession.local(32, "graft-dev-scale-paraladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables(spark, sfDir, "documents")
+    val bucket = pmod(xxhash64(col("doc_id")), lit(nBatches + 1))
+    val dir = java.nio.file.Files.createTempDirectory("paraladder").toString
+    val t0 = System.nanoTime()
+    graft.io.IndexStore.writeParagraphIndex(d.filter(bucket === 0), dir)
+    println(f"[scale] $sfDir paraLadder seed: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def antiCount(batch: org.apache.spark.sql.DataFrame): Long =
+      Dedup.paragraphRows(batch, "doc_id", "text")
+        .withColumn("h", TextAnalysis.tokenHash60(col("para")))
+        .join(graft.io.IndexStore.readParagraphHashes(spark, dir),
+          Seq("h"), "left_anti")
+        .count()
+    (1 to nBatches).foreach { k =>
+      val batch = d.filter(bucket === k)
+      val t1 = System.nanoTime()
+      val kept = antiCount(batch)
+      val tAnti = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      graft.io.IndexStore.appendParagraphIndex(batch, dir)
+      val tApp = (System.nanoTime() - t2) / 1e9
+      val nStore = graft.io.IndexStore.readParagraphHashes(spark, dir).count()
+      println(f"[scale] $sfDir paraLadder batch$k: anti=$tAnti%.2f s " +
+        f"($kept kept) append=$tApp%.2f s store=$nStore rows")
+    }
+    val t3 = System.nanoTime()
+    graft.io.IndexStore.compactParagraphIndex(spark, dir)
+    val tC = (System.nanoTime() - t3) / 1e9
+    val nAfter = graft.io.IndexStore.readParagraphHashes(spark, dir).count()
+    val t4 = System.nanoTime()
+    val reKept = antiCount(d.filter(bucket === nBatches))
+    println(f"[scale] $sfDir paraLadder compact: $tC%.2f s " +
+      f"(store=$nAfter rows) reprobe=${(System.nanoTime() - t4) / 1e9}%.2f s " +
+      f"($reKept kept)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }
 

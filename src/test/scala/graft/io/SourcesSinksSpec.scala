@@ -192,6 +192,24 @@ class SourcesSinksSpec extends SparkSpec {
     rowSet(spark.read.parquet(dir)) shouldBe Set(Seq(1, "a"), Seq(2, "b"))
   }
 
+  test("EpochParquetSink: a replayed epoch overwrites ONLY its own partition") {
+    import spark.implicits._
+    val dir = new java.io.File(tempDir(), "epochs.parquet").getAbsolutePath
+    val sink = EpochParquetSink(dir)
+    sink.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("batch_id", lit(0L)))
+    sink.write(Seq((3L, "c")).toDF("id", "v")
+      .withColumn("batch_id", lit(1L)))
+    // epoch 1 replays with different content (the at-least-once case):
+    // its partition is REPLACED, epoch 0's rows untouched
+    sink.write(Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .withColumn("batch_id", lit(1L)))
+    rowSet(spark.read.parquet(dir).select("id", "v")) shouldBe
+      Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d"))
+    an[IllegalArgumentException] should be thrownBy
+      sink.write(Seq((9L, "x")).toDF("id", "v"))
+  }
+
   test("OrcSink + readOrc: roundtrip preserves schema and values; filter pushes to the scan") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "out.orc").getAbsolutePath

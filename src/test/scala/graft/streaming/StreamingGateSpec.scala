@@ -525,4 +525,24 @@ class StreamingGateSpec extends SparkSpec {
     val fmgws = StreamingGate.closedSessionsFromFiles(spark, dir)
     rowSet(tws) shouldBe rowSet(fmgws)
   }
+
+  test("cumulative paragraph gate: sink-written output ≡ driver-buffer output") {
+    val dir = "/root/testdata/sf0.001"
+    val viaBuffer =
+      StreamingGate.streamAdmitParagraphCumulativeFromFiles(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-para-sink-spec")
+    try {
+      val out = tmp.resolve("out").toString
+      val viaSink =
+        StreamingGate.streamAdmitParagraphCumulativeSinked(spark, dir, out)
+      // ordered comparison — both gates end in orderBy(doc_id); the
+      // sink path must change WHERE survivors land, never WHAT survives
+      rowList(viaSink) shouldBe rowList(viaBuffer)
+      // the sink keeps one partition per epoch (the effectively-once
+      // layout: a replayed epoch would overwrite only its own dir)
+      val parts = new java.io.File(out).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+      parts shouldBe Array("batch_id=0", "batch_id=1", "batch_id=2")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
