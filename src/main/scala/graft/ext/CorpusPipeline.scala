@@ -118,7 +118,7 @@ object CorpusPipeline {
     // they would connect are exactly the losers stage 2 removes.
     val pairs = Dedup.minhashRepPairs(collapse.repSets, minJaccard = 0.5)
       .select("id_a", "id_b")
-    val reps = survivorPolicy match {
+    val bareReps = survivorPolicy match {
       case SurvivorPolicy.MinId =>
         Dedup.nearDupClusters(collapse.repSets.select(col("id")), pairs)
           .filter(col("id") === col("cluster"))
@@ -127,6 +127,16 @@ object CorpusPipeline {
         GraphRank.pagerankSurvivors(collapse.repSets.select(col("id")), pairs)
           .select("id")
     }
+    // with a semantic stage configured, reps feeds TWO jobs — the
+    // restricted vector/assignment materialization and the final
+    // survivor anti-join — and recomputing it re-runs the pair join +
+    // clustering chain (the collapse cache shields only the text
+    // scan). One narrow id column, same lineage-backed LRU discipline
+    // as the other pipeline caches; without a semantic stage reps is
+    // consumed once and the cache would be pure overhead.
+    val reps =
+      if (semanticVectors.nonEmpty || semanticIndex.nonEmpty) bareReps.cache()
+      else bareReps
     // stage 4 (opt-in): SEMANTIC dedup over the text-stage survivors'
     // embeddings — paraphrase-grade duplicates share no shingles and
     // pass stages 2-3, but clump in embedding space. SemDeDup
@@ -172,7 +182,22 @@ object CorpusPipeline {
           // the CORPUS-trained quantizer (the one every other store
           // consumer shares), not from a survivor-restricted re-pick
           // — the "one quantizer, many consumers" production shape.
+          // cached AND eagerly materialized: the restricted
+          // assignment feeds BOTH semDedupFromIndex (whose internal
+          // slim cache materializes off it) and the vectoredIds
+          // anti-join in the tail. A lazy cache is not enough here —
+          // the whole prepare output is ONE action, and a cold cache
+          // referenced from parallel branches of that job re-executes
+          // the store read ⋈ the whole text-stage pipeline per branch
+          // (the in-plan face is shielded by accident: its centroid
+          // pick COLLECTS at plan-build time, warming repVecs before
+          // the output job runs). Measured at f10: uncached 14.2 s,
+          // lazy cache 13.1 s, eager 8.1 s vs in-plan's 11.5 s — the
+          // standalone A/B's win restored. The count is the same
+          // collect-barrier pattern as the centroid pick (M2).
           val repAsgn = assigned.join(reps, Seq("id"), "left_semi")
+            .cache()
+          repAsgn.count()
           val semBare = Similarity.semDedupFromIndex(repAsgn, cents,
             semanticTau)
           Some(semanticTail(reps, repAsgn.select("id"), semBare,

@@ -61,6 +61,8 @@ object DevScale {
     case "retrainPsi" :: sfDir :: Nil => retrainPsi(sfDir)
     case "paraLadder" :: sfDir :: rest =>
       paraLadder(sfDir, rest.headOption.map(_.toInt).getOrElse(8))
+    case "prepProbe" :: sfDir :: rest =>
+      prepProbe(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -413,6 +415,56 @@ object DevScale {
       println(f"[scale] $sfDir prepAB cells=$nCells run$i: " +
         f"base=$tBase%.2f s ($nBase) inplan=$tIn%.2f s ($nIn) " +
         f"fromindex=$tIdx%.2f s ($nIdx, build $tBuild%.2f s)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    spark.stop()
+  }
+
+  /** Stage-piece attribution for prepAB's surprising store-face
+    * timing: times the restricted semantic stage's halves in
+    * isolation — text-stage survivors (reps), the restricted
+    * assignment from the store, semDedupFromIndex over it, and the
+    * in-plan semDedupSurvivors over the restricted vectors — so the
+    * slow half is measured, not inferred from end-to-end deltas.
+    */
+  private def prepProbe(sfDir: String, nCells0: Int): Unit = {
+    import graft.ext.{CorpusPipeline, Similarity}
+    val spark = GraftSession.local(32, "graft-dev-scale-prepprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val langs = Seq("en", "de", "fr")
+    val d = Tables(spark, sfDir, "documents")
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val nCells =
+      if (nCells0 > 0) nCells0
+      else graft.ext.Similarity.ivfCellsFor(e.count())
+    val dir = java.nio.file.Files.createTempDirectory(s"pppr$nCells").toString
+    graft.io.IndexStore.writeAnnIndexes(e, dir, nCells = nCells)
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val reps = CorpusPipeline.prepare(d, "doc_id", "text", langs, 0.5)
+        .select(col("doc_id").as("id")).cache()
+      val nReps = reps.count()
+      val tReps = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val repAsgn = graft.io.IndexStore.readIvfAssigned(spark, dir)
+        .join(reps, Seq("id"), "left_semi").cache()
+      val nAsgn = repAsgn.count()
+      val tAsgn = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nIdx = Similarity.semDedupFromIndex(repAsgn,
+        graft.io.IndexStore.readAnnCentroids(spark, dir), 0.35).count()
+      val tIdx = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val repVecs = e.select(col("vec_id").as("id"), col("embedding"))
+        .join(reps, Seq("id"), "left_semi").cache()
+      repVecs.count()
+      val nIn = Similarity.semDedupSurvivors(repVecs, nCells, 0.35,
+        "id", "embedding").count()
+      val tIn = (System.nanoTime() - t3) / 1e9
+      println(f"[scale] $sfDir prepProbe cells=$nCells run$i: " +
+        f"reps=$tReps%.2f s ($nReps) asgn=$tAsgn%.2f s ($nAsgn) " +
+        f"fromindex=$tIdx%.2f s ($nIdx) inplan=$tIn%.2f s ($nIn)")
+      spark.catalog.clearCache()
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
