@@ -276,15 +276,28 @@ class TrainingDataSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq should not be rows.map(_.getLong(0)).toSeq
     // sharded: each shard packs independently with its own running
     // sum — exactly the global rule applied within the shard
-    val sharded = TrainingData.emitBatches(docs, "doc_id", "text",
-        merges, maxTokens = 8, budget = 40, seed = "7",
-        shard = Some("source"))
+    val shardedDf = TrainingData.emitBatches(docs, "doc_id", "text",
+      merges, maxTokens = 8, budget = 40, seed = "7",
+      shard = Some("source"))
+    val sharded = shardedDf
       .orderBy("source", "order_key", "doc_id").collect()
     sharded.groupBy(_.getString(6)).foreach { case (_, rs) =>
       rs.foldLeft(0L) { (acc, r) =>
         r.getLong(4) shouldBe acc
         acc + r.getInt(3)
       }
+    }
+    // the scale claim, pinned in the PLAN: the sharded window
+    // exchanges on the shard key (parallel per-shard sorts), never
+    // the global form's SinglePartition funnel
+    val shardedPlan = shardedDf.queryExecution.executedPlan.toString
+    val globalPlan = run(docs).queryExecution.executedPlan.toString
+    withClue(shardedPlan) {
+      shardedPlan should not include "SinglePartition"
+      shardedPlan should include regex "hashpartitioning\\(source"
+    }
+    withClue(globalPlan) {
+      globalPlan should include("SinglePartition")
     }
   }
 
