@@ -1817,6 +1817,27 @@ object Dedup {
             x => x("para"))).as("clean_text"),
         count(lit(1)).as("n_kept"))
 
+  /** The paragraph family's shared OUTPUT tail: per-document totals
+    * (row-local [[paragraphCount]] — never a second explode) LEFT-
+    * joined to the reassembled `kept` survivors — the (idCol,
+    * clean_text, n_paras, n_kept) contract every paragraph rewrite
+    * ships, defined once so the batch op, the seen-strip, and the
+    * streaming gates cannot drift (a contract change — e.g. keeping
+    * zero-paragraph docs — edits one place).
+    */
+  def reassembleWithTotals(df: DataFrame, idCol: String, textCol: String,
+      kept: DataFrame, sep: String = "\n\n"): DataFrame = {
+    val rebuilt = reassembleParagraphs(kept, sep)
+    df.select(col(idCol).as("id"),
+        paragraphCount(col(textCol), sep).cast("long").as("n_paras"))
+      .filter(col("n_paras") > 0)
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Paragraph-level exact dedup with document reassembly — the
     * Dolma / RefinedWeb paragraph pass: the repeated unit on the web
     * is usually a PARAGRAPH (boilerplate footers, license blocks,
@@ -1860,15 +1881,7 @@ object Dedup {
       .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"))
       .select(col("w.id").as("id"), col("w.idx").as("idx"),
         col("w.para").as("para"))
-    val rebuilt = reassembleParagraphs(winners, sep)
-    df.select(col(idCol).as("id"),
-        paragraphCount(col(textCol), sep).cast("long").as("n_paras"))
-      .filter(col("n_paras") > 0)
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    reassembleWithTotals(df, idCol, textCol, winners, sep)
   }
 
   /** Strip ALREADY-SEEN paragraphs from a document batch against a
@@ -1899,15 +1912,7 @@ object Dedup {
       .withColumn("h", TextAnalysis.tokenHash60(col("para")))
       .join(seenHashes.select("h"), Seq("h"), "left_anti")
       .select("id", "idx", "para")
-    val rebuilt = reassembleParagraphs(kept, sep)
-    df.select(col(idCol).as("id"),
-        paragraphCount(col(textCol), sep).cast("long").as("n_paras"))
-      .filter(col("n_paras") > 0)
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_paras"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    reassembleWithTotals(df, idCol, textCol, kept, sep)
   }
 
   /** Paragraph-grain FUZZY near-dup pairs — the rung

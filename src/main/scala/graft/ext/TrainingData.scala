@@ -251,11 +251,20 @@ object TrainingData {
     * involvement. Write the result with a partition-numbered sink and
     * the file order IS the training order.
     */
+  /** The seeded permutation key [[trainingOrder]] sorts by — exposed
+    * so compositions that immediately re-establish the order anyway
+    * (a running-sum window) can take the projection WITHOUT the
+    * operator's global orderBy: the window's own sort supersedes it,
+    * and paying a full range-sort of the token payload just to have
+    * the next exchange discard it doubles the emission shuffle.
+    */
+  def trainingOrderKey(keys: Seq[Column], seed: String): Column =
+    conv(substring(md5(
+      concat_ws(":", lit(seed) +: keys.map(_.cast("string")): _*)),
+      1, 15), 16, 10).cast("long")
+
   def trainingOrder(df: DataFrame, keys: Seq[Column], seed: String): DataFrame =
-    df.withColumn("order_key",
-        conv(substring(md5(
-          concat_ws(":", lit(seed) +: keys.map(_.cast("string")): _*)),
-          1, 15), 16, 10).cast("long"))
+    df.withColumn("order_key", trainingOrderKey(keys, seed))
       .orderBy(col("order_key") +: keys: _*)
 
   /** END-TO-END training-batch emission — the engine's actual end
@@ -298,7 +307,14 @@ object TrainingData {
     val keep = Seq(col(idCol).as("id"),
       slice(col("subwords"), 1, maxTokens).as("toks")) ++ shard.map(col)
     val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
-    val ordered = trainingOrder(enc, Seq(col("id")), seed)
+    // the key projection only — NOT trainingOrder's global orderBy:
+    // the window below re-establishes exactly that order (globally or
+    // per shard), so the operator's own range-sort of the token
+    // payload would be computed and then discarded at the window's
+    // exchange — one wasted full shuffle+sort of the tokenized corpus
+    // on the engine's end-product path
+    val ordered = enc.withColumn("order_key",
+      trainingOrderKey(Seq(col("id")), seed))
     val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
       Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
     val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -106,9 +106,15 @@ final case class OrcSink(path: String) extends Sink {
   * written in DYNAMIC partition-overwrite mode — a replayed epoch
   * (foreachBatch is at-least-once after a failure) overwrites ONLY its
   * own `batch_id=k/` partition, leaving every other epoch's output
-  * intact, so the sink is effectively-once without any read-side
-  * dedup. Append mode would duplicate the replayed epoch; whole-path
-  * overwrite would erase every earlier one.
+  * intact. That makes the sink effectively-once when the epoch's
+  * content is DETERMINISTIC in its input (the common stateless
+  * transform); when the computation also reads mutable state the
+  * epoch itself advances (an ingest loop appending to a store), a
+  * replay recomputes AGAINST THE ADVANCED STATE and the rewrite would
+  * be wrong — such callers must gate the write on [[committed]] and
+  * keep the first durable attempt (the cumulative paragraph gate's
+  * pattern). Append mode would duplicate the replayed epoch;
+  * whole-path overwrite would erase every earlier one.
   */
 final case class EpochParquetSink(path: String) extends Sink {
   override def write(df: DataFrame): Unit = {
@@ -118,6 +124,29 @@ final case class EpochParquetSink(path: String) extends Sink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
+  }
+
+  /** True when epoch `batchId`'s partition holds COMMITTED data files
+    * — the replay guard: a crashed first attempt leaves no part files
+    * (the parquet committer stages under _temporary), so false means
+    * "recompute and write", true means "this epoch's output is already
+    * durable, keep it".
+    */
+  def committed(batchId: Long): Boolean = {
+    val part = new java.io.File(path, s"batch_id=$batchId")
+    val files = part.listFiles()
+    files != null && files.exists(f =>
+      f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+  }
+
+  /** True when ANY epoch has committed — distinguishes "no admitted
+    * rows ever" (a valid empty result) from a readable sink.
+    */
+  def anyCommitted: Boolean = {
+    val dirs = new java.io.File(path).listFiles()
+    dirs != null && dirs.exists(d =>
+      d.getName.startsWith("batch_id=") &&
+        committed(d.getName.stripPrefix("batch_id=").toLong))
   }
 }
 

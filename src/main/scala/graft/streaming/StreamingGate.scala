@@ -77,6 +77,27 @@ object StreamingGate {
     dest.toFile.setLastModified(baseMs + i * 60000L)
   }
 
+  /** The boilerplate-augmented SYNTH face of a documents frame — the
+    * paragraph gates' shared derived corpus (a 3-variant footer every
+    * doc carries, plus a conditional body replacement that makes some
+    * docs pure boilerplate). ONE definition on purpose: the
+    * "-para-seen" store is memoized content-blind on (corpusDir,
+    * variant), so every builder of that variant must produce
+    * byte-identical text or the first face to run in a session
+    * silently decides what the others read — and the faces' oracles
+    * replay this construction literally, so a drifted copy would
+    * fail verify order-dependently. Mirrored in SQL by the paragraph
+    * faces' `synth` CTEs.
+    */
+  def paragraphSynthText(id: Column, text: Column): Column = {
+    def boilerOf(v: Column): Column =
+      concat(lit("subscribe to the graft newsletter variant "),
+        v.cast("string"))
+    concat_ws("\n\n",
+      when(id % 10 === 7, boilerOf((id + 1) % 3)).otherwise(text),
+      boilerOf(id % 3))
+  }
+
   /** Write `df` as a single parquet file slice (tiny frames only). */
   private def writeSlice(df: DataFrame, stage: Path, i: Int, baseMs: Long): Unit = {
     val tmp = stage.resolve(s"tmp$i")
@@ -1271,13 +1292,8 @@ object StreamingGate {
     val stage = newStage()
     val d = Tables(s, dir, "documents")
     val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
-    def boilerOf(v: Column): Column =
-      concat(lit("subscribe to the graft newsletter variant "), v.cast("string"))
     val synth = d.select(col("doc_id"),
-      concat_ws("\n\n",
-        when(col("doc_id") % 10 === 7, boilerOf((col("doc_id") + 1) % 3))
-          .otherwise(col("text")),
-        boilerOf(col("doc_id") % 3)).as("text"))
+      paragraphSynthText(col("doc_id"), col("text")).as("text"))
     // "-para-seen": the memo keys on (corpusDir, variant) and this is
     // a SYNTHETIC face (boilerplate-augmented, bucket<500 slice) of
     // the corpus dir — the default "-para" stays free for plain-corpus
@@ -1535,10 +1551,27 @@ object StreamingGate {
       sinkDir: String): DataFrame = {
     val sink = graft.io.EpochParquetSink(sinkDir)
     paragraphCumulativeRun(s, dir,
-      emitKept = (kept, batchId) =>
-        sink.write(kept.withColumn("batch_id", lit(batchId))),
+      emitKept = (kept, batchId) => {
+        // replay guard (foreachBatch is at-least-once): this epoch's
+        // kept set is computed against the store, which the FIRST
+        // attempt's append already advanced — a replayed recompute
+        // anti-joins away the batch's own paragraphs and would
+        // overwrite the partition with wrongly-shrunk content. The
+        // first COMMITTED write is the correct one; keep it and let
+        // the re-append land its harmless duplicate hash rows.
+        if (!sink.committed(batchId))
+          sink.write(kept.withColumn("batch_id", lit(batchId)))
+      },
       keptAfterDrain = () =>
-        s.read.parquet(sinkDir).select("id", "idx", "para"))
+        // a run whose every batch was fully already-seen commits no
+        // data files — the valid-empty case the buffer twin returns
+        // as an empty frame, not a read error
+        if (sink.anyCommitted)
+          s.read.parquet(sinkDir).select("id", "idx", "para")
+        else {
+          import s.implicits._
+          Seq.empty[(Long, Int, String)].toDF("id", "idx", "para")
+        })
   }
 
   /** Shared core of the two cumulative-paragraph gates: drives the
@@ -1560,13 +1593,8 @@ object StreamingGate {
     val storeDir = stage.resolve("store").toString
     val d = Tables(s, dir, "documents")
     val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
-    def boilerOf(v: Column): Column =
-      concat(lit("subscribe to the graft newsletter variant "), v.cast("string"))
     val synth = d.select(col("doc_id"),
-      concat_ws("\n\n",
-        when(col("doc_id") % 10 === 7, boilerOf((col("doc_id") + 1) % 3))
-          .otherwise(col("text")),
-        boilerOf(col("doc_id") % 3)).as("text"))
+      paragraphSynthText(col("doc_id"), col("text")).as("text"))
     // fresh docs gain the 7-variant digest footer the corpus lacks —
     // the cross-batch duplication this face exists to exercise
     val fresh = synth.filter(bucket >= 500 && bucket < 600)
@@ -1612,17 +1640,7 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      val kept = keptAfterDrain()
-      val rebuilt = Dedup.reassembleParagraphs(kept)
-        .withColumnRenamed("id", "doc_id")
-      val totals = fresh.select(col("doc_id"),
-          Dedup.paragraphCount(col("text")).cast("long").as("n_paras"))
-        .filter(col("n_paras") > 0)
-      totals.join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"),
-          col("n_paras"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      Dedup.reassembleWithTotals(fresh, "doc_id", "text", keptAfterDrain())
         .orderBy("doc_id")
         .localCheckpoint() // materialize before the stage dir is deleted
     } finally {
@@ -1657,15 +1675,10 @@ object StreamingGate {
     val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
     val idxDir = graft.io.IndexStore.ensureAdmissionIndexes(
       d.filter(bucket < 500), dir)
-    def boilerOf(v: Column): Column =
-      concat(lit("subscribe to the graft newsletter variant "), v.cast("string"))
-    def synthText(idC: Column, textC: Column): Column =
-      concat_ws("\n\n",
-        when(idC % 10 === 7, boilerOf((idC + 1) % 3)).otherwise(textC),
-        boilerOf(idC % 3))
     val paraDir = graft.io.IndexStore.ensureParagraphIndex(
       d.filter(bucket < 500)
-        .select(col("doc_id"), synthText(col("doc_id"), col("text")).as("text")),
+        .select(col("doc_id"),
+          paragraphSynthText(col("doc_id"), col("text")).as("text")),
       dir, variant = "-para-seen")
     // corpus half of the embedding rung's LSH index (q_admit_full's
     // parameters), cached across batches — ~vec count rows of
@@ -1740,7 +1753,7 @@ object StreamingGate {
             .select("doc_id")
           val rows = Dedup.stripSeenParagraphs(
               batch.select(col("doc_id"),
-                  synthText(col("doc_id"), col("text")).as("text"))
+                  paragraphSynthText(col("doc_id"), col("text")).as("text"))
                 .join(admitted, Seq("doc_id"), "left_semi"),
               paraHashes, "doc_id", "text")
             .collect()

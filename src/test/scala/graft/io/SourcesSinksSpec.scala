@@ -208,6 +208,16 @@ class SourcesSinksSpec extends SparkSpec {
       Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d"))
     an[IllegalArgumentException] should be thrownBy
       sink.write(Seq((9L, "x")).toDF("id", "v"))
+    // the replay guard: committed only for epochs with durable part
+    // files; a never-written sink reads as "no epoch committed" (the
+    // valid-empty case, not a read error)
+    sink.committed(0L) shouldBe true
+    sink.committed(1L) shouldBe true
+    sink.committed(5L) shouldBe false
+    sink.anyCommitted shouldBe true
+    EpochParquetSink(
+      new java.io.File(tempDir(), "never").getAbsolutePath)
+      .anyCommitted shouldBe false
   }
 
   test("OrcSink + readOrc: roundtrip preserves schema and values; filter pushes to the scan") {
