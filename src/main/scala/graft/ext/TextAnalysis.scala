@@ -563,6 +563,43 @@ object TextAnalysis {
     df.withColumn("subwords",
       graft.functions.BpeFunctions.bpe_encode(lower(col(textCol)), rules))
 
+  /** Word-boundary-MARKED BPE encode — the Sennrich `</w>` convention
+    * a shipped tokenizer actually uses: each word's FINAL subword
+    * carries the end-of-word marker, which is exactly the information
+    * [[bpeEncode]]'s flat array discards and the one thing a
+    * detokenizer needs. Same segmentation as [[bpeEncode]] (the merge
+    * loop runs per word either way, so piece COUNT is identical —
+    * spec-pinned); built compositionally — per-word `bpe_encode`
+    * inside a higher-order transform, no second expression class —
+    * and empty words (consecutive spaces) drop exactly as the flat
+    * encode drops them.
+    */
+  def bpeEncodeMarked(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)],
+      marker: String = "</w>"): DataFrame =
+    df.withColumn("subwords_marked",
+      flatten(transform(
+        filter(split(lower(col(textCol)), " ", -1), w => w =!= ""),
+        w => {
+          val g = graft.functions.BpeFunctions.bpe_encode(w, rules)
+          concat(slice(g, lit(1), size(g) - 1),
+            array(concat(element_at(g, -1), lit(marker))))
+        })))
+
+  /** Detokenize a MARKED subword stream back to normalized text —
+    * pure built-ins (one array_join + one replace), no custom
+    * expression: the round-trip contract is
+    * `bpeDecode(bpeEncodeMarked(x)) = single-space-normalized
+    * lower(x)` (multiple spaces collapse because empty words drop at
+    * encode — the only lossy step, and a deliberate one). The QA face
+    * this enables (q_bpe_roundtrip) needs no BPE replay in its
+    * oracle: if the invariant holds, the decode EQUALS the SQL-side
+    * normalization of the raw text.
+    */
+  def bpeDecode(subwords: Column, marker: String = "</w>"): Column =
+    rtrim(regexp_replace(array_join(subwords, ""),
+      java.util.regex.Pattern.quote(marker), " "))
+
   /** PMI collocation mining: the top-k adjacent-token pairs by
     * pointwise mutual information, `pmi = ln(P(l,r) / (P(l)·P(r)))`
     * with `P(l,r) = c_pair/n_pairs` and `P(t) = c_t/n_tok` — the

@@ -294,6 +294,41 @@ class TextAnalysisSpec extends SparkSpec {
     got shouldBe Seq("low", "est", "low", "x", "y", "z")
   }
 
+  test("bpeEncodeMarked/bpeDecode: round trip = single-space normalization; " +
+      "marked and flat encodes segment identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rules = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val docs = Seq(
+      (1L, "lowest low xyz"),
+      (2L, "Low  DOUBLE   spaced"), // case folds, runs collapse
+      (3L, "single"),
+      (4L, ""),                     // empty doc -> empty decode
+      (5L, " leading and trailing ")
+    ).toDF("doc_id", "text")
+    val marked = graft.ext.TextAnalysis.bpeEncodeMarked(docs, "text", rules)
+    // the marker rides the word-final piece only
+    marked.filter($"doc_id" === 1L)
+      .select($"subwords_marked").as[Seq[String]].head() shouldBe
+      Seq("low", "est</w>", "low</w>", "x", "y", "z</w>")
+    // round trip: decode(encode(x)) == lower(x) with space runs and
+    // edge spaces collapsed — the face's oracle-side normalization
+    val got = marked.select($"doc_id",
+        graft.ext.TextAnalysis.bpeDecode($"subwords_marked").as("d"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    got shouldBe Array(
+      (1L, "lowest low xyz"), (2L, "low double spaced"),
+      (3L, "single"), (4L, ""), (5L, "leading and trailing"))
+    // identical segmentation: piece counts match the flat encode
+    val counts = graft.ext.TextAnalysis.bpeEncode(docs, "text", rules)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size($"subwords").as("flat"))
+      .join(marked.select($"doc_id",
+        org.apache.spark.sql.functions.size($"subwords_marked").as("mk")),
+        Seq("doc_id"))
+    counts.filter($"flat" =!= $"mk").count() shouldBe 0L
+  }
+
   test("bpeEncode replays training exactly on the training corpus") {
     import org.apache.spark.sql.functions._
     // encode(training corpus) under the learned rules must equal the
