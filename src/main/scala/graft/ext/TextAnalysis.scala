@@ -588,15 +588,17 @@ object TextAnalysis {
 
   /** Detokenize a MARKED subword stream back to normalized text —
     * pure built-ins (one array_join + one replace), no custom
-    * expression: the round-trip contract is
-    * `bpeDecode(bpeEncodeMarked(x)) = single-space-normalized
-    * lower(x)` (multiple spaces collapse because empty words drop at
-    * encode — the only lossy step, and a deliberate one). The QA face
-    * this enables (q_bpe_roundtrip) needs no BPE replay in its
-    * oracle: if the invariant holds, the decode EQUALS the SQL-side
+    * expression, TOKENIZER-AGNOSTIC (both the BPE and unigram marked
+    * encodes ship the same end-of-word convention): the round-trip
+    * contract is `detokenize(encodeMarked(x)) =
+    * single-space-normalized lower(x)` (multiple spaces collapse
+    * because empty words drop at encode — the only lossy step, and a
+    * deliberate one). The QA faces this enables (q_bpe_roundtrip,
+    * q_unigram_roundtrip) need no tokenizer replay in their oracles:
+    * if the invariant holds, the decode EQUALS the SQL-side
     * normalization of the raw text.
     */
-  def bpeDecode(subwords: Column, marker: String = "</w>"): Column =
+  def detokenize(subwords: Column, marker: String = "</w>"): Column =
     rtrim(regexp_replace(array_join(subwords, ""),
       java.util.regex.Pattern.quote(marker), " "))
 

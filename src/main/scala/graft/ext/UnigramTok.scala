@@ -413,6 +413,27 @@ object UnigramTok {
       graft.functions.UnigramFunctions.unigram_encode(
         lower(col(textCol)), pieces))
 
+  /** Word-boundary-MARKED unigram encode — the unigram twin of
+    * [[TextAnalysis.bpeEncodeMarked]] (one shared `</w>` convention,
+    * one shared [[TextAnalysis.detokenize]]): Viterbi segments each
+    * word exactly as [[unigramEncode]] does (per-word split is the
+    * expression's own convention, so segmentation is identical —
+    * spec-pinned), and the word-final piece carries the marker a
+    * detokenizer needs. Compositional (per-word encode in a
+    * higher-order transform), no new expression class.
+    */
+  def unigramEncodeMarked(df: DataFrame, textCol: String,
+      pieces: Seq[(String, Double)],
+      marker: String = "</w>"): DataFrame =
+    df.withColumn("pieces_marked",
+      flatten(transform(
+        filter(split(lower(col(textCol)), " ", -1), w => w =!= ""),
+        w => {
+          val g = graft.functions.UnigramFunctions.unigram_encode(w, pieces)
+          concat(slice(g, lit(1), size(g) - 1),
+            array(concat(element_at(g, -1), lit(marker))))
+        })))
+
   /** Subword-regularization encoding (Kudo 2018 §3): adds `pieces` —
     * a segmentation SAMPLED ∝ P(seg)^α per word instead of the
     * Viterbi argmax, the data-augmentation variant that exposes a

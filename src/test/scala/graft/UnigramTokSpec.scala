@@ -215,4 +215,27 @@ class UnigramTokSpec extends SparkSpec {
       .select("doc_id", "pieces").collect().map(_.toSeq).toSet
     a shouldBe b
   }
+
+  test("marked encode: identical segmentation to the flat encode, " +
+      "detokenize round-trips to normalized text") {
+    val df = corpus("abab  Abab caca", "dd", "")
+    val trained = UnigramTok.unigramTrain(df, "text", vocabSize = 8,
+      maxPieceLen = 4, seedSize = 20)
+    val pieces = trained.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val marked = UnigramTok.unigramEncodeMarked(df, "text", pieces)
+    // piece counts match the flat encode doc-for-doc
+    val flat = UnigramTok.unigramEncode(df, "text", pieces)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("pieces")).as("n"))
+    marked.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("pieces_marked")).as("m"))
+      .join(flat, Seq("doc_id"))
+      .filter(col("m") =!= col("n")).count() shouldBe 0L
+    // round trip = case-folded, space-run-collapsed source text
+    val got = marked.select(col("doc_id"),
+        graft.ext.TextAnalysis.detokenize(col("pieces_marked")).as("d"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    got shouldBe Array("abab abab caca", "dd", "")
+  }
 }

@@ -294,7 +294,7 @@ class TextAnalysisSpec extends SparkSpec {
     got shouldBe Seq("low", "est", "low", "x", "y", "z")
   }
 
-  test("bpeEncodeMarked/bpeDecode: round trip = single-space normalization; " +
+  test("bpeEncodeMarked/detokenize: round trip = single-space normalization; " +
       "marked and flat encodes segment identically") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -314,7 +314,7 @@ class TextAnalysisSpec extends SparkSpec {
     // round trip: decode(encode(x)) == lower(x) with space runs and
     // edge spaces collapsed — the face's oracle-side normalization
     val got = marked.select($"doc_id",
-        graft.ext.TextAnalysis.bpeDecode($"subwords_marked").as("d"))
+        graft.ext.TextAnalysis.detokenize($"subwords_marked").as("d"))
       .orderBy("doc_id").as[(Long, String)].collect()
     got shouldBe Array(
       (1L, "lowest low xyz"), (2L, "low double spaced"),
