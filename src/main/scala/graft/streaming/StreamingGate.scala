@@ -1776,6 +1776,100 @@ object StreamingGate {
     }
   }
 
+  /** STREAMING training-batch EMISSION — the engine's end product
+    * ([[graft.ext.TrainingData.emitBatches]]) run as a continuous
+    * ingest loop: each arriving micro-batch is encoded with the
+    * PERSISTED tokenizer, truncated, ordered by the seeded
+    * permutation WITHIN the batch, and packed into token-budget bins
+    * whose numbering CONTINUES across batches — the offset is derived
+    * from the sink's own committed content (sum of n_tok over earlier
+    * epochs), so the SINK IS THE STATE (the streamAnnMaintenance
+    * convention; no driver-side counter to lose on restart) and the
+    * [[graft.io.EpochParquetSink.committed]] replay guard makes the
+    * whole loop effectively-once: a replayed epoch neither rewrites
+    * its partition nor double-counts its tokens. Semantics note, the
+    * honest difference from the batch face: the batch operator
+    * permutes GLOBALLY; a continuous emitter can only permute within
+    * what has arrived, so the stream order is (arrival batch, seeded
+    * order) — exactly what the oracle replays. Within-batch packing
+    * is the single-stream window (micro-batches are small by
+    * construction); a high-volume deployment shards it per source,
+    * the emitBatches `shard` contract.
+    */
+  def streamEmitBatchesFromFiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.{TextAnalysis, TrainingData}
+    val stage = newStage()
+    val sinkDir = stage.resolve("sink").toString
+    val sink = graft.io.EpochParquetSink(sinkDir)
+    val d = Tables(s, dir, "documents")
+    val idxDir = graft.io.IndexStore.ensureBpeMerges(d, dir, "text",
+      merges = 20)
+    val merges = graft.io.IndexStore.readBpeMerges(s, idxDir)
+    try withStatePartitions(s, 4) {
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          d.filter(pmod(col("doc_id"), lit(3)) === k)
+            .select("doc_id", "text").orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!sink.committed(batchId)) {
+            // bin continuity: tokens already emitted by EARLIER
+            // epochs, read from the sink's committed partitions —
+            // strictly batch_id < this epoch, so a replay (whose own
+            // partition is uncommitted by the guard above) computes
+            // the same offset as the first attempt
+            val offset =
+              if (sink.anyCommitted)
+                s.read.parquet(sinkDir)
+                  .filter(col("batch_id") < batchId)
+                  .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
+              else 0L
+            val enc = TextAnalysis.bpeEncode(batch, "text", merges)
+              .select(col("doc_id").as("id"),
+                slice(col("subwords"), 1, 256).as("toks"))
+              .withColumn("order_key",
+                TrainingData.trainingOrderKey(Seq(col("id")), "42"))
+              .withColumn("n_tok", size(col("toks")))
+            val w = Window.orderBy(col("order_key"), col("id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val out = enc
+              .withColumn("tokens_before", lit(offset) +
+                coalesce(sum(col("n_tok").cast("long")).over(w)
+                  - col("n_tok"), lit(0L)))
+              .withColumn("bin",
+                floor(col("tokens_before") / 2000).cast("int"))
+              .select(col("id").as("doc_id"), col("order_key"),
+                col("n_tok"), col("tokens_before"), col("bin"),
+                try_element_at(col("toks"), lit(1)).as("first_tok"))
+            sink.write(out.withColumn("batch_id", lit(batchId)))
+          }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      s.read.parquet(sinkDir)
+        .select("doc_id", "order_key", "n_tok", "tokens_before", "bin",
+          "first_tok")
+        .orderBy("tokens_before", "doc_id")
+        .localCheckpoint() // materialize before the stage dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING ANN-STORE MAINTENANCE under the gate — the ingest
     * loop for the vector index run as a REAL stream, the ANN mirror
     * of [[streamSketchMaintenanceFromFiles]]: the quantizer is
