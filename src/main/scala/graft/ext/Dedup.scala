@@ -1963,6 +1963,118 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Paragraph-grain fuzzy dedup with REMEDIATION — the consumer
+    * [[paragraphNearDupPairs]] stops short of: detection alone leaves
+    * a one-word-edited footer alive in every document, because
+    * nothing acts on the pairs. This composes the document family's
+    * cluster → survivor → rewrite treatment one granularity down, in
+    * the same motion as [[paragraphDedup]]:
+    *
+    *  1. exact collapse — every distinct paragraph text keeps its
+    *     globally-first (doc, position) representative (verbatim
+    *     copies already lose here, the [[paragraphDedup]] rule);
+    *  2. fuzzy clustering — the reps' MinHash band pairs feed
+    *     [[nearDupClusters]] (grain-agnostic: the node id is the
+    *     (id, idx) struct), so A≈B≈C variant chains dedup as one
+    *     group even when A,C don't pair;
+    *  3. survivor pick — each cluster keeps its MIN (id, idx) member,
+    *     which IS the cluster label (the same globally-first rule as
+    *     step 1, extended across variants — deterministic on any
+    *     layout);
+    *  4. rewrite — losing reps' paragraphs (and, via step 1, every
+    *     verbatim copy of ANY non-winning text) are stripped and
+    *     documents reassembled under the shared
+    *     [[reassembleWithTotals]] contract: (idCol, clean_text,
+    *     n_paras, n_kept), clean_text = "" when nothing survived.
+    *
+    * Scale shape: the collapse front bounds everything downstream by
+    * DISTINCT paragraph variants (a footer in 10⁸ docs is ONE node);
+    * the cluster loop runs over the band-verified pair members only
+    * (the tiny duplicated fraction); the final strip is one narrow
+    * (id, idx) semi-join; reassembly is the one per-document shuffle
+    * every paragraph rewrite pays.
+    */
+  def paragraphNearDupDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", minJaccard: Double = 0.5): DataFrame = {
+    val paras = paragraphRows(df, idCol, textCol, sep)
+    // cached: consumed by the shingle sets (→ pairs → clusters, which
+    // materialize eagerly inside nearDupClusters) AND the final kept
+    // semi-join — uncached, each re-runs the explode + min groupBy
+    val winners = paras
+      .groupBy(md5(col("para")).as("__dg"))
+      .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"))
+      .select(col("w.id").as("id"), col("w.idx").as("idx"),
+        col("w.para").as("para"))
+      .cache()
+    val sets = winners.select(
+      struct(col("id"), col("idx")).as("id"),
+      graft.functions.TextHashFunctions.shingle_hashes(col("para"), ShingleN)
+        .as("hs"))
+    val pairs = minhashRepPairs(sets, minJaccard).select("id_a", "id_b")
+    // keep each cluster's label member — min (id, idx) = globally
+    // first, so `id === cluster` IS the survivor rule
+    val keptKeys = nearDupClusters(sets.select("id"), pairs)
+      .filter(col("id") === col("cluster"))
+      .select(col("id.id").as("id"), col("id.idx").as("idx"))
+    val kept = winners.join(keptKeys, Seq("id", "idx"), "left_semi")
+      .select("id", "idx", "para")
+    reassembleWithTotals(df, idCol, textCol, kept, sep)
+  }
+
+  /** Strip paragraphs the corpus has FUZZY-seen — the streaming
+    * admission twin of [[paragraphNearDupDedup]]'s detection, one
+    * rung below [[stripSeenParagraphs]]: an edited boilerplate
+    * paragraph hashes to a fresh digest and passes the exact
+    * anti-join in every batch forever. This composes both rungs
+    * against PERSISTED artifacts ([[graft.io.IndexStore]]'s
+    * paragraph-fuzzy tables): split under the canonical
+    * [[paragraphRows]] rule, drop exact-seen paragraphs against
+    * `seenHashes` (h), then band the SURVIVING DISTINCT texts and
+    * probe `seenBands` (h, band, band_hash) for candidates, verifying
+    * each with the exact shingle Jaccard against `seenShingles`
+    * (h, hs); paragraphs matching any stored rep at ≥ `minJaccard`
+    * drop too. Survivors reassemble under the shared
+    * [[reassembleWithTotals]] contract.
+    *
+    * Scale shape: the batch pays its explode + one distinct over its
+    * own paragraphs; banding is a projection of the distinct texts
+    * (bounded by batch variant count — the collapse front again); the
+    * probe is an equi-join on (band, band_hash) against a stored
+    * index that never recomputes; the verify is one codegen'd
+    * array_intersect per candidate. Like [[stripSeenParagraphs]],
+    * no position is taken on within-batch duplication — cross-batch
+    * state lives in the store.
+    */
+  def stripFuzzySeenParagraphs(df: DataFrame, seenHashes: DataFrame,
+      seenBands: DataFrame, seenShingles: DataFrame,
+      idCol: String, textCol: String, sep: String = "\n\n",
+      minJaccard: Double = 0.5): DataFrame = {
+    val paras = paragraphRows(df, idCol, textCol, sep)
+      .withColumn("h", TextAnalysis.tokenHash60(col("para")))
+    val fresh = paras.join(seenHashes.select("h"), Seq("h"), "left_anti")
+    // distinct surviving texts, keyed by the store's 60-bit text hash
+    val sets = fresh.select(col("h").as("id"), col("para")).distinct()
+      .select(col("id"),
+        graft.functions.TextHashFunctions.shingle_hashes(col("para"), ShingleN)
+          .as("hs"))
+    val cand = lshBands(minhashSignature(sets))
+      .join(seenBands.select(col("h").as("seen_h"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
+      .select(col("id").as("h"), col("seen_h")).distinct()
+    val dropped = cand
+      .join(sets.select(col("id").as("h"), col("hs").as("hs_n")), Seq("h"))
+      .join(seenShingles.select(col("h").as("seen_h"), col("hs").as("hs_c")),
+        Seq("seen_h"))
+      .withColumn("shared", size(array_intersect(col("hs_n"), col("hs_c"))))
+      .filter(col("shared").cast("double") /
+        (size(col("hs_n")) + size(col("hs_c")) - col("shared")).cast("double")
+        >= minJaccard)
+      .select("h").distinct()
+    val kept = fresh.join(dropped, Seq("h"), "left_anti")
+      .select("id", "idx", "para")
+    reassembleWithTotals(df, idCol, textCol, kept, sep)
+  }
+
   /** Embedding-cosine near-dup pairs: cosine(a, b) ≥ `minCos`,
     * id_a < id_b. All-pairs here (fine at verify scale); at 100 TB
     * route through [[Similarity]]'s LSH bucketing first.

@@ -597,6 +597,14 @@ object TextAnalysis {
     * q_unigram_roundtrip) need no tokenizer replay in their oracles:
     * if the invariant holds, the decode EQUALS the SQL-side
     * normalization of the raw text.
+    *
+    * PRECONDITION (shared with [[bpeEncodeMarked]] and
+    * [[graft.ext.UnigramTok]]'s marked encode): the marker string
+    * must not occur in the raw text — decode replaces EVERY
+    * occurrence, so a document containing a literal "</w>" would gain
+    * a spurious space and break the round-trip invariant. A corpus
+    * that can carry the default marker must pass a non-colliding one
+    * (e.g. a control character) to BOTH the encode and this decode.
     */
   def detokenize(subwords: Column, marker: String = "</w>"): Column =
     rtrim(regexp_replace(array_join(subwords, ""),

@@ -235,6 +235,18 @@ object TrainingData {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** The seeded permutation key [[trainingOrder]] sorts by — exposed
+    * so compositions that immediately re-establish the order anyway
+    * (a running-sum window) can take the projection WITHOUT the
+    * operator's global orderBy: the window's own sort supersedes it,
+    * and paying a full range-sort of the token payload just to have
+    * the next exchange discard it doubles the emission shuffle.
+    */
+  def trainingOrderKey(keys: Seq[Column], seed: String): Column =
+    conv(substring(md5(
+      concat_ws(":", lit(seed) +: keys.map(_.cast("string")): _*)),
+      1, 15), 16, 10).cast("long")
+
   /** Deterministic global training order: the "shuffle the corpus
     * before writing the epoch stream" step. Every row gets a 60-bit
     * `order_key` = md5(seed : key₁ : … : keyₙ) and the frame comes
@@ -251,18 +263,6 @@ object TrainingData {
     * involvement. Write the result with a partition-numbered sink and
     * the file order IS the training order.
     */
-  /** The seeded permutation key [[trainingOrder]] sorts by — exposed
-    * so compositions that immediately re-establish the order anyway
-    * (a running-sum window) can take the projection WITHOUT the
-    * operator's global orderBy: the window's own sort supersedes it,
-    * and paying a full range-sort of the token payload just to have
-    * the next exchange discard it doubles the emission shuffle.
-    */
-  def trainingOrderKey(keys: Seq[Column], seed: String): Column =
-    conv(substring(md5(
-      concat_ws(":", lit(seed) +: keys.map(_.cast("string")): _*)),
-      1, 15), 16, 10).cast("long")
-
   def trainingOrder(df: DataFrame, keys: Seq[Column], seed: String): DataFrame =
     df.withColumn("order_key", trainingOrderKey(keys, seed))
       .orderBy(col("order_key") +: keys: _*)
@@ -326,6 +326,62 @@ object TrainingData {
       .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
       .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
         col("n_tok"), col("tokens_before"), col("bin"))
+        ++ shard.map(col): _*)
+  }
+
+  /** EXACT-token-block emission — the concat-and-chunk form of
+    * [[emitBatches]]: the same persisted-tokenizer encode, truncate,
+    * and seeded order, but the ordered token stream is SPLIT at exact
+    * `budget` boundaries instead of assigning each document wholly to
+    * the bin where it starts. [[emitBatches]]' bins overflow the
+    * budget by up to maxTokens − 1 (the floor-of-start-offset cut) —
+    * a trainer consumes FIXED-length sequences, so the end product a
+    * training run reads is this face: every block sums to exactly
+    * `budget` tokens (the stream's final block per shard excepted),
+    * and a document straddling a boundary is split, its remainder
+    * carrying into the next block.
+    *
+    * Returns one row per (document, block) PIECE — (idCol, order_key,
+    * block, off, n_tok, toks) where `off` is the piece's 0-based
+    * token offset within its document, `n_tok` the piece length, and
+    * `toks` the piece's subword slice; a document spanning b blocks
+    * emits b rows whose pieces concatenate (in block order) back to
+    * its truncated stream. Zero-token documents emit nothing.
+    *
+    * Shape at scale: [[emitBatches]]' plan plus one row-local
+    * generator explode + two row-local slices — no extra shuffle, no
+    * extra sort; the block arithmetic is exact long math over the
+    * running sum the window already computed, so the whole cut
+    * replays in integer SQL. Sharding contract inherited unchanged:
+    * with `shard` set, each shard is an independent stream with its
+    * own seeded order and its own block numbering.
+    */
+  def emitChunks(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, shard: Option[String] = None): DataFrame = {
+    val base = emitBatches(df, idCol, textCol, merges, maxTokens, budget,
+      seed, shard)
+    // blocks this document overlaps: floor(before/budget) ..
+    // floor((before + n − 1)/budget); n ≥ 1 guaranteed by the filter
+    // (a 0-token doc's sequence would count backwards — the
+    // repeatByWeight trap)
+    val firstB = floor(col("tokens_before") / budget).cast("int")
+    val lastB = floor((col("tokens_before") + col("n_tok") - 1) / budget)
+      .cast("int")
+    base.filter(col("n_tok") > 0)
+      .withColumn("block", explode(sequence(firstB, lastB)))
+      .withColumn("__off",
+        greatest(col("block").cast("long") * budget - col("tokens_before"),
+          lit(0L)))
+      .withColumn("__len",
+        least(col("n_tok").cast("long"),
+          (col("block") + 1).cast("long") * budget - col("tokens_before"))
+          - col("__off"))
+      .select(Seq(col(idCol), col("order_key"), col("block"),
+        col("__off").cast("int").as("off"),
+        col("__len").cast("int").as("n_tok"),
+        slice(col("toks"), col("__off").cast("int") + 1,
+          col("__len").cast("int")).as("toks"))
         ++ shard.map(col): _*)
   }
 

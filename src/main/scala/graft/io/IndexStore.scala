@@ -924,6 +924,71 @@ object IndexStore {
       .select(graft.ext.TextAnalysis.tokenHash60(col("para")).as("h"))
       .distinct()
 
+  val ParagraphBandTable = "paragraph_bands"
+  val ParagraphShingleTable = "paragraph_shingles"
+
+  /** The FUZZY paragraph admission store: [[writeParagraphIndex]]'s
+    * exact hash set PLUS the band index (h, band, band_hash) and
+    * shingle sets (h, hs) of the corpus's DISTINCT paragraph texts,
+    * keyed by the same 60-bit text hash — the static side of
+    * [[graft.ext.Dedup.stripFuzzySeenParagraphs]], so a serving gate
+    * strips both verbatim AND edited boilerplate without ever
+    * re-splitting the corpus. One row per distinct paragraph in every
+    * table: verbatim copies collapse at build time (the
+    * [[graft.ext.Dedup.paragraphNearDupPairs]] collapse front,
+    * persisted), so band fan-out is bounded by variant count, not
+    * document frequency. Bands derive from the PERSISTED shingle
+    * table, the [[writeAdmissionIndexes]] no-drift rule.
+    */
+  def writeParagraphFuzzyIndex(corpus: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n\n",
+      manifestExtra: Seq[(String, String)] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    val reps = graft.ext.Dedup.paragraphRows(corpus, idCol, textCol, sep)
+      .select(graft.ext.TextAnalysis.tokenHash60(col("para")).as("h"),
+        col("para"))
+      .distinct()
+    reps.select("h")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$ParagraphHashTable")
+    reps.select(col("h"),
+        graft.functions.TextHashFunctions.shingle_hashes(
+          col("para"), graft.ext.HashDefs.ShingleN).as("hs"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$ParagraphShingleTable")
+    graft.ext.Dedup.lshBands(graft.ext.Dedup.minhashSignature(
+        spark.read.parquet(s"$dir/$ParagraphShingleTable")
+          .select(col("h").as("id"), col("hs"))))
+      .select(col("id").as("h"), col("band"), col("band_hash"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$ParagraphBandTable")
+    writeManifest(spark, dir, Seq(
+      "kind" -> "\"paragraph_fuzzy\"",
+      "shingle_n" -> graft.ext.HashDefs.ShingleN.toString,
+      "minhash_k" -> graft.ext.HashDefs.K.toString,
+      "bands" -> graft.ext.HashDefs.Bands.toString,
+      "rows_per_band" -> graft.ext.HashDefs.RowsPerBand.toString,
+      "tables" -> Seq(ParagraphHashTable, ParagraphShingleTable,
+        ParagraphBandTable).map("\"" + _ + "\"").mkString("[", ",", "]"))
+      ++ manifestExtra)
+  }
+
+  def readParagraphBands(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$ParagraphBandTable")
+
+  def readParagraphShingles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/$ParagraphShingleTable")
+
+  /** Session-scoped build-once memo for the fuzzy paragraph store —
+    * the [[ensureParagraphIndex]] convention (distinct slice →
+    * distinct variant).
+    */
+  def ensureParagraphFuzzyIndex(corpus: DataFrame, corpusDir: String,
+      variant: String = "-para-fuzzy"): String =
+    ensureBuilt(corpus.sparkSession, corpusDir, variant,
+      s"parafuzzy$variant") { dir =>
+      writeParagraphFuzzyIndex(corpus, dir,
+        manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
+    }
+
   val AudioHashTable = "audio_ahash"
 
   /** The audio twin of [[writeImageIndex]]: one 64-bit aHash per

@@ -115,39 +115,111 @@ final case class OrcSink(path: String) extends Sink {
   * keep the first durable attempt (the cumulative paragraph gate's
   * pattern). Append mode would duplicate the replayed epoch;
   * whole-path overwrite would erase every earlier one.
+  *
+  * Epoch durability is recorded by an explicit `_committed_<k>` marker
+  * at the sink root, created only AFTER the parquet write returns —
+  * not inferred from part files: a crash during the committer's move
+  * phase can leave a partially-populated partition whose part files
+  * read as "durable" and would freeze incomplete content. The
+  * leading-underscore name keeps the marker invisible to Spark's file
+  * index. Crash windows (the state-advancing-loop case, enumerated in
+  * SCALE.md): before the marker lands the epoch reads as uncommitted
+  * and the replay's dynamic overwrite REPLACES any half-written
+  * partition against the still-unadvanced state; after the marker the
+  * replay skips the write entirely — no window freezes partial data.
+  * All paths go through the Hadoop FileSystem API, so the guard works
+  * on any production filesystem (HDFS/ABFS/S3A), not just local disk.
   */
 final case class EpochParquetSink(path: String) extends Sink {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def fs: FileSystem = new HPath(path).getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def marker(batchId: Long): HPath =
+    new HPath(path, s"_committed_$batchId")
+
+  /** Write one epoch: stamp the partition column, write its partition,
+    * then drop the commit marker. The primary API for ingest loops —
+    * unlike [[write]] it never re-evaluates the frame to discover
+    * which epochs it carries.
+    */
+  def writeEpoch(df: DataFrame, batchId: Long): Unit = {
+    writeData(df.withColumn("batch_id",
+      org.apache.spark.sql.functions.lit(batchId)))
+    markCommitted(batchId)
+  }
+
+  /** [[Sink]]-contract write: the frame must already carry `batch_id`.
+    * Costs one extra narrow distinct job over the input to learn which
+    * epochs to mark — callers with a single known epoch should prefer
+    * [[writeEpoch]].
+    */
   override def write(df: DataFrame): Unit = {
     require(df.columns.contains("batch_id"),
       "EpochParquetSink needs a batch_id column to key the epoch partition")
+    val ids = df.select(org.apache.spark.sql.functions
+        .col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    writeData(df)
+    ids.foreach(markCommitted)
+  }
+
+  private def writeData(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
-  }
 
-  /** True when epoch `batchId`'s partition holds COMMITTED data files
-    * — the replay guard: a crashed first attempt leaves no part files
-    * (the parquet committer stages under _temporary), so false means
-    * "recompute and write", true means "this epoch's output is already
-    * durable, keep it".
+  private def markCommitted(batchId: Long): Unit =
+    fs.create(marker(batchId), true).close()
+
+  /** True when epoch `batchId`'s marker exists — the replay guard:
+    * false means "recompute and write" (a crashed attempt, even one
+    * that half-moved part files, never marks), true means "this
+    * epoch's output is already durable, keep it".
     */
-  def committed(batchId: Long): Boolean = {
-    val part = new java.io.File(path, s"batch_id=$batchId")
-    val files = part.listFiles()
-    files != null && files.exists(f =>
-      f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+  def committed(batchId: Long): Boolean = fs.exists(marker(batchId))
+
+  /** Ascending ids of all committed epochs. Unparsable sink-root
+    * debris is ignored, never thrown on.
+    */
+  def committedEpochs: Seq[Long] = {
+    val f = fs
+    val root = new HPath(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_committed_\\d+"))
+      .map(_.stripPrefix("_committed_").toLong)
+      .sorted
   }
 
   /** True when ANY epoch has committed — distinguishes "no admitted
     * rows ever" (a valid empty result) from a readable sink.
     */
-  def anyCommitted: Boolean = {
-    val dirs = new java.io.File(path).listFiles()
-    dirs != null && dirs.exists(d =>
-      d.getName.startsWith("batch_id=") &&
-        committed(d.getName.stripPrefix("batch_id=").toLong))
+  def anyCommitted: Boolean = committedEpochs.nonEmpty
+
+  /** Ascending ids of epochs whose partition holds DATA files — a
+    * committed epoch whose frame was empty writes no partition (the
+    * dynamic committer skips it), so readers that need parquet rows
+    * gate on this, not on [[committedEpochs]]. Unparsable partition
+    * dirs (stray debris, null-key partitions) are ignored.
+    */
+  def dataEpochs: Seq[Long] = {
+    val f = fs
+    val root = new HPath(path)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("batch_id=\\d+"))
+      .filter(s => f.listStatus(s.getPath).exists(p =>
+        p.getPath.getName.startsWith("part-") &&
+          !p.getPath.getName.endsWith(".crc")))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .sorted
   }
+
+  /** True when any epoch's partition holds readable parquet rows. */
+  def hasData: Boolean = dataEpochs.nonEmpty
 }
 
 /** S8 — console preview (ETL_pipeline.py:352,364). */

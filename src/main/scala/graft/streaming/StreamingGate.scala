@@ -1351,6 +1351,89 @@ object StreamingGate {
     }
   }
 
+  /** The FUZZY paragraph rung under the gate — the admission hole
+    * every exact-hash paragraph gate shares: an EDITED boilerplate
+    * paragraph (tracking token, issue number — here an 18-word footer
+    * whose final "edition" token varies) hashes to a fresh digest per
+    * variant and passes the exact anti-join in every batch forever.
+    * Arriving docs run [[graft.ext.Dedup.stripFuzzySeenParagraphs]]
+    * per micro-batch against the PERSISTED fuzzy paragraph store
+    * ([[graft.io.IndexStore.ensureParagraphFuzzyIndex]] — exact hash
+    * set + band index + shingle sets over the corpus's DISTINCT
+    * paragraphs, variant "-para-fuzzy"): exact-seen paragraphs strip
+    * at the digest, surviving distinct texts band row-locally and
+    * probe the stored (band, band_hash) index, candidates verify with
+    * the exact shingle Jaccard against the stored rep sets. Fixture:
+    * corpus docs carry footer editions 0-3, fresh docs editions 4-7 —
+    * never byte-identical to anything seen (the exact rung is blind),
+    * pairwise Jaccard ≈ 0.88 (last-word edit on 18 words), so the
+    * fuzzy rung must strip the footer from EVERY fresh doc; the
+    * 3-variant short boilerplate still strips at the exact rung. The
+    * store is frozen for the run, so the admitted set is
+    * batch-split-independent and the DuckDB oracle replays the whole
+    * composition as one batch query.
+    */
+  def streamAdmitParagraphFuzzyFromFiles(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.ext.{Dedup, TrainingData}
+    val stage = newStage()
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    def footer(edition: Column): Column = concat(
+      lit("subscribe to the graft newsletter and get the weekly " +
+        "brief of the best new items in edition "),
+      edition.cast("string"))
+    def synth(edition: Column): DataFrame = d.select(col("doc_id"),
+      concat_ws("\n\n",
+        paragraphSynthText(col("doc_id"), col("text")),
+        footer(edition)).as("text"))
+    val idxDir = graft.io.IndexStore.ensureParagraphFuzzyIndex(
+      synth(col("doc_id") % 4).filter(bucket < 500), dir)
+    val paraHashes = graft.io.IndexStore.readParagraphHashes(s, idxDir).cache()
+    val paraBands = graft.io.IndexStore.readParagraphBands(s, idxDir).cache()
+    val paraShingles = graft.io.IndexStore.readParagraphShingles(s, idxDir)
+    try withStatePartitions(s, 4) {
+      val fresh = synth(col("doc_id") % 4 + 4)
+        .filter(bucket >= 500 && bucket < 600)
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = Dedup.stripFuzzySeenParagraphs(batch,
+              paraHashes, paraBands, paraShingles, "doc_id", "text")
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }
+        .toDF("doc_id", "clean_text", "n_paras", "n_kept")
+        .orderBy("doc_id")
+    } finally {
+      paraHashes.unpersist()
+      paraBands.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING EMBEDDING ADMISSION under the gate: a REAL
     * [[Streaming.streamEmbedHits]] run — the vector rung of the
     * admission ladder. Fresh embedding slice as micro-batches,
@@ -1560,13 +1643,14 @@ object StreamingGate {
         // first COMMITTED write is the correct one; keep it and let
         // the re-append land its harmless duplicate hash rows.
         if (!sink.committed(batchId))
-          sink.write(kept.withColumn("batch_id", lit(batchId)))
+          sink.writeEpoch(kept, batchId)
       },
       keptAfterDrain = () =>
         // a run whose every batch was fully already-seen commits no
-        // data files — the valid-empty case the buffer twin returns
-        // as an empty frame, not a read error
-        if (sink.anyCommitted)
+        // data files (markers only — the dynamic committer skips
+        // empty partitions) — the valid-empty case the buffer twin
+        // returns as an empty frame, not a read error
+        if (sink.hasData)
           s.read.parquet(sinkDir).select("id", "idx", "para")
         else {
           import s.implicits._
@@ -1782,8 +1866,9 @@ object StreamingGate {
     * PERSISTED tokenizer, truncated, ordered by the seeded
     * permutation WITHIN the batch, and packed into token-budget bins
     * whose numbering CONTINUES across batches — the offset is derived
-    * from the sink's own committed content (sum of n_tok over earlier
-    * epochs), so the SINK IS THE STATE (the streamAnnMaintenance
+    * from the sink's own committed content (the latest committed
+    * epoch's running-total column, one partition read — O(1) in epoch
+    * count), so the SINK IS THE STATE (the streamAnnMaintenance
     * convention; no driver-side counter to lose on restart) and the
     * [[graft.io.EpochParquetSink.committed]] replay guard makes the
     * whole loop effectively-once: a replayed epoch neither rewrites
@@ -1796,7 +1881,8 @@ object StreamingGate {
     * construction); a high-volume deployment shards it per source,
     * the emitBatches `shard` contract.
     */
-  def streamEmitBatchesFromFiles(s: SparkSession, dir: String): DataFrame = {
+  def streamEmitBatchesFromFiles(s: SparkSession, dir: String,
+      nSlices: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.ext.{TextAnalysis, TrainingData}
     val stage = newStage()
@@ -1808,9 +1894,9 @@ object StreamingGate {
     val merges = graft.io.IndexStore.readBpeMerges(s, idxDir)
     try withStatePartitions(s, 4) {
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
+      (0 until nSlices).foreach { k =>
         writeSlice(
-          d.filter(pmod(col("doc_id"), lit(3)) === k)
+          d.filter(pmod(col("doc_id"), lit(nSlices)) === k)
             .select("doc_id", "text").orderBy("doc_id"),
           stage, k, baseMs)
       }
@@ -1825,16 +1911,26 @@ object StreamingGate {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!sink.committed(batchId)) {
             // bin continuity: tokens already emitted by EARLIER
-            // epochs, read from the sink's committed partitions —
-            // strictly batch_id < this epoch, so a replay (whose own
-            // partition is uncommitted by the guard above) computes
-            // the same offset as the first attempt
-            val offset =
-              if (sink.anyCommitted)
-                s.read.parquet(sinkDir)
-                  .filter(col("batch_id") < batchId)
-                  .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
-              else 0L
+            // epochs. O(1) in epoch count: epoch k's tokens_before
+            // already carries every epoch before it, so the LATEST
+            // committed data partition's max(tokens_before + n_tok)
+            // IS the running total — one partition-dir read, never a
+            // whole-sink scan (which would make a long-running stream
+            // O(epochs²) in sink reads). Strictly batch_id < this
+            // epoch, so a replay (whose own partition is uncommitted
+            // by the guard above) computes the same offset as the
+            // first attempt; committed-but-empty epochs write no
+            // partition and carry no tokens (dataEpochs skips them).
+            val offset = sink.committedEpochs.toSet
+              .intersect(sink.dataEpochs.toSet)
+              .filter(_ < batchId)
+              .maxOption
+              .map { k =>
+                s.read.parquet(s"$sinkDir/batch_id=$k")
+                  .agg(max(col("tokens_before") + col("n_tok")))
+                  .head().getLong(0)
+              }
+              .getOrElse(0L)
             val enc = TextAnalysis.bpeEncode(batch, "text", merges)
               .select(col("doc_id").as("id"),
                 slice(col("subwords"), 1, 256).as("toks"))
@@ -1852,7 +1948,7 @@ object StreamingGate {
               .select(col("id").as("doc_id"), col("order_key"),
                 col("n_tok"), col("tokens_before"), col("bin"),
                 try_element_at(col("toks"), lit(1)).as("first_tok"))
-            sink.write(out.withColumn("batch_id", lit(batchId)))
+            sink.writeEpoch(out, batchId)
           }
           ()
         }

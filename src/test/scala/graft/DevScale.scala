@@ -63,6 +63,10 @@ object DevScale {
       paraLadder(sfDir, rest.headOption.map(_.toInt).getOrElse(8))
     case "prepProbe" :: sfDir :: rest =>
       prepProbe(sfDir, rest.headOption.map(_.toInt).getOrElse(0))
+    case "emitAB" :: sfDir :: rest =>
+      emitAB(sfDir, rest.headOption.map(_.toInt).getOrElse(2))
+    case "emitEpochs" :: sfDir :: rest =>
+      emitEpochs(sfDir, rest.map(_.toInt))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -569,6 +573,74 @@ object DevScale {
           f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
         spark.catalog.clearCache()
       }
+    }
+    spark.stop()
+  }
+
+  /** Emission-face ladder (verdict r15 task #7): emitBatches vs
+    * emitChunks, global window vs shard=source, same corpus, one JVM —
+    * the sharded-vs-global window funnel was plan-pinned but never
+    * priced. The action sums the token-piece sizes so the payload
+    * (the slices) is actually produced, not pruned under a bare count.
+    */
+  private def emitAB(sfDir: String, reps: Int): Unit = {
+    import graft.ext.TrainingData
+    val spark = GraftSession.local(32, "graft-dev-scale-emitab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables(spark, sfDir, "documents")
+    val idxDir = graft.io.IndexStore.ensureBpeMerges(d, sfDir, "text",
+      merges = 20)
+    val merges = graft.io.IndexStore.readBpeMerges(spark, idxDir)
+    def force(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(size(col("toks")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val modes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "batches/global" -> (() => TrainingData.emitBatches(d, "doc_id",
+        "text", merges, 256, 2000, "42")),
+      "batches/sharded" -> (() => TrainingData.emitBatches(d, "doc_id",
+        "text", merges, 256, 2000, "42", Some("source"))),
+      "chunks/global" -> (() => TrainingData.emitChunks(d, "doc_id",
+        "text", merges, 256, 2000, "42")),
+      "chunks/sharded" -> (() => TrainingData.emitChunks(d, "doc_id",
+        "text", merges, 256, 2000, "42", Some("source"))))
+    // JIT/classload warm on the tiny corpus (same merges — only the
+    // encode path needs warming)
+    val w = Tables(spark, "/root/testdata/sf0.001", "documents")
+    force(TrainingData.emitChunks(w, "doc_id", "text", merges, 256, 2000,
+      "42"))
+    spark.catalog.clearCache()
+    (1 to reps).foreach { i =>
+      modes.foreach { case (name, mk) =>
+        val t0 = System.nanoTime()
+        val (n, tok) = force(mk())
+        println(f"[scale] $sfDir emitAB/$name run$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, $tok toks)")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+
+  /** Per-epoch cost ladder for the streaming emission loop (verdict
+    * r15 task #3's done-criterion): the same corpus split into n
+    * micro-batch slices for growing n — with the O(1) sink-offset
+    * derivation the per-epoch cost must stay FLAT in epoch count
+    * (the old whole-sink scan made the loop O(epochs²) in sink reads).
+    */
+  private def emitEpochs(sfDir: String, slices: Seq[Int]): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-emitepochs")
+    spark.sparkContext.setLogLevel("ERROR")
+    val ns = if (slices.isEmpty) Seq(3, 9, 27) else slices
+    graft.streaming.StreamingGate
+      .streamEmitBatchesFromFiles(spark, "/root/testdata/sf0.001").count()
+    ns.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = graft.streaming.StreamingGate
+        .streamEmitBatchesFromFiles(spark, sfDir, n).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $sfDir emitEpochs n=$n: $t%.2f s total, " +
+        f"${t / n}%.3f s/epoch ($rows rows)")
     }
     spark.stop()
   }

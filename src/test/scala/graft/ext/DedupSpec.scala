@@ -79,6 +79,39 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (a, b) => Set(a._2, b._2) shouldBe Set(1) }
   }
 
+  test("paragraphNearDupDedup: the edited footer survives in exactly ONE " +
+      "document; bodies survive everywhere; verbatim copies collapse too") {
+    def footer(v: Long): String = "please subscribe to the graft weekly " +
+      s"newsletter for more updates and news edition $v"
+    val df = (1L to 20L).map { i =>
+      (i, s"unique body number $i carrying its own distinct words\n\n" +
+        footer(i % 4))
+    }.toDF("doc_id", "text")
+    val out = Dedup.paragraphNearDupDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 20
+    // the 4 footer variants (pairwise-similar, one-word edits) form
+    // ONE cluster; its globally-first rep is doc 1's footer — the
+    // remediation the pairs face stops short of: every other doc
+    // (verbatim copies AND edited variants) loses the footer
+    out.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) should include(s"unique body number $id")
+      r.getLong(2) shouldBe 2L
+      if (id == 1L) {
+        r.getString(1) should include("newsletter")
+        r.getLong(3) shouldBe 2L
+      } else {
+        r.getString(1) should not include "newsletter"
+        r.getLong(3) shouldBe 1L
+      }
+    }
+    // layout-independent: the survivor choice is a pure (id, idx) min
+    rowSet(Dedup.paragraphNearDupDedup(df.repartition(7), "doc_id",
+      "text")) shouldBe rowSet(Dedup.paragraphNearDupDedup(df, "doc_id",
+      "text"))
+  }
+
   test("normalize: lowercase, punct→space, collapsed whitespace") {
     val df = Seq("  Hello,   WORLD!! 42  ", "already clean").toDF("text")
       .select(TextAnalysis.normalize(col("text")).as("n"))

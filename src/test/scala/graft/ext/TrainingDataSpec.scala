@@ -301,6 +301,60 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("emitChunks: every block sums to EXACTLY the budget (final block " +
+      "excepted), pieces reconstruct the stream, sharded plan never funnels") {
+    val docs = (1L to 60L).map { i =>
+      (i, (if (i % 2 == 0) "alpha " else "beta ") * (i % 9 + 2).toInt +
+        s"tail$i", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val merges = Seq(("a", "l"), ("t", "a"))
+    val chunksDf = TrainingData.emitChunks(docs, "doc_id", "text", merges,
+      maxTokens = 8, budget = 40, seed = "7")
+    val rows = chunksDf.collect()
+    // the face's whole point vs emitBatches: every block except the
+    // stream's last sums to exactly the budget — no overflow, no
+    // underflow; block ids dense from 0
+    val perBlock = rows.groupBy(_.getInt(2)).view
+      .mapValues(_.map(_.getInt(4)).sum).toMap
+    val lastBlock = perBlock.keys.max
+    perBlock.keySet shouldBe (0 to lastBlock).toSet
+    perBlock.foreach { case (b, sum) =>
+      if (b < lastBlock) sum shouldBe 40 else sum should be <= 40
+    }
+    // reconstruction: per document, pieces in block order concatenate
+    // back to exactly the truncated stream emitBatches carries, with
+    // `off` the running within-doc offset
+    val full = TrainingData.emitBatches(docs, "doc_id", "text", merges,
+        maxTokens = 8, budget = 40, seed = "7")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val ordered = rs.sortBy(_.getInt(2))
+      ordered.flatMap(_.getSeq[String](5)).toSeq shouldBe full(id)
+      ordered.foldLeft(0) { (acc, r) =>
+        r.getInt(3) shouldBe acc
+        acc + r.getInt(4)
+      }
+    }
+    // layout-independent, like every emission face
+    rowSet(chunksDf) shouldBe rowSet(TrainingData.emitChunks(
+      docs.repartition(7), "doc_id", "text", merges, 8, 40, "7"))
+    // sharded: exact blocks per shard, and the plan exchanges on the
+    // shard key — the emitBatches no-SinglePartition pin extended
+    val sharded = TrainingData.emitChunks(docs, "doc_id", "text", merges,
+      maxTokens = 8, budget = 40, seed = "7", shard = Some("source"))
+    sharded.collect().groupBy(_.getString(6)).foreach { case (_, rs) =>
+      val pb = rs.groupBy(_.getInt(2)).view
+        .mapValues(_.map(_.getInt(4)).sum).toMap
+      val lb = pb.keys.max
+      pb.foreach { case (b, s) => if (b < lb) s shouldBe 40 }
+    }
+    val plan = sharded.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "SinglePartition"
+      plan should include regex "hashpartitioning\\(source"
+    }
+  }
+
   test("spanCorrupt: sentinel-splice reconstructs the doc; tail block " +
       "untouched; short docs pass through") {
     val text = (1 to 47).map(i => s"w$i").mkString(" ") // 2 full blocks + 7

@@ -220,6 +220,47 @@ class SourcesSinksSpec extends SparkSpec {
       .anyCommitted shouldBe false
   }
 
+  test("EpochParquetSink: durability IS the marker — a half-moved " +
+      "partition reads uncommitted; debris never throws; empty epochs " +
+      "commit without data") {
+    import spark.implicits._
+    val dir = new java.io.File(tempDir(), "epochs2.parquet").getAbsolutePath
+    val sink = EpochParquetSink(dir)
+    // writeEpoch stamps the partition column and marks in one call
+    sink.writeEpoch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    sink.committed(0L) shouldBe true
+    sink.committedEpochs shouldBe Seq(0L)
+    sink.dataEpochs shouldBe Seq(0L)
+    // the partition column reads back via directory-name inference
+    spark.read.parquet(dir)
+      .select(col("id"), col("batch_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 0L))
+    // a committed-but-empty epoch: marker lands, no partition dir —
+    // dataEpochs (what row readers gate on) skips it
+    sink.writeEpoch(Seq.empty[(Long, String)].toDF("id", "v"), 9L)
+    sink.committed(9L) shouldBe true
+    sink.committedEpochs shouldBe Seq(0L, 9L)
+    sink.dataEpochs should not contain 9L
+    // ...and the empty dynamic overwrite left epoch 0's rows intact
+    spark.read.parquet(dir).select("id").as[Long].collect().toSeq shouldBe
+      Seq(1L)
+    // the partial-commit hazard the marker closes: a crash during the
+    // committer's move phase leaves part files WITHOUT a marker — the
+    // epoch must read as uncommitted (recompute + dynamic overwrite),
+    // never as durable
+    val half = new java.io.File(dir, "batch_id=7")
+    half.mkdirs()
+    new java.io.File(half, "part-00000-dead.parquet").createNewFile()
+    sink.committed(7L) shouldBe false
+    sink.committedEpochs shouldBe Seq(0L, 9L)
+    sink.dataEpochs shouldBe Seq(0L, 7L) // listing only — no parse, no read
+    // unparsable debris (null-key partitions, stray files) is ignored
+    new java.io.File(dir, "batch_id=__HIVE_DEFAULT_PARTITION__").mkdirs()
+    new java.io.File(dir, "_committed_junk").createNewFile()
+    sink.committedEpochs shouldBe Seq(0L, 9L)
+    noException should be thrownBy sink.dataEpochs
+  }
+
   test("OrcSink + readOrc: roundtrip preserves schema and values; filter pushes to the scan") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "out.orc").getAbsolutePath
