@@ -361,10 +361,28 @@ object TrainingData {
       seed: String, shard: Option[String] = None): DataFrame = {
     val base = emitBatches(df, idCol, textCol, merges, maxTokens, budget,
       seed, shard)
-    // blocks this document overlaps: floor(before/budget) ..
-    // floor((before + n − 1)/budget); n ≥ 1 guaranteed by the filter
-    // (a 0-token doc's sequence would count backwards — the
-    // repeatByWeight trap)
+    val out = chunkAtBoundaries(base, budget,
+      Seq(col(idCol), col("order_key")) ++ shard.map(col))
+    // shard rides LAST, the emitBatches column contract
+    shard.fold(out)(sc => out.select(
+      Seq(idCol, "order_key", "block", "off", "n_tok", "toks").map(col)
+        :+ col(sc): _*))
+  }
+
+  /** The boundary-cut tail [[emitChunks]] and its streaming twin
+    * share: given a frame carrying (toks, n_tok, tokens_before) —
+    * any running-sum packing, whatever produced the offset — explode
+    * each document over the blocks it overlaps
+    * (floor(before/budget) .. floor((before + n − 1)/budget)) and
+    * slice its piece per block. Returns `keep` ++ (block, off, n_tok,
+    * toks) with n_tok/toks rebound to the PIECE. Row-local
+    * (generator + two slices): no shuffle, no sort — the cut is
+    * integer math over the sum the caller's window already computed.
+    */
+  private[graft] def chunkAtBoundaries(base: DataFrame, budget: Int,
+      keep: Seq[Column]): DataFrame = {
+    // n ≥ 1 guaranteed by the filter (a 0-token doc's sequence would
+    // count backwards — the repeatByWeight trap)
     val firstB = floor(col("tokens_before") / budget).cast("int")
     val lastB = floor((col("tokens_before") + col("n_tok") - 1) / budget)
       .cast("int")
@@ -377,12 +395,11 @@ object TrainingData {
         least(col("n_tok").cast("long"),
           (col("block") + 1).cast("long") * budget - col("tokens_before"))
           - col("__off"))
-      .select(Seq(col(idCol), col("order_key"), col("block"),
+      .select(keep ++ Seq(col("block"),
         col("__off").cast("int").as("off"),
         col("__len").cast("int").as("n_tok"),
         slice(col("toks"), col("__off").cast("int") + 1,
-          col("__len").cast("int")).as("toks"))
-        ++ shard.map(col): _*)
+          col("__len").cast("int")).as("toks")): _*)
   }
 
   // ---- span-corruption example construction ----------------------

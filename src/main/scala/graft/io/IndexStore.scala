@@ -971,6 +971,40 @@ object IndexStore {
       ++ manifestExtra)
   }
 
+  /** Grow the fuzzy paragraph store with a batch's NOVEL distinct
+    * paragraphs — the ingest-loop maintenance path: split, collapse to
+    * distinct (h, para), anti-join the stored hash set, and append
+    * the novel rows to all three tables. Appending novel-only keeps
+    * every table one-row-per-distinct-text by construction (no
+    * cross-batch duplicate debt, unlike [[appendAdmissionIndexes]]'
+    * per-batch distinct — the paragraph key IS the content hash, so
+    * the anti-join is exact). The novel frame is eagerly
+    * localCheckpoint'ed BEFORE any write: its plan reads the hash
+    * table the first append mutates, and all three appends must see
+    * the same pre-append snapshot.
+    */
+  def appendParagraphFuzzyIndex(batch: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n\n"): Unit = {
+    val spark = batch.sparkSession
+    val novel = graft.ext.Dedup.paragraphRows(batch, idCol, textCol, sep)
+      .select(graft.ext.TextAnalysis.tokenHash60(col("para")).as("h"),
+        col("para"))
+      .distinct()
+      .join(readParagraphHashes(spark, dir), Seq("h"), "left_anti")
+      .localCheckpoint()
+    novel.select("h")
+      .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphHashTable")
+    val sets = novel.select(col("h"),
+      graft.functions.TextHashFunctions.shingle_hashes(
+        col("para"), graft.ext.HashDefs.ShingleN).as("hs"))
+    sets.write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphShingleTable")
+    graft.ext.Dedup.lshBands(graft.ext.Dedup.minhashSignature(
+        sets.select(col("h").as("id"), col("hs"))))
+      .select(col("id").as("h"), col("band"), col("band_hash"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphBandTable")
+  }
+
   def readParagraphBands(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$ParagraphBandTable")
 

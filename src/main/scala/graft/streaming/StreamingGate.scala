@@ -1434,6 +1434,92 @@ object StreamingGate {
     }
   }
 
+  /** The CUMULATIVE fuzzy paragraph rung — the fuzzy store GROWS as
+    * the stream admits, the
+    * [[streamAdmitParagraphCumulativeFromFiles]] convention one rung
+    * up: each batch strips against the store as of batch start
+    * (exact digest anti-join + band-probe/Jaccard-verify,
+    * [[graft.ext.Dedup.stripFuzzySeenParagraphs]] with FRESH static
+    * reads per batch), then the batch's NOVEL distinct paragraphs
+    * append to all three tables
+    * ([[graft.io.IndexStore.appendParagraphFuzzyIndex]]) before the
+    * next batch's probe. Fixture: fresh docs carry a 16-word "weekly
+    * digest … issue X" footer family (X = doc_id % 5, pairwise
+    * Jaccard ≈ 0.87 across the last-word edit) the CORPUS has never
+    * seen — so the first batch's carriers all keep their footers
+    * (nothing earlier is similar; within-batch duplication is the
+    * store's job, not the gate's), and every LATER batch's carriers
+    * lose them, exact or edited alike, against the batch-0 appends.
+    * The oracle replays the whole run as min-appearance-LEVEL logic:
+    * a paragraph survives iff nothing with its digest and nothing
+    * fuzzy-similar appeared at a strictly earlier level (corpus =
+    * level −1, batch k = level k).
+    */
+  def streamAdmitParagraphFuzzyCumulativeFromFiles(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.ext.{Dedup, TrainingData}
+    val stage = newStage()
+    val storeDir = stage.resolve("store").toString
+    val d = Tables(s, dir, "documents")
+    val bucket = TrainingData.splitBucket(col("doc_id"), 1000)
+    // a FRESH store per run — appends mutate it, so the session memo
+    // must not own this directory (the paragraphCumulativeRun rule)
+    graft.io.IndexStore.writeParagraphFuzzyIndex(
+      d.filter(bucket < 500).select(col("doc_id"),
+        paragraphSynthText(col("doc_id"), col("text")).as("text")),
+      storeDir)
+    try withStatePartitions(s, 4) {
+      val fresh = d.filter(bucket >= 500 && bucket < 600)
+        .select(col("doc_id"),
+          concat_ws("\n\n",
+            paragraphSynthText(col("doc_id"), col("text")),
+            concat(lit("weekly digest of the graft data engineering " +
+              "news and updates for paying subscribers in issue "),
+              (col("doc_id") % 5).cast("string"))).as("text"))
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 until 3).foreach { k =>
+        writeSlice(
+          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
+          stage, k, baseMs)
+      }
+      val stream = s.readStream
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.resolve("data").toString)
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      val query = stream.writeStream
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the collect materializes the strip against the PRE-append
+          // store; only then may the append advance it
+          val rows = Dedup.stripFuzzySeenParagraphs(batch,
+              graft.io.IndexStore.readParagraphHashes(s, storeDir),
+              graft.io.IndexStore.readParagraphBands(s, storeDir),
+              graft.io.IndexStore.readParagraphShingles(s, storeDir),
+              "doc_id", "text")
+            .collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          buf.synchronized { buf ++= rows }
+          graft.io.IndexStore.appendParagraphFuzzyIndex(batch, storeDir)
+          ()
+        }
+        .start()
+      query.processAllAvailable()
+      query.stop()
+
+      import s.implicits._
+      buf.synchronized { buf.toSeq }
+        .toDF("doc_id", "clean_text", "n_paras", "n_kept")
+        .orderBy("doc_id")
+        .localCheckpoint() // materialize before the stage dir is deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+    }
+  }
+
   /** STREAMING EMBEDDING ADMISSION under the gate: a REAL
     * [[Streaming.streamEmbedHits]] run — the vector rung of the
     * admission ladder. Fresh embedding slice as micro-batches,
@@ -1882,7 +1968,73 @@ object StreamingGate {
     * the emitBatches `shard` contract.
     */
   def streamEmitBatchesFromFiles(s: SparkSession, dir: String,
-      nSlices: Int = 3): DataFrame = {
+      nSlices: Int = 3): DataFrame =
+    emitStreamRun(s, dir, nSlices,
+      shape = packed => packed
+        .withColumn("bin", floor(col("tokens_before") / 2000).cast("int"))
+        .select(col("id").as("doc_id"), col("order_key"),
+          col("n_tok"), col("tokens_before"), col("bin"),
+          try_element_at(col("toks"), lit(1)).as("first_tok")),
+      // each row is a whole doc: its absolute end is before + n
+      endExpr = col("tokens_before") + col("n_tok"),
+      finalShape = read => read
+        .select("doc_id", "order_key", "n_tok", "tokens_before", "bin",
+          "first_tok")
+        .orderBy("tokens_before", "doc_id"))
+
+  /** STREAMING EXACT-token-block emission — the chunked end product
+    * ([[graft.ext.TrainingData.emitChunks]]' cut) as the same
+    * continuous loop: per epoch, encode with the persisted tokenizer,
+    * truncate, order by the seeded permutation within the batch,
+    * offset by the sink-derived running total, and SPLIT at exact
+    * 2000-token boundaries. Because the offset carries the exact
+    * token total, block numbering AND block fill continue seamlessly
+    * across epochs: an epoch ending mid-block leaves a partial block
+    * whose remainder the NEXT epoch's first piece fills — the stream
+    * emits the same exact-budget blocks the batch operator cuts over
+    * the (arrival batch, seeded order) stream, replay-guarded
+    * effectively-once like the bin-grain loop.
+    */
+  def streamEmitChunksFromFiles(s: SparkSession, dir: String,
+      nSlices: Int = 3): DataFrame =
+    emitStreamRun(s, dir, nSlices,
+      shape = packed => graft.ext.TrainingData.chunkAtBoundaries(
+        packed, 2000,
+        Seq(col("id").as("doc_id"), col("order_key"),
+          col("tokens_before")))
+        .withColumn("first_tok", when(col("off") === 0,
+          try_element_at(col("toks"), lit(1))))
+        .select("doc_id", "order_key", "tokens_before", "block", "off",
+          "n_tok", "first_tok"),
+      // rows are PIECES: a piece's absolute end is before + off + len,
+      // and the epoch's max over pieces is still the running total
+      endExpr = col("tokens_before") + col("off") + col("n_tok"),
+      finalShape = read => read
+        .select("doc_id", "order_key", "tokens_before", "block", "off",
+          "n_tok", "first_tok")
+        .orderBy("tokens_before", "doc_id", "block"))
+
+  /** Shared core of the two emission loops: the staged epoch stream,
+    * the persisted-tokenizer encode + within-batch seeded order +
+    * sink-offset running sum (the `packed` frame: id, toks,
+    * order_key, n_tok, tokens_before), with `shape` mapping it to the
+    * epoch's sink rows, `endExpr` the absolute-end expression the O(1)
+    * offset derivation reads off the latest committed partition, and
+    * `finalShape` the drained-sink projection. Bin/block continuity:
+    * tokens already emitted by EARLIER epochs ride the offset — O(1)
+    * in epoch count: epoch k's tokens_before already carries every
+    * epoch before it, so the LATEST committed data partition's
+    * max(endExpr) IS the running total — one partition-dir read,
+    * never a whole-sink scan (which would make a long-running stream
+    * O(epochs²) in sink reads). Strictly batch_id < this epoch, so a
+    * replay (whose own partition is uncommitted by the writeEpoch
+    * guard) computes the same offset as the first attempt;
+    * committed-but-empty epochs write no partition and carry no
+    * tokens (dataEpochs skips them).
+    */
+  private def emitStreamRun(s: SparkSession, dir: String, nSlices: Int,
+      shape: DataFrame => DataFrame, endExpr: Column,
+      finalShape: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.ext.{TextAnalysis, TrainingData}
     val stage = newStage()
@@ -1910,25 +2062,13 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!sink.committed(batchId)) {
-            // bin continuity: tokens already emitted by EARLIER
-            // epochs. O(1) in epoch count: epoch k's tokens_before
-            // already carries every epoch before it, so the LATEST
-            // committed data partition's max(tokens_before + n_tok)
-            // IS the running total — one partition-dir read, never a
-            // whole-sink scan (which would make a long-running stream
-            // O(epochs²) in sink reads). Strictly batch_id < this
-            // epoch, so a replay (whose own partition is uncommitted
-            // by the guard above) computes the same offset as the
-            // first attempt; committed-but-empty epochs write no
-            // partition and carry no tokens (dataEpochs skips them).
             val offset = sink.committedEpochs.toSet
               .intersect(sink.dataEpochs.toSet)
               .filter(_ < batchId)
               .maxOption
               .map { k =>
                 s.read.parquet(s"$sinkDir/batch_id=$k")
-                  .agg(max(col("tokens_before") + col("n_tok")))
-                  .head().getLong(0)
+                  .agg(max(endExpr)).head().getLong(0)
               }
               .getOrElse(0L)
             val enc = TextAnalysis.bpeEncode(batch, "text", merges)
@@ -1939,16 +2079,11 @@ object StreamingGate {
               .withColumn("n_tok", size(col("toks")))
             val w = Window.orderBy(col("order_key"), col("id"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            val out = enc
+            val packed = enc
               .withColumn("tokens_before", lit(offset) +
                 coalesce(sum(col("n_tok").cast("long")).over(w)
                   - col("n_tok"), lit(0L)))
-              .withColumn("bin",
-                floor(col("tokens_before") / 2000).cast("int"))
-              .select(col("id").as("doc_id"), col("order_key"),
-                col("n_tok"), col("tokens_before"), col("bin"),
-                try_element_at(col("toks"), lit(1)).as("first_tok"))
-            sink.writeEpoch(out, batchId)
+            sink.writeEpoch(shape(packed), batchId)
           }
           ()
         }
@@ -1956,10 +2091,7 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      s.read.parquet(sinkDir)
-        .select("doc_id", "order_key", "n_tok", "tokens_before", "bin",
-          "first_tok")
-        .orderBy("tokens_before", "doc_id")
+      finalShape(s.read.parquet(sinkDir))
         .localCheckpoint() // materialize before the stage dir is deleted
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)

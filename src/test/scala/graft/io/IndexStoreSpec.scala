@@ -455,6 +455,41 @@ class IndexStoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(unionDir))
   }
 
+  test("fuzzy paragraph store: one row per distinct text in every table; " +
+      "append adds NOVEL texts only (re-append is a no-op)") {
+    val dir = java.nio.file.Files.createTempDirectory("parafuzzy").toString
+    import spark.implicits._
+    val corpus = Seq(
+        (1L, "alpha beta gamma delta\n\nshared footer text here"),
+        (2L, "shared footer text here\n\nomega psi chi phi"))
+      .toDF("doc_id", "text")
+    IndexStore.writeParagraphFuzzyIndex(corpus, dir)
+    def counts(): (Long, Long, Long) = (
+      IndexStore.readParagraphHashes(spark, dir).count(),
+      IndexStore.readParagraphShingles(spark, dir).count(),
+      IndexStore.readParagraphBands(spark, dir)
+        .select("h").distinct().count())
+    // 3 distinct paragraphs; 'shared footer text here' stores ONCE
+    counts() shouldBe ((3L, 3L, 3L))
+    // every shingle-set key is unique (the verify join's contract)
+    IndexStore.readParagraphShingles(spark, dir)
+      .select("h").distinct().count() shouldBe 3L
+    // append: one novel paragraph ('new one here today'), one seen
+    val batch = Seq((9L, "new one here today\n\nshared footer text here"))
+      .toDF("doc_id", "text")
+    IndexStore.appendParagraphFuzzyIndex(batch, dir)
+    counts() shouldBe ((4L, 4L, 4L))
+    // re-appending the same batch adds nothing — novel-only by
+    // construction, no compaction debt
+    IndexStore.appendParagraphFuzzyIndex(batch, dir)
+    counts() shouldBe ((4L, 4L, 4L))
+    // manifest declares the store kind + hash family params
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    manifest should include(""""kind": "paragraph_fuzzy"""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("bpe merges: write→read round trip preserves rules and order") {
     val dir = java.nio.file.Files.createTempDirectory("bpestore").toString
     val rules = graft.ext.TextAnalysis.bpeTrainLocal(seen, "text", merges = 12)
