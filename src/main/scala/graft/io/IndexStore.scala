@@ -1005,6 +1005,33 @@ object IndexStore {
       .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphBandTable")
   }
 
+  /** Takedown / opt-out delete for the fuzzy paragraph store: remove
+    * the given paragraph HASHES (one `h` column — the store's key is
+    * the content hash, so the caller identifies content, not
+    * documents) from ALL THREE tables. Unlike
+    * [[deleteFromAdmissionIndexes]] — which retains the exact-hash
+    * rungs so removed content stays blocked — a paragraph-store
+    * delete removes the exact rung too: the store's job is "strip
+    * what the corpus carries", and content REMOVED from the corpus
+    * must become admissible again, or the takedown silently keeps
+    * suppressing it everywhere (the opposite policy is one
+    * table-subset away; both are a policy choice the doc states).
+    * Same rewrite-through-tmp + FS-rename swap as every store delete;
+    * the ids are eagerly materialized first (the self-reference
+    * hazard: an `h` set derived from the store must not re-evaluate
+    * mid-rewrite).
+    */
+  def deleteFromParagraphFuzzyIndex(hashes: DataFrame, dir: String): Unit = {
+    val del = hashes.select(col(hashes.columns.head).as("h"))
+      .localCheckpoint()
+    swapRewrite(hashes.sparkSession, dir,
+      Seq(ParagraphHashTable, ParagraphShingleTable, ParagraphBandTable),
+      mustExist = true) {
+      (df, out) => df.join(del, Seq("h"), "left_anti")
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+  }
+
   def readParagraphBands(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$ParagraphBandTable")
 

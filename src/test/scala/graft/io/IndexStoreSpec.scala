@@ -487,6 +487,18 @@ class IndexStoreSpec extends SparkSpec {
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
     manifest should include(""""kind": "paragraph_fuzzy"""")
+    // takedown: deleting the shared footer's hash removes it from all
+    // three tables — the content becomes ADMISSIBLE again (a fuzzy
+    // store delete removes the exact rung too, unlike the admission
+    // store's never-re-admit policy)
+    val sharedH = graft.functions.TextHashing.hash60("shared footer text here")
+    IndexStore.deleteFromParagraphFuzzyIndex(
+      Seq(sharedH).toDF("h"), dir)
+    counts() shouldBe ((3L, 3L, 3L))
+    IndexStore.readParagraphHashes(spark, dir)
+      .filter(col("h") === sharedH).count() shouldBe 0L
+    IndexStore.readParagraphBands(spark, dir)
+      .filter(col("h") === sharedH).count() shouldBe 0L
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
