@@ -299,13 +299,27 @@ object TrainingData {
     * data-parallel emission layout (one stream per reader), exactly
     * [[packIntoBins]]'s sharded contract.
     */
+  /** `phaseCols` (optional) prepend CURRICULUM phases to the stream
+    * order: the seeded shuffle runs WITHIN each phase, and phases
+    * follow each other in phase order — the staged data schedule
+    * ("anneal on the high-quality stratum last") a real pretraining
+    * run feeds the trainer, expressed as nothing more than extra
+    * leading window-order keys (no extra shuffle; the window's sort
+    * just gains prefix columns). Phase expressions must be
+    * deterministic row-local functions of the input row.
+    */
   def emitBatches(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], maxTokens: Int, budget: Int,
-      seed: String, shard: Option[String] = None): DataFrame = {
+      seed: String, shard: Option[String] = None,
+      phaseCols: Seq[Column] = Nil): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
     require(budget >= 1, s"budget must be >= 1: $budget")
+    val phases = phaseCols.zipWithIndex.map { case (c, i) =>
+      c.as(s"__phase$i")
+    }
     val keep = Seq(col(idCol).as("id"),
-      slice(col("subwords"), 1, maxTokens).as("toks")) ++ shard.map(col)
+      slice(col("subwords"), 1, maxTokens).as("toks")) ++ shard.map(col) ++
+      phases
     val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
     // the key projection only — NOT trainingOrder's global orderBy:
     // the window below re-establishes exactly that order (globally or
@@ -315,8 +329,10 @@ object TrainingData {
     // on the engine's end-product path
     val ordered = enc.withColumn("order_key",
       trainingOrderKey(Seq(col("id")), seed))
-    val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
-      Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
+    val orderCols = phaseCols.indices.map(i => col(s"__phase$i")) ++
+      Seq(col("order_key"), col("id"))
+    val w0 = shard.fold(Window.orderBy(orderCols: _*))(sc =>
+      Window.partitionBy(col(sc)).orderBy(orderCols: _*))
     val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ordered
       .withColumn("n_tok", size(col("toks")))
@@ -358,9 +374,10 @@ object TrainingData {
     */
   def emitChunks(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], maxTokens: Int, budget: Int,
-      seed: String, shard: Option[String] = None): DataFrame = {
+      seed: String, shard: Option[String] = None,
+      phaseCols: Seq[Column] = Nil): DataFrame = {
     val base = emitBatches(df, idCol, textCol, merges, maxTokens, budget,
-      seed, shard)
+      seed, shard, phaseCols)
     val out = chunkAtBoundaries(base, budget,
       Seq(col(idCol), col("order_key")) ++ shard.map(col))
     // shard rides LAST, the emitBatches column contract
@@ -400,6 +417,49 @@ object TrainingData {
         col("__len").cast("int").as("n_tok"),
         slice(col("toks"), col("__off").cast("int") + 1,
           col("__len").cast("int")).as("toks")): _*)
+  }
+
+  /** Encode-ONCE weighted emission — the production form of the
+    * repeatByWeight→emitBatches composition: emitting a repeated
+    * corpus through [[emitBatches]] re-TOKENIZES every epoch copy,
+    * paying the encode (the pipeline's expensive row-local pass) ×
+    * mean-copies. Here the corpus is tokenized exactly once and the
+    * epoch copies are generator rows over the ENCODED frame — the
+    * repetition is a projection of token arrays, never a
+    * re-tokenization. Each (id, copy) example takes the seeded order
+    * key over BOTH keys, so a document's epoch copies scatter across
+    * the whole stream (the [[trainingOrder]] interleave), and the
+    * pack math runs over post-repetition volume exactly as the
+    * composed form. Output: (idCol, copy, order_key, toks, n_tok,
+    * tokens_before, bin) [+ shard], one row per example.
+    */
+  def emitBatchesRepeated(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, strataCol: String, weights: Map[String, Int],
+      defaultCopies: Int = 1, shard: Option[String] = None): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val keep = Seq(col(idCol).as("id"),
+      slice(col("subwords"), 1, maxTokens).as("toks"), col(strataCol)) ++
+      shard.map(col)
+    val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
+    val rep = repeatByWeight(enc, strataCol, weights, defaultCopies)
+    val ordered = rep.withColumn("order_key",
+      trainingOrderKey(Seq(col("id"), col("copy")), seed))
+    val w0 = shard.fold(
+      Window.orderBy(col("order_key"), col("id"), col("copy")))(sc =>
+      Window.partitionBy(col(sc))
+        .orderBy(col("order_key"), col("id"), col("copy")))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tok").cast("long")).over(w)
+          - col("n_tok"), lit(0L)))
+      .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
+      .select(Seq(col("id").as(idCol), col("copy"), col("order_key"),
+        col("toks"), col("n_tok"), col("tokens_before"), col("bin"))
+        ++ shard.map(col): _*)
   }
 
   // ---- span-corruption example construction ----------------------

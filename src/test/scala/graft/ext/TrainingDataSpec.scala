@@ -301,6 +301,36 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("emitBatches: curriculum phases SEQUENCE the stream; the seeded " +
+      "shuffle runs within each phase") {
+    val docs = (1L to 60L).map { i =>
+      (i, (if (i % 2 == 0) "alpha " else "beta ") * (i % 9 + 2).toInt +
+        s"tail$i", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val merges = Seq(("a", "l"), ("t", "a"))
+    val out = TrainingData.emitBatches(docs, "doc_id", "text", merges,
+        maxTokens = 8, budget = 40, seed = "7",
+        phaseCols = Seq(when(col("source") === "src0", 1).otherwise(0)))
+      .orderBy("tokens_before").collect()
+    // phase from the fixture rule: src0 ⇔ doc_id % 3 == 0 → phase 1
+    val phases = out.map(r => if (r.getLong(0) % 3 == 0) 1 else 0)
+    // non-decreasing: every phase-0 row precedes every phase-1 row
+    phases.toSeq shouldBe phases.sorted.toSeq
+    phases.toSet shouldBe Set(0, 1) // both phases populated
+    // within each phase the seeded order_key ascends (the shuffle
+    // runs inside the phase, not across it)
+    out.zip(phases).groupBy(_._2).values.foreach { rs =>
+      val keys = rs.map(_._1.getLong(1)).toSeq
+      keys shouldBe keys.sorted
+    }
+    // the running sum is continuous ACROSS the phase boundary (one
+    // stream, staged — not independent per-phase streams)
+    out.foldLeft(0L) { (acc, r) =>
+      r.getLong(4) shouldBe acc
+      acc + r.getInt(3)
+    }
+  }
+
   test("emitChunks: every block sums to EXACTLY the budget (final block " +
       "excepted), pieces reconstruct the stream, sharded plan never funnels") {
     val docs = (1L to 60L).map { i =>
