@@ -1994,28 +1994,54 @@ object Dedup {
     * (id, idx) semi-join; reassembly is the one per-document shuffle
     * every paragraph rewrite pays.
     */
+  /** `survivorByFrequency` switches the cluster winner from the
+    * globally-first rep to the MOST-COPIED variant (verbatim copy
+    * count from the exact collapse; ties → first (id, idx)) — the
+    * production canonical: the most common variant of a boilerplate
+    * family is the intended text, while first-seen can enshrine a
+    * rare typo'd copy that merely crawled earliest. Costs one
+    * rep-level window over the clustered reps (partitions = clusters,
+    * a tiny frame after banding); the default stays the zero-window
+    * min-label rule.
+    */
   def paragraphNearDupDedup(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n\n", minJaccard: Double = 0.5): DataFrame = {
+      sep: String = "\n\n", minJaccard: Double = 0.5,
+      survivorByFrequency: Boolean = false): DataFrame = {
     val paras = paragraphRows(df, idCol, textCol, sep)
     // cached: consumed by the shingle sets (→ pairs → clusters, which
     // materialize eagerly inside nearDupClusters) AND the final kept
     // semi-join — uncached, each re-runs the explode + min groupBy
     val winners = paras
       .groupBy(md5(col("para")).as("__dg"))
-      .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"))
+      .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"),
+        count(lit(1)).as("__cnt"))
       .select(col("w.id").as("id"), col("w.idx").as("idx"),
-        col("w.para").as("para"))
+        col("w.para").as("para"), col("__cnt"))
       .cache()
     val sets = winners.select(
       struct(col("id"), col("idx")).as("id"),
       graft.functions.TextHashFunctions.shingle_hashes(col("para"), ShingleN)
         .as("hs"))
     val pairs = minhashRepPairs(sets, minJaccard).select("id_a", "id_b")
-    // keep each cluster's label member — min (id, idx) = globally
-    // first, so `id === cluster` IS the survivor rule
-    val keptKeys = nearDupClusters(sets.select("id"), pairs)
-      .filter(col("id") === col("cluster"))
-      .select(col("id.id").as("id"), col("id.idx").as("idx"))
+    val clusters = nearDupClusters(sets.select("id"), pairs)
+    val keptKeys =
+      if (!survivorByFrequency)
+        // each cluster's label member — min (id, idx) = globally
+        // first, so `id === cluster` IS the survivor rule
+        clusters.filter(col("id") === col("cluster"))
+          .select(col("id.id").as("id"), col("id.idx").as("idx"))
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wlab = Window.partitionBy(col("cluster"))
+          .orderBy(col("__cnt").desc, col("id"), col("idx"))
+        clusters
+          .select(col("id.id").as("id"), col("id.idx").as("idx"),
+            col("cluster"))
+          .join(winners.select("id", "idx", "__cnt"), Seq("id", "idx"))
+          .withColumn("__rk", row_number().over(wlab))
+          .filter(col("__rk") === 1)
+          .select("id", "idx")
+      }
     val kept = winners.join(keptKeys, Seq("id", "idx"), "left_semi")
       .select("id", "idx", "para")
     reassembleWithTotals(df, idCol, textCol, kept, sep)

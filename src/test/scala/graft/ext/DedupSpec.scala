@@ -112,6 +112,33 @@ class DedupSpec extends SparkSpec {
       "text"))
   }
 
+  test("paragraphNearDupDedup(survivorByFrequency): the MOST-COPIED " +
+      "variant wins, diverging from first-seen when a typo crawls first") {
+    def footer(v: Long): String = "please subscribe to the graft weekly " +
+      s"newsletter for more updates and news edition $v"
+    // doc 1 carries the rare variant (edition 0, 25% of copies) FIRST;
+    // docs ≢ 1 mod 4 carry the majority edition 1 (75%), first at doc 2
+    val df = (1L to 20L).map { i =>
+      (i, s"unique body number $i carrying its own distinct words\n\n" +
+        footer(if (i % 4 == 1) 0 else 1))
+    }.toDF("doc_id", "text")
+    val freq = Dedup.paragraphNearDupDedup(df, "doc_id", "text",
+        survivorByFrequency = true)
+      .orderBy("doc_id").collect()
+    // min-id policy keeps doc 1's edition-0 footer; frequency keeps
+    // doc 2's edition-1 footer instead
+    freq.filter(_.getString(1).contains("newsletter"))
+      .map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    Dedup.paragraphNearDupDedup(df, "doc_id", "text").collect()
+      .filter(_.getString(1).contains("newsletter"))
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // frequency choice is layout-independent too (count + total order)
+    rowSet(Dedup.paragraphNearDupDedup(df.repartition(7), "doc_id",
+      "text", survivorByFrequency = true)) shouldBe rowSet(
+      Dedup.paragraphNearDupDedup(df, "doc_id", "text",
+        survivorByFrequency = true))
+  }
+
   test("normalize: lowercase, punct→space, collapsed whitespace") {
     val df = Seq("  Hello,   WORLD!! 42  ", "already clean").toDF("text")
       .select(TextAnalysis.normalize(col("text")).as("n"))
