@@ -158,7 +158,11 @@ object Bench {
       "q_stream_admit_image", "q_stream_admit_dsir",
       "q_stream_admit_paragraph", "q_stream_admit_paragraph_cumulative",
       "q_stream_admit_paragraph_sinked", "q_stream_admit_full_paragraph",
-      "q_stream_emit",
+      "q_stream_admit_paragraph_fuzzy",
+      "q_stream_admit_paragraph_fuzzy_cumulative",
+      "q_stream_admit_paragraph_fuzzy_sinked",
+      "q_stream_sketch",
+      "q_stream_emit", "q_stream_emit_chunks",
       "q_stream_ann_maintain", "q_stream_ann_retrain", "q_stream_drift")
     // SPARK_GRAFT_ONLY=q_a,q_b — iterate on a subset (dev loop only;
     // the driver's per-round bench runs the full registry)

@@ -1219,10 +1219,26 @@ object Dedup {
     // run at cluster width while a bench-scale run collapses to one.
     val edgeCount = edges0.count()
     val idType = edges0.schema("src").dataType
+    // struct ids (the paragraph family's (id, idx) node key) are
+    // localizable when every field is a fixed-size numeric: the
+    // field-wise comparator below matches Spark's own struct
+    // ordering (min(struct) is lexicographic by field), so the local
+    // solve stays value-identical to the distributed loop
+    def numericStruct(t: org.apache.spark.sql.types.DataType): Boolean =
+      t match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.nonEmpty && st.fields.forall(f => f.dataType match {
+            case _: org.apache.spark.sql.types.LongType => true
+            case _: org.apache.spark.sql.types.IntegerType => true
+            case _ => false
+          })
+        case _ => false
+      }
     val localizable = idType match {
       case _: org.apache.spark.sql.types.LongType => true
       case _: org.apache.spark.sql.types.IntegerType => true
       case _: org.apache.spark.sql.types.StringType => true
+      case t if numericStruct(t) => true
       case _ => false
     }
     // The row cap alone under-prices string ids (2M edges of 200-char
@@ -1238,6 +1254,9 @@ object Dedup {
           // per edge: 2 String objects (~40 B header + 2 B/char UTF-16)
           // + Row/array overhead
           edgeCount * (2L * (40L + (2 * avgLen).toLong) + 32L)
+        case st: org.apache.spark.sql.types.StructType =>
+          // numeric-struct ids: 2 Row objects of boxed fields + overhead
+          edgeCount * (2L * (32L + 24L * st.fields.length) + 32L)
         case _ => edgeCount * 48L // 2 boxed numerics + Row overhead
       }
     if (edgeCount <= localEdgeCap && localizable &&
@@ -1362,6 +1381,25 @@ object Dedup {
         (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case _: org.apache.spark.sql.types.IntegerType =>
         (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case st: org.apache.spark.sql.types.StructType =>
+        // field-wise lexicographic over numeric fields — exactly the
+        // ordering Spark's min(struct) / orderBy(struct) uses, so the
+        // local label matches the distributed one value-for-value
+        (a, b) => {
+          val ra = a.asInstanceOf[Row]; val rb = b.asInstanceOf[Row]
+          var i = 0
+          var res = 0
+          while (res == 0 && i < st.fields.length) {
+            val c = st.fields(i).dataType match {
+              case _: org.apache.spark.sql.types.LongType =>
+                java.lang.Long.compare(ra.getLong(i), rb.getLong(i))
+              case _ =>
+                java.lang.Integer.compare(ra.getInt(i), rb.getInt(i))
+            }
+            res = c; i += 1
+          }
+          res < 0
+        }
       case _ =>
         (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
     }
@@ -2010,7 +2048,12 @@ object Dedup {
     val paras = paragraphRows(df, idCol, textCol, sep)
     // cached: consumed by the shingle sets (→ pairs → clusters, which
     // materialize eagerly inside nearDupClusters) AND the final kept
-    // semi-join — uncached, each re-runs the explode + min groupBy
+    // semi-join — uncached, each re-runs the explode + min groupBy.
+    // RETAINED for the session (the nearDupClusters edges-cache rule):
+    // the returned frame is lazy and still reads `winners`, so it
+    // cannot be unpersisted here — long-lived sessions calling this
+    // repeatedly hold one cached rep frame (full paragraph text) per
+    // call until spark.catalog.clearCache() or session end
     val winners = paras
       .groupBy(md5(col("para")).as("__dg"))
       .agg(min(struct(col("id"), col("idx"), col("para"))).as("w"),

@@ -563,23 +563,51 @@ object TextAnalysis {
     df.withColumn("subwords",
       graft.functions.BpeFunctions.bpe_encode(lower(col(textCol)), rules))
 
+  /** The ESCAPED form of a literal marker occurrence in raw text:
+    * the marker's first character, a NUL, then the rest — never equal
+    * to the marker itself, and restored by [[detokenize]] after the
+    * marker→space replace. Escape-at-encode closes the round-trip
+    * hazard a literal `</w>` in the corpus used to pose (decode
+    * replaced every occurrence, spurious-spacing real content); the
+    * residual precondition is only that raw text not contain the
+    * NUL-bearing escaped sequence itself — a control-character
+    * collision no natural corpus carries (documented, not checked).
+    */
+  private[ext] def markerEscape(marker: String): String =
+    s"${marker.head}\u0000${marker.tail}"
+
+  /** Escape literal marker occurrences in raw (lowered) text before a
+    * marked encode — shared by the BPE and unigram marked encodes.
+    */
+  private[ext] def escapeMarker(text: Column, marker: String): Column =
+    regexp_replace(text, java.util.regex.Pattern.quote(marker),
+      java.util.regex.Matcher.quoteReplacement(markerEscape(marker)))
+
   /** Word-boundary-MARKED BPE encode — the Sennrich `</w>` convention
     * a shipped tokenizer actually uses: each word's FINAL subword
     * carries the end-of-word marker, which is exactly the information
     * [[bpeEncode]]'s flat array discards and the one thing a
     * detokenizer needs. Same segmentation as [[bpeEncode]] (the merge
-    * loop runs per word either way, so piece COUNT is identical —
-    * spec-pinned); built compositionally — per-word `bpe_encode`
-    * inside a higher-order transform, no second expression class —
-    * and empty words (consecutive spaces) drop exactly as the flat
-    * encode drops them.
+    * loop runs per word either way, so piece COUNT is identical for
+    * marker-free text — spec-pinned; a word CARRYING a literal marker
+    * is escaped first, see below, and may segment differently from
+    * the flat encode of the unescaped text); built compositionally —
+    * per-word `bpe_encode` inside a higher-order transform, no second
+    * expression class — and empty words (consecutive spaces) drop
+    * exactly as the flat encode drops them.
+    *
+    * Literal marker occurrences in the text are ESCAPED
+    * ([[escapeMarker]] — a NUL spliced after the marker's first
+    * character) so [[detokenize]] can restore them: the round-trip
+    * invariant holds even for a corpus that quotes its own marker.
     */
   def bpeEncodeMarked(df: DataFrame, textCol: String,
       rules: Seq[(String, String)],
       marker: String = "</w>"): DataFrame =
     df.withColumn("subwords_marked",
       flatten(transform(
-        filter(split(lower(col(textCol)), " ", -1), w => w =!= ""),
+        filter(split(escapeMarker(lower(col(textCol)), marker), " ", -1),
+          w => w =!= ""),
         w => {
           val g = graft.functions.BpeFunctions.bpe_encode(w, rules)
           concat(slice(g, lit(1), size(g) - 1),
@@ -587,28 +615,30 @@ object TextAnalysis {
         })))
 
   /** Detokenize a MARKED subword stream back to normalized text —
-    * pure built-ins (one array_join + one replace), no custom
+    * pure built-ins (one array_join + two replaces), no custom
     * expression, TOKENIZER-AGNOSTIC (both the BPE and unigram marked
     * encodes ship the same end-of-word convention): the round-trip
     * contract is `detokenize(encodeMarked(x)) =
     * single-space-normalized lower(x)` (multiple spaces collapse
     * because empty words drop at encode — the only lossy step, and a
     * deliberate one). The QA faces this enables (q_bpe_roundtrip,
-    * q_unigram_roundtrip) need no tokenizer replay in their oracles:
-    * if the invariant holds, the decode EQUALS the SQL-side
-    * normalization of the raw text.
+    * q_unigram_roundtrip, q_bpe_marker_roundtrip) need no tokenizer
+    * replay in their oracles: if the invariant holds, the decode
+    * EQUALS the SQL-side normalization of the raw text.
     *
-    * PRECONDITION (shared with [[bpeEncodeMarked]] and
-    * [[graft.ext.UnigramTok]]'s marked encode): the marker string
-    * must not occur in the raw text — decode replaces EVERY
-    * occurrence, so a document containing a literal "</w>" would gain
-    * a spurious space and break the round-trip invariant. A corpus
-    * that can carry the default marker must pass a non-colliding one
-    * (e.g. a control character) to BOTH the encode and this decode.
+    * A literal marker in the raw text survives the round trip: the
+    * marked encodes escape it ([[escapeMarker]]), and this decode
+    * restores it AFTER the marker→space replace (ordering matters —
+    * escaped forms contain no marker, so the first replace cannot
+    * touch them). Residual precondition: raw text must not contain
+    * the NUL-bearing escaped sequence itself ([[markerEscape]]).
     */
   def detokenize(subwords: Column, marker: String = "</w>"): Column =
-    rtrim(regexp_replace(array_join(subwords, ""),
-      java.util.regex.Pattern.quote(marker), " "))
+    regexp_replace(
+      rtrim(regexp_replace(array_join(subwords, ""),
+        java.util.regex.Pattern.quote(marker), " ")),
+      java.util.regex.Pattern.quote(markerEscape(marker)),
+      java.util.regex.Matcher.quoteReplacement(marker))
 
   /** PMI collocation mining: the top-k adjacent-token pairs by
     * pointwise mutual information, `pmi = ln(P(l,r) / (P(l)·P(r)))`
@@ -1074,5 +1104,105 @@ object TextAnalysis {
   def encodeTokens(text: Column, vocab: Seq[(String, Int)]): Column = {
     val m = typedLit(vocab.toMap)
     transform(tokens(text), t => coalesce(element_at(m, t), lit(0)))
+  }
+
+  // ---- byte-fallback id codec ------------------------------------
+
+  /** The byte-fallback id space (GPT-2's byte-level idea applied at
+    * the fallback layer): id 0 stays reserved for unk but is NEVER
+    * emitted by [[encodeIdsByteFallback]]; ids 1..256 are the 256 raw
+    * byte values (byte b → id b+1); [[EowId]] = 257 marks end-of-word;
+    * learned subword ids start at [[VocabIdBase]] = 258.
+    */
+  val ByteIdBase = 1
+  val EowId = 257
+  val VocabIdBase = 258
+
+  /** Subword-id vocabulary for [[encodeIdsByteFallback]]: the `k`
+    * most frequent subwords of the corpus under `rules`, ids
+    * [[VocabIdBase]].. in (freq desc, subword asc) order — the
+    * [[buildVocab]] artifact one layer down (subwords, not words).
+    * Train nightly, ship as a literal; the collect is bounded by `k`.
+    */
+  def buildBpeVocab(df: DataFrame, textCol: String,
+      rules: Seq[(String, String)], k: Int): Seq[(String, Int)] = {
+    require(k > 0 && k <= 65536, s"vocab size $k outside (0, 65536]")
+    bpeEncode(df, textCol, rules)
+      .select(explode(col("subwords")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("p").asc)
+      .limit(k).collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (i + VocabIdBase) }.toSeq
+  }
+
+  /** Text → token ids with BYTE fallback — no corpus byte is ever
+    * dropped to unk: each word BPE-segments under `rules`; if every
+    * piece is in `vocab` the word emits its piece ids, otherwise the
+    * WHOLE word falls back to its UTF-8 bytes (ids 1..256), and every
+    * word closes with [[EowId]]. Whole-word (not per-piece) fallback
+    * is deliberate: the BPE symbol walk splits at UTF-16 code units,
+    * so an astral-plane piece (emoji) can be a lone surrogate whose
+    * UTF-8 bytes are undefined — the word string itself is always
+    * well-formed, so its bytes round-trip exactly. Everything is
+    * codegen'd built-ins (the byte decomposition rides
+    * hex-of-encoded-word + substr + conv — no new expression class),
+    * row-local, zero-shuffle; `vocab` ships as a map literal.
+    *
+    * Round-trip contract (the [[detokenize]] discipline one layer
+    * down): [[decodeIdsByteFallback]] of the output equals the
+    * single-space-normalized lower(text), for ANY input including
+    * non-ASCII and emoji — and id 0 never appears (spec + oracle
+    * faces pin both).
+    */
+  def encodeIdsByteFallback(text: Column, rules: Seq[(String, String)],
+      vocab: Seq[(String, Int)]): Column = {
+    require(vocab.forall(_._2 >= VocabIdBase),
+      s"vocab ids must be >= $VocabIdBase (0=unk, 1..256=bytes, 257=eow)")
+    val m = typedLit(vocab.toMap)
+    flatten(transform(
+      filter(split(lower(text), " ", -1), w => w =!= ""),
+      w => {
+        val g = graft.functions.BpeFunctions.bpe_encode(w, rules)
+        val pieceIds = transform(g, p => element_at(m, p))
+        val wb = encode(w, "UTF-8")
+        val hx = hex(wb)
+        val byteIds = transform(sequence(lit(1), length(wb)),
+          i => (conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int")
+            + lit(ByteIdBase)))
+        concat(
+          when(forall(g, p => element_at(m, p).isNotNull), pieceIds)
+            .otherwise(byteIds),
+          array(lit(EowId)))
+      }))
+  }
+
+  /** Ids → normalized text, inverting [[encodeIdsByteFallback]]: walk
+    * the id stream accumulating (text, pending-byte-hex); a byte id
+    * appends its hex pair, a subword id or [[EowId]] first FLUSHES the
+    * pending bytes through one UTF-8 decode (multi-byte characters
+    * reassemble exactly because the flush boundary is always a word
+    * boundary), then appends the piece or a space. One codegen'd
+    * `aggregate` over built-ins; the reverse vocab ships as a map
+    * literal.
+    */
+  def decodeIdsByteFallback(ids: Column, vocab: Seq[(String, Int)]): Column = {
+    val rm = typedLit(vocab.map { case (p, i) => i -> p }.toMap)
+    def flush(acc: Column): Column =
+      concat(acc("txt"),
+        when(acc("hx") =!= "", decode(unhex(acc("hx")), "UTF-8"))
+          .otherwise(lit("")))
+    rtrim(aggregate(
+      ids,
+      struct(lit("").as("txt"), lit("").as("hx")),
+      (acc, id) =>
+        when(id === EowId,
+          struct(concat(flush(acc), lit(" ")).as("txt"), lit("").as("hx")))
+        .when(id <= lit(256),
+          struct(acc("txt").as("txt"),
+            concat(acc("hx"), lpad(hex(id - ByteIdBase), 2, "0")).as("hx")))
+        .otherwise(
+          struct(concat(flush(acc), element_at(rm, id)).as("txt"),
+            lit("").as("hx"))),
+      acc => flush(acc)))
   }
 }

@@ -339,7 +339,9 @@ object TrainingData {
       .withColumn("tokens_before",
         coalesce(sum(col("n_tok").cast("long")).over(w)
           - col("n_tok"), lit(0L)))
-      .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
+      // integer division (not floor of double division): exact at any
+      // running total, not just below 2^53 — the chunkAtBoundaries rule
+      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
       .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
         col("n_tok"), col("tokens_before"), col("bin"))
         ++ shard.map(col): _*)
@@ -399,10 +401,14 @@ object TrainingData {
   private[graft] def chunkAtBoundaries(base: DataFrame, budget: Int,
       keep: Seq[Column]): DataFrame = {
     // n ≥ 1 guaranteed by the filter (a 0-token doc's sequence would
-    // count backwards — the repeatByWeight trap)
-    val firstB = floor(col("tokens_before") / budget).cast("int")
-    val lastB = floor((col("tokens_before") + col("n_tok") - 1) / budget)
-      .cast("int")
+    // count backwards — the repeatByWeight trap). TRUE integer
+    // division (`div`), not floor(a / b): the `/` operator is DOUBLE
+    // division in Spark, exact only below 2^53 — `div` keeps the cut
+    // exact long math at any running total, matching the oracle's
+    // `//` (operands are non-negative here, so div ≡ floor).
+    val firstB = expr(s"CAST(tokens_before DIV $budget AS INT)")
+    val lastB =
+      expr(s"CAST((tokens_before + n_tok - 1L) DIV $budget AS INT)")
     base.filter(col("n_tok") > 0)
       .withColumn("block", explode(sequence(firstB, lastB)))
       .withColumn("__off",
@@ -432,11 +438,21 @@ object TrainingData {
     * pack math runs over post-repetition volume exactly as the
     * composed form. Output: (idCol, copy, order_key, toks, n_tok,
     * tokens_before, bin) [+ shard], one row per example.
+    *
+    * `phaseCols` composes the [[emitBatches]] curriculum contract in:
+    * phases are extra LEADING window-order keys evaluated on the
+    * post-repetition example row (so a phase expression may read
+    * `copy` — "every document's first epoch before any repeat" is
+    * `col("copy")` itself), the seeded (id, copy) shuffle runs within
+    * each phase, and the running sum stays continuous across phase
+    * boundaries. No extra shuffle: the window's sort just gains
+    * prefix columns.
     */
   def emitBatchesRepeated(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], maxTokens: Int, budget: Int,
       seed: String, strataCol: String, weights: Map[String, Int],
-      defaultCopies: Int = 1, shard: Option[String] = None): DataFrame = {
+      defaultCopies: Int = 1, shard: Option[String] = None,
+      phaseCols: Seq[Column] = Nil): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
     require(budget >= 1, s"budget must be >= 1: $budget")
     val keep = Seq(col(idCol).as("id"),
@@ -444,21 +460,177 @@ object TrainingData {
       shard.map(col)
     val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
     val rep = repeatByWeight(enc, strataCol, weights, defaultCopies)
-    val ordered = rep.withColumn("order_key",
+    // phases materialize AFTER the repeat so they can key on `copy`
+    val phased = phaseCols.zipWithIndex.foldLeft(rep) { case (acc, (c, i)) =>
+      acc.withColumn(s"__phase$i", c)
+    }
+    val ordered = phased.withColumn("order_key",
       trainingOrderKey(Seq(col("id"), col("copy")), seed))
-    val w0 = shard.fold(
-      Window.orderBy(col("order_key"), col("id"), col("copy")))(sc =>
-      Window.partitionBy(col(sc))
-        .orderBy(col("order_key"), col("id"), col("copy")))
+    val orderCols = phaseCols.indices.map(i => col(s"__phase$i")) ++
+      Seq(col("order_key"), col("id"), col("copy"))
+    val w0 = shard.fold(Window.orderBy(orderCols: _*))(sc =>
+      Window.partitionBy(col(sc)).orderBy(orderCols: _*))
     val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ordered
       .withColumn("n_tok", size(col("toks")))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tok").cast("long")).over(w)
           - col("n_tok"), lit(0L)))
-      .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
+      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
       .select(Seq(col("id").as(idCol), col("copy"), col("order_key"),
         col("toks"), col("n_tok"), col("tokens_before"), col("bin"))
+        ++ shard.map(col): _*)
+  }
+
+  /** The FULL production emission, composed as ONE operator:
+    * weighted epoch-upsampling (encode-ONCE, [[emitBatchesRepeated]])
+    * × curriculum phases × EXACT `budget`-token blocks
+    * ([[emitChunks]]' boundary cut) × optional sharding — the
+    * combination a real pretraining nightly runs, which as pairwise
+    * compositions forced a choice between re-tokenizing epoch copies
+    * (repeatByWeight → emitChunks) and giving up exact blocks
+    * (emitBatchesRepeated alone).
+    *
+    * One row per (example, block) PIECE: (idCol, copy, order_key,
+    * block, off, n_tok, toks) [+ shard] — `off`/`n_tok`/`toks`
+    * rebound to the piece exactly as [[emitChunks]]; a (doc, copy)
+    * example spanning b blocks emits b rows whose pieces concatenate
+    * back to its truncated token stream. Shape at scale: the
+    * [[emitBatchesRepeated]] plan (one encode pass, generator-row
+    * repetition, one window) plus the row-local
+    * [[chunkAtBoundaries]] explode — no extra shuffle or sort over
+    * the pairwise composition, and the encode is still paid ×1.
+    */
+  def emitChunksRepeated(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, strataCol: String, weights: Map[String, Int],
+      defaultCopies: Int = 1, shard: Option[String] = None,
+      phaseCols: Seq[Column] = Nil): DataFrame = {
+    val base = emitBatchesRepeated(df, idCol, textCol, merges, maxTokens,
+      budget, seed, strataCol, weights, defaultCopies, shard, phaseCols)
+    val out = chunkAtBoundaries(base, budget,
+      Seq(col(idCol), col("copy"), col("order_key")) ++ shard.map(col))
+    // shard rides LAST, the emitBatches column contract
+    shard.fold(out)(sc => out.select(
+      Seq(idCol, "copy", "order_key", "block", "off", "n_tok", "toks")
+        .map(col) :+ col(sc): _*))
+  }
+
+  /** TAKEDOWN BLAST-RADIUS over a committed exact-block emission —
+    * the right-to-be-forgotten answer for an already-emitted stream:
+    * given the emission's (example, block) pieces (an [[emitChunks]]
+    * frame, or the same rows read back from the sink) and a set of
+    * deleted document ids, report every block that HOLDS a deleted
+    * doc's pieces (with piece/token counts and the count of live
+    * pieces sharing the block — the co-resident content a block-level
+    * purge would collaterally drop), plus the re-emission radius.
+    *
+    * THE RE-EMISSION CONTRACT (why the radius matters): exact blocks
+    * cut a seeded totally-ordered token stream every `budget` tokens,
+    * so removing a document deletes its tokens from the stream and
+    * every later token shifts left — re-emitting without the doc
+    * changes EVERY block from the first affected one onward, not just
+    * the blocks the doc touched. The containment argument is
+    * per-shard: a shard is an independent stream with its own order
+    * and numbering, so blocks strictly BEFORE the shard's first
+    * affected block are byte-identical under re-emission, and other
+    * shards are untouched entirely — `first_affected` and
+    * `blocks_shifted` (= last block − first affected + 1) quantify
+    * exactly what must be re-served per shard. Store-side takedown
+    * ([[graft.io.IndexStore.deleteFromParagraphFuzzyIndex]] et al.)
+    * removes the CONTENT going forward; this report answers for the
+    * epochs already on disk.
+    *
+    * Shape at scale: one equi-join of the pieces against the deleted
+    * id set (broadcast — a takedown list is small by nature), one
+    * map-side-combinable per-block aggregate, and a shard-sized
+    * summary joined back; output is bounded by touched blocks, never
+    * the stream.
+    */
+  def emitTakedownReport(chunks: DataFrame, deleted: DataFrame,
+      idCol: String, shard: Option[String] = None): DataFrame = {
+    val delIds = deleted
+      .select(col(deleted.columns.head).as("__del_id")).distinct()
+    val tagged = chunks
+      .join(broadcast(delIds), col(idCol) === col("__del_id"), "left")
+      .withColumn("__is_del", col("__del_id").isNotNull)
+    val perBlock = tagged
+      .groupBy(shard.map(col).toSeq :+ col("block"): _*)
+      .agg(
+        sum(when(col("__is_del"), 1L).otherwise(0L)).as("n_del_pieces"),
+        sum(when(col("__is_del"), col("n_tok").cast("long"))
+          .otherwise(0L)).as("n_del_tokens"),
+        sum(when(col("__is_del"), 0L).otherwise(1L)).as("n_live_pieces"))
+    val summary = perBlock
+      .groupBy(shard.map(col).toSeq: _*)
+      .agg(
+        min(when(col("n_del_pieces") > 0, col("block")))
+          .as("first_affected"),
+        max(col("block")).as("last_block"))
+    val touched = perBlock.filter(col("n_del_pieces") > 0)
+    val joined = shard.fold(touched.crossJoin(broadcast(summary)))(sc =>
+      touched.join(broadcast(summary), Seq(sc)))
+    joined
+      .withColumn("blocks_shifted",
+        col("last_block") - col("first_affected") + 1)
+      .select(shard.map(col).toSeq ++ Seq(col("block"),
+        col("n_del_pieces"), col("n_del_tokens"), col("n_live_pieces"),
+        col("first_affected"), col("blocks_shifted")): _*)
+  }
+
+  /** MULTIMODAL-INTERLEAVED emission — media refs composed into the
+    * training stream: documents carrying a media attachment (one row
+    * in `media`: id → content digest, e.g.
+    * [[graft.io.IndexStore.readImageHashes]]' dHash) get ONE leading
+    * `placeholder` token spliced before their text tokens, so the
+    * emitted stream is the interleaved image-text sequence a
+    * multimodal pretrain consumes: the trainer maps the placeholder
+    * to its image embedding slot, and the (block, offset) of each
+    * placeholder — derivable as (tokens_before div budget,
+    * tokens_before mod budget) because the placeholder is the
+    * example's FIRST token — plus `media_hash` IS the dataloader's
+    * media manifest. Otherwise exactly [[emitBatches]]: persisted-
+    * tokenizer encode, truncate to `maxTokens` (the placeholder rides
+    * ON TOP of the text budget), seeded order, budget packing; run
+    * the output through the [[emitChunks]] cut for exact blocks.
+    *
+    * Output: (idCol, order_key, toks, n_tok, tokens_before, bin,
+    * media_hash) [+ shard] — `media_hash` null for text-only docs,
+    * `toks` carrying the placeholder at position 1 for media docs.
+    * Shape at scale: one equi-join against the media digest table
+    * (the persisted index — the codec pass never runs here) before
+    * the same single window; row-local splice, no extra shuffle.
+    */
+  def emitInterleaved(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, media: DataFrame, mediaIdCol: String, hashCol: String,
+      placeholder: String = "<img>",
+      shard: Option[String] = None): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val m = media.select(col(mediaIdCol).as("__mid"),
+      col(hashCol).as("media_hash"))
+    val keep = Seq(col(idCol).as("id"),
+      slice(col("subwords"), 1, maxTokens).as("__t")) ++ shard.map(col)
+    val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
+      .join(m, col("id") === col("__mid"), "left")
+      .withColumn("toks",
+        when(col("media_hash").isNotNull,
+          concat(array(lit(placeholder)), col("__t")))
+          .otherwise(col("__t")))
+    val ordered = enc.withColumn("order_key",
+      trainingOrderKey(Seq(col("id")), seed))
+    val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
+      Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tok").cast("long")).over(w)
+          - col("n_tok"), lit(0L)))
+      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+      .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
+        col("n_tok"), col("tokens_before"), col("bin"), col("media_hash"))
         ++ shard.map(col): _*)
   }
 

@@ -420,14 +420,18 @@ object UnigramTok {
     * expression's own convention, so segmentation is identical —
     * spec-pinned), and the word-final piece carries the marker a
     * detokenizer needs. Compositional (per-word encode in a
-    * higher-order transform), no new expression class.
+    * higher-order transform), no new expression class. Literal marker
+    * occurrences escape exactly as [[TextAnalysis.bpeEncodeMarked]]
+    * ([[TextAnalysis.escapeMarker]]) so the shared
+    * [[TextAnalysis.detokenize]] restores them.
     */
   def unigramEncodeMarked(df: DataFrame, textCol: String,
       pieces: Seq[(String, Double)],
       marker: String = "</w>"): DataFrame =
     df.withColumn("pieces_marked",
       flatten(transform(
-        filter(split(lower(col(textCol)), " ", -1), w => w =!= ""),
+        filter(split(TextAnalysis.escapeMarker(lower(col(textCol)), marker),
+          " ", -1), w => w =!= ""),
         w => {
           val g = graft.functions.UnigramFunctions.unigram_encode(w, pieces)
           concat(slice(g, lit(1), size(g) - 1),

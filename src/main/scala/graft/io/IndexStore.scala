@@ -978,10 +978,26 @@ object IndexStore {
     * every table one-row-per-distinct-text by construction (no
     * cross-batch duplicate debt, unlike [[appendAdmissionIndexes]]'
     * per-batch distinct — the paragraph key IS the content hash, so
-    * the anti-join is exact). The novel frame is eagerly
+    * the anti-join is exact; a re-run of the SAME batch appends
+    * nothing, making the whole append idempotent under foreachBatch's
+    * at-least-once replay). The novel frame is eagerly
     * localCheckpoint'ed BEFORE any write: its plan reads the hash
-    * table the first append mutates, and all three appends must see
-    * the same pre-append snapshot.
+    * table the appends mutate, and all three appends must see the
+    * same pre-append snapshot.
+    *
+    * Append ORDER is a durability invariant: shingles, then bands,
+    * then the hash table LAST. Novelty detection keys on the hash
+    * table, so a crash after a partial append leaves those paragraphs
+    * still-novel — the next batch re-detects and re-appends them, and
+    * the only debt is duplicate shingle/band rows, which the probe
+    * path dedups ([[graft.ext.Dedup.stripFuzzySeenParagraphs]]'
+    * candidate and verify steps are both DISTINCT). Hash-first would
+    * invert that: a crash between the hash append and the others
+    * leaves paragraphs exact-blocked yet invisible to the fuzzy rung
+    * FOREVER — edited variants of that boilerplate admit in every
+    * later batch, and the store cannot self-heal because the
+    * anti-join says "seen". Every crash window checks out only with
+    * the hash table last (enumerated in SCALE.md).
     */
   def appendParagraphFuzzyIndex(batch: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -993,8 +1009,6 @@ object IndexStore {
       .distinct()
       .join(readParagraphHashes(spark, dir), Seq("h"), "left_anti")
       .localCheckpoint()
-    novel.select("h")
-      .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphHashTable")
     val sets = novel.select(col("h"),
       graft.functions.TextHashFunctions.shingle_hashes(
         col("para"), graft.ext.HashDefs.ShingleN).as("hs"))
@@ -1003,6 +1017,8 @@ object IndexStore {
         sets.select(col("h").as("id"), col("hs"))))
       .select(col("id").as("h"), col("band"), col("band_hash"))
       .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphBandTable")
+    novel.select("h")
+      .write.mode(SaveMode.Append).parquet(s"$dir/$ParagraphHashTable")
   }
 
   /** Takedown / opt-out delete for the fuzzy paragraph store: remove

@@ -154,15 +154,24 @@ final case class EpochParquetSink(path: String) extends Sink {
     * Costs one extra narrow distinct job over the input to learn which
     * epochs to mark — callers with a single known epoch should prefer
     * [[writeEpoch]].
+    *
+    * The ids collect and the parquet write read ONE materialization
+    * (the frame is persisted across both, then released): evaluating
+    * the input twice would let a non-deterministic frame mark an
+    * epoch that got no data or write one that never gets marked —
+    * silently breaking the marker-is-durability invariant.
     */
   override def write(df: DataFrame): Unit = {
     require(df.columns.contains("batch_id"),
       "EpochParquetSink needs a batch_id column to key the epoch partition")
-    val ids = df.select(org.apache.spark.sql.functions
-        .col("batch_id").cast("long"))
-      .distinct().collect().map(_.getLong(0))
-    writeData(df)
-    ids.foreach(markCommitted)
+    val mat = df.persist()
+    try {
+      val ids = mat.select(org.apache.spark.sql.functions
+          .col("batch_id").cast("long"))
+        .distinct().collect().map(_.getLong(0))
+      writeData(mat)
+      ids.foreach(markCommitted)
+    } finally mat.unpersist()
   }
 
   private def writeData(df: DataFrame): Unit =

@@ -1457,6 +1457,74 @@ object StreamingGate {
     */
   def streamAdmitParagraphFuzzyCumulativeFromFiles(s: SparkSession,
       dir: String): DataFrame = {
+    val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    paragraphFuzzyCumulativeRun(s, dir,
+      emitKept = (kept, _) => {
+        val rows = kept.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        buf.synchronized { buf ++= rows }
+        ()
+      },
+      keptAfterDrain = () => {
+        import s.implicits._
+        buf.synchronized { buf.toSeq }
+          .toDF("doc_id", "clean_text", "n_paras", "n_kept")
+      })
+  }
+
+  /** PRODUCTION-shaped twin of
+    * [[streamAdmitParagraphFuzzyCumulativeFromFiles]] — the
+    * [[streamAdmitParagraphCumulativeSinked]] pattern extended to the
+    * rung a real ingest runs: each batch's stripped rows land in a
+    * [[graft.io.EpochParquetSink]] under `sinkDir` instead of a
+    * driver buffer, and the final frame reads back from the SINK —
+    * the full write→read round trip a downstream consumer takes.
+    *
+    * Replay safety has TWO halves here, both idempotent: the sink
+    * half is the `committed(batchId)` guard (the strip is computed
+    * against the store as of batch start, which the first attempt's
+    * append already advanced — a replayed recompute would wrongly
+    * strip the batch's own novel paragraphs, so the first COMMITTED
+    * write is the one that stands); the STORE half needs no guard at
+    * all, because [[graft.io.IndexStore.appendParagraphFuzzyIndex]]'s
+    * novel-only anti-join makes a re-append of the same batch a
+    * no-op — no duplicate hash rows, no compaction debt
+    * (spec-pinned in StreamingGateSpec).
+    */
+  def streamAdmitParagraphFuzzyCumulativeSinked(s: SparkSession,
+      dir: String, sinkDir: String): DataFrame = {
+    val sink = graft.io.EpochParquetSink(sinkDir)
+    paragraphFuzzyCumulativeRun(s, dir,
+      emitKept = (kept, batchId) => {
+        if (!sink.committed(batchId))
+          sink.writeEpoch(kept, batchId)
+      },
+      keptAfterDrain = () =>
+        if (sink.hasData)
+          s.read.parquet(sinkDir)
+            .select("doc_id", "clean_text", "n_paras", "n_kept")
+        else {
+          import s.implicits._
+          Seq.empty[(Long, String, Long, Long)]
+            .toDF("doc_id", "clean_text", "n_paras", "n_kept")
+        })
+  }
+
+  /** Shared core of the two cumulative FUZZY paragraph gates — the
+    * [[paragraphCumulativeRun]] convention one rung up: drives the
+    * stream, strips each batch against the store AS OF batch start
+    * (fresh static reads + an eager localCheckpoint pin the
+    * materialization BEFORE the append advances the store), hands the
+    * stripped frame (doc_id, clean_text, n_paras, n_kept) to
+    * `emitKept`, then appends the batch's novel distinct paragraphs
+    * to all three store tables; after the drain, `keptAfterDrain`
+    * supplies the accumulated rows from whichever medium `emitKept`
+    * stored them in.
+    */
+  private def paragraphFuzzyCumulativeRun(s: SparkSession, dir: String,
+      emitKept: (DataFrame, Long) => Unit,
+      keptAfterDrain: () => DataFrame): DataFrame = {
     import graft.ext.{Dedup, TrainingData}
     val stage = newStage()
     val storeDir = stage.resolve("store").toString
@@ -1487,22 +1555,19 @@ object StreamingGate {
           StructField("doc_id", LongType), StructField("text", StringType))))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.resolve("data").toString)
-      val buf =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
       val query = stream.writeStream
         .option("checkpointLocation", stage.resolve("ckpt").toString)
         .outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // the collect materializes the strip against the PRE-append
-          // store; only then may the append advance it
-          val rows = Dedup.stripFuzzySeenParagraphs(batch,
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // eager checkpoint: materialize the strip against the
+          // PRE-append store; only then may the append advance it
+          val kept = Dedup.stripFuzzySeenParagraphs(batch,
               graft.io.IndexStore.readParagraphHashes(s, storeDir),
               graft.io.IndexStore.readParagraphBands(s, storeDir),
               graft.io.IndexStore.readParagraphShingles(s, storeDir),
               "doc_id", "text")
-            .collect()
-            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-          buf.synchronized { buf ++= rows }
+            .localCheckpoint()
+          emitKept(kept, batchId)
           graft.io.IndexStore.appendParagraphFuzzyIndex(batch, storeDir)
           ()
         }
@@ -1510,9 +1575,7 @@ object StreamingGate {
       query.processAllAvailable()
       query.stop()
 
-      import s.implicits._
-      buf.synchronized { buf.toSeq }
-        .toDF("doc_id", "clean_text", "n_paras", "n_kept")
+      keptAfterDrain()
         .orderBy("doc_id")
         .localCheckpoint() // materialize before the stage dir is deleted
     } finally {

@@ -67,6 +67,8 @@ object DevScale {
       emitAB(sfDir, rest.headOption.map(_.toInt).getOrElse(2))
     case "emitEpochs" :: sfDir :: rest =>
       emitEpochs(sfDir, rest.map(_.toInt))
+    case "r17AB" :: sfDir :: rest =>
+      r17AB(sfDir, rest.headOption.map(_.toInt).getOrElse(2))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -583,6 +585,59 @@ object DevScale {
     * priced. The action sums the token-piece sizes so the payload
     * (the slices) is actually produced, not pruned under a bare count.
     */
+  /** Round-17 A/Bs: (a) curriculum phases vs unphased emission (the
+    * "costs nothing" claim), (b) frequency-canonical vs min-label
+    * paragraph survivor, (c) the composed weighted×curriculum×chunks
+    * operator vs the pairwise repeat→re-encode→chunk form.
+    */
+  private def r17AB(sfDir: String, reps: Int): Unit = {
+    import graft.ext.{Dedup, TrainingData}
+    val spark = GraftSession.local(32, "graft-dev-scale-r17ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables(spark, sfDir, "documents")
+    val idxDir = graft.io.IndexStore.ensureBpeMerges(d, sfDir, "text",
+      merges = 20)
+    val merges = graft.io.IndexStore.readBpeMerges(spark, idxDir)
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(lit(1)), sum(size(col("toks")))).head().getLong(0)
+    val phases = Seq(when(col("source") === "src0", 1).otherwise(0))
+    val weights = Map("src0" -> 3, "src2" -> 0)
+    val modes: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "emit/unphased" -> (() => TrainingData.emitBatches(d, "doc_id",
+        "text", merges, 256, 2000, "42")),
+      "emit/phased" -> (() => TrainingData.emitBatches(d, "doc_id",
+        "text", merges, 256, 2000, "42", phaseCols = phases)),
+      "wchunks/composed-op" -> (() => TrainingData.emitChunksRepeated(d,
+        "doc_id", "text", merges, 256, 2000, "42", "source", weights,
+        phaseCols = phases)),
+      "wchunks/pairwise" -> (() => {
+        val rep = TrainingData.repeatByWeight(
+            d.select("doc_id", "text", "source"), "source", weights)
+          .withColumn("ex_id", col("doc_id") * 4 + col("copy"))
+        TrainingData.emitChunks(rep, "ex_id", "text", merges, 256, 2000,
+          "42", phaseCols = phases)
+      }))
+    (1 to reps).foreach { i =>
+      modes.foreach { case (name, mk) =>
+        val t0 = System.nanoTime()
+        val n = force(mk())
+        println(f"[scale] $sfDir r17AB/$name run$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+      }
+      Seq("para/min-label" -> false, "para/freq-canonical" -> true)
+        .foreach { case (name, byFreq) =>
+          val t0 = System.nanoTime()
+          val n = Dedup.paragraphNearDupDedup(d, "doc_id", "text",
+            survivorByFrequency = byFreq).count()
+          println(f"[scale] $sfDir r17AB/$name run$i: " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+          spark.catalog.clearCache()
+        }
+    }
+    spark.stop()
+  }
+
   private def emitAB(sfDir: String, reps: Int): Unit = {
     import graft.ext.TrainingData
     val spark = GraftSession.local(32, "graft-dev-scale-emitab")

@@ -58,6 +58,11 @@ class PlanGuardSpec extends SparkSpec {
     * - q_pmi / q_quality_nb: the same ship-the-stats shape — PMI's
     *   n_tok/n_pairs totals and NB's t1/t0/v smoothing constants ride
     *   a crossJoin(broadcast(one-row agg)) onto vocab-sized frames.
+    * - q_emit_takedown_report: the unsharded report joins the ONE-ROW
+    *   global (first_affected, last_block) summary back onto the
+    *   touched-blocks frame — crossJoin(broadcast(one-row agg)), the
+    *   ship-the-stats shape again; with a shard column the same join
+    *   is a shard-keyed equi-join and plans no nested loop.
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_hard_negatives",
@@ -66,7 +71,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_temperature_mix", "q_bm25",
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb",
-      "q_ann_recall", "q_ann_recall_rerank", "q_ann_recall_lsh")
+      "q_ann_recall", "q_ann_recall_rerank", "q_ann_recall_lsh",
+      "q_emit_takedown_report")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

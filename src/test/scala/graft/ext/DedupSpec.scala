@@ -391,6 +391,25 @@ class DedupSpec extends SparkSpec {
     rowSet(Dedup.nearDupClusters(su, sp)) shouldBe
       rowSet(Dedup.nearDupClusters(su, sp, maxRounds = 64,
         initMin = true, localEdgeCap = 0))
+    // numeric-STRUCT ids (the paragraph family's (id, idx) node key):
+    // the field-wise local comparator must match Spark's struct
+    // ordering — including the (same id, different idx) tie the
+    // second field breaks
+    val tu = Seq((1L, 0), (1L, 3), (2L, 1), (5L, 0), (9L, 9))
+      .toDF("i", "x").select(struct(col("i"), col("x")).as("id"))
+    val tp = Seq(((1L, 3), (1L, 0)), ((1L, 0), (2L, 1)), ((5L, 0), (5L, 0)))
+      .toDF("a", "b")
+      .select(struct(col("a._1").as("i"), col("a._2").as("x")).as("id_a"),
+        struct(col("b._1").as("i"), col("b._2").as("x")).as("id_b"))
+    val tLocal = Dedup.nearDupClusters(tu, tp)
+    val tDist = Dedup.nearDupClusters(tu, tp, maxRounds = 64,
+      initMin = true, localEdgeCap = 0)
+    rowSet(tLocal) shouldBe rowSet(tDist)
+    // the component {(1,0),(1,3),(2,1)} labels at its min member (1,0)
+    tLocal.filter(col("id.i") === 2L)
+      .select(col("cluster.i"), col("cluster.x"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe
+      Array((1L, 0))
   }
 
   test("nearDupClusters: string ids use the changed-rows convergence path") {

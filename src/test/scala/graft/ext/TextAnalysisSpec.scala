@@ -329,6 +329,79 @@ class TextAnalysisSpec extends SparkSpec {
     counts.filter($"flat" =!= $"mk").count() shouldBe 0L
   }
 
+  test("marker escape: a literal </w> in the text round-trips through " +
+      "BOTH marked encodes (escape at encode, restore at decode)") {
+    import spark.implicits._
+    val rules = Seq(("e", "s"), ("l", "o"))
+    val docs = Seq(
+      (1L, "x</w>y plain"),          // marker mid-word
+      (2L, "end</w> </w>start"),     // word-final and word-initial
+      (3L, "</w>"),                  // the marker alone as a word
+      (4L, "no marker here")
+    ).toDF("doc_id", "text")
+    val viaBpe = graft.ext.TextAnalysis.bpeEncodeMarked(docs, "text", rules)
+      .select($"doc_id",
+        graft.ext.TextAnalysis.detokenize($"subwords_marked").as("d"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    viaBpe shouldBe Array((1L, "x</w>y plain"), (2L, "end</w> </w>start"),
+      (3L, "</w>"), (4L, "no marker here"))
+    val pieces = Seq(("a", -0.5), ("b", -0.7), ("c", -0.9))
+    val viaUni = graft.ext.UnigramTok.unigramEncodeMarked(
+        docs, "text", pieces ++ Seq(("x", -1.0), ("y", -1.0), ("z", -1.0),
+          ("<", -2.0), ("/", -2.0), ("w", -2.0), (">", -2.0), (" ", -3.0),
+          ("e", -1.0), ("n", -1.0), ("d", -1.0), ("s", -1.0), ("t", -1.0),
+          ("r", -1.0), ("p", -1.0), ("l", -1.0), ("i", -1.0), ("o", -1.0),
+          ("m", -1.0), ("k", -1.0), ("h", -1.0)))
+      .select($"doc_id",
+        graft.ext.TextAnalysis.detokenize($"pieces_marked").as("d"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    viaUni shouldBe viaBpe
+  }
+
+  test("byte-fallback ids: emoji/CJK/accents round-trip exactly, zero unk, " +
+      "in-vocab ASCII words never fall back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = graft.ext.TextAnalysis
+    val rules = Seq(("l", "o"), ("lo", "w"))
+    val corpus = Seq((1L, "low lower lowest plain words here"))
+      .toDF("doc_id", "text")
+    val vocab = t.buildBpeVocab(corpus, "text", rules, 64)
+    vocab.map(_._2).min should be >= t.VocabIdBase
+    val docs = Seq(
+      (1L, "low words café 東京 🌍 emoji😀mix"),
+      (2L, "plain here"),            // fully in-vocab: no byte ids
+      (3L, ""),                      // empty → empty
+      (4L, "😀😀 naïve")
+    ).toDF("doc_id", "text")
+    val enc = docs.select($"doc_id",
+      t.encodeIdsByteFallback($"text", rules, vocab).as("ids"))
+    val out = enc.select($"doc_id",
+        t.decodeIdsByteFallback($"ids", vocab).as("decoded"),
+        org.apache.spark.sql.functions.size(
+          filter($"ids", i => i === 0)).as("n_unk"),
+        org.apache.spark.sql.functions.size(
+          filter($"ids", i => i >= 1 && i <= 256)).as("n_byte"))
+      .orderBy("doc_id").collect()
+    // exact round trip (normalization only), zero unk everywhere
+    out.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+      (1L, "low words café 東京 🌍 emoji😀mix"),
+      (2L, "plain here"), (3L, ""), (4L, "😀😀 naïve"))
+    out.foreach(_.getInt(2) shouldBe 0)
+    // fallback fires exactly where needed: doc 2 is fully in-vocab
+    out(0).getInt(3) should be > 0
+    out(1).getInt(3) shouldBe 0
+    out(3).getInt(3) should be > 0
+    // id-space discipline: every id is byte, EOW, or vocab — and the
+    // vocab ids used actually decode through the reverse map
+    val allIds = enc.select(explode($"ids").as("i")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    allIds.foreach { i =>
+      assert((i >= 1 && i <= 256) || i == t.EowId || i >= t.VocabIdBase,
+        s"id $i outside the byte/eow/vocab space")
+    }
+  }
+
   test("bpeEncode replays training exactly on the training corpus") {
     import org.apache.spark.sql.functions._
     // encode(training corpus) under the learned rules must equal the

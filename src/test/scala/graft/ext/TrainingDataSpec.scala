@@ -385,6 +385,161 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("emitChunksRepeated: weighted × curriculum × exact blocks compose — " +
+      "budget sums, copy scatter, phase order, sharded plan never funnels") {
+    val docs = (1L to 60L).map { i =>
+      (i, (if (i % 2 == 0) "alpha " else "beta ") * (i % 9 + 2).toInt +
+        s"tail$i", s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val merges = Seq(("a", "l"), ("t", "a"))
+    val weights = Map("src0" -> 3, "src2" -> 0)
+    val phases = Seq(when(col("source") === "src0", 1).otherwise(0))
+    val chunksDf = TrainingData.emitChunksRepeated(docs, "doc_id", "text",
+      merges, maxTokens = 8, budget = 40, seed = "7",
+      strataCol = "source", weights = weights, phaseCols = phases)
+    val rows = chunksDf.collect()
+    // exact blocks survive the composition: every block but the last
+    // sums to the budget, ids dense from 0
+    val perBlock = rows.groupBy(_.getInt(3)).view
+      .mapValues(_.map(_.getInt(5)).sum).toMap
+    val lastBlock = perBlock.keys.max
+    perBlock.keySet shouldBe (0 to lastBlock).toSet
+    perBlock.foreach { case (b, sum) =>
+      if (b < lastBlock) sum shouldBe 40 else sum should be <= 40
+    }
+    // weights: src0 docs (doc_id % 3 == 0) carry copies {0,1,2}, src2
+    // (doc_id % 3 == 2) none, others copy 0 only
+    val copies = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(1)).toSet).toMap
+    copies.foreach { case (id, cs) =>
+      cs shouldBe (id % 3 match {
+        case 0 => Set(0, 1, 2)
+        case 1 => Set(0)
+        case 2 => fail(s"src2 doc $id must be dropped")
+      })
+    }
+    // reconstruction per (doc, copy) against the packing frame —
+    // pieces concatenate back to the example's truncated stream
+    val full = TrainingData.emitBatchesRepeated(docs, "doc_id", "text",
+        merges, maxTokens = 8, budget = 40, seed = "7",
+        strataCol = "source", weights = weights, phaseCols = phases)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[String](3)).toMap
+    rows.groupBy(r => (r.getLong(0), r.getInt(1))).foreach { case (k, rs) =>
+      val ordered = rs.sortBy(_.getInt(3))
+      ordered.flatMap(_.getSeq[String](6)).toSeq shouldBe full(k)
+      ordered.foldLeft(0) { (acc, r) =>
+        r.getInt(4) shouldBe acc
+        acc + r.getInt(5)
+      }
+    }
+    // curriculum: every phase-0 piece (non-src0) precedes every
+    // phase-1 piece (src0) in the block stream — compare by
+    // (block, off-within-doc is irrelevant): max phase-0 block ≤ min
+    // phase-1 block +- the shared boundary block
+    val p0max = rows.filter(_.getLong(0) % 3 != 0).map(_.getInt(3)).max
+    val p1min = rows.filter(_.getLong(0) % 3 == 0).map(_.getInt(3)).min
+    p1min should be >= p0max - 1 // phases share at most the boundary block
+    // copy SCATTER: src0 docs' three copies land at three distinct
+    // stream offsets, not adjacent — at least one doc's copies span
+    // different blocks
+    val scattered = rows.filter(_.getLong(0) % 3 == 0)
+      .groupBy(_.getLong(0))
+      .exists { case (_, rs) => rs.map(_.getInt(3)).toSet.size > 1 }
+    scattered shouldBe true
+    // layout-independent like every emission face
+    rowSet(chunksDf) shouldBe rowSet(TrainingData.emitChunksRepeated(
+      docs.repartition(7), "doc_id", "text", merges, 8, 40, "7",
+      strataCol = "source", weights = weights, phaseCols = phases))
+    // sharded: the plan exchanges on the shard key, never funnels
+    val sharded = TrainingData.emitChunksRepeated(docs, "doc_id", "text",
+      merges, maxTokens = 8, budget = 40, seed = "7",
+      strataCol = "source", weights = weights, shard = Some("source"),
+      phaseCols = phases)
+    val plan = sharded.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should not include "SinglePartition"
+      plan should include regex "hashpartitioning\\(source"
+    }
+    // shard rides LAST (the emitBatches column contract)
+    sharded.columns.last shouldBe "source"
+  }
+
+  test("emitTakedownReport: touched blocks, counts, and the re-emission " +
+      "radius; empty takedown set → empty report") {
+    // hand-sized fixture: budget 10; four docs in id order (seed-free:
+    // feed pre-packed pieces straight into the report)
+    val chunks = Seq(
+      // (doc, order, block, off, n_tok)
+      (1L, 1L, 0, 0, 10), // block 0: doc 1 only
+      (2L, 2L, 1, 0, 6),  // block 1: docs 2+3
+      (3L, 3L, 1, 0, 4),
+      (3L, 3L, 2, 4, 8),  // block 2: doc 3 tail + doc 4
+      (4L, 4L, 2, 0, 2),
+      (4L, 4L, 3, 2, 5)   // block 3 (last): doc 4 tail
+    ).toDF("doc_id", "order_key", "block", "off", "n_tok")
+    val del = Seq(3L).toDF("doc_id")
+    val out = TrainingData.emitTakedownReport(chunks, del, "doc_id")
+      .orderBy("block").collect()
+    // doc 3 touches blocks 1 and 2 — exactly those are reported
+    out.map(_.getInt(0)).toSeq shouldBe Seq(1, 2)
+    val b1 = out(0); val b2 = out(1)
+    b1.getLong(1) shouldBe 1L  // n_del_pieces
+    b1.getLong(2) shouldBe 4L  // n_del_tokens
+    b1.getLong(3) shouldBe 1L  // n_live_pieces (doc 2)
+    b2.getLong(2) shouldBe 8L
+    // radius: first affected = 1, stream's last block = 3 → 3 shifted
+    out.foreach { r =>
+      r.getInt(4) shouldBe 1
+      r.getInt(5) shouldBe 3
+    }
+    // an empty takedown set reports nothing
+    TrainingData.emitTakedownReport(chunks,
+      Seq.empty[Long].toDF("doc_id"), "doc_id").count() shouldBe 0L
+  }
+
+  test("emitInterleaved: placeholder leads media docs, rides on top of " +
+      "the text budget, and its (block, pos) is the manifest math") {
+    val docs = (1L to 40L).map { i =>
+      (i, "alpha beta " * (i % 5 + 1).toInt + s"tail$i")
+    }.toDF("doc_id", "text")
+    val media = (1L to 40L).filter(_ % 2 == 0).map(i => (i, i * 1000L))
+      .toDF("mid", "h")
+    val merges = Seq(("a", "l"), ("t", "a"))
+    val out = TrainingData.emitInterleaved(docs, "doc_id", "text", merges,
+      maxTokens = 8, budget = 25, seed = "7",
+      media = media, mediaIdCol = "mid", hashCol = "h")
+    val rows = out.collect()
+    val noMedia = TrainingData.emitBatches(docs, "doc_id", "text", merges,
+        maxTokens = 8, budget = 25, seed = "7")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val toks = r.getSeq[String](2)
+      if (id % 2 == 0) {
+        r.get(6) shouldBe id * 1000L               // media_hash joined
+        toks.head shouldBe "<img>"                 // placeholder leads
+        // placeholder rides ON TOP of the truncated text budget
+        r.getInt(3) shouldBe noMedia(id).getInt(3) + 1
+        toks.tail shouldBe noMedia(id).getSeq[String](2)
+      } else {
+        assert(r.isNullAt(6))
+        r.getInt(3) shouldBe noMedia(id).getInt(3)
+        toks shouldBe noMedia(id).getSeq[String](2)
+      }
+    }
+    // manifest math: the placeholder's stream offset IS tokens_before,
+    // so block/pos = div/mod — and the running sum stays consistent
+    rows.sortBy(r => (r.getLong(1), r.getLong(0))).foldLeft(0L) {
+      (acc, r) =>
+        r.getLong(4) shouldBe acc
+        acc + r.getInt(3)
+    }
+    // alignment: exactly one placeholder per media doc, none elsewhere
+    rows.map(r => r.getSeq[String](2).count(_ == "<img>")).sum shouldBe
+      rows.count(_.getLong(0) % 2 == 0)
+  }
+
   test("spanCorrupt: sentinel-splice reconstructs the doc; tail block " +
       "untouched; short docs pass through") {
     val text = (1 to 47).map(i => s"w$i").mkString(" ") // 2 full blocks + 7

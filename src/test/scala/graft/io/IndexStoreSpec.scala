@@ -474,8 +474,10 @@ class IndexStoreSpec extends SparkSpec {
     // every shingle-set key is unique (the verify join's contract)
     IndexStore.readParagraphShingles(spark, dir)
       .select("h").distinct().count() shouldBe 3L
-    // append: one novel paragraph ('new one here today'), one seen
-    val batch = Seq((9L, "new one here today\n\nshared footer text here"))
+    // append: one novel paragraph, one seen
+    val novelPara =
+      "brand new boilerplate arrives with plenty of shared words today"
+    val batch = Seq((9L, s"$novelPara\n\nshared footer text here"))
       .toDF("doc_id", "text")
     IndexStore.appendParagraphFuzzyIndex(batch, dir)
     counts() shouldBe ((4L, 4L, 4L))
@@ -499,6 +501,37 @@ class IndexStoreSpec extends SparkSpec {
       .filter(col("h") === sharedH).count() shouldBe 0L
     IndexStore.readParagraphBands(spark, dir)
       .filter(col("h") === sharedH).count() shouldBe 0L
+    // CRASH-WINDOW self-heal (the hash-table-LAST append order):
+    // simulate a crash that landed the shingle/band appends but not
+    // the hash append — the paragraph must read as still-novel, and
+    // the re-append must restore the hash rung; the only debt is
+    // duplicate shingle/band rows, which the fuzzy probe dedups
+    val novelH = graft.functions.TextHashing.hash60(novelPara)
+    val pruned = IndexStore.readParagraphHashes(spark, dir)
+      .filter(col("h") =!= novelH).localCheckpoint()
+    pruned.write.mode("overwrite")
+      .parquet(s"$dir/${IndexStore.ParagraphHashTable}")
+    IndexStore.appendParagraphFuzzyIndex(batch, dir)
+    IndexStore.readParagraphHashes(spark, dir)
+      .filter(col("h") === novelH).count() shouldBe 1L
+    IndexStore.readParagraphShingles(spark, dir)
+      .filter(col("h") === novelH).count() shouldBe 2L // the priced debt
+    // the duplicate rows never change WHAT the serving gate strips: an
+    // edited variant of the duplicated paragraph still drops exactly,
+    // and clean text still passes
+    val probe = Seq(
+        (21L, s"intro body sentence\n\n$novelPara extended"),
+        (22L, "totally unrelated paragraph content"))
+      .toDF("doc_id", "text")
+    val stripped = graft.ext.Dedup.stripFuzzySeenParagraphs(probe,
+        IndexStore.readParagraphHashes(spark, dir),
+        IndexStore.readParagraphBands(spark, dir),
+        IndexStore.readParagraphShingles(spark, dir),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    stripped.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+      (21L, "intro body sentence"),
+      (22L, "totally unrelated paragraph content"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

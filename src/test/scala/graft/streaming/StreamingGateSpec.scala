@@ -545,4 +545,29 @@ class StreamingGateSpec extends SparkSpec {
       parts shouldBe Array("batch_id=0", "batch_id=1", "batch_id=2")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
+
+  test("cumulative FUZZY paragraph gate: sink-written output ≡ " +
+      "driver-buffer output, one committed epoch per batch") {
+    val dir = "/root/testdata/sf0.001"
+    val viaBuffer =
+      StreamingGate.streamAdmitParagraphFuzzyCumulativeFromFiles(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pfz-sink-spec")
+    try {
+      val out = tmp.resolve("out").toString
+      val viaSink = StreamingGate
+        .streamAdmitParagraphFuzzyCumulativeSinked(spark, dir, out)
+      // the sink path must change WHERE survivors land, never WHAT
+      // survives — both gates end in orderBy(doc_id)
+      rowList(viaSink) shouldBe rowList(viaBuffer)
+      // effectively-once layout: one partition + one commit marker per
+      // epoch (replay safety = marker guard on the sink half +
+      // novel-only idempotent append on the store half, the latter
+      // pinned in IndexStoreSpec's fuzzy-store test)
+      val names = new java.io.File(out).listFiles().map(_.getName)
+      names.filter(_.startsWith("batch_id=")).sorted shouldBe
+        Array("batch_id=0", "batch_id=1", "batch_id=2")
+      names.filter(_.startsWith("_committed_")).sorted shouldBe
+        Array("_committed_0", "_committed_1", "_committed_2")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 }
