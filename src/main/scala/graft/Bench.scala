@@ -238,21 +238,30 @@ object Bench {
     // the concurrent wall REGRESSED >20% vs the previous committed
     // bench_full.json (the moment attribution is needed), or under
     // SPARK_GRAFT_GATES_SEQ=1 (=0 forces it off).
-    val prevGateSec: Option[Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"streaming_gate_sec":(-?[\d.]+)""".r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)
-      } catch { case NonFatal(_) => None }
+    val prevBenchTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case NonFatal(_) => None }
+    val prevGateSec: Option[Double] = prevBenchTxt.flatMap(txt =>
+      """"streaming_gate_sec":(-?[\d.]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0))
+    // gate names the committed baseline measured concurrently — when
+    // the gate SET changed (faces added or re-sectioned from batch to
+    // gate), the new entries have no committed uncontended number, so
+    // attribution must run once regardless of the wall trend
+    val prevGateNames: Option[Set[String]] = prevBenchTxt.flatMap(txt =>
+      """"gates_concurrent":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(m => """"([^"]+)":""".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSet))
     val runSeq = sys.env.get("SPARK_GRAFT_GATES_SEQ") match {
       case Some("0") => false
       case Some(_)   => true
       case None      =>
         // no committed baseline → attribution is cheap insurance: run
         // the pass rather than silently skipping it (forall on None)
-        gateSec < 0 || prevGateSec.forall(prev => gateSec > prev * 1.2)
+        gateSec < 0 || prevGateSec.forall(prev => gateSec > prev * 1.2) ||
+          prevGateNames.forall(_ != pickedGates.keySet)
     }
     val gatesSeq: Seq[(String, Double)] =
       if (pickedGates.isEmpty || !runSeq) Nil
