@@ -1155,14 +1155,40 @@ object TextAnalysis {
     * faces pin both).
     */
   def encodeIdsByteFallback(text: Column, rules: Seq[(String, String)],
-      vocab: Seq[(String, Int)]): Column = {
+      vocab: Seq[(String, Int)]): Column =
+    idsWithByteFallback(text, vocab,
+      w => graft.functions.BpeFunctions.bpe_encode(w, rules))
+
+  /** The unigram twin of [[encodeIdsByteFallback]] — same id space,
+    * same whole-word byte fallback, same [[decodeIdsByteFallback]]
+    * inverse, with Viterbi segmentation under the trained piece table
+    * in place of the BPE merge walk. The natural vocab is the piece
+    * table itself ([[unigramIdVocab]]): every in-table piece has an
+    * id, and the only OOV pieces are the encode expression's raw-char
+    * unk emissions — exactly the words the byte fallback exists for.
+    */
+  def unigramEncodeIdsByteFallback(text: Column,
+      pieces: Seq[(String, Double)], vocab: Seq[(String, Int)]): Column =
+    idsWithByteFallback(text, vocab,
+      w => graft.functions.UnigramFunctions.unigram_encode(w, pieces))
+
+  /** Piece→id vocab straight from a trained unigram table (pieces in
+    * rank order, [[graft.io.IndexStore.readUnigramPieces]]' shape):
+    * rank-i piece → id i + [[VocabIdBase]]. Ship with the piece
+    * table; both are one artifact.
+    */
+  def unigramIdVocab(pieces: Seq[(String, Double)]): Seq[(String, Int)] =
+    pieces.zipWithIndex.map { case ((p, _), i) => p -> (i + VocabIdBase) }
+
+  private def idsWithByteFallback(text: Column,
+      vocab: Seq[(String, Int)], piecesOf: Column => Column): Column = {
     require(vocab.forall(_._2 >= VocabIdBase),
       s"vocab ids must be >= $VocabIdBase (0=unk, 1..256=bytes, 257=eow)")
     val m = typedLit(vocab.toMap)
     flatten(transform(
       filter(split(lower(text), " ", -1), w => w =!= ""),
       w => {
-        val g = graft.functions.BpeFunctions.bpe_encode(w, rules)
+        val g = piecesOf(w)
         val pieceIds = transform(g, p => element_at(m, p))
         val wb = encode(w, "UTF-8")
         val hx = hex(wb)

@@ -601,22 +601,40 @@ object TrainingData {
     * (the persisted index — the codec pass never runs here) before
     * the same single window; row-local splice, no extra shuffle.
     */
+  /** `posCol` (optional, a column of `media`) places each doc's
+    * placeholder at that TOKEN OFFSET within the truncated stream
+    * (clamped to [0, truncated length] — out-of-range means append)
+    * instead of at the head: the true interleave, where the image
+    * slot sits at the paragraph that carries it. `ph_off` in the
+    * output is the placeholder's realized within-doc offset (null for
+    * text-only docs), so the manifest math generalizes to
+    * (tokens_before + ph_off) div/mod budget.
+    */
   def emitInterleaved(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], maxTokens: Int, budget: Int,
       seed: String, media: DataFrame, mediaIdCol: String, hashCol: String,
       placeholder: String = "<img>",
-      shard: Option[String] = None): DataFrame = {
+      shard: Option[String] = None,
+      posCol: Option[String] = None): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
     require(budget >= 1, s"budget must be >= 1: $budget")
-    val m = media.select(col(mediaIdCol).as("__mid"),
-      col(hashCol).as("media_hash"))
+    val m = media.select(Seq(col(mediaIdCol).as("__mid"),
+      col(hashCol).as("media_hash")) ++
+      posCol.map(p => col(p).as("__pos")): _*)
     val keep = Seq(col(idCol).as("id"),
       slice(col("subwords"), 1, maxTokens).as("__t")) ++ shard.map(col)
+    val phOff = posCol.fold(lit(0))(_ =>
+      least(greatest(col("__pos").cast("int"), lit(0)), size(col("__t"))))
     val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
       .join(m, col("id") === col("__mid"), "left")
+      .withColumn("ph_off",
+        when(col("media_hash").isNotNull, phOff))
       .withColumn("toks",
         when(col("media_hash").isNotNull,
-          concat(array(lit(placeholder)), col("__t")))
+          concat(slice(col("__t"), lit(1), col("ph_off")),
+            array(lit(placeholder)),
+            slice(col("__t"), col("ph_off") + 1,
+              size(col("__t")) - col("ph_off"))))
           .otherwise(col("__t")))
     val ordered = enc.withColumn("order_key",
       trainingOrderKey(Seq(col("id")), seed))
@@ -630,8 +648,34 @@ object TrainingData {
           - col("n_tok"), lit(0L)))
       .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
       .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
-        col("n_tok"), col("tokens_before"), col("bin"), col("media_hash"))
-        ++ shard.map(col): _*)
+        col("n_tok"), col("tokens_before"), col("bin"), col("media_hash"),
+        col("ph_off")) ++ shard.map(col): _*)
+  }
+
+  /** Interleaved emission cut into EXACT `budget`-token blocks — the
+    * fixed-length multimodal batch a trainer consumes:
+    * [[emitInterleaved]]'s stream (placeholders spliced at their
+    * `posCol` offsets) through the same [[chunkAtBoundaries]] tail as
+    * [[emitChunks]]. One row per (doc, block) piece, carrying
+    * `media_hash`/`ph_off`/`tokens_before` so a projection answers
+    * "which block and in-block offset holds this doc's media slot"
+    * ((tokens_before + ph_off) div/mod budget) — the dataloader
+    * manifest, now block-aligned. Row-local tail, no extra shuffle.
+    */
+  def emitInterleavedChunks(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, media: DataFrame, mediaIdCol: String, hashCol: String,
+      placeholder: String = "<img>",
+      shard: Option[String] = None,
+      posCol: Option[String] = None): DataFrame = {
+    val base = emitInterleaved(df, idCol, textCol, merges, maxTokens,
+      budget, seed, media, mediaIdCol, hashCol, placeholder, shard, posCol)
+    val out = chunkAtBoundaries(base, budget,
+      Seq(col(idCol), col("order_key"), col("media_hash"), col("ph_off"),
+        col("tokens_before")) ++ shard.map(col))
+    shard.fold(out)(sc => out.select(
+      Seq(idCol, "order_key", "media_hash", "ph_off", "tokens_before",
+        "block", "off", "n_tok", "toks").map(col) :+ col(sc): _*))
   }
 
   // ---- span-corruption example construction ----------------------

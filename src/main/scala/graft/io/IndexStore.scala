@@ -1048,6 +1048,22 @@ object IndexStore {
     }
   }
 
+  /** Compact the fuzzy paragraph store: rewrite all three tables
+    * DISTINCT through the same tmp-and-rename swap every store
+    * compaction uses. In normal operation the novel-only append keeps
+    * every table one-row-per-distinct-text and this is a file-count
+    * compaction only; after a crash-window self-heal
+    * ([[appendParagraphFuzzyIndex]]'s hash-table-LAST order re-appends
+    * a partially-landed batch) the shingle/band tables can carry
+    * duplicate rows — harmless to the probe (which dedups) but paid
+    * on every read, and this removes them.
+    */
+  def compactParagraphFuzzyIndex(spark: SparkSession, dir: String): Unit =
+    swapRewrite(spark, dir,
+      Seq(ParagraphHashTable, ParagraphShingleTable, ParagraphBandTable)) {
+      (df, out) => df.distinct().write.mode(SaveMode.Overwrite).parquet(out)
+    }
+
   def readParagraphBands(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/$ParagraphBandTable")
 

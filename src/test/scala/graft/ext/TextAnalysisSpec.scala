@@ -402,6 +402,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram byte-fallback ids: same id space, same decode, Viterbi " +
+      "segmentation; piece-table vocab covers every trained piece") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val t = graft.ext.TextAnalysis
+    val corpus = Seq((1L, "low lower lowest plain words here"))
+      .toDF("doc_id", "text")
+    val pieces = graft.ext.UnigramTok.unigramTrain(corpus, "text",
+        vocabSize = 20)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    val vocab = t.unigramIdVocab(pieces)
+    vocab.map(_._2).min shouldBe t.VocabIdBase // rank 1 → first free id
+    val docs = Seq(
+      (1L, "low plain café 東京"),
+      (2L, "lower here")
+    ).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        t.unigramEncodeIdsByteFallback($"text", pieces, vocab).as("ids"))
+      .select($"doc_id",
+        t.decodeIdsByteFallback($"ids", vocab).as("decoded"),
+        org.apache.spark.sql.functions.size(
+          filter($"ids", i => i === 0)).as("n_unk"),
+        org.apache.spark.sql.functions.size(
+          filter($"ids", i => i >= 1 && i <= 256)).as("n_byte"))
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+      (1L, "low plain café 東京"), (2L, "lower here"))
+    out.foreach(_.getInt(2) shouldBe 0)
+    out(0).getInt(3) should be > 0  // non-ASCII words fell back
+    out(1).getInt(3) shouldBe 0     // trained words ride piece ids
+  }
+
   test("bpeEncode replays training exactly on the training corpus") {
     import org.apache.spark.sql.functions._
     // encode(training corpus) under the learned rules must equal the

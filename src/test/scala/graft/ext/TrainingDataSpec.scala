@@ -540,6 +540,52 @@ class TrainingDataSpec extends SparkSpec {
       rows.count(_.getLong(0) % 2 == 0)
   }
 
+  test("emitInterleavedChunks: positional splice lands the placeholder at " +
+      "its token offset (clamped), blocks stay exact, pieces reconstruct") {
+    val docs = (1L to 40L).map { i =>
+      (i, "alpha beta " * (i % 5 + 1).toInt + s"tail$i")
+    }.toDF("doc_id", "text")
+    // pos exercises head (0), middle, and far-out-of-range (clamp→append)
+    val media = (1L to 40L).filter(_ % 2 == 0)
+      .map(i => (i, i * 1000L, (i % 7 * 3).toInt))
+      .toDF("mid", "h", "pos")
+    val merges = Seq(("a", "l"), ("t", "a"))
+    val pieces = TrainingData.emitInterleavedChunks(docs, "doc_id", "text",
+      merges, maxTokens = 8, budget = 25, seed = "7",
+      media = media, mediaIdCol = "mid", hashCol = "h",
+      posCol = Some("pos")).collect()
+    // per doc: pieces concatenate back; the placeholder sits exactly at
+    // ph_off; text tokens around it are the truncated stream unsplit
+    val noMedia = TrainingData.emitBatches(docs, "doc_id", "text", merges,
+        maxTokens = 8, budget = 25, seed = "7")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    pieces.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val full = rs.sortBy(_.getInt(5)).flatMap(_.getSeq[String](8)).toSeq
+      if (id % 2 == 0) {
+        val t = noMedia(id)
+        val p = math.min((id % 7 * 3).toInt, t.size) // the clamp rule
+        rs.head.getInt(3) shouldBe p                 // ph_off reported
+        full shouldBe (t.take(p) :+ "<img>") ++ t.drop(p)
+        // the block/pos manifest math: the placeholder is at stream
+        // offset tokens_before + ph_off, inside exactly ONE piece
+        val tb = rs.head.getLong(4)
+        val inPiece = rs.filter(r =>
+          p >= r.getInt(6) && p < r.getInt(6) + r.getInt(7))
+        inPiece.length shouldBe 1
+        inPiece.head.getInt(5) shouldBe ((tb + p) / 25).toInt
+      } else {
+        assert(rs.head.isNullAt(2)) // no media_hash
+        full shouldBe noMedia(id)
+      }
+    }
+    // exact blocks survive the splice: every block but the last sums
+    // to the budget
+    val perBlock = pieces.groupBy(_.getInt(5)).view
+      .mapValues(_.map(_.getInt(7)).sum).toMap
+    val last = perBlock.keys.max
+    perBlock.foreach { case (b, s) => if (b < last) s shouldBe 25 }
+  }
+
   test("spanCorrupt: sentinel-splice reconstructs the doc; tail block " +
       "untouched; short docs pass through") {
     val text = (1 to 47).map(i => s"w$i").mkString(" ") // 2 full blocks + 7

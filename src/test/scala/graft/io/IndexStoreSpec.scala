@@ -523,13 +523,22 @@ class IndexStoreSpec extends SparkSpec {
         (21L, s"intro body sentence\n\n$novelPara extended"),
         (22L, "totally unrelated paragraph content"))
       .toDF("doc_id", "text")
-    val stripped = graft.ext.Dedup.stripFuzzySeenParagraphs(probe,
+    def stripProbe() = graft.ext.Dedup.stripFuzzySeenParagraphs(probe,
         IndexStore.readParagraphHashes(spark, dir),
         IndexStore.readParagraphBands(spark, dir),
         IndexStore.readParagraphShingles(spark, dir),
         "doc_id", "text")
       .orderBy("doc_id").collect()
-    stripped.map(r => (r.getLong(0), r.getString(1))) shouldBe Array(
+      .map(r => (r.getLong(0), r.getString(1)))
+    stripProbe() shouldBe Array(
+      (21L, "intro body sentence"),
+      (22L, "totally unrelated paragraph content"))
+    // compaction removes the crash debt (duplicate shingle/band rows)
+    // and changes nothing the gate serves
+    IndexStore.compactParagraphFuzzyIndex(spark, dir)
+    IndexStore.readParagraphShingles(spark, dir)
+      .filter(col("h") === novelH).count() shouldBe 1L
+    stripProbe() shouldBe Array(
       (21L, "intro body sentence"),
       (22L, "totally unrelated paragraph content"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
