@@ -263,8 +263,19 @@ object Bench {
         gateSec < 0 || prevGateSec.forall(prev => gateSec > prev * 1.2) ||
           prevGateNames.forall(_ != pickedGates.keySet)
     }
+    // when the pass is skipped (wall healthy, same gate set), CARRY
+    // the committed baseline's attribution forward instead of writing
+    // an empty map — cross-round artifacts keep per-gate numbers, and
+    // `gates_seq_carried` marks them as baseline values, not this
+    // run's (they refresh whenever the trigger fires)
+    val prevGatesSeq: Seq[(String, Double)] = prevBenchTxt.toSeq.flatMap(
+      txt => """"gates_seq":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq
+        .flatMap(m => """"([^"]+)":(-?[\d.]+)""".r.findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toDouble)))
+    val gatesSeqCarried = !runSeq && prevGatesSeq.nonEmpty
     val gatesSeq: Seq[(String, Double)] =
-      if (pickedGates.isEmpty || !runSeq) Nil
+      if (pickedGates.isEmpty) Nil
+      else if (!runSeq) prevGatesSeq
       else pickedGates.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -276,7 +287,7 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val gatesSeqSec =
-      if (gatesSeq.isEmpty) 0.0
+      if (gatesSeq.isEmpty || gatesSeqCarried) 0.0
       else if (gatesSeq.exists(_._2 < 0)) -1.0
       else gatesSeq.map(_._2).sum
     // drop registry caches before the skew section: the base_* twins
@@ -327,6 +338,7 @@ object Bench {
       s""""queries":${toJson(results)},"queries_min":${toJson(resultsMin)},""" +
       s""""skew":${toJson(skewResults)},"skew_min":${toJson(skewMin)},""" +
       s""""gates_concurrent":${toJson(gateWalls)},"gates_seq":${toJson(gatesSeq)},""" +
+      s""""gates_seq_carried":$gatesSeqCarried,""" +
       s""""sf":"$sfDir","streaming_gate_sec":${num(gateSec)},""" +
       s""""gates_sequential_sec":${num(gatesSeqSec)},"value_tail":${num(total)}}"""
     for (path <- Seq("bench_full.json", "target/bench.json")) {

@@ -609,6 +609,11 @@ object TrainingData {
     * output is the placeholder's realized within-doc offset (null for
     * text-only docs), so the manifest math generalizes to
     * (tokens_before + ph_off) div/mod budget.
+    *
+    * PRECONDITION: `media` carries at most ONE row per id — a
+    * duplicate id would duplicate the document in the stream (the
+    * join fans out). Several slots per document is
+    * [[emitInterleavedMulti]].
     */
   def emitInterleaved(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], maxTokens: Int, budget: Int,
@@ -662,6 +667,77 @@ object TrainingData {
     * ((tokens_before + ph_off) div/mod budget) — the dataloader
     * manifest, now block-aligned. Row-local tail, no extra shuffle.
     */
+  /** MULTI-media interleave — several media slots per document, each
+    * at its own token position (the real multimodal pretraining
+    * shape: a page with three figures emits three placeholders, each
+    * at the paragraph that carries it). `media` holds one row per
+    * SLOT (id, pos, hash); per doc the slots sort by (clamped pos,
+    * hash) — a deterministic total order — and splice left-to-right,
+    * so the i-th slot's realized offset is `pos_i + i` (each earlier
+    * insert shifts the stream by one). Output one row per doc:
+    * emitBatches' columns plus `media` = array<struct<off, hash>> of
+    * realized within-doc offsets (null for text-only docs); explode
+    * it and apply (tokens_before + off) div/mod budget for the
+    * dataloader manifest.
+    *
+    * Shape at scale: one groupBy over the MEDIA table (slots
+    * aggregate to per-doc arrays — a media-sized shuffle, never the
+    * corpus), one equi-join, then the same single window; the splice
+    * is row-local higher-order array work (O(n·k) per doc, k = slot
+    * count).
+    */
+  def emitInterleavedMulti(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], maxTokens: Int, budget: Int,
+      seed: String, media: DataFrame, mediaIdCol: String, posCol: String,
+      hashCol: String, placeholder: String = "<img>",
+      shard: Option[String] = None): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val m = media.groupBy(col(mediaIdCol).as("__mid"))
+      .agg(collect_list(struct(col(posCol).cast("int").as("pos"),
+        col(hashCol).as("hash"))).as("__m"))
+    val keep = Seq(col(idCol).as("id"),
+      slice(col("subwords"), 1, maxTokens).as("__t")) ++ shard.map(col)
+    val joined = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
+      .join(m, col("id") === col("__mid"), "left")
+    val n = size(col("__t"))
+    // clamp each slot to [0, truncated length], then the
+    // deterministic total order (clamping is monotone, but ties and
+    // the collect_list order need the sort)
+    val cl = sort_array(transform(col("__m"),
+      mm => struct(least(greatest(mm("pos"), lit(0)), n).as("pos"),
+        mm("hash").as("hash"))))
+    val spliced = joined
+      .withColumn("__cl", when(col("__m").isNotNull, cl))
+      .withColumn("media",
+        when(col("__cl").isNotNull,
+          transform(col("__cl"), (mm, i) =>
+            struct((mm("pos") + i).cast("int").as("off"),
+              mm("hash").as("hash")))))
+      .withColumn("toks",
+        when(col("__cl").isNull, col("__t"))
+          .otherwise(flatten(transform(sequence(lit(0), n), i =>
+            concat(
+              transform(filter(col("__cl"), mm => mm("pos") === i),
+                _ => lit(placeholder)),
+              when(i < n, slice(col("__t"), i + 1, lit(1)))
+                .otherwise(array().cast("array<string>")))))))
+    val ordered = spliced.withColumn("order_key",
+      trainingOrderKey(Seq(col("id")), seed))
+    val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
+      Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tok").cast("long")).over(w)
+          - col("n_tok"), lit(0L)))
+      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+      .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
+        col("n_tok"), col("tokens_before"), col("bin"), col("media"))
+        ++ shard.map(col): _*)
+  }
+
   def emitInterleavedChunks(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], maxTokens: Int, budget: Int,
       seed: String, media: DataFrame, mediaIdCol: String, hashCol: String,

@@ -586,6 +586,39 @@ class TrainingDataSpec extends SparkSpec {
     perBlock.foreach { case (b, s) => if (b < last) s shouldBe 25 }
   }
 
+  test("emitInterleavedMulti: several slots splice at clamped positions in " +
+      "(pos, hash) order; realized offsets shift by earlier inserts") {
+    val docs = Seq((1L, "alpha beta alpha beta alpha beta tail1"),
+      (2L, "alpha beta tail2")).toDF("doc_id", "text")
+    // doc 1: three slots — head, middle, far out of range (clamp→end);
+    // two share position 2 (hash breaks the tie). doc 2: none.
+    val media = Seq((1L, 0, 500L), (1L, 2, 300L), (1L, 2, 100L),
+      (1L, 99, 900L)).toDF("mid", "pos", "h")
+    val merges = Seq(("a", "l"))
+    val out = TrainingData.emitInterleavedMulti(docs, "doc_id", "text",
+        merges, maxTokens = 50, budget = 100, seed = "7",
+        media = media, mediaIdCol = "mid", posCol = "pos", hashCol = "h")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val base = TrainingData.emitBatches(docs, "doc_id", "text", merges,
+        maxTokens = 50, budget = 100, seed = "7")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val t1 = base(1L)
+    // slot order: (0,500), (2,100), (2,300), (clamped n,900) →
+    // realized offsets 0, 3, 4, n+3
+    val slots = out(1L).getSeq[org.apache.spark.sql.Row](6)
+    slots.map(s => (s.getInt(0), s.getLong(1))) shouldBe Seq(
+      (0, 500L), (3, 100L), (4, 300L), (t1.size + 3, 900L))
+    // the spliced stream: placeholders exactly at the realized offsets
+    val toks = out(1L).getSeq[String](2)
+    toks.size shouldBe t1.size + 4
+    slots.foreach(s => toks(s.getInt(0)) shouldBe "<img>")
+    toks.filterNot(_ == "<img>") shouldBe t1
+    out(1L).getInt(3) shouldBe t1.size + 4
+    // text-only doc untouched, media null
+    assert(out(2L).isNullAt(6))
+    out(2L).getSeq[String](2) shouldBe base(2L)
+  }
+
   test("spanCorrupt: sentinel-splice reconstructs the doc; tail block " +
       "untouched; short docs pass through") {
     val text = (1 to 47).map(i => s"w$i").mkString(" ") // 2 full blocks + 7
