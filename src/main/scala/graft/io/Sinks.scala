@@ -229,6 +229,48 @@ final case class EpochParquetSink(path: String) extends Sink {
 
   /** True when any epoch's partition holds readable parquet rows. */
   def hasData: Boolean = dataEpochs.nonEmpty
+
+  /** Takedown PURGE for a committed epoch stream — the enforcement
+    * half of [[graft.ext.TrainingData.emitTakedownReport]]'s answer
+    * (the report says which blocks/epochs a deleted doc touched; this
+    * removes its rows from the sink): rewrite ONLY the epoch
+    * partitions that actually hold rows matching `ids` on `idCol`,
+    * through the tmp-then-rename swap every store delete uses, and
+    * leave every other epoch's files (and ALL commit markers — the
+    * epochs stay durable, their content is REDACTED, not replayed)
+    * untouched. Returns the ascending ids of rewritten epochs.
+    *
+    * The ids are eagerly materialized first (the self-reference
+    * hazard: an id set derived from the sink's own rows must not
+    * re-evaluate mid-rewrite). Cost: one scan per epoch to detect
+    * hits + one rewrite per AFFECTED epoch — a takedown touching k of
+    * n epochs pays k rewrites, never n.
+    */
+  def purgeIds(spark: org.apache.spark.sql.SparkSession, idCol: String,
+      ids: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val del = ids.select(col(ids.columns.head).as("__del_id"))
+      .distinct().localCheckpoint()
+    val f = fs
+    dataEpochs.filter { k =>
+      val part = s"$path/batch_id=$k"
+      val cur = spark.read.parquet(part)
+      val hit = cur.join(
+        org.apache.spark.sql.functions.broadcast(del),
+        cur(idCol) === del("__del_id"), "left_semi")
+      if (hit.isEmpty) false
+      else {
+        val tmp = new HPath(path, s".purge_$k")
+        cur.join(org.apache.spark.sql.functions.broadcast(del),
+            cur(idCol) === del("__del_id"), "left_anti")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val curPath = new HPath(part)
+        require(f.delete(curPath, true), s"purge: could not delete $curPath")
+        require(f.rename(tmp, curPath), s"purge: could not swap in $tmp")
+        true
+      }
+    }
+  }
 }
 
 /** S8 — console preview (ETL_pipeline.py:352,364). */

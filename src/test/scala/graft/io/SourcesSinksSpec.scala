@@ -261,6 +261,32 @@ class SourcesSinksSpec extends SparkSpec {
     noException should be thrownBy sink.dataEpochs
   }
 
+  test("EpochParquetSink.purgeIds: rewrites ONLY the epochs holding " +
+      "deleted rows; markers and untouched epochs' files survive") {
+    import spark.implicits._
+    val dir = new java.io.File(tempDir(), "epochs3.parquet").getAbsolutePath
+    val sink = EpochParquetSink(dir)
+    sink.writeEpoch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    sink.writeEpoch(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 1L)
+    sink.writeEpoch(Seq((2L, "b2"), (5L, "e")).toDF("id", "v"), 2L)
+    val untouched = new java.io.File(dir, "batch_id=1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    // takedown docs 2 (epochs 0 and 2) and 9 (nowhere)
+    val affected = sink.purgeIds(spark, "id", Seq(2L, 9L).toDF("doc_id"))
+    affected shouldBe Seq(0L, 2L)
+    // content redacted, everything else intact
+    rowSet(spark.read.parquet(dir).select("id", "v")) shouldBe
+      Set(Seq(1L, "a"), Seq(3L, "c"), Seq(4L, "d"), Seq(5L, "e"))
+    // epoch 1's files were never rewritten (same names + mtimes)
+    new java.io.File(dir, "batch_id=1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap shouldBe untouched
+    // durability markers survive — the epochs stay committed (their
+    // content is redacted, not replayed)
+    sink.committedEpochs shouldBe Seq(0L, 1L, 2L)
+    // a takedown hitting nothing rewrites nothing
+    sink.purgeIds(spark, "id", Seq(99L).toDF("doc_id")) shouldBe Seq.empty
+  }
+
   test("OrcSink + readOrc: roundtrip preserves schema and values; filter pushes to the scan") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "out.orc").getAbsolutePath
