@@ -441,9 +441,10 @@ object TrainingData {
     *
     * `phaseCols` composes the [[emitBatches]] curriculum contract in:
     * phases are extra LEADING window-order keys evaluated on the
-    * post-repetition example row (so a phase expression may read
-    * `copy` — "every document's first epoch before any repeat" is
-    * `col("copy")` itself), the seeded (id, copy) shuffle runs within
+    * post-repetition example row — visible columns are `id` (the
+    * RENAMED idCol), `copy`, the strata column, and the shard column;
+    * reading `copy` gives "every document's first epoch before any
+    * repeat" as `col("copy")` itself. The seeded (id, copy) shuffle runs within
     * each phase, and the running sum stays continuous across phase
     * boundaries. No extra shuffle: the window's sort just gains
     * prefix columns.
