@@ -243,17 +243,22 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json")),
         java.nio.charset.StandardCharsets.UTF_8))
       catch { case NonFatal(_) => None }
-    val prevGateSec: Option[Double] = prevBenchTxt.flatMap(txt =>
+    // the parses stay inside their own guard: a malformed baseline
+    // (merge debris, truncation) must read as "no baseline", never
+    // abort the bench (the BENCH_r08 rc=1 lesson)
+    def guarded[T](body: => Option[T]): Option[T] =
+      try body catch { case NonFatal(_) => None }
+    val prevGateSec: Option[Double] = guarded(prevBenchTxt.flatMap(txt =>
       """"streaming_gate_sec":(-?[\d.]+)""".r
-        .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0))
+        .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)))
     // gate names the committed baseline measured concurrently — when
     // the gate SET changed (faces added or re-sectioned from batch to
     // gate), the new entries have no committed uncontended number, so
     // attribution must run once regardless of the wall trend
-    val prevGateNames: Option[Set[String]] = prevBenchTxt.flatMap(txt =>
-      """"gates_concurrent":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+    val prevGateNames: Option[Set[String]] = guarded(prevBenchTxt.flatMap(
+      txt => """"gates_concurrent":\{([^}]*)\}""".r.findFirstMatchIn(txt)
         .map(m => """"([^"]+)":""".r.findAllMatchIn(m.group(1))
-          .map(_.group(1)).toSet))
+          .map(_.group(1)).toSet)))
     val runSeq = sys.env.get("SPARK_GRAFT_GATES_SEQ") match {
       case Some("0") => false
       case Some(_)   => true
@@ -268,10 +273,13 @@ object Bench {
     // an empty map — cross-round artifacts keep per-gate numbers, and
     // `gates_seq_carried` marks them as baseline values, not this
     // run's (they refresh whenever the trigger fires)
-    val prevGatesSeq: Seq[(String, Double)] = prevBenchTxt.toSeq.flatMap(
-      txt => """"gates_seq":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq
-        .flatMap(m => """"([^"]+)":(-?[\d.]+)""".r.findAllMatchIn(m.group(1))
-          .map(x => x.group(1) -> x.group(2).toDouble)))
+    val prevGatesSeq: Seq[(String, Double)] = guarded(Some(
+      prevBenchTxt.toSeq.flatMap(txt =>
+        """"gates_seq":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq
+          .flatMap(m =>
+            """"([^"]+)":(-?[\d.]+)""".r.findAllMatchIn(m.group(1))
+              .map(x => x.group(1) -> x.group(2).toDouble)))))
+      .getOrElse(Nil)
     val gatesSeqCarried = !runSeq && prevGatesSeq.nonEmpty
     val gatesSeq: Seq[(String, Double)] =
       if (pickedGates.isEmpty) Nil

@@ -1383,19 +1383,27 @@ object Dedup {
         (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
       case st: org.apache.spark.sql.types.StructType =>
         // field-wise lexicographic over numeric fields — exactly the
-        // ordering Spark's min(struct) / orderBy(struct) uses, so the
-        // local label matches the distributed one value-for-value
+        // ordering Spark's min(struct) / orderBy(struct) uses,
+        // including NULLS FIRST on a null field (a nullable id column
+        // feeding the struct key must not NPE the local path the
+        // distributed loop would have handled), so the local label
+        // matches the distributed one value-for-value
         (a, b) => {
           val ra = a.asInstanceOf[Row]; val rb = b.asInstanceOf[Row]
           var i = 0
           var res = 0
           while (res == 0 && i < st.fields.length) {
-            val c = st.fields(i).dataType match {
-              case _: org.apache.spark.sql.types.LongType =>
-                java.lang.Long.compare(ra.getLong(i), rb.getLong(i))
-              case _ =>
-                java.lang.Integer.compare(ra.getInt(i), rb.getInt(i))
-            }
+            val na = ra.isNullAt(i); val nb = rb.isNullAt(i)
+            val c =
+              if (na && nb) 0
+              else if (na) -1 // nulls first, Spark's asc default
+              else if (nb) 1
+              else st.fields(i).dataType match {
+                case _: org.apache.spark.sql.types.LongType =>
+                  java.lang.Long.compare(ra.getLong(i), rb.getLong(i))
+                case _ =>
+                  java.lang.Integer.compare(ra.getInt(i), rb.getInt(i))
+              }
             res = c; i += 1
           }
           res < 0

@@ -564,17 +564,26 @@ object TextAnalysis {
       graft.functions.BpeFunctions.bpe_encode(lower(col(textCol)), rules))
 
   /** The ESCAPED form of a literal marker occurrence in raw text:
-    * the marker's first character, a NUL, then the rest — never equal
-    * to the marker itself, and restored by [[detokenize]] after the
+    * for a multi-character marker, its first character, a NUL, then
+    * the rest — which can never CONTAIN the marker, so the
+    * marker→space replace cannot touch it; a SINGLE-character marker
+    * has no interior to split (any escaped form containing the
+    * character would be destroyed by the first replace), so it maps
+    * to a bare NUL. Restored by [[detokenize]] after the
     * marker→space replace. Escape-at-encode closes the round-trip
     * hazard a literal `</w>` in the corpus used to pose (decode
     * replaced every occurrence, spurious-spacing real content); the
     * residual precondition is only that raw text not contain the
     * NUL-bearing escaped sequence itself — a control-character
-    * collision no natural corpus carries (documented, not checked).
+    * collision no natural corpus carries (documented, not checked) —
+    * and markers must not themselves contain NUL (checked).
     */
-  private[ext] def markerEscape(marker: String): String =
-    s"${marker.head}\u0000${marker.tail}"
+  private[ext] def markerEscape(marker: String): String = {
+    require(marker.nonEmpty && !marker.contains('\u0000'),
+      "marker must be non-empty and NUL-free")
+    if (marker.length >= 2) s"${marker.head}\u0000${marker.tail}"
+    else "\u0000"
+  }
 
   /** Escape literal marker occurrences in raw (lowered) text before a
     * marked encode — shared by the BPE and unigram marked encodes.
@@ -1223,6 +1232,14 @@ object TextAnalysis {
       (acc, id) =>
         when(id === EowId,
           struct(concat(flush(acc), lit(" ")).as("txt"), lit("").as("hx")))
+        // fail LOUD on the reserved unk id: encodeIdsByteFallback never
+        // emits 0, so its presence means a foreign/corrupted stream —
+        // decoding it as a byte would return plausible-looking
+        // corrupted text and mask the upstream bug
+        .when(id === 0,
+          struct(concat(acc("txt"), raise_error(
+            lit("decodeIdsByteFallback: reserved unk id 0 in stream")))
+            .as("txt"), lit("").as("hx")))
         .when(id <= lit(256),
           struct(acc("txt").as("txt"),
             concat(acc("hx"), lpad(hex(id - ByteIdBase), 2, "0")).as("hx")))

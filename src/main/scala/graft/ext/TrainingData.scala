@@ -267,6 +267,31 @@ object TrainingData {
     df.withColumn("order_key", trainingOrderKey(keys, seed))
       .orderBy(col("order_key") +: keys: _*)
 
+  /** Shared pack tail of every emission operator: the running-sum
+    * window over the caller's order columns (optionally per shard)
+    * and the integer bin cut. Single-site on purpose — the bin math
+    * is a correctness surface (the floor-of-double → integer-DIV fix
+    * had to touch four hand-copies of this block before it was
+    * factored). Bin/block ids are INT: one stream (or one shard) is
+    * bounded to 2^31−1 blocks — ~4.3×10^12 tokens at budget 2000 —
+    * and Spark's ANSI mode FAILS LOUD on the cast past that; shard
+    * the emission long before a single reader's stream approaches
+    * that volume (the same ≲10M-doc guidance the global window
+    * already carries, two orders of magnitude earlier).
+    */
+  private def packOrdered(ordered: DataFrame, orderCols: Seq[Column],
+      shard: Option[String], budget: Int): DataFrame = {
+    val w0 = shard.fold(Window.orderBy(orderCols: _*))(sc =>
+      Window.partitionBy(col(sc)).orderBy(orderCols: _*))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tok").cast("long")).over(w)
+          - col("n_tok"), lit(0L)))
+      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+  }
+
   /** END-TO-END training-batch emission — the engine's actual end
     * product, composed as ONE operator: tokenize with a TRAINED merge
     * table ([[TextAnalysis.bpeEncode]] over
@@ -331,17 +356,7 @@ object TrainingData {
       trainingOrderKey(Seq(col("id")), seed))
     val orderCols = phaseCols.indices.map(i => col(s"__phase$i")) ++
       Seq(col("order_key"), col("id"))
-    val w0 = shard.fold(Window.orderBy(orderCols: _*))(sc =>
-      Window.partitionBy(col(sc)).orderBy(orderCols: _*))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tok").cast("long")).over(w)
-          - col("n_tok"), lit(0L)))
-      // integer division (not floor of double division): exact at any
-      // running total, not just below 2^53 — the chunkAtBoundaries rule
-      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+    packOrdered(ordered, orderCols, shard, budget)
       .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
         col("n_tok"), col("tokens_before"), col("bin"))
         ++ shard.map(col): _*)
@@ -403,9 +418,11 @@ object TrainingData {
     // n ≥ 1 guaranteed by the filter (a 0-token doc's sequence would
     // count backwards — the repeatByWeight trap). TRUE integer
     // division (`div`), not floor(a / b): the `/` operator is DOUBLE
-    // division in Spark, exact only below 2^53 — `div` keeps the cut
-    // exact long math at any running total, matching the oracle's
-    // `//` (operands are non-negative here, so div ≡ floor).
+    // division in Spark, exact only below 2^53 — `div` keeps the
+    // DIVISION exact long math, matching the oracle's `//` (operands
+    // are non-negative here, so div ≡ floor). The block ID itself is
+    // INT with the [[packOrdered]] bound: ≤ 2^31−1 blocks per stream,
+    // ANSI failing loud past it — shard long before then.
     val firstB = expr(s"CAST(tokens_before DIV $budget AS INT)")
     val lastB =
       expr(s"CAST((tokens_before + n_tok - 1L) DIV $budget AS INT)")
@@ -469,15 +486,7 @@ object TrainingData {
       trainingOrderKey(Seq(col("id"), col("copy")), seed))
     val orderCols = phaseCols.indices.map(i => col(s"__phase$i")) ++
       Seq(col("order_key"), col("id"), col("copy"))
-    val w0 = shard.fold(Window.orderBy(orderCols: _*))(sc =>
-      Window.partitionBy(col(sc)).orderBy(orderCols: _*))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tok").cast("long")).over(w)
-          - col("n_tok"), lit(0L)))
-      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+    packOrdered(ordered, orderCols, shard, budget)
       .select(Seq(col("id").as(idCol), col("copy"), col("order_key"),
         col("toks"), col("n_tok"), col("tokens_before"), col("bin"))
         ++ shard.map(col): _*)
@@ -644,15 +653,7 @@ object TrainingData {
           .otherwise(col("__t")))
     val ordered = enc.withColumn("order_key",
       trainingOrderKey(Seq(col("id")), seed))
-    val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
-      Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tok").cast("long")).over(w)
-          - col("n_tok"), lit(0L)))
-      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+    packOrdered(ordered, Seq(col("order_key"), col("id")), shard, budget)
       .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
         col("n_tok"), col("tokens_before"), col("bin"), col("media_hash"),
         col("ph_off")) ++ shard.map(col): _*)
@@ -725,15 +726,7 @@ object TrainingData {
                 .otherwise(array().cast("array<string>")))))))
     val ordered = spliced.withColumn("order_key",
       trainingOrderKey(Seq(col("id")), seed))
-    val w0 = shard.fold(Window.orderBy(col("order_key"), col("id")))(sc =>
-      Window.partitionBy(col(sc)).orderBy(col("order_key"), col("id")))
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tok").cast("long")).over(w)
-          - col("n_tok"), lit(0L)))
-      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
+    packOrdered(ordered, Seq(col("order_key"), col("id")), shard, budget)
       .select(Seq(col("id").as(idCol), col("order_key"), col("toks"),
         col("n_tok"), col("tokens_before"), col("bin"), col("media"))
         ++ shard.map(col): _*)

@@ -245,6 +245,16 @@ final case class EpochParquetSink(path: String) extends Sink {
     * re-evaluate mid-rewrite). Cost: one scan per epoch to detect
     * hits + one rewrite per AFFECTED epoch — a takedown touching k of
     * n epochs pays k rewrites, never n.
+    *
+    * Swap discipline — stricter than the stores' delete-then-rename,
+    * because a SINK partition cannot be rebuilt from a source: the
+    * redacted rows land in `.purge_<k>`, the live partition renames
+    * ASIDE to `.old_<k>`, the redacted dir renames into place, and
+    * only then does the old dir delete. A crash in the residual
+    * window (between the two renames) leaves the epoch's rows fully
+    * recoverable on disk in `.old_<k>` — never silently lost under a
+    * still-standing commit marker; re-running the purge after such a
+    * crash fails loud on the leftover dot-dirs rather than guessing.
     */
   def purgeIds(spark: org.apache.spark.sql.SparkSession, idCol: String,
       ids: DataFrame): Seq[Long] = {
@@ -261,12 +271,17 @@ final case class EpochParquetSink(path: String) extends Sink {
       if (hit.isEmpty) false
       else {
         val tmp = new HPath(path, s".purge_$k")
+        val old = new HPath(path, s".old_$k")
+        require(!f.exists(tmp) && !f.exists(old),
+          s"purge: leftover $tmp/$old from an interrupted purge — " +
+            "recover (rename .old_<k> back to batch_id=<k>) before retrying")
         cur.join(org.apache.spark.sql.functions.broadcast(del),
             cur(idCol) === del("__del_id"), "left_anti")
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         val curPath = new HPath(part)
-        require(f.delete(curPath, true), s"purge: could not delete $curPath")
+        require(f.rename(curPath, old), s"purge: could not set aside $curPath")
         require(f.rename(tmp, curPath), s"purge: could not swap in $tmp")
+        require(f.delete(old, true), s"purge: could not drop $old")
         true
       }
     }

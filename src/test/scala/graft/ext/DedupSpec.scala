@@ -410,6 +410,18 @@ class DedupSpec extends SparkSpec {
       .select(col("cluster.i"), col("cluster.x"))
       .collect().map(r => (r.getLong(0), r.getInt(1))) shouldBe
       Array((1L, 0))
+    // a NULL struct field (nullable id column feeding the key) must
+    // not NPE the local path, and its ordering matches the
+    // distributed loop's NULLS FIRST
+    val nu = Seq((Some(1L), 0), (None, 1), (Some(2L), 2))
+      .toDF("i", "x").select(struct(col("i"), col("x")).as("id"))
+    val np = Seq(((Some(1L), 0), (Option.empty[Long], 1)))
+      .toDF("a", "b")
+      .select(struct(col("a._1").as("i"), col("a._2").as("x")).as("id_a"),
+        struct(col("b._1").as("i"), col("b._2").as("x")).as("id_b"))
+    rowSet(Dedup.nearDupClusters(nu, np)) shouldBe
+      rowSet(Dedup.nearDupClusters(nu, np, maxRounds = 64,
+        initMin = true, localEdgeCap = 0))
   }
 
   test("nearDupClusters: string ids use the changed-rows convergence path") {

@@ -346,6 +346,16 @@ class TextAnalysisSpec extends SparkSpec {
     viaBpe shouldBe Array((1L, "x</w>y plain"), (2L, "end</w> </w>start"),
       (3L, "</w>"), (4L, "no marker here"))
     val pieces = Seq(("a", -0.5), ("b", -0.7), ("c", -0.9))
+    // a SINGLE-character marker escapes to a bare NUL (an interior
+    // splice would still contain the marker and be destroyed by the
+    // marker→space replace) — the round trip must hold there too
+    val via1 = graft.ext.TextAnalysis.bpeEncodeMarked(
+        Seq((1L, "a#b plain# #tail")).toDF("doc_id", "text"),
+        "text", rules, marker = "#")
+      .select(graft.ext.TextAnalysis
+        .detokenize($"subwords_marked", marker = "#").as("d"))
+      .as[String].head()
+    via1 shouldBe "a#b plain# #tail"
     val viaUni = graft.ext.UnigramTok.unigramEncodeMarked(
         docs, "text", pieces ++ Seq(("x", -1.0), ("y", -1.0), ("z", -1.0),
           ("<", -2.0), ("/", -2.0), ("w", -2.0), (">", -2.0), (" ", -3.0),
@@ -400,6 +410,13 @@ class TextAnalysisSpec extends SparkSpec {
       assert((i >= 1 && i <= 256) || i == t.EowId || i >= t.VocabIdBase,
         s"id $i outside the byte/eow/vocab space")
     }
+    // the reserved unk id in a foreign stream fails LOUD, never
+    // decodes to plausible-looking corrupted text
+    val ex = intercept[Exception] {
+      Seq(Seq(0)).toDF("ids")
+        .select(t.decodeIdsByteFallback($"ids", vocab)).collect()
+    }
+    ex.getMessage should include("reserved unk id 0")
   }
 
   test("unigram byte-fallback ids: same id space, same decode, Viterbi " +
