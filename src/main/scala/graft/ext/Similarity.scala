@@ -97,12 +97,30 @@ object Similarity {
     * with no qualifying positive emit nothing: a triplet loss needs
     * all three legs. One scored frame feeds both argmaxes — a single
     * corpus scan, broadcast anchors, two row-local window ranks.
+    *
+    * This is the BRUTE face — the exact-scoring oracle baseline for
+    * [[trainingTripletsFromIndex]], O(|anchors|·|corpus|) scored
+    * pairs. It fails LOUD (instead of an executor OOM hours in) when
+    * that product exceeds `maxScoredPairs`: the guard pays two count
+    * jobs — trivially cheap next to the scoring pass they gate — and
+    * routes real corpora to the index-served twin, whose probed-cell
+    * serve is the scale shape (measured FLAT f10→f30 where this face
+    * OOMs a 128 GiB heap, SCALE.md). Raise the bound only for a
+    * deliberately provisioned exact-baseline run.
     */
   def trainingTriplets(corpus: DataFrame, anchors: DataFrame,
       posFloor: Double = 0.45, negCeiling: Double = 0.45,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxScoredPairs: Long = 200_000_000L): DataFrame = {
+    val pairs = corpus.count() * anchors.count()
+    require(pairs <= maxScoredPairs,
+      s"trainingTriplets (brute): $pairs scored pairs exceeds " +
+        s"maxScoredPairs=$maxScoredPairs — use trainingTripletsFromIndex " +
+        "(the persisted-IVF serve scores nProbe/nCells of the corpus per " +
+        "anchor) or raise the bound for a provisioned exact baseline")
     tripletArgmax(bruteScored(corpus, anchors, idCol, vecCol),
       posFloor, negCeiling)
+  }
 
   /** [[trainingTriplets]] served from the PERSISTED inverted file —
     * the scale shape for mining triplets over EVERY document (the

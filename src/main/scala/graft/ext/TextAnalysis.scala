@@ -587,10 +587,13 @@ object TextAnalysis {
 
   /** Escape literal marker occurrences in raw (lowered) text before a
     * marked encode — shared by the BPE and unigram marked encodes.
+    * Literal `replace`, NOT `regexp_replace`: the marker is a fixed
+    * string, and the regex engine's per-row Matcher walk measured
+    * ~2× the whole encode on the no-marker common path (sf0.1 A/B,
+    * round 18) where a plain UTF8String scan is near-free.
     */
   private[ext] def escapeMarker(text: Column, marker: String): Column =
-    regexp_replace(text, java.util.regex.Pattern.quote(marker),
-      java.util.regex.Matcher.quoteReplacement(markerEscape(marker)))
+    replace(text, lit(marker), lit(markerEscape(marker)))
 
   /** Word-boundary-MARKED BPE encode — the Sennrich `</w>` convention
     * a shipped tokenizer actually uses: each word's FINAL subword
@@ -643,11 +646,9 @@ object TextAnalysis {
     * the NUL-bearing escaped sequence itself ([[markerEscape]]).
     */
   def detokenize(subwords: Column, marker: String = "</w>"): Column =
-    regexp_replace(
-      rtrim(regexp_replace(array_join(subwords, ""),
-        java.util.regex.Pattern.quote(marker), " ")),
-      java.util.regex.Pattern.quote(markerEscape(marker)),
-      java.util.regex.Matcher.quoteReplacement(marker))
+    replace(
+      rtrim(replace(array_join(subwords, ""), lit(marker), lit(" "))),
+      lit(markerEscape(marker)), lit(marker))
 
   /** PMI collocation mining: the top-k adjacent-token pairs by
     * pointwise mutual information, `pmi = ln(P(l,r) / (P(l)·P(r)))`
@@ -1232,20 +1233,29 @@ object TextAnalysis {
       (acc, id) =>
         when(id === EowId,
           struct(concat(flush(acc), lit(" ")).as("txt"), lit("").as("hx")))
-        // fail LOUD on the reserved unk id: encodeIdsByteFallback never
-        // emits 0, so its presence means a foreign/corrupted stream —
-        // decoding it as a byte would return plausible-looking
-        // corrupted text and mask the upstream bug
-        .when(id === 0,
+        // fail LOUD on anything outside the id space: the reserved unk
+        // 0 (encodeIdsByteFallback never emits it) AND negative ids
+        // (a foreign/corrupted stream) — a negative falling into the
+        // byte branch would lpad-truncate its two's-complement hex and
+        // silently decode plausible-looking garbage, exactly the
+        // masking this guard exists to prevent
+        .when(id <= 0,
           struct(concat(acc("txt"), raise_error(
-            lit("decodeIdsByteFallback: reserved unk id 0 in stream")))
+            concat(lit("decodeIdsByteFallback: reserved/invalid id "),
+              id.cast("string"), lit(" in stream"))))
             .as("txt"), lit("").as("hx")))
         .when(id <= lit(256),
           struct(acc("txt").as("txt"),
             concat(acc("hx"), lpad(hex(id - ByteIdBase), 2, "0")).as("hx")))
         .otherwise(
-          struct(concat(flush(acc), element_at(rm, id)).as("txt"),
-            lit("").as("hx"))),
+          // an UNMAPPED high id fails loud too: element_at's null would
+          // null-poison the concat and silently blank the whole decode
+          struct(concat(flush(acc),
+            coalesce(element_at(rm, id),
+              raise_error(concat(
+                lit("decodeIdsByteFallback: unmapped id "),
+                id.cast("string"), lit(" in stream"))).cast("string")))
+            .as("txt"), lit("").as("hx"))),
       acc => flush(acc)))
   }
 }

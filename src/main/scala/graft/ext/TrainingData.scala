@@ -61,7 +61,10 @@ object TrainingData {
     df.withColumn("n_tokens", size(split(col(textCol), " ")))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .withColumn("bin", floor(col("tokens_before") / budget).cast("int"))
+      // TRUE integer division (`div`), not floor(a / b) — same exact-
+      // long-math rule as chunkAtBoundaries: `/` is DOUBLE division,
+      // exact only below 2^53; operands are non-negative so div ≡ floor.
+      .withColumn("bin", expr(s"CAST(tokens_before DIV $budget AS INT)"))
   }
 
   /** Split each document into overlapping token-window chunks — the
@@ -638,8 +641,12 @@ object TrainingData {
       posCol.map(p => col(p).as("__pos")): _*)
     val keep = Seq(col(idCol).as("id"),
       slice(col("subwords"), 1, maxTokens).as("__t")) ++ shard.map(col)
+    // coalesce BEFORE the clamp: a NULL pos on a media row must mean
+    // head placement (offset 0), not a null ph_off that nulls the
+    // spliced slice and poisons the running token sum downstream
     val phOff = posCol.fold(lit(0))(_ =>
-      least(greatest(col("__pos").cast("int"), lit(0)), size(col("__t"))))
+      least(greatest(coalesce(col("__pos").cast("int"), lit(0)), lit(0)),
+        size(col("__t"))))
     val enc = TextAnalysis.bpeEncode(df, textCol, merges).select(keep: _*)
       .join(m, col("id") === col("__mid"), "left")
       .withColumn("ph_off",
@@ -707,7 +714,8 @@ object TrainingData {
     // deterministic total order (clamping is monotone, but ties and
     // the collect_list order need the sort)
     val cl = sort_array(transform(col("__m"),
-      mm => struct(least(greatest(mm("pos"), lit(0)), n).as("pos"),
+      mm => struct(
+        least(greatest(coalesce(mm("pos"), lit(0)), lit(0)), n).as("pos"),
         mm("hash").as("hash"))))
     val spliced = joined
       .withColumn("__cl", when(col("__m").isNotNull, cl))

@@ -310,7 +310,20 @@ object IndexStore {
     */
   private def ensureBuilt(spark: SparkSession, corpusDir: String,
       variant: String, params: String)(build: String => Unit): String = {
-    val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + variant
+    // the PARAMS digest is part of the directory key, not just the
+    // memo key: two callers sharing a variant with different params
+    // (e.g. the vocab-60 and vocab-80 unigram faces) must get two
+    // dirs — with a shared dir the memo mismatch silently RETRAINED
+    // and rewrote the store on every alternation (measured ~0.4 s per
+    // flip on the unigram table at sf0.1, round 18), exactly the
+    // rebuild churn the build-once memo exists to prevent
+    val pDigest = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest().map("%02x".format(_)).mkString.take(8)
+    }
+    val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + variant +
+      "-" + pDigest
     val dir = java.nio.file.Paths.get("target", "indexes", key)
       .toAbsolutePath.toString
     val memoKey = s"${corpusFingerprint(spark, corpusDir)}|$params"
@@ -1081,6 +1094,56 @@ object IndexStore {
       writeParagraphFuzzyIndex(corpus, dir,
         manifestExtra = fingerprintField(corpus.sparkSession, corpusDir))
     }
+
+  /** Session-scoped STAGED end-to-end takedown audit
+    * ([[graft.ext.Takedown.takedownEndToEnd]]) — the cycle MUTATES
+    * every surface it runs against, so the query face cannot operate
+    * on shared session stores: this builds a fresh admission store,
+    * fresh fuzzy paragraph store, and a fresh committed-epoch sink
+    * (the corpus' [[graft.ext.TrainingData.emitChunks]] pieces,
+    * epoch = block div `blocksPerEpoch`) under one staging dir, runs
+    * the full takedown, and persists the audit as `audit/` parquet.
+    * The delete set is a build parameter (id-set digest in the memo
+    * key, the [[ensureAnnDeletedIndexes]] rule); any staging leftovers
+    * from a previous session are deleted first, because a purge
+    * half-done by a killed session would otherwise fail the rebuild
+    * loud on its recovery guard.
+    */
+  def ensureTakedownAudit(corpus: DataFrame, corpusDir: String,
+      ids: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      maxTokens: Int = 256, budget: Int = 2000, seed: String = "42",
+      blocksPerEpoch: Int = 4): String = {
+    val spark = corpus.sparkSession
+    ensureBuilt(spark, corpusDir, "-td-e2e",
+        s"tde2e|$idCol|$textCol|$maxTokens|$budget|$seed|$blocksPerEpoch|" +
+          idSetDigest(ids)) { dir =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(root))
+        require(f.delete(root, true), s"takedown staging: cannot reset $dir")
+      val admDir = s"$dir/adm"
+      val fuzzyDir = s"$dir/fuzzy"
+      writeAdmissionIndexes(corpus, admDir, idCol, textCol)
+      writeParagraphFuzzyIndex(corpus, fuzzyDir, idCol, textCol)
+      val sink = graft.io.EpochParquetSink(s"$dir/sink")
+      sink.write(graft.ext.TrainingData.emitChunks(corpus, idCol, textCol,
+          merges, maxTokens, budget, seed)
+        .withColumn("batch_id",
+          expr(s"CAST(block DIV $blocksPerEpoch AS BIGINT)")))
+      graft.ext.Takedown.takedownEndToEnd(corpus, ids, idCol, textCol,
+          admDir, fuzzyDir, sink)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/audit")
+      writeManifest(spark, dir, Seq(
+        "kind" -> "\"takedown_e2e\"",
+        "id_col" -> s""""$idCol"""",
+        "blocks_per_epoch" -> blocksPerEpoch.toString)
+        ++ fingerprintField(spark, corpusDir))
+    }
+  }
+
+  def readTakedownAudit(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/audit")
 
   val AudioHashTable = "audio_ahash"
 

@@ -256,12 +256,38 @@ final case class EpochParquetSink(path: String) extends Sink {
     * still-standing commit marker; re-running the purge after such a
     * crash fails loud on the leftover dot-dirs rather than guessing.
     */
+  /** Recovery gate for [[purgeIds]], callable at the entry of any
+    * composed flow (e.g. [[graft.ext.Takedown.takedownEndToEnd]])
+    * BEFORE other surfaces mutate: fail loud if an interrupted purge
+    * left `.old_*`/`.purge_*` recovery dirs under the sink root. The
+    * check is whole-root, not per-epoch-on-hit — a crash between the
+    * two renames leaves NO live partition (dataEpochs skips the epoch,
+    * a per-epoch check never runs), and a crash after the swap leaves
+    * the UN-redacted rows in `.old_<k>` with a re-run seeing no hits;
+    * both windows must surface with the recovery instruction rather
+    * than read as a clean sink.
+    */
+  def requireNoInterruptedPurge(): Unit = {
+    val f = fs
+    val root = new HPath(path)
+    if (f.exists(root)) {
+      val leftover = f.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(".old_") || n.startsWith(".purge_"))
+      require(leftover.isEmpty,
+        s"purge: leftover ${leftover.sorted.mkString(", ")} under $path " +
+          "from an interrupted purge — recover first (rename .old_<k> " +
+          "back to batch_id=<k> if the live partition is missing, else " +
+          "delete the .old_/.purge_ leftovers) before retrying")
+    }
+  }
+
   def purgeIds(spark: org.apache.spark.sql.SparkSession, idCol: String,
       ids: DataFrame): Seq[Long] = {
     import org.apache.spark.sql.functions.col
+    val f = fs
+    requireNoInterruptedPurge()
     val del = ids.select(col(ids.columns.head).as("__del_id"))
       .distinct().localCheckpoint()
-    val f = fs
     dataEpochs.filter { k =>
       val part = s"$path/batch_id=$k"
       val cur = spark.read.parquet(part)

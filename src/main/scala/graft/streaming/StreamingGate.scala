@@ -1491,15 +1491,29 @@ object StreamingGate {
     * novel-only anti-join makes a re-append of the same batch a
     * no-op — no duplicate hash rows, no compaction debt
     * (spec-pinned in StreamingGateSpec).
+    *
+    * Compaction CADENCE: the no-op story above holds only when the
+    * append COMPLETES — a crash inside the append's residual window
+    * (shingle/band rows landed; the hash table, written LAST, did
+    * not) re-detects the batch as novel on replay and re-appends,
+    * accumulating duplicate shingle/band rows paid on every later
+    * probe. This face runs
+    * [[graft.io.IndexStore.compactParagraphFuzzyIndex]] every
+    * `compactEvery` batches (the maintenance slot a production loop
+    * schedules anyway), bounding that debt to `compactEvery` batches'
+    * worth; the probe answer is identical with compaction on or off
+    * (duplicates never change it — spec-pinned), and this face runs
+    * WITH it under the oracle gate.
     */
   def streamAdmitParagraphFuzzyCumulativeSinked(s: SparkSession,
-      dir: String, sinkDir: String): DataFrame = {
+      dir: String, sinkDir: String, compactEvery: Int = 2): DataFrame = {
     val sink = graft.io.EpochParquetSink(sinkDir)
     paragraphFuzzyCumulativeRun(s, dir,
       emitKept = (kept, batchId) => {
         if (!sink.committed(batchId))
           sink.writeEpoch(kept, batchId)
       },
+      compactEvery = compactEvery,
       keptAfterDrain = () =>
         if (sink.hasData)
           s.read.parquet(sinkDir)
@@ -1520,11 +1534,14 @@ object StreamingGate {
     * `emitKept`, then appends the batch's novel distinct paragraphs
     * to all three store tables; after the drain, `keptAfterDrain`
     * supplies the accumulated rows from whichever medium `emitKept`
-    * stored them in.
+    * stored them in. `compactEvery` > 0 additionally runs the store's
+    * distinct-rewrite compaction after every that-many batches — the
+    * cadence that bounds crash-replay duplicate-row growth.
     */
   private def paragraphFuzzyCumulativeRun(s: SparkSession, dir: String,
       emitKept: (DataFrame, Long) => Unit,
-      keptAfterDrain: () => DataFrame): DataFrame = {
+      keptAfterDrain: () => DataFrame,
+      compactEvery: Int = 0): DataFrame = {
     import graft.ext.{Dedup, TrainingData}
     val stage = newStage()
     val storeDir = stage.resolve("store").toString
@@ -1569,6 +1586,8 @@ object StreamingGate {
             .localCheckpoint()
           emitKept(kept, batchId)
           graft.io.IndexStore.appendParagraphFuzzyIndex(batch, storeDir)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.io.IndexStore.compactParagraphFuzzyIndex(s, storeDir)
           ()
         }
         .start()

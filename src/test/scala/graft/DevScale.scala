@@ -69,6 +69,8 @@ object DevScale {
       emitEpochs(sfDir, rest.map(_.toInt))
     case "r17AB" :: sfDir :: rest =>
       r17AB(sfDir, rest.headOption.map(_.toInt).getOrElse(2))
+    case "purgeScale" :: sfDir :: rest =>
+      purgeScale(sfDir, rest.headOption.map(_.toInt).getOrElse(16))
     case _ =>
       System.err.println(
         "usage: DevScale gen|genEmb <factor> <outDir> | run|runAnn <sfDir> [reps] " +
@@ -675,6 +677,51 @@ object DevScale {
       }
     }
     spark.stop()
+  }
+
+  /** EpochParquetSink.purgeIds cost ladder (verdict r17 task #6): the
+    * k-of-n claim — a takedown touching k of n epochs pays n detect
+    * scans + k rewrites — measured at three touch patterns on one
+    * sink (no-hit k=0, single-epoch k=1, spread k=n). Epoch = doc_id
+    * mod n, so the delete predicate controls k exactly.
+    */
+  private def purgeScale(sfDir: String, nEpochs: Int): Unit = {
+    val spark = GraftSession.local(32, "graft-dev-scale-purge")
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val stage = java.nio.file.Files.createTempDirectory("graft-purge")
+    try {
+      def buildSink(tag: String): graft.io.EpochParquetSink = {
+        val sink = graft.io.EpochParquetSink(
+          stage.resolve(s"sink$tag").toString)
+        val t0 = System.nanoTime()
+        sink.write(d.withColumn("batch_id",
+          pmod(col("doc_id"), lit(nEpochs.toLong))))
+        println(f"[scale] $sfDir purge build n=$nEpochs: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        sink
+      }
+      def timePurge(sink: graft.io.EpochParquetSink, label: String,
+          ids: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val k = sink.purgeIds(spark, "doc_id", ids).size
+        println(f"[scale] $sfDir purge n=$nEpochs $label: k=$k " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val s0 = buildSink("0")
+      timePurge(s0, "detect-only",
+        d.select((col("doc_id") * -1 - 1).as("doc_id")).limit(100))
+      timePurge(s0, "k=1",
+        d.select("doc_id")
+          .filter(col("doc_id") % nEpochs === 0 && col("doc_id") % 17 === 3))
+      // fresh sink: the spread purge must not ride the k=1 rewrite
+      val s1 = buildSink("1")
+      timePurge(s1, "spread",
+        d.select("doc_id").filter(col("doc_id") % 17 === 3))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      spark.stop()
+    }
   }
 
   /** Per-epoch cost ladder for the streaming emission loop (verdict

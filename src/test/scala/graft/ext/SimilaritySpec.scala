@@ -255,6 +255,13 @@ class SimilaritySpec extends SparkSpec {
     // an anchor with no neighbor >= floor yields no triplet at all
     val none = Similarity.trainingTriplets(corpus, anchors, posFloor = 1.01)
     none.count() shouldBe 0L
+    // the brute face is the ORACLE BASELINE, guarded: past the scored-
+    // pair bound it fails loud at plan time (never an executor OOM
+    // hours in) and names the index-served twin
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.trainingTriplets(corpus, anchors, maxScoredPairs = 10L)
+    }
+    ex.getMessage should include("trainingTripletsFromIndex")
   }
 
   /** Planted-geometry recall fixture: a deterministic 64-d corpus

@@ -410,13 +410,19 @@ class TextAnalysisSpec extends SparkSpec {
       assert((i >= 1 && i <= 256) || i == t.EowId || i >= t.VocabIdBase,
         s"id $i outside the byte/eow/vocab space")
     }
-    // the reserved unk id in a foreign stream fails LOUD, never
-    // decodes to plausible-looking corrupted text
-    val ex = intercept[Exception] {
-      Seq(Seq(0)).toDF("ids")
-        .select(t.decodeIdsByteFallback($"ids", vocab)).collect()
+    // out-of-space ids in a foreign stream fail LOUD, never decode to
+    // plausible-looking corrupted text: the reserved unk 0, a NEGATIVE
+    // id (would lpad-truncate its two's-complement hex into a fake
+    // byte), and an UNMAPPED high id (element_at's null would silently
+    // blank the whole decode)
+    Seq(Seq(0), Seq(-5), Seq(Int.MaxValue)).foreach { bad =>
+      val ex = intercept[Exception] {
+        Seq(bad).toDF("ids")
+          .select(t.decodeIdsByteFallback($"ids", vocab)).collect()
+      }
+      ex.getMessage should (include(s"id ${bad.head}") and
+        include("decodeIdsByteFallback"))
     }
-    ex.getMessage should include("reserved unk id 0")
   }
 
   test("unigram byte-fallback ids: same id space, same decode, Viterbi " +

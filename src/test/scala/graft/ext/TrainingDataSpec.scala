@@ -540,6 +540,38 @@ class TrainingDataSpec extends SparkSpec {
       rows.count(_.getLong(0) % 2 == 0)
   }
 
+  test("emitInterleaved/Multi: a NULL position on a media row means " +
+      "head placement, never a null splice poisoning the stream") {
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    val merges = Seq(("a", "l"))
+    // single-slot face: doc 1's pos is NULL → placeholder at offset 0
+    val media = Seq((1L, 100L, Option.empty[Int]), (2L, 200L, Some(2)))
+      .toDF("mid", "h", "pos")
+    val out = TrainingData.emitInterleaved(docs, "doc_id", "text", merges,
+        maxTokens = 8, budget = 25, seed = "7",
+        media = media, mediaIdCol = "mid", hashCol = "h",
+        posCol = Some("pos"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Int]("ph_off") shouldBe 0
+    out(1L).getSeq[String](2).head shouldBe "<img>"
+    // neither doc's token array is null and the running sum is intact
+    out.values.foreach { r =>
+      r.getSeq[String](2) should not be null
+      r.getInt(3) should be > 0
+    }
+    // multi-slot face: one NULL-pos slot among real ones → offset 0
+    val multi = Seq((1L, Option.empty[Int], 100L), (1L, Some(3), 101L))
+      .toDF("mid", "pos", "h")
+    val m = TrainingData.emitInterleavedMulti(docs, "doc_id", "text",
+        merges, maxTokens = 8, budget = 25, seed = "7",
+        media = multi, mediaIdCol = "mid", posCol = "pos", hashCol = "h")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val slots = m(1L).getSeq[org.apache.spark.sql.Row](6)
+    slots.map(_.getInt(0)) shouldBe Seq(0, 4) // clamped-0 first, 3+1
+    m(1L).getSeq[String](2).count(_ == "<img>") shouldBe 2
+  }
+
   test("emitInterleavedChunks: positional splice lands the placeholder at " +
       "its token offset (clamped), blocks stay exact, pieces reconstruct") {
     val docs = (1L to 40L).map { i =>

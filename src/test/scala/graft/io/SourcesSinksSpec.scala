@@ -287,6 +287,42 @@ class SourcesSinksSpec extends SparkSpec {
     sink.purgeIds(spark, "id", Seq(99L).toDF("doc_id")) shouldBe Seq.empty
   }
 
+  test("EpochParquetSink.purgeIds: entry guard fails loud on BOTH " +
+      "interrupted-purge crash windows, before any new rewrite") {
+    import spark.implicits._
+    // window 1: crash BETWEEN the renames — the live partition is
+    // gone (dataEpochs skips it; a per-epoch hit check would never
+    // run), only .old_<k> holds the epoch's rows
+    val dir1 = new java.io.File(tempDir(), "epochs4.parquet").getAbsolutePath
+    val sink1 = EpochParquetSink(dir1)
+    sink1.writeEpoch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    sink1.writeEpoch(Seq((2L, "b")).toDF("id", "v"), 1L)
+    new java.io.File(dir1, "batch_id=1")
+      .renameTo(new java.io.File(dir1, ".old_1")) shouldBe true
+    val e1 = intercept[IllegalArgumentException] {
+      sink1.purgeIds(spark, "id", Seq(1L).toDF("doc_id"))
+    }
+    e1.getMessage should include(".old_1")
+    e1.getMessage should include("recover")
+    // ...and epoch 0 was NOT rewritten by the failed attempt
+    spark.read.parquet(s"$dir1/batch_id=0").select("id")
+      .as[Long].collect().toSeq shouldBe Seq(1L)
+    // window 2: crash after the swap, before delete(old) — the epoch
+    // reads redacted but .old_<k> still holds the UN-redacted rows;
+    // a re-run would see no hits and must still fail loud
+    val dir2 = new java.io.File(tempDir(), "epochs5.parquet").getAbsolutePath
+    val sink2 = EpochParquetSink(dir2)
+    sink2.writeEpoch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    new java.io.File(dir2, ".purge_0").mkdirs()
+    val e2 = intercept[IllegalArgumentException] {
+      sink2.purgeIds(spark, "id", Seq(99L).toDF("doc_id"))
+    }
+    e2.getMessage should include(".purge_0")
+    // recovery (drop the leftover) restores normal operation
+    new java.io.File(dir2, ".purge_0").delete() shouldBe true
+    sink2.purgeIds(spark, "id", Seq(99L).toDF("doc_id")) shouldBe Seq.empty
+  }
+
   test("OrcSink + readOrc: roundtrip preserves schema and values; filter pushes to the scan") {
     import spark.implicits._
     val dir = new java.io.File(tempDir(), "out.orc").getAbsolutePath

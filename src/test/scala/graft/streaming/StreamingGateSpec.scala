@@ -557,7 +557,11 @@ class StreamingGateSpec extends SparkSpec {
       val viaSink = StreamingGate
         .streamAdmitParagraphFuzzyCumulativeSinked(spark, dir, out)
       // the sink path must change WHERE survivors land, never WHAT
-      // survives — both gates end in orderBy(doc_id)
+      // survives — both gates end in orderBy(doc_id). The sinked face
+      // also runs the every-2-batches store COMPACTION (its default
+      // cadence) while the buffer face runs none, so this equality
+      // additionally pins compaction-on ≡ compaction-off at the gate
+      // level (the store-level twin is IndexStoreSpec's fuzzy test)
       rowList(viaSink) shouldBe rowList(viaBuffer)
       // effectively-once layout: one partition + one commit marker per
       // epoch (replay safety = marker guard on the sink half +
