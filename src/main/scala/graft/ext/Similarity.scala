@@ -175,6 +175,131 @@ object Similarity {
         round(col("g.cos"), 6).as("neg_cos"))
   }
 
+  /** Margin-based parallel-pair (bitext) mining — Artetxe & Schwenk
+    * 2019, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings": raw cosine is a poor mining criterion
+    * because hub vectors score high against EVERYTHING, so each
+    * pair's cosine is normalized by the mean cosine of both
+    * endpoints' k-nearest neighborhoods (the "ratio" margin,
+    * `margin(x,y) = cos(x,y) / ((nbr_fwd(x) + nbr_bwd(y)) / 2)`) and
+    * each source vector keeps its best-margin target iff the margin
+    * clears `marginFloor` (the paper's "max" strategy — one candidate
+    * pair per source, thresholded). The mined pairs are the training
+    * data for translation / cross-lingual alignment; the same margin
+    * is the standard hub-corrected retrieval score (CSLS).
+    *
+    * Determinism contract (what lets DuckDB replay this exactly):
+    * neighborhood means average the 6-dp-ROUNDED cosines as exact
+    * decimals — a k-element DOUBLE mean depends on summation order
+    * under a shuffle, a decimal sum does not — so every margin is a
+    * pure function of per-pair doubles both engines compute
+    * identically. Ranking ties break by id throughout.
+    *
+    * This is the BRUTE face — the exact-scoring oracle baseline for
+    * [[mineBitextFromIndex]], O(|src|·|tgt|) scored pairs, guarded
+    * like [[trainingTriplets]]: fail loud past `maxScoredPairs`
+    * instead of an executor OOM hours in.
+    */
+  def mineBitext(src: DataFrame, tgt: DataFrame, k: Int = 4,
+      marginFloor: Double = 1.02,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxScoredPairs: Long = 200_000_000L): DataFrame = {
+    val pairs = src.count() * tgt.count()
+    require(pairs <= maxScoredPairs,
+      s"mineBitext (brute): $pairs scored pairs exceeds " +
+        s"maxScoredPairs=$maxScoredPairs — use mineBitextFromIndex " +
+        "(probed-cell candidates per side from the persisted IVF store) " +
+        "or raise the bound for a provisioned exact baseline")
+    val scored = bitextScored(src, tgt, idCol, vecCol)
+    bitextMarginTail(scored, scored, k, marginFloor)
+  }
+
+  /** [[mineBitext]] served from the PERSISTED inverted file — the
+    * scale shape for corpus×corpus mining where BOTH sides are large:
+    * forward candidates come from the source queries' probed cells of
+    * the target-side inverted file and backward candidates from the
+    * target queries' probes of the source side, so each direction
+    * scores nProbe/nCells of the other corpus instead of all of it
+    * (the [[ivfTopKFromIndex]] DPP byte-pruning plan, twice). A
+    * shared quantizer works: pass the same store's `assigned` table
+    * filtered to each side (multilingual embedding spaces are aligned
+    * by construction — that is what makes bitext mining possible at
+    * all). Forward pairs whose target has no backward candidates are
+    * dropped (no neighborhood estimate → no margin), mirroring the
+    * paper's mutual-neighborhood requirement.
+    */
+  def mineBitextFromIndex(assignedSrc: DataFrame, assignedTgt: DataFrame,
+      cents: Array[Array[Double]], src: DataFrame, tgt: DataFrame,
+      k: Int = 4, marginFloor: Double = 1.02, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val fwd = ivfScoredFromIndex(assignedTgt, cents, src, nProbe,
+        idCol, vecCol)
+      .select(col("query_id").as("src_id"), col("id").as("tgt_id"),
+        col("cos"))
+    val bwd = ivfScoredFromIndex(assignedSrc, cents, tgt, nProbe,
+        idCol, vecCol)
+      .select(col("id").as("src_id"), col("query_id").as("tgt_id"),
+        col("cos"))
+    bitextMarginTail(fwd, bwd, k, marginFloor)
+  }
+
+  /** All src×tgt cosines, query side broadcast — [[bruteScored]]
+    * between two different frames. Equal-id pairs are excluded (the
+    * self-pair guard every brute face applies; bitext sides are
+    * disjoint id spaces in practice).
+    */
+  private def bitextScored(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val t = withNorm(tgt.select(col(idCol).as("tgt_id"),
+      col(vecCol).as("tvec")), "tvec").withColumnRenamed("norm", "tnorm")
+    val s = withNorm(src.select(col(idCol).as("src_id"),
+      col(vecCol).as("svec")), "svec").withColumnRenamed("norm", "snorm")
+    t.join(broadcast(s), col("src_id") =!= col("tgt_id"))
+      .withColumn("cos", cosineFromNorms(col("svec"), col("tvec"),
+        col("snorm"), col("tnorm")))
+      .select("src_id", "tgt_id", "cos")
+  }
+
+  /** The margin-scoring tail brute and FromIndex share. `fwdScored`
+    * carries the candidate pairs (src_id, tgt_id, cos); `bwdScored`
+    * supplies the target-side neighborhoods (the same frame in the
+    * brute face, the reverse-direction probe serve in the index
+    * face). Joins to the per-key neighborhood means are left to the
+    * planner: at registry scale both sides broadcast, at corpus scale
+    * they are shuffle joins on the id — the scored frame is candidate-
+    * bounded in the index face, which is what makes that acceptable.
+    * The final per-source argmax is ONE map-side-combinable
+    * aggregation (the [[tripletArgmax]] struct-max shape), not a
+    * window re-shuffle.
+    */
+  private def bitextMarginTail(fwdScored: DataFrame, bwdScored: DataFrame,
+      k: Int, marginFloor: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def nbrMean(scored: DataFrame, keyCol: String, otherCol: String,
+        out: String): DataFrame = {
+      val w = Window.partitionBy(keyCol)
+        .orderBy(col("cos").desc, col(otherCol).asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k)
+        .groupBy(keyCol)
+        .agg((sum(round(col("cos"), 6).cast("decimal(12,6)")).cast("double")
+          / count(lit(1))).as(out))
+    }
+    val fwd = nbrMean(fwdScored, "src_id", "tgt_id", "nbr_fwd")
+    val bwd = nbrMean(bwdScored, "tgt_id", "src_id", "nbr_bwd")
+    fwdScored
+      .join(fwd, Seq("src_id")).join(bwd, Seq("tgt_id"))
+      .withColumn("margin", round(col("cos"), 6)
+        / greatest((col("nbr_fwd") + col("nbr_bwd")) / 2, lit(1e-6)))
+      .groupBy("src_id")
+      .agg(max(struct(col("margin"), (-col("tgt_id")).as("ntid"),
+        col("cos"))).as("b"))
+      .filter(col("b.margin") >= marginFloor)
+      .select(col("src_id"), (-col("b.ntid")).as("tgt_id"),
+        round(col("b.cos"), 6).as("cos"),
+        round(col("b.margin"), 6).as("margin"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): cluster the
     * embedding space, then deduplicate ONLY within clusters — the

@@ -34,6 +34,8 @@ object DevScale {
       run(sfDir, queries, rest.headOption.map(_.toInt).getOrElse(3))
     case "runAnn" :: sfDir :: rest =>
       run(sfDir, annQueries, rest.headOption.map(_.toInt).getOrElse(3))
+    case "bitextIvf" :: sfDir :: nCells :: rest =>
+      bitextIvf(sfDir, nCells.toInt, rest.headOption.map(_.toInt).getOrElse(2))
     case "runQ" :: sfDir :: names :: rest => // arbitrary registry subset
       run(sfDir, names.split(",").toSeq.map(_.trim),
         rest.headOption.map(_.toInt).getOrElse(3))
@@ -743,6 +745,42 @@ object DevScale {
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $sfDir emitEpochs n=$n: $t%.2f s total, " +
         f"${t / n}%.3f s/epoch ($rows rows)")
+    }
+    spark.stop()
+  }
+
+  /** Occupancy-scaled bitext-mining probe: the registry face serves
+    * from the shared 16-cell store (the oracle-replayable contract),
+    * which keeps candidate volume quadratic at nProbe/nCells — this
+    * measures [[graft.ext.Similarity.mineBitextFromIndex]] with
+    * `nCells = ivfCellsFor(n)` (the √n rule), the sizing a production
+    * corpus×corpus mine would deploy, against the same corpus.
+    */
+  private def bitextIvf(sfDir: String, nCellsArg: Int, reps: Int): Unit = {
+    import graft.ext.Similarity
+    import graft.functions.IvfFunctions.ivf_cells
+    val spark = GraftSession.local(32, "graft-dev-scale-bitext")
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val nCells =
+      if (nCellsArg > 0) nCellsArg else Similarity.ivfCellsFor(n)
+    val cents = Similarity.ivfCentroids(e, nCells)
+    val assigned = Similarity.withNorm(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
+      .localCheckpoint() // the store read a persisted serve would do
+    val aSrc = assigned.filter(col("id") % 2 === 0)
+    val aTgt = assigned.filter(col("id") % 2 === 1)
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val rows = Similarity.mineBitextFromIndex(aSrc, aTgt, cents,
+        src, tgt).count()
+      println(f"[scale] $sfDir bitextIvf n=$n nCells=$nCells run$i: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -63,6 +63,11 @@ class PlanGuardSpec extends SparkSpec {
     *   touched-blocks frame — crossJoin(broadcast(one-row agg)), the
     *   ship-the-stats shape again; with a shard column the same join
     *   is a shard-keyed equi-join and plans no nested loop.
+    * - q_bitext_mine: the all-pairs brute miner — the exact-scoring
+    *   oracle baseline for the margin pipeline (q_training_triplets'
+    *   broadcast non-equi scan shape, guarded by maxScoredPairs);
+    *   the registered scale path is q_bitext_mine_ivf, whose
+    *   both-direction probed-cell candidate stages are equi-joins.
     */
   private val allowed =
     Set("q_embed_neardup", "q_ann_topk", "q_hard_negatives",
@@ -72,7 +77,7 @@ class PlanGuardSpec extends SparkSpec {
       "q_unigram_lp", "q_zipf", "q_ann_pq", "q_ann_pq_rerank",
       "q_zorder_cells", "q_zorder_prune", "q_pmi", "q_quality_nb",
       "q_ann_recall", "q_ann_recall_rerank", "q_ann_recall_lsh",
-      "q_emit_takedown_report")
+      "q_emit_takedown_report", "q_bitext_mine")
 
   test("no registry query plans CartesianProduct or unintended nested-loop join") {
     val sfDir = "/root/testdata/sf0.001"

@@ -264,6 +264,52 @@ class SimilaritySpec extends SparkSpec {
     ex.getMessage should include("trainingTripletsFromIndex")
   }
 
+  test("mineBitext: planted twins mine as parallel pairs with high " +
+      "margins; the brute guard fails loud naming the index twin") {
+    val (corpus, _) = planted
+    // the planted twins are exactly the (even, odd) id pairs i<120 —
+    // a ready-made bitext fixture: source side = even ids, target =
+    // odd, every twin base's true "translation" is its twin
+    val src = corpus.filter(col("vec_id") % 2 === 0)
+    val tgt = corpus.filter(col("vec_id") % 2 === 1)
+    val mined = Similarity.mineBitext(src, tgt)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    (0L until 120L by 2).foreach { id =>
+      withClue(s"twin source $id: ") {
+        val (t, margin) = mined(id)
+        t shouldBe id + 1         // the twin is the mined pair
+        // twin cos ≈ 0.999 over a ≈0.5 neighborhood mean — the margin
+        // separates true pairs from the hub-corrected background
+        margin should be >= 1.3
+      }
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.mineBitext(src, tgt, maxScoredPairs = 10L)
+    }
+    ex.getMessage should include("mineBitextFromIndex")
+  }
+
+  test("mineBitextFromIndex at full probe coverage equals the brute " +
+      "miner exactly") {
+    import graft.functions.IvfFunctions.ivf_cells
+    val (corpus, _) = planted
+    val src = corpus.filter(col("vec_id") % 2 === 0)
+    val tgt = corpus.filter(col("vec_id") % 2 === 1)
+    val cents = Similarity.ivfCentroids(corpus, nCells = 16)
+    val assigned = Similarity.withNorm(
+        corpus.select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .withColumn("cell", element_at(ivf_cells(col("vec"), cents, 1), 1))
+    val served = Similarity.mineBitextFromIndex(
+      assigned.filter(col("id") % 2 === 0),
+      assigned.filter(col("id") % 2 === 1),
+      cents, src, tgt, nProbe = 16)
+    // nProbe = nCells ⇒ both directions' candidate sets are the full
+    // cross product ⇒ neighborhoods, margins, and argmaxes all match
+    // the brute scorer row for row
+    rowSet(served) shouldBe rowSet(Similarity.mineBitext(src, tgt))
+  }
+
   /** Planted-geometry recall fixture: a deterministic 64-d corpus
     * (fixed-seed gaussians) with
     *  - 60 near-dup twin pairs (≈0.3% perturbation → cos ≥ 0.99),
