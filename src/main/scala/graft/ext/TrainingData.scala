@@ -238,6 +238,104 @@ object TrainingData {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Data-mixture planning under per-source repeat caps — the
+    * data-constrained-scaling allocation step (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models": repeating a
+    * source beyond ~4 epochs stops buying loss, so a mixture plan
+    * must CAP repeats and re-spread the freed budget): given target
+    * weights and a total token budget, each source gets its weight
+    * share of the budget unless that exceeds `maxRepeat` epochs of
+    * what the source actually has — capped sources contribute
+    * `maxRepeat × avail` and the freed budget re-spreads over the
+    * uncapped sources by renormalized weight, recursively (capping
+    * can cascade).
+    *
+    * The cascade is NOT computed as an iterative fixpoint: water-
+    * filling has a closed form — order sources by per-weight capacity
+    * `maxRepeat·avail/weight` ascending and the capped set is a
+    * PREFIX (removing a capped source only raises the per-weight
+    * water level, so anything uncapped stays uncapped); the cut is
+    * the first source whose capacity reaches its share of what the
+    * prefix left. One catalog-sized window pass, EXACT integer
+    * arithmetic throughout (the one double is the sort ratio), so
+    * DuckDB replays the whole plan bit for bit. The per-source token
+    * sums are the only corpus-sized work; the plan itself runs on a
+    * #sources-row frame (single-task window, the quantile-literals
+    * shape — a mixture catalog is dimension-sized by construction).
+    *
+    * `weights` is a (source, weight) table — small non-negative ints
+    * (permille-style; magnitudes only matter relatively). Sources in
+    * the corpus but not the table plan at weight 0 (planned 0);
+    * weighted sources absent from the corpus plan at avail 0 (capped
+    * at 0 — a demand the corpus cannot meet, visible in the plan
+    * rather than silently dropped). Uncapped planned tokens use
+    * integer division, so the total plan undershoots the budget by
+    * < #uncapped tokens, never overshoots.
+    */
+  def mixturePlan(corpus: DataFrame, weights: DataFrame, budget: Long,
+      maxRepeat: Int = 4, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budget >= 0, s"mixturePlan: negative budget $budget")
+    require(maxRepeat >= 1, s"mixturePlan: maxRepeat $maxRepeat < 1")
+    val r = maxRepeat.toLong
+    val avail = corpus.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(split(col(textCol), " "))).cast("long")
+        .as("avail_tokens"))
+    val w = weights.select(col(weights.columns.head).as("source"),
+      col(weights.columns(1)).cast("int").as("weight"))
+    val joined = avail.join(w, Seq("source"), "full_outer")
+      .na.fill(Map("avail_tokens" -> 0L, "weight" -> 0))
+      // fail loud in-plan on a negative weight: a silent negative
+      // would flip the cut-point inequality and corrupt every share
+      .withColumn("weight",
+        when(col("weight") < 0, raise_error(concat(
+          lit("mixturePlan: negative weight for source "), col("source"))))
+          .otherwise(col("weight")))
+    // capacity-per-weight order; weight-0 rows carry no demand and
+    // sort last (they cannot cap); ties break by source name
+    val k0 = when(col("weight") === 0, 1).otherwise(0)
+    val k1 = when(col("weight") === 0, lit(0.0))
+      .otherwise(col("avail_tokens").cast("double") * maxRepeat
+        / col("weight"))
+    val win = Window.orderBy(col("__k0"), col("__k1"), col("source"))
+    val prev = win.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = win.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    joined
+      .withColumn("__k0", k0).withColumn("__k1", k1)
+      .withColumn("__aprev",
+        coalesce(sum("avail_tokens").over(prev), lit(0L)))
+      .withColumn("__wall", sum("weight").over(full).cast("long"))
+      .withColumn("__wrem", col("__wall")
+        - coalesce(sum("weight").over(prev), lit(0L)).cast("long"))
+      .withColumn("__brem", lit(budget) - lit(r) * col("__aprev"))
+      // the cut test: this source's capacity covers its share of what
+      // the (all-capped) prefix left — cross-multiplied, stays in longs
+      .withColumn("__cond", lit(r) * col("avail_tokens") * col("__wrem")
+        >= col("weight").cast("long") * col("__brem"))
+      .withColumn("capped",
+        sum(when(col("__cond"), 1).otherwise(0)).over(upto) === 0)
+      .withColumn("__bfin", lit(budget) - lit(r) * coalesce(
+        sum(when(col("capped"), col("avail_tokens"))).over(full), lit(0L)))
+      .withColumn("__wfin", coalesce(
+        sum(when(!col("capped"), col("weight"))).over(full), lit(0L))
+        .cast("long"))
+      .withColumn("ideal_tokens", when(col("__wall") === 0, 0L)
+        .otherwise(expr(s"CAST((weight * CAST($budget AS BIGINT)) DIV __wall AS BIGINT)")))
+      .withColumn("planned_tokens",
+        when(col("capped"), lit(r) * col("avail_tokens"))
+          .when(col("__wfin") === 0, 0L)
+          .otherwise(expr("CAST((weight * __bfin) DIV __wfin AS BIGINT)")))
+      .withColumn("repeat_factor", when(col("avail_tokens") === 0, lit(null))
+        .otherwise(round(col("planned_tokens").cast("double")
+          / col("avail_tokens"), 6)))
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        col("ideal_tokens"), col("planned_tokens"),
+        col("repeat_factor").cast("double").as("repeat_factor"),
+        col("capped"))
+  }
+
   /** The seeded permutation key [[trainingOrder]] sorts by — exposed
     * so compositions that immediately re-establish the order anyway
     * (a running-sum window) can take the projection WITHOUT the

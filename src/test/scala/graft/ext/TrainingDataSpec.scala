@@ -706,4 +706,70 @@ class TrainingDataSpec extends SparkSpec {
       raw.repartition(7), w, "doc_id", "text", 20)
     again.select("id").collect().map(_.getLong(0)).toSet shouldBe ids
   }
+
+  test("mixturePlan: closed-form cut equals the iterative water-filling " +
+      "fixpoint across budgets; caps cascade; edge sources plan sanely") {
+    // catalog: a tiny source that caps first, a mid source that caps
+    // only AFTER a's freed budget re-spreads (the cascade), a deep
+    // source that never caps, a weighted source ABSENT from the
+    // corpus (avail 0), and a corpus source absent from the weights
+    // (weight 0). e's text rows exist so weight-0 handling is real.
+    val corpus = Seq(
+      "a" -> 100, "b" -> 1000, "c" -> 10000, "e" -> 500).flatMap {
+      case (s, n) => Seq((s, Seq.fill(n)("t").mkString(" ")))
+    }.toDF("source", "text")
+    val weights = Seq(("a", 10), ("b", 10), ("c", 10), ("d", 5))
+      .toDF("source", "weight")
+    val cat = Map("a" -> (100L, 10), "b" -> (1000L, 10),
+      "c" -> (10000L, 10), "d" -> (0L, 5), "e" -> (500L, 0))
+    // independent reference: the NAIVE iterative fixpoint (cap, then
+    // re-spread over the uncapped pool, repeat until stable)
+    def reference(budget: Long, r: Int): Map[String, Long] = {
+      var capped = Set.empty[String]
+      var stable = false
+      while (!stable) {
+        val bRem = budget - capped.toSeq.map(s => r * cat(s)._1).sum
+        val wRem = cat.collect {
+          case (s, (_, w)) if !capped(s) => w.toLong }.sum
+        val fresh = cat.keys.filter(s => !capped(s) &&
+          r * cat(s)._1 * wRem < cat(s)._2.toLong * bRem)
+        if (fresh.isEmpty) stable = true else capped ++= fresh
+      }
+      val bFin = budget - capped.toSeq.map(s => r * cat(s)._1).sum
+      val wFin = cat.collect {
+        case (s, (_, w)) if !capped(s) => w.toLong }.sum
+      cat.map { case (s, (a, w)) =>
+        s -> (if (capped(s)) r * a
+              else if (wFin == 0) 0L else w.toLong * bFin / wFin)
+      }
+    }
+    Seq(0L, 500L, 5000L, 12000L, 40000L, 100000L).foreach { budget =>
+      val plan = TrainingData.mixturePlan(corpus, weights, budget)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getInt(2), r.getLong(4), r.getBoolean(6))))
+        .toMap
+      val ref = reference(budget, 4)
+      withClue(s"budget=$budget: ") {
+        plan.keySet shouldBe cat.keySet // union of corpus and weights
+        cat.foreach { case (s, (avail, w)) =>
+          val (pAvail, pW, planned, capped) = plan(s)
+          pAvail shouldBe avail
+          pW shouldBe w
+          planned shouldBe ref(s)
+          planned should be <= 4L * avail  // never over the cap
+          if (capped) planned shouldBe 4L * avail
+        }
+        plan.values.map(_._3).sum should be <= budget // never overshoots
+      }
+    }
+    // the 12000 budget exercises the CASCADE: a caps at 400, the
+    // re-spread pushes b over its 4000 cap too, c absorbs the rest
+    val p12 = TrainingData.mixturePlan(corpus, weights, 12000L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    p12("a") shouldBe 400L
+    p12("b") shouldBe 4000L
+    p12("c") shouldBe 7600L
+    p12("d") shouldBe 0L
+    p12("e") shouldBe 0L
+  }
 }
