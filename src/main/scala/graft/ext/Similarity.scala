@@ -112,7 +112,9 @@ object Similarity {
       posFloor: Double = 0.45, negCeiling: Double = 0.45,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxScoredPairs: Long = 200_000_000L): DataFrame = {
-    val pairs = corpus.count() * anchors.count()
+    // BigInt: a Long product wraps negative past 2^63 — at exactly the
+    // corpus sizes the guard exists to reject — and would slip through
+    val pairs = BigInt(corpus.count()) * BigInt(anchors.count())
     require(pairs <= maxScoredPairs,
       s"trainingTriplets (brute): $pairs scored pairs exceeds " +
         s"maxScoredPairs=$maxScoredPairs — use trainingTripletsFromIndex " +
@@ -204,7 +206,8 @@ object Similarity {
       marginFloor: Double = 1.02,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxScoredPairs: Long = 200_000_000L): DataFrame = {
-    val pairs = src.count() * tgt.count()
+    // BigInt for the same overflow reason as [[trainingTriplets]]
+    val pairs = BigInt(src.count()) * BigInt(tgt.count())
     require(pairs <= maxScoredPairs,
       s"mineBitext (brute): $pairs scored pairs exceeds " +
         s"maxScoredPairs=$maxScoredPairs — use mineBitextFromIndex " +
@@ -243,22 +246,16 @@ object Similarity {
     bitextMarginTail(fwd, bwd, k, marginFloor)
   }
 
-  /** All src×tgt cosines, query side broadcast — [[bruteScored]]
-    * between two different frames. Equal-id pairs are excluded (the
-    * self-pair guard every brute face applies; bitext sides are
-    * disjoint id spaces in practice).
+  /** All src×tgt cosines — [[bruteScored]] with tgt as the scanned
+    * corpus and src as the broadcast query side (ONE brute scorer: the
+    * self-pair guard, zero-norm handling, and broadcast choice live in
+    * one place), renamed to the bitext column contract.
     */
   private def bitextScored(src: DataFrame, tgt: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val t = withNorm(tgt.select(col(idCol).as("tgt_id"),
-      col(vecCol).as("tvec")), "tvec").withColumnRenamed("norm", "tnorm")
-    val s = withNorm(src.select(col(idCol).as("src_id"),
-      col(vecCol).as("svec")), "svec").withColumnRenamed("norm", "snorm")
-    t.join(broadcast(s), col("src_id") =!= col("tgt_id"))
-      .withColumn("cos", cosineFromNorms(col("svec"), col("tvec"),
-        col("snorm"), col("tnorm")))
-      .select("src_id", "tgt_id", "cos")
-  }
+      idCol: String, vecCol: String): DataFrame =
+    bruteScored(tgt, src, idCol, vecCol)
+      .select(col("query_id").as("src_id"), col("id").as("tgt_id"),
+        col("cos"))
 
   /** The margin-scoring tail brute and FromIndex share. `fwdScored`
     * carries the candidate pairs (src_id, tgt_id, cos); `bwdScored`

@@ -93,11 +93,9 @@ object Takedown {
 
     def admProbe(suffix: String): DataFrame =
       del
-        .join(idCount(spark.read.parquet(
-            s"$admissionDir/${IndexStore.ShingleSetsTable}"),
+        .join(idCount(IndexStore.readShingleSets(spark, admissionDir),
           s"adm_sets_$suffix"), Seq("__id"), "left")
-        .join(idCount(spark.read.parquet(
-            s"$admissionDir/${IndexStore.BandIndexTable}"),
+        .join(idCount(IndexStore.readBandIndex(spark, admissionDir),
           s"adm_bands_$suffix"), Seq("__id"), "left")
         .na.fill(0L)
         .localCheckpoint()

@@ -283,6 +283,16 @@ object TrainingData {
         .as("avail_tokens"))
     val w = weights.select(col(weights.columns.head).as("source"),
       col(weights.columns(1)).cast("int").as("weight"))
+      // fail loud on a duplicate source row: the full-outer join would
+      // emit one plan row PER duplicate, each carrying the source's
+      // full avail — the window sums then double-count stock and
+      // weight and the plan can silently overshoot the budget
+      .withColumn("weight",
+        when(count(lit(1)).over(Window.partitionBy("source")) > 1,
+          raise_error(concat(
+            lit("mixturePlan: duplicate weight rows for source "),
+            col("source"))))
+          .otherwise(col("weight")))
     val joined = avail.join(w, Seq("source"), "full_outer")
       .na.fill(Map("avail_tokens" -> 0L, "weight" -> 0))
       // fail loud in-plan on a negative weight: a silent negative

@@ -296,11 +296,12 @@ final case class EpochParquetSink(path: String) extends Sink {
         cur(idCol) === del("__del_id"), "left_semi")
       if (hit.isEmpty) false
       else {
+        // leftover .purge_/.old_ dirs are impossible here: the
+        // whole-root requireNoInterruptedPurge() at entry already
+        // failed loud on any, and within this (single-writer) run each
+        // epoch is visited once with its dot-dirs deleted before return
         val tmp = new HPath(path, s".purge_$k")
         val old = new HPath(path, s".old_$k")
-        require(!f.exists(tmp) && !f.exists(old),
-          s"purge: leftover $tmp/$old from an interrupted purge — " +
-            "recover (rename .old_<k> back to batch_id=<k>) before retrying")
         cur.join(org.apache.spark.sql.functions.broadcast(del),
             cur(idCol) === del("__del_id"), "left_anti")
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -771,5 +771,14 @@ class TrainingDataSpec extends SparkSpec {
     p12("c") shouldBe 7600L
     p12("d") shouldBe 0L
     p12("e") shouldBe 0L
+    // duplicate weight rows fail loud: the full-outer join would emit
+    // one plan row per duplicate and the window sums would double-
+    // count the source's stock, silently overshooting the budget
+    val dupW = Seq(("a", 10), ("a", 20), ("b", 10))
+      .toDF("source", "weight")
+    val ex = intercept[Exception] {
+      TrainingData.mixturePlan(corpus, dupW, 1000L).collect()
+    }
+    ex.getMessage should include("duplicate weight rows")
   }
 }
