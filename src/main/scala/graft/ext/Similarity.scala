@@ -113,8 +113,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxScoredPairs: Long = 200_000_000L): DataFrame = {
     // BigInt: a Long product wraps negative past 2^63 — at exactly the
-    // corpus sizes the guard exists to reject — and would slip through
-    val pairs = BigInt(corpus.count()) * BigInt(anchors.count())
+    // corpus sizes the guard exists to reject — and would slip through.
+    // corpus-as-anchors (the registry face and the pretraining-loop
+    // shape) passes the SAME frame twice: one count job, not two.
+    val cn = BigInt(corpus.count())
+    val pairs = cn * (if (anchors eq corpus) cn else BigInt(anchors.count()))
     require(pairs <= maxScoredPairs,
       s"trainingTriplets (brute): $pairs scored pairs exceeds " +
         s"maxScoredPairs=$maxScoredPairs — use trainingTripletsFromIndex " +
@@ -158,23 +161,30 @@ object Similarity {
     * anchors×corpus scoring twice and shuffled the scored rows
     * (measured 5.0 s → 3.2 s at sf0.1 on the corpus-as-anchors brute
     * face; the remainder is the scoring pass itself).
-    * max of (cos, −id) structs = highest cos, ties to MIN id
-    * — exactly rankTopK's (cos desc, id asc) contract. Anchors with
+    * [[graft.functions.ArgMaxScoreMinId]] = highest cos, ties to MIN
+    * id — exactly rankTopK's (cos desc, id asc) contract, and (unlike
+    * the max-of-(cos, −id)-structs form it replaced) a flat-primitive
+    * buffer that keeps the aggregation on the HashAggregate path: the
+    * struct buffer forced SortAggregate, which sorted all |anchors|·n
+    * scored rows before the partial pass (measured 3.82 → 2.48 s
+    * min-of-4 at sf0.1 on the corpus-as-anchors brute face, r18 — the
+    * remainder is the scoring pass itself). Anchors with
     * no qualifying positive (or no negative) emit nothing: a triplet
     * loss needs all three legs.
     */
   private def tripletArgmax(scored: DataFrame, posFloor: Double,
       negCeiling: Double): DataFrame = {
     def arg1(cond: Column) =
-      max(when(cond, struct(col("cos"), (-col("id")).as("nid"))))
+      graft.functions.ArgMaxFunctions.argmax_min_id(
+        when(cond, col("cos")), col("id"))
     scored.groupBy("query_id")
       .agg(arg1(col("cos") >= posFloor).as("p"),
         arg1(col("cos") < negCeiling).as("g"))
       .filter(col("p").isNotNull && col("g").isNotNull)
       .select(col("query_id").as("anchor_id"),
-        (-col("p.nid")).as("pos_id"), (-col("g.nid")).as("neg_id"),
-        round(col("p.cos"), 6).as("pos_cos"),
-        round(col("g.cos"), 6).as("neg_cos"))
+        col("p.id").as("pos_id"), col("g.id").as("neg_id"),
+        round(col("p.score"), 6).as("pos_cos"),
+        round(col("g.score"), 6).as("neg_cos"))
   }
 
   /** Margin-based parallel-pair (bitext) mining — Artetxe & Schwenk
@@ -289,12 +299,17 @@ object Similarity {
       .withColumn("margin", round(col("cos"), 6)
         / greatest((col("nbr_fwd") + col("nbr_bwd")) / 2, lit(1e-6)))
       .groupBy("src_id")
-      .agg(max(struct(col("margin"), (-col("tgt_id")).as("ntid"),
-        col("cos"))).as("b"))
-      .filter(col("b.margin") >= marginFloor)
-      .select(col("src_id"), (-col("b.ntid")).as("tgt_id"),
-        round(col("b.cos"), 6).as("cos"),
-        round(col("b.margin"), 6).as("margin"))
+      // ArgMaxScoreMinId ≡ max(struct(margin, −tgt_id, cos)) here —
+      // (src_id, tgt_id) is unique per candidate row so the cos field
+      // never decided a tie — but its flat-primitive buffer keeps the
+      // aggregation on the HashAggregate path (the struct buffer
+      // forced SortAggregate over every candidate row, r18)
+      .agg(graft.functions.ArgMaxFunctions.argmax_min_id(
+        col("margin"), col("tgt_id"), col("cos")).as("b"))
+      .filter(col("b.score") >= marginFloor)
+      .select(col("src_id"), col("b.id").as("tgt_id"),
+        round(col("b.p0"), 6).as("cos"),
+        round(col("b.score"), 6).as("margin"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
