@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
 object DevTime {
   def main(args: Array[String]): Unit = {
     val useCount = args.contains("-count")
+    val showJobs = args.contains("-jobs")
     val explainDir = args.sliding(2).collectFirst {
       case Array("-explain", d) => d
     }
     val names = {
-      val a = args.filterNot(_ == "-count").toSeq
+      val a = args.filterNot(a => a == "-count" || a == "-jobs").toSeq
       explainDir.fold(a)(d => a.diff(Seq("-explain", d)))
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,6 +29,24 @@ object DevTime {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = GraftSession.local(cpus, "graft-devtime")
     spark.sparkContext.setLogLevel("ERROR")
+    // -jobs: per-job wall + executor-CPU attribution inside a query —
+    // the "which job eats the time" answer the disabled UI would give
+    val jobLog =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    if (showJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobLog.put(js.jobId, (js.time,
+            Option(js.properties.getProperty("spark.job.description"))
+              .getOrElse("")))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobLog.remove(je.jobId)
+          if (st != null)
+            println(f"[devjob]   job ${je.jobId}%4d ${(je.time - st._1) / 1e3}%7.3f s  ${st._2}")
+        }
+      })
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (useCount) { df.count(); () }
       else df.write.format("noop").mode("overwrite").save()

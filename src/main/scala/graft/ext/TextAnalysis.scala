@@ -1163,11 +1163,20 @@ object TextAnalysis {
     * single-space-normalized lower(text), for ANY input including
     * non-ASCII and emoji — and id 0 never appears (spec + oracle
     * faces pin both).
+    *
+    * Evaluation shape (r18): one fused codegen'd expression
+    * ([[graft.functions.BpeIdsByteFallbackExpr]]), not the
+    * split→transform→forall HOF composition it is semantically equal
+    * to — Spark's higher-order lambdas are interpreted, and the HOF
+    * form evaluated the BPE merge walk twice per word (once under
+    * `forall`, once under `transform`).
     */
   def encodeIdsByteFallback(text: Column, rules: Seq[(String, String)],
-      vocab: Seq[(String, Int)]): Column =
-    idsWithByteFallback(text, vocab,
-      w => graft.functions.BpeFunctions.bpe_encode(w, rules))
+      vocab: Seq[(String, Int)]): Column = {
+    requireFallbackVocab(vocab)
+    graft.functions.ByteFallbackFunctions
+      .encode_ids_byte_fallback(text, rules, vocab)
+  }
 
   /** The unigram twin of [[encodeIdsByteFallback]] — same id space,
     * same whole-word byte fallback, same [[decodeIdsByteFallback]]
@@ -1178,9 +1187,11 @@ object TextAnalysis {
     * unk emissions — exactly the words the byte fallback exists for.
     */
   def unigramEncodeIdsByteFallback(text: Column,
-      pieces: Seq[(String, Double)], vocab: Seq[(String, Int)]): Column =
-    idsWithByteFallback(text, vocab,
-      w => graft.functions.UnigramFunctions.unigram_encode(w, pieces))
+      pieces: Seq[(String, Double)], vocab: Seq[(String, Int)]): Column = {
+    requireFallbackVocab(vocab)
+    graft.functions.ByteFallbackFunctions
+      .unigram_ids_byte_fallback(text, pieces, vocab)
+  }
 
   /** Piece→id vocab straight from a trained unigram table (pieces in
     * rank order, [[graft.io.IndexStore.readUnigramPieces]]' shape):
@@ -1190,72 +1201,28 @@ object TextAnalysis {
   def unigramIdVocab(pieces: Seq[(String, Double)]): Seq[(String, Int)] =
     pieces.zipWithIndex.map { case ((p, _), i) => p -> (i + VocabIdBase) }
 
-  private def idsWithByteFallback(text: Column,
-      vocab: Seq[(String, Int)], piecesOf: Column => Column): Column = {
+  private def requireFallbackVocab(vocab: Seq[(String, Int)]): Unit =
     require(vocab.forall(_._2 >= VocabIdBase),
       s"vocab ids must be >= $VocabIdBase (0=unk, 1..256=bytes, 257=eow)")
-    val m = typedLit(vocab.toMap)
-    flatten(transform(
-      filter(split(lower(text), " ", -1), w => w =!= ""),
-      w => {
-        val g = piecesOf(w)
-        val pieceIds = transform(g, p => element_at(m, p))
-        val wb = encode(w, "UTF-8")
-        val hx = hex(wb)
-        val byteIds = transform(sequence(lit(1), length(wb)),
-          i => (conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int")
-            + lit(ByteIdBase)))
-        concat(
-          when(forall(g, p => element_at(m, p).isNotNull), pieceIds)
-            .otherwise(byteIds),
-          array(lit(EowId)))
-      }))
-  }
 
   /** Ids → normalized text, inverting [[encodeIdsByteFallback]]: walk
     * the id stream accumulating (text, pending-byte-hex); a byte id
     * appends its hex pair, a subword id or [[EowId]] first FLUSHES the
     * pending bytes through one UTF-8 decode (multi-byte characters
     * reassemble exactly because the flush boundary is always a word
-    * boundary), then appends the piece or a space. One codegen'd
-    * `aggregate` over built-ins; the reverse vocab ships as a map
-    * literal.
+    * boundary), then appends the piece or a space. Fails LOUD on
+    * anything outside the id space — the reserved unk 0
+    * ([[encodeIdsByteFallback]] never emits it), NEGATIVE ids (a
+    * foreign/corrupted stream), and UNMAPPED high ids — rather than
+    * silently decoding plausible-looking garbage.
+    *
+    * Evaluation shape (r18): one fused codegen'd expression
+    * ([[graft.functions.DecodeIdsByteFallbackExpr]]) — a single
+    * StringBuilder pass, O(tokens). The `aggregate`-over-built-ins
+    * composition it replaces (interpreted lambda + immutable
+    * UTF8String concat per id) was O(tokens²) in copied bytes per
+    * document, a scale cliff on long documents.
     */
-  def decodeIdsByteFallback(ids: Column, vocab: Seq[(String, Int)]): Column = {
-    val rm = typedLit(vocab.map { case (p, i) => i -> p }.toMap)
-    def flush(acc: Column): Column =
-      concat(acc("txt"),
-        when(acc("hx") =!= "", decode(unhex(acc("hx")), "UTF-8"))
-          .otherwise(lit("")))
-    rtrim(aggregate(
-      ids,
-      struct(lit("").as("txt"), lit("").as("hx")),
-      (acc, id) =>
-        when(id === EowId,
-          struct(concat(flush(acc), lit(" ")).as("txt"), lit("").as("hx")))
-        // fail LOUD on anything outside the id space: the reserved unk
-        // 0 (encodeIdsByteFallback never emits it) AND negative ids
-        // (a foreign/corrupted stream) — a negative falling into the
-        // byte branch would lpad-truncate its two's-complement hex and
-        // silently decode plausible-looking garbage, exactly the
-        // masking this guard exists to prevent
-        .when(id <= 0,
-          struct(concat(acc("txt"), raise_error(
-            concat(lit("decodeIdsByteFallback: reserved/invalid id "),
-              id.cast("string"), lit(" in stream"))))
-            .as("txt"), lit("").as("hx")))
-        .when(id <= lit(256),
-          struct(acc("txt").as("txt"),
-            concat(acc("hx"), lpad(hex(id - ByteIdBase), 2, "0")).as("hx")))
-        .otherwise(
-          // an UNMAPPED high id fails loud too: element_at's null would
-          // null-poison the concat and silently blank the whole decode
-          struct(concat(flush(acc),
-            coalesce(element_at(rm, id),
-              raise_error(concat(
-                lit("decodeIdsByteFallback: unmapped id "),
-                id.cast("string"), lit(" in stream"))).cast("string")))
-            .as("txt"), lit("").as("hx"))),
-      acc => flush(acc)))
-  }
+  def decodeIdsByteFallback(ids: Column, vocab: Seq[(String, Int)]): Column =
+    graft.functions.ByteFallbackFunctions.decode_ids_byte_fallback(ids, vocab)
 }

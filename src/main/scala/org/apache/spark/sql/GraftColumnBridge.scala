@@ -22,6 +22,16 @@ object GraftColumnBridge {
     catalyst.expressions.ScalarSubquery(
       df.asInstanceOf[classic.Dataset[Row]].logicalPlan)
 
+  /** The exception `raise_error` throws (USER_RAISED_EXCEPTION) —
+    * `SparkRuntimeException` is `private[spark]`, so custom
+    * expressions that fail loud with the same catchable shape build
+    * it through this bridge.
+    */
+  def userRaisedException(message: String): Throwable =
+    new org.apache.spark.SparkRuntimeException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> message))
+
   /** Register a builder in a live session's FunctionRegistry
     * (`sessionState` is `private[sql]`; this is the sanctioned-shape
     * bridge for registering non-UDF Catalyst expressions outside
