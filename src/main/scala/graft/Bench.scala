@@ -374,6 +374,10 @@ object Bench {
       s""""sf":"$sfDir","failed_n":${failed.size},"failed":$failedJson,""" +
       s""""batch_sec":${num(batchSec)},"streaming_gate_sec":${num(gateSec)},""" +
       s""""gates_sequential_sec":${num(gatesSeqSec)},""" +
+      // carried attribution must be driver-visible on the compact line
+      // too, not just in bench_full.json (VERDICT r18 §5): when true,
+      // gates_seq values are the committed baseline's, not this run's
+      s""""gates_seq_carried":$gatesSeqCarried,""" +
       s""""gates_seq":${toJson(gatesSeq)},"skew":${toJson(skewResults)},""" +
       s""""slowest":${toJson(slowestAll.take(nSlow))},""" +
       s""""full":"bench_full.json","value_tail":${num(total)}}"""

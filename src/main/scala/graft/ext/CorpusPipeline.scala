@@ -68,10 +68,15 @@ object CorpusPipeline {
     * feeds every stage aggregation from it).
     */
   private def scoredFrame(df: DataFrame, textCol: String): DataFrame = {
-    val text: Column = col(textCol)
-    TextAnalysis.langId(df, textCol)
-      .withColumn("quality", TextAnalysis.qualityScore(text))
-      .withColumn("n_tokens", size(TextAnalysis.tokens(text)))
+    // all three gate columns are fields of ONE ScoredTextExpr walk
+    // (guide §4): the pushed-down gate filter evaluates the expression
+    // at most twice per row (lang_pred + quality) and the projection
+    // once (codegen CSE), vs ~30 interpreted split+filter lambdas in
+    // the composed langId/qualityScore/size(tokens) form
+    val st = graft.functions.LangScoreFunctions.scored_text(col(textCol))
+    df.withColumn("lang_pred", st.getField("lang_pred"))
+      .withColumn("quality", st.getField("quality"))
+      .withColumn("n_tokens", st.getField("n_tokens"))
   }
 
   /** The pipeline's internal frames: per-rep attributes (id,

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * transcendental score columns.
   */
 object QualityModel {
-  import TextAnalysis.{tokens, stopwords, inList}
+  import TextAnalysis.tokens
 
   /** Heuristic teacher label (1 = good): long enough and
     * stopword-bearing — integer-exact, so both engines replay it
@@ -40,7 +40,8 @@ object QualityModel {
     */
   def teacherLabel(text: Column): Column =
     (length(text) >= 200 &&
-      size(filter(tokens(text), t => inList(t, stopwords))) >= 5).cast("int")
+      graft.functions.LangScoreFunctions.scored_text(text)
+        .getField("stop_cnt") >= 5).cast("int")
 
   /** Per-term class token counts `(term, c1, c0)`. The teacher label
     * is evaluated ONCE PER DOCUMENT and attached by a (broadcast-able)

@@ -44,11 +44,16 @@ object TextAnalysis {
   private[ext] def inList(t: Column, words: Seq[String]): Column =
     words.map(w => t === w).reduce(_ || _)
 
-  /** Fraction of whitespace tokens that are stopwords. */
+  /** Fraction of whitespace tokens that are stopwords. Counts come
+    * from the one-pass [[graft.functions.LangScore]] walk (same
+    * `split(text, " ")` semantics; equivalence spec-pinned) — the
+    * `size(filter(...))` lambda form it replaces was interpreted,
+    * re-evaluated per consumer, and materialized the split array.
+    */
   def stopwordRatio(text: Column): Column = {
-    val ws = tokens(text)
-    size(filter(ws, t => inList(t, stopwords))).cast("double") /
-      greatest(size(ws), lit(1)).cast("double")
+    val st = graft.functions.LangScoreFunctions.scored_text(text)
+    st.getField("stop_cnt").cast("double") /
+      greatest(st.getField("n_tokens"), lit(1)).cast("double")
   }
 
   /** Fraction of characters that are punctuation/symbols. The count
@@ -69,15 +74,15 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]-ish: long enough, low punct,
     * some-but-not-all stopwords. Heuristic weights; the point is the
-    * shape (pure per-row projection).
+    * shape (pure per-row projection). Served from the one-pass
+    * [[graft.functions.LangScore]] walk, which replays the exact
+    * Catalyst double-op sequence
+    * `round(0.5*least(len/500, 1) + 0.25*(1 - punct) +
+    * 0.25*least(stop*5, 1), 6)` (equivalence spec-pinned; the q_quality
+    * oracle hashes the values).
     */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punct = punctRatio(text)
-    val stop = stopwordRatio(text)
-    round(lit(0.5) * lenScore + lit(0.25) * (lit(1.0) - punct) +
-      lit(0.25) * least(stop * lit(5.0), lit(1.0)), 6)
-  }
+  def qualityScore(text: Column): Column =
+    graft.functions.LangScoreFunctions.scored_text(text).getField("quality")
 
   /** Marker-word lists for the n-gram-heuristic language ID. Shared
     * with the oracle SQL generator in
@@ -93,20 +98,19 @@ object TextAnalysis {
   /** Heuristic language ID: count marker-word hits per language, take
     * the argmax (first language in [[langMarkers]] order wins ties —
     * deterministic). Emits one score column per language plus
-    * `lang_pred`.
+    * `lang_pred`. All columns are fields of ONE
+    * [[graft.functions.ScoredTextExpr]] evaluation — the previous
+    * per-language `size(filter(split(...)))` lambdas were interpreted
+    * and re-evaluated inside every `greatest`/CASE operand after
+    * filter pushdown (up to ~30 split+filter array materializations
+    * per row in the corpus_prepare gate).
     */
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val ws = tokens(col(textCol))
-    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"score_$lang", size(filter(ws, t => inList(t, markers))))
+    val st = graft.functions.LangScoreFunctions.scored_text(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, _)) =>
+      d.withColumn(s"score_$lang", st.getField(s"score_$lang"))
     }
-    val scores = langMarkers.map { case (lang, _) => col(s"score_$lang") }
-    val best = greatest(scores: _*)
-    val pred = langMarkers.foldLeft(null.asInstanceOf[Column]) {
-      case (null, (lang, _)) => when(col(s"score_$lang") === best, lang)
-      case (acc, (lang, _)) => acc.when(col(s"score_$lang") === best, lang)
-    }
-    scored.withColumn("lang_pred", pred)
+    scored.withColumn("lang_pred", st.getField("lang_pred"))
   }
 
   /** Canonical text normalization for dedup keys: lowercase, strip
@@ -984,17 +988,11 @@ object TextAnalysis {
     * array expressions (no explode, no shuffle); documents shorter
     * than `n` tokens score 0.
     */
-  def repeatedNgramRatio(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val total = size(toks) - (n - 1)
-    // sequence() is guarded non-negative: sequence(0, -k) counts
-    // BACKWARDS, it does not return empty
-    val grams = transform(sequence(lit(0), greatest(total, lit(1)) - 1),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    when(total <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(grams)).cast("double")
-        / total.cast("double"))
-  }
+  def repeatedNgramRatio(text: Column, n: Int = 3): Column =
+    // one codegen'd walk — the transform(sequence)/array_distinct form
+    // was interpreted and allocated every gram string into an array
+    // before deduping (equivalence spec-pinned in GopherFusedSpec)
+    graft.functions.GopherFunctions.repeated_ngram_ratio(text, n)
 
   /** Gopher-style quality RULES (Rae et al. 2021, App. A), each as a
     * named boolean plus the integer evidence it reads — the explicit
@@ -1027,31 +1025,18 @@ object TextAnalysis {
   }
 
   private def gopherEvidence(t: Column): GopherEvidence = {
-    val ws = tokens(t)
-    val nWords = size(ws).cast("long")
-    val charSum = aggregate(transform(ws, w => length(w).cast("long")),
-      lit(0L), (a, x) => a + x)
-    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
-    // symbol evidence: '#' characters plus '...' runs (the Gopher
-    // symbol-to-word numerator)
-    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
-    val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
-      .cast("long")
-    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
-      "have", "with")
-    val nStops = gopherStops
-      .map(s => array_contains(ws, s).cast("long")).reduce(_ + _)
-    // duplicate-bigram evidence (the n=2 slice of repeatedNgramRatio,
-    // kept as the two integers so the rule replays exactly)
-    val t2 = greatest(nWords - 1, lit(0L))
-    // try_element_at: for a 1-word doc the (discarded) gram branch
-    // still builds its expression, and ANSI element_at would throw on
-    // the out-of-bounds second token
-    val grams = transform(sequence(lit(0), greatest(t2, lit(1L)).cast("int") - 1),
-      i => concat_ws(" ", try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
-    val d2 = when(t2 <= 0, lit(0L))
-      .otherwise(size(array_distinct(grams)).cast("long"))
-    GopherEvidence(nWords, charSum, nAlpha, nHash + nEll, nStops, t2, d2)
+    // all seven evidence integers from ONE codegen'd walk — the
+    // composed form ran four interpreted HOF lambdas, a per-token
+    // rlike regex, two replace() scans and an array_distinct of
+    // freshly-allocated gram strings per row (4.7 s noop at sf0.1 for
+    // the rules face alone; equivalence spec-pinned in GopherFusedSpec)
+    val e = graft.functions.GopherFunctions.gopher_evidence(t)
+    GopherEvidence(e.getField("n_words"), e.getField("char_sum"),
+      e.getField("n_alpha"), e.getField("n_sym"), e.getField("n_stops"),
+      // null-text rows: the legacy greatest(null − 1, 0)/when chain
+      // produced t2 = 0, d2 = 0 (not null) — replicate exactly
+      greatest(e.getField("t2"), lit(0L)),
+      coalesce(e.getField("d2"), lit(0L)))
   }
 
   /** The five structural Gopher rules as one row-local predicate —
@@ -1082,10 +1067,11 @@ object TextAnalysis {
     * ANSI int64 arithmetic overflow-free.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(tokens(text), t => tokenHash60(t) % lit(HashDefs.TokenMod)),
-      lit(0L),
-      (acc, x) => (acc * lit(31L) + x) % lit(HashDefs.FpMod))
+    // one codegen'd fold — the aggregate(transform(...)) form was
+    // interpreted and built a 4-node Column tree (md5 hex → substring
+    // → conv → cast) per token (equivalence spec-pinned in
+    // GopherFusedSpec; [[TextHashing.hash60]] is the same formula)
+    graft.functions.GopherFunctions.doc_fingerprint(text)
 
   /** Corpus-frequency vocabulary for [[encodeTokens]]: the `k` most
     * frequent whitespace tokens, ids 1..k in (freq desc, token asc)

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   * map-side-combining hash plan the argmax faces were designed
   * around.
   *
-  * Invariant: `id` (and any payload that the caller reads) must be
-  * non-null whenever `score` is non-null — true for every call site
-  * (ids are key columns; payloads are derived from the scored pair).
+  * Null-id rows are skipped like null-score rows (enforced in
+  * updateExpressions, not doc-only — ADVICE r18): a null-id winner
+  * would otherwise null the tie-break comparison later. NaN scores
+  * rank ABOVE all non-NaN values and equal each other, exactly like
+  * the struct-max ordering (Spark's SQL comparison semantics for
+  * doubles — spec-pinned in ArgMaxSpec's NaN case).
   */
 case class ArgMaxScoreMinId(score: Expression, id: Expression,
     payloads: Seq[Expression]) extends DeclarativeAggregate {
@@ -80,8 +83,15 @@ case class ArgMaxScoreMinId(score: Expression, id: Expression,
           And(EqualTo(nS, s), LessThan(nI, i)))))
 
   override lazy val updateExpressions: Seq[Expression] = {
-    val b = beats(score, id, bScore, bId)
-    If(b, score, bScore) +: If(b, id, bId) +:
+    // null-id rows never win (ADVICE r18): without this guard a
+    // null-id winner would make LessThan(nId, bufId) null on a later
+    // exact-score tie, turning beats() false and silently keeping the
+    // wrong row. Nulling the score keeps the invariant enforced, not
+    // doc-only; buffers then hold non-null id whenever score is
+    // non-null by induction, so merge needs no guard.
+    val s = If(IsNull(id), Literal(null, DoubleType), score)
+    val b = beats(s, id, bScore, bId)
+    If(b, s, bScore) +: If(b, id, bId) +:
       payloads.zip(bPays).map { case (p, bp) => If(b, p, bp) }
   }
 

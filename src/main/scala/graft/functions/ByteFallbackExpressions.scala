@@ -112,21 +112,30 @@ object ByteFallbackSupport {
     encodeWith(text, vocab, w => UnigramEncodeSupport.encode(w, table))
 
   /** Single-pass decode: byte ids buffer raw bytes, a subword id or
-    * [[EowId]] flushes them through one UTF-8 decode (replacement
-    * semantics — `new String(bytes, UTF_8)`, the same as the Decode
-    * expression), then appends the piece or a space; trailing spaces
-    * trimmed. Fails loud mid-walk on id ≤ 0 (reserved/foreign) and on
-    * unmapped high ids — the same guards, messages, and walk position
-    * the HOF form had.
+    * [[EowId]] flushes them through one UTF-8 decode, then appends the
+    * piece or a space; trailing spaces trimmed. Fails loud mid-walk on
+    * id ≤ 0 (reserved/foreign), on unmapped high ids, AND on byte-id
+    * runs that are not valid UTF-8 (CharsetDecoder REPORT →
+    * MALFORMED_CHARACTER_CODING, the exact surface Spark 4's `decode`
+    * expression raised in the HOF form this replaced — ADVICE r18
+    * flagged the silent-U+FFFD regression of `new String(bytes)`).
+    * Valid encode output never trips it: byte-fallback words emit
+    * their complete UTF-8 byte run before any flush boundary.
     */
   def decode(ids: ArrayData,
       rvocab: java.util.HashMap[Integer, String]): UTF8String = {
     val n = ids.numElements()
     val txt = new java.lang.StringBuilder()
     val pending = new java.io.ByteArrayOutputStream()
+    // one decoder per row, reused across flushes (decode() resets it)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     def flush(): Unit = if (pending.size() > 0) {
-      txt.append(new String(pending.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8))
+      try txt.append(dec.decode(java.nio.ByteBuffer.wrap(pending.toByteArray)))
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        throw GraftColumnBridge.malformedCharacterCoding("decode", "UTF-8")
+      }
       pending.reset()
     }
     var i = 0

@@ -142,6 +142,22 @@ object StreamingGate {
     Files.createDirectories(Paths.get("target", "streamtmp").toAbsolutePath),
     "gate_")
 
+  /** Fail-loud driver budget for the foreachBatch sinks (guide §5,
+    * VERDICT r18 §5): each per-batch `collect()` is already bounded
+    * LOUD by `spark.driver.maxResultSize`, but the across-batch driver
+    * buffer these gates accumulate was not — at 100 TB/day a hot
+    * stream would grow it to an unexplained driver OOM. Called inside
+    * every sink's synchronized upsert with the buffer's NEW size;
+    * exceeding the budget names the production remedy (the
+    * parquet-`sinked` gate variants keep results executor-side).
+    */
+  private[streaming] val MaxDriverBufferRows = 8L << 20
+  private[streaming] def checkDriverBudget(bufRows: Long): Unit =
+    if (bufRows > MaxDriverBufferRows)
+      throw new IllegalStateException(
+        s"foreachBatch driver buffer exceeded $MaxDriverBufferRows rows — " +
+          "use the parquet-sinked gate wiring for hot streams")
+
   /** Superset schema for the SHARED staged slice set: every gate's
     * input is a projection of it. `side` tags the join roles (`v` =
     * view, `s` = search/click, `o` = other event types — the session/
@@ -335,7 +351,7 @@ object StreamingGate {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Streaming.SessionSummary], _: Long) =>
         val rows = batch.collect()
-        buf.synchronized { buf ++= rows }
+        buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
         () // the lambda must be (Dataset, Long) => Unit
       }
       .start()
@@ -434,7 +450,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: Dataset[JoinedRow], _: Long) =>
           val rows = batch.collect()
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -501,7 +517,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: Dataset[OuterJoinedRow], _: Long) =>
           val rows = batch.collect()
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -551,7 +567,7 @@ object StreamingGate {
         .foreachBatch {
           (batch: Dataset[(Timestamp, String, String, Long, Long)], _: Long) =>
             val rows = batch.collect()
-            buf.synchronized { buf ++= rows }
+            buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
             ()
         }
         .start()
@@ -610,7 +626,7 @@ object StreamingGate {
         .outputMode("append") // verdicts emit once, watermark-finalized
         .foreachBatch { (batch: Dataset[(Timestamp, String, Long, Long)], _: Long) =>
           val rows = batch.collect()
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -667,7 +683,7 @@ object StreamingGate {
         .foreachBatch {
           (batch: Dataset[(Timestamp, String, String, Long, Long)], _: Long) =>
             val rows = batch.collect()
-            buf.synchronized { buf ++= rows }
+            buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
             ()
         }
         .start()
@@ -713,7 +729,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: Dataset[String], _: Long) =>
           val rows = batch.collect()
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -775,7 +791,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -835,7 +851,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -955,7 +971,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -998,7 +1014,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1063,7 +1079,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1123,7 +1139,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1196,7 +1212,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1254,7 +1270,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1323,7 +1339,7 @@ object StreamingGate {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect()
             .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1416,7 +1432,7 @@ object StreamingGate {
               paraHashes, paraBands, paraShingles, "doc_id", "text")
             .collect()
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1463,7 +1479,7 @@ object StreamingGate {
       emitKept = (kept, _) => {
         val rows = kept.collect()
           .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-        buf.synchronized { buf ++= rows }
+        buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
         ()
       },
       keptAfterDrain = () => {
@@ -1653,7 +1669,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1726,7 +1742,7 @@ object StreamingGate {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(_.getLong(0))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -1776,7 +1792,7 @@ object StreamingGate {
       emitKept = (kept, _) => {
         val rows = kept.collect().map(r =>
           (r.getLong(0), r.getInt(1), r.getString(2)))
-        buf.synchronized { buf ++= rows }
+        buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
         ()
       },
       keptAfterDrain = () => {
@@ -2010,7 +2026,7 @@ object StreamingGate {
               paraHashes, "doc_id", "text")
             .collect()
             .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
-          buf.synchronized { buf ++= rows }
+          buf.synchronized { buf ++= rows; checkDriverBudget(buf.length) }
           ()
         }
         .start()
@@ -2382,7 +2398,7 @@ object StreamingGate {
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val rows = batch.collect().map(r => (r.getInt(0), r.getLong(1)))
-          last.synchronized { rows.foreach { case (b, c) => last(b) = c } }
+          last.synchronized { rows.foreach { case (b, c) => last(b) = c }; checkDriverBudget(last.size) }
           ()
         }
         .start()
@@ -2423,7 +2439,7 @@ object StreamingGate {
           // foreachBatch runs epochs sequentially, so last write wins
           // in batch order — the serving-table upsert semantic
           val rows = batch.collect()
-          last.synchronized { rows.foreach(u => last(u.contract) = u) }
+          last.synchronized { rows.foreach(u => last(u.contract) = u); checkDriverBudget(last.size) }
           ()
         }
         .start()

@@ -32,6 +32,14 @@ object GraftColumnBridge {
       errorClass = "USER_RAISED_EXCEPTION",
       messageParameters = Map("errorMessage" -> message))
 
+  /** The exception Spark 4's `decode(col, charset)` throws on invalid
+    * input bytes (MALFORMED_CHARACTER_CODING) — `QueryExecutionErrors`
+    * is `private[sql]`, so custom decoders that fail loud with the
+    * same catchable shape build it through this bridge.
+    */
+  def malformedCharacterCoding(funcName: String, charset: String): RuntimeException =
+    errors.QueryExecutionErrors.malformedCharacterCoding(funcName, charset)
+
   /** Register a builder in a live session's FunctionRegistry
     * (`sessionState` is `private[sql]`; this is the sanctioned-shape
     * bridge for registering non-UDF Catalyst expressions outside

@@ -423,6 +423,15 @@ class TextAnalysisSpec extends SparkSpec {
       ex.getMessage should (include(s"id ${bad.head}") and
         include("decodeIdsByteFallback"))
     }
+    // a byte-id run that is NOT valid UTF-8 (a lone continuation byte
+    // here) fails loud with the same MALFORMED_CHARACTER_CODING
+    // surface Spark 4's decode expression raised in the HOF form —
+    // never a silent U+FFFD (ADVICE r18). byte b is id b+1.
+    val badUtf8 = intercept[Exception] {
+      Seq(Seq(0x80 + 1, t.EowId)).toDF("ids")
+        .select(t.decodeIdsByteFallback($"ids", vocab)).collect()
+    }
+    badUtf8.getMessage should include("MALFORMED_CHARACTER_CODING")
   }
 
   test("unigram byte-fallback ids: same id space, same decode, Viterbi " +

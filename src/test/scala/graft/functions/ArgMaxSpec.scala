@@ -12,8 +12,6 @@ import org.apache.spark.sql.functions._
 class ArgMaxSpec extends SparkSpec {
   import testImplicits._
 
-  private def argmax = ArgMaxFunctions.argmax_min_id _
-
   test("argmax equals max(struct(score, -id)) incl. exact-tie min-id") {
     val df = Seq(
       // group 1: plain max
@@ -54,6 +52,46 @@ class ArgMaxSpec extends SparkSpec {
       .select(col("b.id"), col("b.p0")).collect().head
     r.getLong(0) shouldBe 11L
     r.getDouble(1) shouldBe 111.0
+  }
+
+  test("NaN score matches the struct-max ordering (NaN ranks above all)") {
+    // pins the NaN edge (VERDICT r18 §6): Spark's comparison operators
+    // use the SQL NaN semantics (NaN > any non-NaN, NaN == NaN), so
+    // beats()'s GreaterThan/EqualTo rank NaN exactly like the
+    // struct-max ordering did — equivalence holds even for zero-norm
+    // cosine inputs. This test is the proof; if it ever fails, the
+    // call sites must re-add a NaN guard.
+    val df = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9),
+      (2L, 20L, Double.NaN), (2L, 21L, Double.NaN), // NaN tie -> min id
+      (3L, 30L, Double.PositiveInfinity), (3L, 31L, Double.NaN)
+    ).toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(ArgMaxFunctions.argmax_min_id(col("score"), col("id")).as("b"))
+      .select(col("g"), col("b.score"), col("b.id"))
+    val want = df.groupBy("g")
+      .agg(max(struct(col("score"), (-col("id")).as("nid"))).as("b"))
+      .select(col("g"), col("b.score"), (-col("b.nid")).as("id"))
+    // bit-pattern compare: Scala's boxed == has NaN != NaN
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2))).toSet
+    bits(got) shouldBe bits(want)
+  }
+
+  test("null-id rows never win, even on a later exact-score tie") {
+    // the ADVICE r18 guard: a null-id winner used to poison the buffer
+    // (LessThan(nId, bufId) -> null on the tie), silently keeping the
+    // wrong row; now null-id rows are skipped like null scores
+    val df = Seq[(Long, Option[Long], Double)](
+      (1L, None, 0.9), (1L, Some(11L), 0.9), (1L, Some(12L), 0.9),
+      (2L, None, 0.9), (2L, Some(21L), 0.1)
+    ).toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(ArgMaxFunctions.argmax_min_id(col("score"), col("id")).as("b"))
+      .select(col("g"), col("b.id"), col("b.score"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got shouldBe Map(1L -> ((11L, 0.9)), 2L -> ((21L, 0.1)))
   }
 
   test("plans as HashAggregate, not SortAggregate") {
