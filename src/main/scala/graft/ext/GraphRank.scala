@@ -45,8 +45,8 @@ object GraphRank {
     */
   def pagerankMicro(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 5): DataFrame = {
-    val (ids, edges, deg) = prepare(nodes, pairs)
-    finish(ids, deg, rankLoop(ids, edges, deg, iters))
+    val (ids, _, deg, edgesDeg) = prepare(nodes, pairs)
+    finish(ids, deg, rankLoop(ids, edgesDeg, iters))
   }
 
   private case class GraphKey(
@@ -71,10 +71,12 @@ object GraphRank {
     */
   private val MaxGraphs = 8
   private val graphMemo =
-    new java.util.LinkedHashMap[GraphKey, (DataFrame, DataFrame, DataFrame)](
+    new java.util.LinkedHashMap[GraphKey,
+        (DataFrame, DataFrame, DataFrame, DataFrame)](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[GraphKey, (DataFrame, DataFrame, DataFrame)])
+          e: java.util.Map.Entry[GraphKey,
+            (DataFrame, DataFrame, DataFrame, DataFrame)])
           : Boolean = size() > MaxGraphs
     }
 
@@ -108,21 +110,31 @@ object GraphRank {
           .localCheckpoint()
         val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
+        // degree-annotated edges, hash-partitioned on src ONCE: deg is
+        // iteration-invariant, so joining it per round paid an extra
+        // join every iteration, and an unpartitioned edge relation was
+        // re-shuffled by every round's rank join — localCheckpoint
+        // preserves the partitioning, so each round now shuffles only
+        // the (|V|-sized) rank side (guide §2.4: establish the
+        // partitioning once, iterate on it)
+        val edgesDeg = edges.join(deg, Seq("src"))
+          .repartition(col("src")).localCheckpoint()
         val ids = nodes.select(col("id")).localCheckpoint()
-        val g = (ids, edges, deg)
+        val g = (ids, edges, deg, edgesDeg)
         graphMemo.put(key, g)
         g
       }
     }
 
-  private def rankLoop(ids: DataFrame, edges: DataFrame, deg: DataFrame,
+  private def rankLoop(ids: DataFrame, edgesDeg: DataFrame,
       iters: Int): DataFrame = {
     var ranks = ids.select(col("id"), lit(1000000L).as("r"))
     var i = 0
     while (i < iters) {
-      val contrib = edges
+      // inner joins commute: (edges ⋈ deg) ⋈ ranks ≡ the old
+      // edges ⋈ ranks ⋈ deg row-for-row (every src has a degree)
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           expr("(85 * r) div (100 * deg)").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
@@ -160,8 +172,8 @@ object GraphRank {
   def pagerankSurvivors(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 5): DataFrame = {
     // one graph materialization feeds the rank loop AND the drop rule
-    val (ids, edges, deg) = prepare(nodes, pairs)
-    val ranked = finish(ids, deg, rankLoop(ids, edges, deg, iters))
+    val (ids, edges, deg, edgesDeg) = prepare(nodes, pairs)
+    val ranked = finish(ids, deg, rankLoop(ids, edgesDeg, iters))
       .localCheckpoint()
     val dropped = edges
       .join(ranked.select(col("id").as("src"),

@@ -966,6 +966,24 @@ object Similarity {
     Array.tabulate(m)(s => picks.map(_.slice(s * subDim, (s + 1) * subDim)))
   }
 
+  /** [[pqCodebooks]]' slicing over an ALREADY-FETCHED hash-ordered
+    * pick set (the first `ks` [[ivfCentroids]] rows) — lets a store
+    * build that needs both quantizers pay the corpus TakeOrdered scan
+    * once (the picks are prefix-stable, so `picks.take(ks)` here IS
+    * what `pqCodebooks` would have fetched).
+    */
+  private[graft] def pqCodebooksFromPicks(picks: Array[Array[Double]],
+      m: Int, ks: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must divide into m=$m equal subvectors")
+    require(ks >= 1 && ks <= MaxPqCodes,
+      s"ks must be in [1, $MaxPqCodes] (got $ks): a PQ code is one byte")
+    require(picks.length <= ks,
+      s"pqCodebooksFromPicks: got ${picks.length} picks for ks=$ks")
+    val subDim = dim / m
+    Array.tabulate(m)(s => picks.map(_.slice(s * subDim, (s + 1) * subDim)))
+  }
+
   /** L2-normalized copy of a float/double vector with the zero-norm
     * guard the SQL oracle can replay exactly (`x / nrm` per element,
     * zero vectors pass through): [[normalized]]'s codegen'd pass emits

@@ -487,13 +487,28 @@ object IndexStore {
     // production split that makes [[appendAnnIndexes]] exact: day-1
     // builds and day-N appends encode against the identical frozen
     // quantizer regardless of which slice they saw
-    val cents = centroids.getOrElse {
-      if (trainIters > 0)
-        Similarity.ivfCentroidsTrained(corpus, nCells, idCol, vecCol, trainIters)
-      else Similarity.ivfCentroids(corpus, nCells, idCol, vecCol)
+    // one hash-ordered TakeOrdered scan serves BOTH quantizer picks
+    // when neither is supplied: pqCodebooks' picks are ivfCentroids
+    // with limit ks, and ivfCentroids is deterministic-prefix-stable
+    // (hash-ordered), so the first ks of a max(nCells, ks) pick ARE
+    // pqCodebooks' picks — the untrained build paid the corpus scan
+    // twice for identical prefixes (guide §1.2: fewer passes)
+    val (cents, cb) = (centroids, codebooks) match {
+      case (None, None) if trainIters == 0 =>
+        val picks = Similarity.ivfCentroids(corpus, math.max(nCells, ks),
+          idCol, vecCol)
+        (picks.take(nCells),
+          Similarity.pqCodebooksFromPicks(picks.take(ks), m, ks, dim))
+      case _ =>
+        val ce = centroids.getOrElse {
+          if (trainIters > 0)
+            Similarity.ivfCentroidsTrained(corpus, nCells, idCol, vecCol,
+              trainIters)
+          else Similarity.ivfCentroids(corpus, nCells, idCol, vecCol)
+        }
+        (ce, codebooks.getOrElse(
+          Similarity.pqCodebooks(corpus, m, ks, dim, idCol, vecCol)))
     }
-    val cb = codebooks.getOrElse(
-      Similarity.pqCodebooks(corpus, m, ks, dim, idCol, vecCol))
 
     cents.zipWithIndex.map { case (v, c) => (c, v.toSeq) }.toSeq
       .toDF("cell", "vec")
@@ -1577,10 +1592,15 @@ object IndexStore {
 
     def dupRatio(table: String): Unit = {
       val df = spark.read.parquet(s"$dir/$table")
-      val total = df.count()
+      // one aggregation job, not count() + distinct().count() (two
+      // full scans at planner cadence): distinct full-row tuples ==
+      // count_distinct of the all-columns struct (never null)
+      val a = df.agg(count(lit(1)).as("n"),
+        count_distinct(struct(df.columns.map(col): _*)).as("nd")).head()
+      val total = a.getLong(0)
       val ratio =
         if (total == 0) 0.0
-        else 1.0 - df.distinct().count().toDouble / total
+        else 1.0 - a.getLong(1).toDouble / total
       rows += (("compact", s"dup_ratio:$table", ratio, dupRatioBar,
         ratio > dupRatioBar))
     }

@@ -106,6 +106,35 @@ object StreamingGate {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  /** Stage `df` as `n` pmod(idCol)-keyed slice files in ONE
+    * partitioned write — the per-slice [[writeSlice]] loop paid one
+    * source scan + one write job PER slice (3× the staging cost of
+    * every ingest gate; guide §2.4). Byte-equal slices: slice k holds
+    * exactly the `pmod(id, n) = k` rows sorted by id (one task per
+    * slice value → one part file per slice dir; two slice values
+    * hashing to one task still land in separate dirs, each internally
+    * id-sorted because the task sort is (slice, id)). An empty slice
+    * writes no dir under partitionBy, so it falls back to the
+    * single-slice writer to keep the file count — and therefore the
+    * micro-batch/trigger count — identical at every scale factor.
+    */
+  private def writeModSlices(df: DataFrame, idCol: String, stage: Path,
+      baseMs: Long, n: Int = 3): Unit = {
+    val tmp = stage.resolve("tmpmod")
+    df.withColumn("__slice", pmod(col(idCol), lit(n)).cast("int"))
+      .repartition(n, col("__slice"))
+      .sortWithinPartitions(col("__slice"), col(idCol))
+      .write.partitionBy("__slice").mode("overwrite").parquet(tmp.toString)
+    (0 until n).foreach { k =>
+      val d = tmp.resolve(s"__slice=$k").toFile
+      if (d.isDirectory) promoteSlice(d, stage, k, baseMs)
+      else writeSlice(
+        df.filter(pmod(col(idCol), lit(n)) === k).orderBy(idCol),
+        stage, k, baseMs)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   /** Midpoint date of `df`'s `ts` range — the slice threshold. */
   private def midpointDate(lo: java.sql.Date, hi: java.sql.Date): java.sql.Date =
     java.sql.Date.valueOf(lo.toLocalDate.plusDays(
@@ -770,11 +799,7 @@ object StreamingGate {
       // admitted SET (stateless ops), the slicing just proves the
       // per-micro-batch path end-to-end
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val probe = Dedup.bloomProbeEager(seen, "text",
         expectedSeen = 1000L, fpp = 0.01)
       val seenDigests = seen.select(md5(col("text")).as("digest")).distinct()
@@ -827,11 +852,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val digests = graft.io.IndexStore.readDigests(s, idxDir)
       val weights = graft.io.IndexStore.readNbWeightsMicro(s, idxDir)
       val stream = s.readStream
@@ -887,11 +908,7 @@ object StreamingGate {
       val d = Tables(s, dir, "documents")
         .select("doc_id", "source", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          d.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(d, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("source", StringType),
@@ -952,11 +969,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -995,11 +1008,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val weights = QualityModel.nbWeightsMicro(seen, "doc_id", "text")
       val stream = s.readStream
         .schema(StructType(Seq(
@@ -1060,11 +1069,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1121,11 +1126,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1193,11 +1194,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1253,11 +1250,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "text")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1321,11 +1314,7 @@ object StreamingGate {
     try withStatePartitions(s, 4) {
       val fresh = synth.filter(bucket >= 500 && bucket < 600)
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1412,11 +1401,7 @@ object StreamingGate {
       val fresh = synth(col("doc_id") % 4 + 4)
         .filter(bucket >= 500 && bucket < 600)
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1578,11 +1563,7 @@ object StreamingGate {
               "news and updates for paying subscribers in issue "),
               (col("doc_id") % 5).cast("string"))).as("text"))
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1649,11 +1630,7 @@ object StreamingGate {
       val fresh = e.filter(bucket >= 500 && bucket < 600)
         .select("vec_id", "embedding")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "vec_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("vec_id", LongType),
@@ -1718,11 +1695,7 @@ object StreamingGate {
       val fresh = e.filter(bucket >= 500 && bucket < 600)
         .select("vec_id", "embedding")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "vec_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("vec_id", LongType),
@@ -1876,11 +1849,7 @@ object StreamingGate {
       synth.filter(bucket < 500), storeDir)
     try withStatePartitions(s, 4) {
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType))))
@@ -1967,11 +1936,7 @@ object StreamingGate {
         .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
           Seq("doc_id"), "left")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val digests = graft.io.IndexStore.readDigests(s, idxDir)
       val spans = graft.io.IndexStore.readSpanHashes(s, idxDir)
       val bandIdx = graft.io.IndexStore.readBandIndex(s, idxDir)
@@ -2222,11 +2187,7 @@ object StreamingGate {
     val cb = Similarity.pqCodebooks(e, 4, 16, 64)
     try withStatePartitions(s, 4) {
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          e.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(e, "vec_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("vec_id", LongType),
@@ -2311,11 +2272,7 @@ object StreamingGate {
       // state a drifted ingest leaves behind
       graft.io.IndexStore.writeAnnIndexes(seen, storeDir)
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("vec_id"), lit(3)) === k).orderBy("vec_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "vec_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("vec_id", LongType),
@@ -2380,11 +2337,7 @@ object StreamingGate {
       val fresh = d.filter(bucket >= 500 && bucket < 600)
         .select("doc_id", "n_chars")
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 until 3).foreach { k =>
-        writeSlice(
-          fresh.filter(pmod(col("doc_id"), lit(3)) === k).orderBy("doc_id"),
-          stage, k, baseMs)
-      }
+      writeModSlices(fresh, "doc_id", stage, baseMs)
       val stream = s.readStream
         .schema(StructType(Seq(
           StructField("doc_id", LongType), StructField("n_chars", LongType))))
