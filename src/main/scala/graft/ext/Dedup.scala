@@ -1849,8 +1849,10 @@ object Dedup {
     * per-document totals without a second explode+shuffle pass.
     */
   def paragraphCount(text: Column, sep: String = "\n\n"): Column =
-    size(filter(split(text, java.util.regex.Pattern.quote(sep)),
-      p => length(trim(p)) > 0))
+    // one codegen'd walk — the size(filter(split(...), trim)) form was
+    // an interpreted lambda materializing the paragraph array per row
+    // (equivalence spec-pinned in GopherFusedSpec)
+    graft.functions.GopherFunctions.non_blank_segment_count(text, sep)
 
   /** Reassemble (id, idx, para) survivors into one document per id,
     * original paragraph order: (id, clean_text, n_kept).

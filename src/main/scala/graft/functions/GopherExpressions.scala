@@ -161,6 +161,75 @@ object GopherSupport {
   }
 }
 
+/** Count of non-blank segments between literal `sep` occurrences —
+  * the fused twin of `size(filter(split(text, quote(sep)), p =>
+  * length(trim(p)) > 0))`: Java-split left-to-right non-overlapping
+  * literal boundaries (limit -1, trailing empties kept), a segment
+  * counts when it has any byte ≠ 0x20 (Spark's `trim` removes only
+  * spaces, so a paragraph of tabs/newlines is non-blank — replicated).
+  */
+object SegmentCountSupport {
+  def nonBlankSegments(t: UTF8String, sepBytes: Array[Byte]): Int = {
+    val n = t.numBytes
+    val m = sepBytes.length
+    var i = 0
+    var nonBlank = false
+    var cnt = 0
+    while (i < n) {
+      var isSep = i + m <= n
+      var j = 0
+      while (isSep && j < m) {
+        if (t.getByte(i + j) != sepBytes(j)) isSep = false
+        j += 1
+      }
+      if (isSep) {
+        if (nonBlank) cnt += 1
+        nonBlank = false
+        i += m
+      } else {
+        if (t.getByte(i) != ' ') nonBlank = true
+        i += 1
+      }
+    }
+    if (nonBlank) cnt += 1
+    cnt
+  }
+}
+
+/** Non-blank-segment count as one codegen'd expression — see
+  * [[SegmentCountSupport.nonBlankSegments]].
+  */
+case class NonBlankSegmentCountExpr(child: Expression, sep: String)
+    extends UnaryExpression {
+
+  require(sep.nonEmpty, "non_blank_segment_count needs a non-empty sep")
+
+  private lazy val sepBytes =
+    sep.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"non_blank_segment_count needs a string input, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SegmentCountSupport.nonBlankSegments(
+      input.asInstanceOf[UTF8String], sepBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sepBytes", sepBytes, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SegmentCountSupport.nonBlankSegments($c, $sepRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NonBlankSegmentCountExpr =
+    copy(child = newChild)
+}
+
 /** Gopher rule evidence as one codegen'd expression returning
   * struct<n_words..d2 bigint> — see [[GopherSupport.evidence]].
   */
@@ -252,4 +321,9 @@ object GopherFunctions {
   def repeated_ngram_ratio(text: Column, n: Int): Column =
     GraftColumnBridge.column(RepeatedNgramRatioExpr(
       GraftColumnBridge.expression(text), n))
+
+  /** Count of non-blank segments of `text` under literal `sep`. */
+  def non_blank_segment_count(text: Column, sep: String): Column =
+    GraftColumnBridge.column(NonBlankSegmentCountExpr(
+      GraftColumnBridge.expression(text), sep))
 }

@@ -99,6 +99,36 @@ class GopherFusedSpec extends SparkSpec {
     rowSet(got) shouldBe rowSet(want)
   }
 
+  test("non-blank segment count matches the legacy split/trim form") {
+    val cases = Seq(
+      Some(""), Some(" "), Some("\n\n"), Some("\n\n\n"), Some("a"),
+      Some("a\n\nb"), Some("a\n\n\n\nb"), Some(" \n\n "), Some("\t\n\n\t"),
+      Some("lead\n\n"), Some("\n\ntail"), Some("中文\n\n段落 😀"),
+      Some("one\n\n  \n\ntwo\n\nthree   "), Some("\n"), None)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def legacy(sep: String) =
+      F.size(F.filter(split(col("text"), java.util.regex.Pattern.quote(sep)),
+        p => F.length(trim(p)) > 0))
+    val got = df.select(col("doc_id"),
+      GopherFunctions.non_blank_segment_count(col("text"), "\n\n").as("a"),
+      GopherFunctions.non_blank_segment_count(col("text"), "\n").as("b"),
+      legacy("\n\n").as("la"), legacy("\n").as("lb")).collect()
+    got.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}\n") {
+        r.get(1) shouldBe r.get(3)
+        r.get(2) shouldBe r.get(4)
+      }
+    }
+    // and on real data, incl. the paragraph-synth boilerplate shape
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text", concat_ws("\n\n", col("text"), col("text")))
+    val real = docs.select(
+      GopherFunctions.non_blank_segment_count(col("text"), "\n\n").as("a"),
+      legacy("\n\n").as("la")).collect()
+    real.foreach(r => r.get(0) shouldBe r.get(1))
+  }
+
   test("all three match legacy on the sf0.001 documents table") {
     val df = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
     val e = GopherFunctions.gopher_evidence(col("text"))
