@@ -2162,7 +2162,11 @@ object Dedup {
       minCos: Double): DataFrame = {
     val prepped = Similarity.withNorm(
       emb.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    prepped.as("a").join(prepped.as("b"), col("a.id") < col("b.id"))
+    // the all-pairs nested loop inherits the scan's partitioning on
+    // its stream side — a single-file corpus would score every pair
+    // in one task (same repair as the shingle path's scanParallelized)
+    scanParallelized(prepped).as("a")
+      .join(broadcast(prepped.as("b")), col("a.id") < col("b.id"))
       .withColumn("cos", Similarity.cosineFromNorms(
         col("a.vec"), col("b.vec"), col("a.norm"), col("b.norm")))
       .filter(col("cos") >= minCos)

@@ -78,9 +78,24 @@ object Similarity {
   /** The exact-cosine scored frame every brute face ranks or filters:
     * one corpus scan against the broadcast query side.
     */
+  /** Repair pathological scan under-parallelism before an all-pairs
+    * scoring join (the [[graft.ext.Dedup]] scanParallelized rule): a
+    * corpus that arrives as a handful of unsplittable inputs would
+    * score |queries|·|corpus| pairs on a few cores while the rest
+    * idle — the BroadcastNestedLoopJoin's stream side inherits the
+    * scan's partitioning. Conditional on the ACTUAL partition count so
+    * a real multi-split corpus passes through with no shuffle.
+    */
+  private def scanParallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 >= target) df
+    else df.repartition(target)
+  }
+
   private def bruteScored(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val c = scanParallelized(
+      withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))))
     val q = querySide(queries, idCol, vecCol)
     c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cos",
@@ -123,8 +138,27 @@ object Similarity {
         s"maxScoredPairs=$maxScoredPairs — use trainingTripletsFromIndex " +
         "(the persisted-IVF serve scores nProbe/nCells of the corpus per " +
         "anchor) or raise the bound for a provisioned exact baseline")
-    tripletArgmax(bruteScored(corpus, anchors, idCol, vecCol),
-      posFloor, negCeiling)
+    // corpus-as-anchors: cosine is symmetric BIT-exactly here —
+    // dot(a,b) multiplies the same element pairs in the same index
+    // order as dot(b,a) (IEEE multiply commutes) and the norm product
+    // commutes — so score only the id > query_id half of the cross
+    // product and mirror each scored row locally (inline of the two
+    // orientations): half the dot products and half the
+    // BroadcastNestedLoopJoin output for the identical scored frame.
+    val scored =
+      if (anchors eq corpus) {
+        val c = scanParallelized(
+          withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))))
+        val q = querySide(corpus, idCol, vecCol)
+        c.join(broadcast(q), col("id") > col("query_id"))
+          .withColumn("cos",
+            cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
+          .select(inline(array(
+            struct(col("query_id"), col("id"), col("cos")),
+            struct(col("id").as("query_id"), col("query_id").as("id"),
+              col("cos")))))
+      } else bruteScored(corpus, anchors, idCol, vecCol)
+    tripletArgmax(scored, posFloor, negCeiling)
   }
 
   /** [[trainingTriplets]] served from the PERSISTED inverted file —
@@ -279,9 +313,20 @@ object Similarity {
     * aggregation (the [[tripletArgmax]] struct-max shape), not a
     * window re-shuffle.
     */
-  private def bitextMarginTail(fwdScored: DataFrame, bwdScored: DataFrame,
+  private def bitextMarginTail(fwdScored0: DataFrame, bwdScored: DataFrame,
       k: Int, marginFloor: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the forward scored frame is consumed TWICE (its neighborhood
+    // mean + the final margin join), and in the brute face the SAME
+    // frame is also the backward side — uncheckpointed, each consumer
+    // re-ran the full scoring join (measured: three ~0.9-1.8 s scoring
+    // jobs inside one q_bitext_mine run; the means broadcast at
+    // registry scale, so no exchange reuse shields the branches).
+    // Materialize the candidate frame ONCE; it is candidate-bounded in
+    // the index face and maxScoredPairs-guarded in the brute face, so
+    // the checkpoint is bounded too.
+    val fwdScored = fwdScored0.localCheckpoint()
+    val bwdShared = if (bwdScored eq fwdScored0) fwdScored else bwdScored
     def nbrMean(scored: DataFrame, keyCol: String, otherCol: String,
         out: String): DataFrame = {
       val w = Window.partitionBy(keyCol)
@@ -293,7 +338,7 @@ object Similarity {
           / count(lit(1))).as(out))
     }
     val fwd = nbrMean(fwdScored, "src_id", "tgt_id", "nbr_fwd")
-    val bwd = nbrMean(bwdScored, "tgt_id", "src_id", "nbr_bwd")
+    val bwd = nbrMean(bwdShared, "tgt_id", "src_id", "nbr_bwd")
     fwdScored
       .join(fwd, Seq("src_id")).join(bwd, Seq("tgt_id"))
       .withColumn("margin", round(col("cos"), 6)
@@ -917,14 +962,12 @@ object Similarity {
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
       posCeiling: Double = 0.45,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
-    val q = querySide(queries, idCol, vecCol)
-    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
-      .withColumn("cos",
-        cosineFromNorms(col("qvec"), col("vec"), col("qnorm"), col("norm")))
-    rankTopK(scored.filter(col("cos") < posCeiling), k)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // the scored frame IS bruteScored's (one scorer: self-pair guard,
+    // zero-norm handling, broadcast choice, scan parallelization in
+    // one place); the ceiling is a row-local filter on top
+    rankTopK(bruteScored(corpus, queries, idCol, vecCol)
+      .filter(col("cos") < posCeiling), k)
 
   /** [[hardNegatives]] served from the PERSISTED inverted file — the
     * scale shape: hard negatives are by construction near-top-scoring
@@ -1058,7 +1101,10 @@ object Similarity {
       element_at(element_at(col("lut"), s + 1),
         element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val scored = codes.join(broadcast(luts), col("id") =!= col("query_id"))
+    // the PQ encode + ADC walk inherit the scan's partitioning on the
+    // nested loop's stream side — parallelize a few-split corpus
+    val scored = scanParallelized(codes)
+      .join(broadcast(luts), col("id") =!= col("query_id"))
       .withColumn("approx", adc)
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx").desc, col("id").asc)

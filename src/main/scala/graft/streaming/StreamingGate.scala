@@ -2184,7 +2184,12 @@ object StreamingGate {
     // offline-trained quantizer: the day-0 artifact every batch
     // (including batch 0) encodes against
     val cents = Similarity.ivfCentroids(e, 16)
-    val cb = Similarity.pqCodebooks(e, 4, 16, 64)
+    // nCells == ks == 16: the PQ picks are the SAME hash-ordered
+    // prefix the centroid pick just fetched — slice them instead of
+    // paying the corpus TakeOrdered scan a second time (the
+    // writeAnnIndexes one-pick rule, applied to this gate's offline
+    // training step)
+    val cb = Similarity.pqCodebooksFromPicks(cents, 4, 16, 64)
     try withStatePartitions(s, 4) {
       val baseMs = System.currentTimeMillis() - 3600000L
       writeModSlices(e, "vec_id", stage, baseMs)
