@@ -546,12 +546,42 @@ object Dedup {
     */
   def clusterSurvivors(df: DataFrame, idCol: String, clusters: DataFrame,
       rankCol: String): DataFrame = {
-    val winners = df.select(col(idCol).as("id"), col(rankCol).as("__rank"))
+    import org.apache.spark.sql.types._
+    val joined = df.select(col(idCol).as("id"), col(rankCol).as("__rank"))
       .join(clusters, Seq("id"))
-      .groupBy("cluster")
-      .agg(max_by(col("id"),
-        struct(col("__rank"), (-col("id")).as("__nid"))).as(idCol))
-      .select(idCol)
+    // max_by over a struct ordering has a struct-typed aggregation
+    // buffer — HashAggregateExec cannot hold it, so the winner pick
+    // SORTED the whole (id, rank, cluster) relation twice (partial +
+    // final SortAggregate; the r18 ArgMax lesson). For numeric ranks
+    // the pick is the flat-buffer [[graft.functions.ArgMaxScoreMinId]]
+    // instead: same (max rank, ties → min id) winner — null ranks map
+    // to -Infinity so they lose to any ranked member and an all-null
+    // cluster still keeps its min id, exactly the struct ordering's
+    // null-first behavior — on the codegen'd map-side-combining hash
+    // path. Long ranks fail LOUD past 2^53 (where the double cast
+    // stops being order-preserving); non-numeric ranks keep max_by.
+    val winners = (joined.schema("__rank").dataType match {
+      case ByteType | ShortType | IntegerType | FloatType | DoubleType |
+          LongType =>
+        val cast = joined.schema("__rank").dataType match {
+          case LongType =>
+            when(abs(col("__rank")) > (1L << 53), raise_error(concat(
+              lit("clusterSurvivors: |rank| above 2^53 is not exactly " +
+                "double-representable — rank column "),
+              lit(rankCol), lit(" value "), col("__rank").cast("string"))))
+              .otherwise(col("__rank").cast("double"))
+          case _ => col("__rank").cast("double")
+        }
+        joined.groupBy("cluster")
+          .agg(graft.functions.ArgMaxFunctions.argmax_min_id(
+            coalesce(cast, lit(Double.NegativeInfinity)), col("id")).as("w"))
+          .select(col("w.id").as(idCol))
+      case _ =>
+        joined.groupBy("cluster")
+          .agg(max_by(col("id"),
+            struct(col("__rank"), (-col("id")).as("__nid"))).as(idCol))
+          .select(idCol)
+    })
     df.join(winners, Seq(idCol), "left_semi")
   }
 

@@ -138,11 +138,19 @@ object GraphRank {
         .select(col("dst").as("id"),
           expr("(85 * r) div (100 * deg)").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
+      // LAZY checkpoint: the round's lineage still truncates (each
+      // round plans against the previous round's RDD, not a growing
+      // DAG) and the blocks still persist, but materialization rides
+      // the NEXT round's job instead of paying a standalone job
+      // barrier + block-write wall per round (~0.3 s × iters at bench
+      // scale, measured via -jobs attribution). The intermediate
+      // ranks frame has exactly ONE consumer (the next round), so
+      // laziness can never double-compute it.
       ranks = ids
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + coalesce(col("c"), lit(0L))).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       i += 1
     }
     ranks
