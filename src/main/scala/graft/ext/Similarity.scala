@@ -50,15 +50,37 @@ object Similarity {
     * round-6 output. One place so the deterministic tie-break contract
     * the oracles depend on cannot drift between paths.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
-  }
+  /** Largest k served by the bounded aggregate — past it (a caller
+    * ranking "everything"), the k-slot buffer would degenerate toward
+    * a per-group sort, so the window form is the honest plan.
+    */
+  private val MaxAggTopK = 4096
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    if (k > MaxAggTopK) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    } else
+      // aggregate top-k, not a row_number window (guide §2.3): the
+      // window form shuffled EVERY scored candidate to its query's
+      // partition and sorted the whole relation; the k-slot aggregate
+      // combines map-side, so the exchange carries |queries|·k entries
+      // instead of the scored relation and nothing is sorted. Rank =
+      // array position (the aggregate returns rows in (cos desc, id
+      // asc) order — the window's exact total order, nulls included).
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKFunctions.topk_score_min_id(
+          col("cos"), col("id"), k).as("__top"))
+        .select(col("query_id"),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("query_id"), (col("__pos") + 1).as("rank"),
+          col("__e.id").as("neighbor_id"),
+          round(col("__e.score"), 6).as("cos"))
 
   /** Query side with norms, renamed for the scored join. */
   private def querySide(queries: DataFrame, idCol: String,
@@ -328,15 +350,21 @@ object Similarity {
     val fwdScored = fwdScored0.localCheckpoint()
     val bwdShared = if (bwdScored eq fwdScored0) fwdScored else bwdScored
     def nbrMean(scored: DataFrame, keyCol: String, otherCol: String,
-        out: String): DataFrame = {
-      val w = Window.partitionBy(keyCol)
-        .orderBy(col("cos").desc, col(otherCol).asc)
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= k)
+        out: String): DataFrame =
+      // aggregate top-k, not a row_number window (guide §2.3, the
+      // rankTopK rewrite): each side's neighborhood pick now combines
+      // map-side instead of shuffling + sorting the whole scored
+      // relation per direction. The kept scores re-explode (≤ k tiny
+      // rows per key, partitioning preserved — no new exchange) so
+      // the mean is computed by the SAME sum/count expressions as
+      // before, decimal-exact and null-counting alike.
+      scored.groupBy(keyCol)
+        .agg(graft.functions.TopKFunctions.topk_score_min_id(
+          col("cos"), col(otherCol), k).as("__t"))
+        .select(col(keyCol), explode(col("__t.score")).as("__cos"))
         .groupBy(keyCol)
-        .agg((sum(round(col("cos"), 6).cast("decimal(12,6)")).cast("double")
+        .agg((sum(round(col("__cos"), 6).cast("decimal(12,6)")).cast("double")
           / count(lit(1))).as(out))
-    }
     val fwd = nbrMean(fwdScored, "src_id", "tgt_id", "nbr_fwd")
     val bwd = nbrMean(bwdShared, "tgt_id", "src_id", "nbr_bwd")
     fwdScored
@@ -1106,17 +1134,22 @@ object Similarity {
     val scored = scanParallelized(codes)
       .join(broadcast(luts), col("id") =!= col("query_id"))
       .withColumn("approx", adc)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx").desc, col("id").asc)
-    val pqRanked = scored.withColumn("rank", row_number().over(w))
+    // aggregate top-k, not a row_number window (the rankTopK rewrite)
+    val depth = if (rerank <= 0) k else rerank
+    val pqRanked = scored.groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.topk_score_min_id(
+        col("approx"), col("id"), depth).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("id"), col("__e.score").as("approx"))
     if (rerank <= 0)
-      pqRanked.filter(col("rank") <= k)
+      pqRanked
         .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
           round(col("approx"), 6).as("approx_cos"))
     else {
       require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
-      val cands = pqRanked.filter(col("rank") <= rerank)
-        .select("query_id", "id")
+      val cands = pqRanked.select("query_id", "id")
       val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
       val exact = cands
         .join(c, Seq("id"))
@@ -1159,8 +1192,8 @@ object Similarity {
       ivfPqTopKFromIndex(codes, cents, cb, queries, k, nProbe, idCol, vecCol)
     else {
       require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
-      val cands = ivfPqRanked(codes, cents, cb, queries, nProbe, idCol, vecCol)
-        .filter(col("rank") <= rerank).select("query_id", "id")
+      val cands = ivfPqRanked(codes, cents, cb, queries, nProbe, rerank,
+        idCol, vecCol).select("query_id", "id")
       val c = withNorm(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")))
       val exact = cands
         .join(c, Seq("id"))
@@ -1183,8 +1216,7 @@ object Similarity {
       cb: Array[Array[Array[Double]]], queries: DataFrame, k: Int,
       nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfPqRanked(codes, cents, cb, queries, nProbe, idCol, vecCol)
-      .filter(col("rank") <= k)
+    ivfPqRanked(codes, cents, cb, queries, nProbe, k, idCol, vecCol)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         round(col("approx"), 6).as("approx_cos"))
 
@@ -1206,9 +1238,8 @@ object Similarity {
       queries: DataFrame, k: Int, nProbe: Int = 2, rerank: Int = 20,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(rerank >= k, s"rerank depth $rerank must be >= k=$k")
-    val cands = ivfPqRanked(codes, cents, cb, queries, nProbe, idCol, vecCol)
-      .filter(col("rank") <= rerank)
-      .select("query_id", "cell", "id")
+    val cands = ivfPqRanked(codes, cents, cb, queries, nProbe, rerank,
+      idCol, vecCol).select("query_id", "cell", "id")
     val exact = cands
       .join(assigned.select(col("cell"), col("id"), col("vec"), col("norm")),
         Seq("cell", "id"))
@@ -1225,8 +1256,7 @@ object Similarity {
     */
   private def ivfPqRanked(codes: DataFrame, cents: Array[Array[Double]],
       cb: Array[Array[Array[Double]]], queries: DataFrame, nProbe: Int,
-      idCol: String, vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      depth: Int, idCol: String, vecCol: String): DataFrame = {
     import graft.functions.IvfFunctions.ivf_cells
     val m = cb.length
     val subDim = cb(0)(0).length
@@ -1249,9 +1279,18 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(luts), Seq("query_id"))
       .withColumn("approx", adc)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // aggregate top-depth, not a row_number window (the rankTopK
+    // rewrite); the candidate's cell rides as payload so the rerank
+    // face can key its exact-rescore join on (cell, id) and keep the
+    // inverted file's partition pruning
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.topk_score_min_id(
+        col("approx"), col("id"), depth, col("cell")).as("__top"))
+      .select(col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("id"), col("__e.score").as("approx"),
+        col("__e.p0").as("cell"))
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
